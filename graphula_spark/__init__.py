@@ -1,0 +1,35 @@
+"""graphula_spark — a PySpark-native rebuild of the graphula triple store.
+
+The reference (pstutz/graphula) is a single-node LMDB-backed RDF triple
+store answering SPARQL BGP queries with a recursive binding-at-a-time
+matcher (reference: core/src/main/scala/com/graphula/Graphula.scala).
+This package re-expresses the same capabilities Spark-first:
+
+- terms are dictionary-encoded 63-bit positive longs
+  (reference: core/.../dictionary/Dictionary.scala:34-37)
+- the triple set is one DataFrame ``(s, p, o)`` of longs; Catalyst
+  predicate pushdown + partition pruning replace the reference's 8-way
+  LMDB permutation index (reference: core/.../index/Index.scala:61-78)
+- a BGP is executed as a chain of aliased equi self-joins, greedily
+  ordered by estimated cardinality + join-graph connectivity
+  (reference: core/.../Graphula.scala:120-190)
+- everything above BGPs (FILTER/OPTIONAL/UNION/...) — which the
+  reference delegates to Jena ARQ — is our own SPARQL front-end
+  compiled to DataFrame operations.
+"""
+
+from graphula_spark.dictionary import Dictionary, HASH_MASK
+from graphula_spark.graph import Graph
+from graphula_spark.plans.bgp import Var, TriplePattern
+from graphula_spark.session import get_spark
+
+__all__ = [
+    "Dictionary",
+    "Graph",
+    "Var",
+    "TriplePattern",
+    "get_spark",
+    "HASH_MASK",
+]
+
+__version__ = "0.1.0"

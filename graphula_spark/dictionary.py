@@ -1,0 +1,170 @@
+"""Dictionary encoding: RDF term string <-> 63-bit positive long id.
+
+Scheme mirrors the reference (core/.../dictionary/Dictionary.scala:34-37):
+
+    id = xxhash64(term_bytes) & Long.MaxValue
+
+with a collision-exception path for distinct strings that hash to the
+same id (reference: Dictionary.scala:187-211 allocates sequential ids
+from an AtomicLong; a distributed engine cannot cheaply hand out a
+global counter, so we deterministically re-salt the hash instead —
+same observable contract: every distinct string gets a unique positive
+id, the first-seen/lexicographically-smallest string keeps the raw
+hash id).
+
+Blank nodes: the reference gives blank nodes ids with *no* dictionary
+entry and synthesizes ``_:$id`` on decode (Dictionary.scala:103-119).
+We store blank-node labels (``_:x``) as ordinary dictionary terms —
+round-trip behavior is identical within a load session — and keep the
+reference's decode fallback ``coalesce(value, '_:' || id)`` for ids
+absent from the dictionary.
+
+Spark-first notes:
+- encode/decode are *joins* against the dict DataFrame, not RPCs; at
+  100 TB the dict is itself distributed and the encode join shuffles
+  on the term string (or broadcasts when small).
+- ``F.xxhash64`` is the same XXH64 family the reference uses via
+  net.openhft; seed 42 (Spark's default). Ids therefore differ from
+  the reference numerically — irrelevant, ids never leave the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.window import Window
+
+#: Long.MaxValue mask — keeps ids positive (reference: Dictionary.scala:36)
+HASH_MASK = (1 << 63) - 1
+
+DICT_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("value", StringType(), False),
+    ]
+)
+
+
+def term_id_col(col):
+    """Column expression for the primary (pre-collision-check) id."""
+    return F.xxhash64(col).bitwiseAND(F.lit(HASH_MASK))
+
+
+class Dictionary:
+    """An immutable (id, value) mapping as a DataFrame.
+
+    Reference parity: core/.../dictionary/Dictionary.scala
+    (add:144-161, apply(String):125-139, apply(Long):103-119).
+    """
+
+    def __init__(self, spark: SparkSession, df: DataFrame):
+        self.spark = spark
+        self.df = df
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "Dictionary":
+        return cls(spark, spark.createDataFrame([], DICT_SCHEMA))
+
+    @classmethod
+    def build(cls, spark: SparkSession, terms: DataFrame) -> "Dictionary":
+        """Build a dictionary from a one-column DataFrame of term strings.
+
+        Collision handling: within each raw-hash bucket, the
+        lexicographically smallest term keeps the raw id; the others get
+        deterministic re-salted ids (salt = collision rank appended as
+        control bytes, re-hashed). The empty string is always a valid
+        entry (the reference pre-seeds it, Dictionary.scala:66-76).
+        """
+        col = terms.columns[0]
+        distinct = terms.select(F.col(col).alias("value")).where(
+            F.col("value").isNotNull()
+        ).distinct()
+        w = Window.partitionBy("raw_id").orderBy("value")
+        df = (
+            distinct.withColumn("raw_id", term_id_col(F.col("value")))
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn(
+                "id",
+                F.when(F.col("rank") == 1, F.col("raw_id")).otherwise(
+                    term_id_col(
+                        F.concat(
+                            F.col("value"),
+                            F.lit("\x01"),
+                            F.col("rank").cast("string"),
+                        )
+                    )
+                ),
+            )
+            .select("id", "value")
+        )
+        return cls(spark, df)
+
+    def union(self, other_terms: DataFrame) -> "Dictionary":
+        """Extend with new terms (incremental load); existing ids stable."""
+        new_terms = (
+            other_terms.select(F.col(other_terms.columns[0]).alias("value"))
+            .where(F.col("value").isNotNull())
+            .distinct()
+            .join(self.df, "value", "left_anti")
+        )
+        fresh = Dictionary.build(self.spark, new_terms).df
+        # A fresh term could collide with an *existing* id: re-salt those.
+        clash = fresh.join(
+            self.df.select(F.col("id")), "id", "left_semi"
+        ).withColumn(
+            "id",
+            term_id_col(F.concat(F.col("value"), F.lit("\x01x"))),
+        )
+        no_clash = fresh.join(self.df.select("id"), "id", "left_anti")
+        return Dictionary(self.spark, self.df.unionByName(no_clash.unionByName(clash)))
+
+    # -- encode ----------------------------------------------------------
+    def encode_col(self, df: DataFrame, col: str, out: str) -> DataFrame:
+        """Join-encode one string column to its id column.
+
+        Unknown terms encode to NULL (caller decides: loads must build
+        the dict first; queries treat NULL as 'unknown constant ⇒ empty
+        result', reference: GraphulaStageGenerator.scala:61-68).
+        """
+        d = self.df.select(
+            F.col("value").alias(col), F.col("id").alias(out)
+        )
+        return df.join(d, col, "left")
+
+    def lookup_terms(self, terms: list[str]) -> dict[str, int]:
+        """Driver-side lookup of a handful of constants (query planning).
+
+        This is the 'resolve constants through the dictionary' step of
+        the reference stage bridge (GraphulaStageGenerator.scala:61-68);
+        constants per query are few, so a collected filter join is fine.
+        """
+        if not terms:
+            return {}
+        rows = (
+            self.df.where(F.col("value").isin(list(set(terms))))
+            .select("value", "id")
+            .collect()
+        )
+        return {r["value"]: r["id"] for r in rows}
+
+    # -- decode ----------------------------------------------------------
+    def decode_col(self, df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+        """Join-decode one id column back to its term string.
+
+        Ids missing from the dict decode as blank nodes ``_:<id>``
+        (reference: Dictionary.scala:103-119). This is the *late
+        materialization* boundary — call only on final results
+        (reference keeps LazyBinding ids until asked,
+        core/.../LazyBinding.scala:13-28).
+        """
+        out = out or col
+        d = self.df.select(F.col("id").alias(col), F.col("value").alias(f"__dec_{col}"))
+        decoded = df.join(d, col, "left").withColumn(
+            f"__dec_{col}",
+            F.coalesce(
+                F.col(f"__dec_{col}"),
+                F.concat(F.lit("_:"), F.col(col).cast("string")),
+            ),
+        )
+        return decoded.drop(col).withColumnRenamed(f"__dec_{col}", out)

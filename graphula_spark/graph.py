@@ -1,0 +1,226 @@
+"""Graph: the user-facing triple store (triples DF + dictionary + stats).
+
+Reference parity: the ``Graphula`` class (core/.../Graphula.scala) owns
+the LMDB env, index, dictionary and exposes execute/count; here the
+state is a pair of DataFrames plus driver-cached stats. Storage layout
+for persisted graphs is Parquet partitioned by a hash-bucket of ``p``
+(predicate-first, matching the reference index's p → s → o priority,
+Index.scala:61-78) so bound-predicate scans prune partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from graphula_spark.dictionary import Dictionary
+from graphula_spark.plans.bgp import BgpStats, TriplePattern, Var, execute_bgp
+from graphula_spark.sources.ntriples import read_ntriples
+
+TRIPLES_SCHEMA = StructType(
+    [
+        StructField("s", LongType(), False),
+        StructField("p", LongType(), False),
+        StructField("o", LongType(), False),
+    ]
+)
+
+
+class Graph:
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples: DataFrame,
+        dictionary: Dictionary,
+        stats: BgpStats | None = None,
+    ):
+        self.spark = spark
+        self.triples = triples
+        self.dictionary = dictionary
+        self._stats = stats
+
+    # ------------------------------------------------------------------
+    # construction / load (reference: Sparql.loadNtriples, O1-O3)
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_string_triples(
+        cls, spark: SparkSession, striples: DataFrame, cache: bool = True
+    ) -> "Graph":
+        """Build from a DataFrame of (s, p, o) term *strings*.
+
+        Two passes, both distributed: (1) build the dictionary over all
+        distinct terms, (2) encode the triples via three joins. Set
+        semantics (dropDuplicates) mirror the reference's idempotent
+        MDB_NODUPDATA inserts (Index.scala:101-107).
+        """
+        terms = (
+            striples.select(F.col("s").alias("value"))
+            .unionByName(striples.select(F.col("p").alias("value")))
+            .unionByName(striples.select(F.col("o").alias("value")))
+        )
+        dictionary = Dictionary.build(spark, terms)
+        enc = striples
+        for c in ("s", "p", "o"):
+            enc = dictionary.encode_col(enc, c, f"{c}_id")
+        triples = (
+            enc.select(
+                F.col("s_id").alias("s"),
+                F.col("p_id").alias("p"),
+                F.col("o_id").alias("o"),
+            )
+            .dropDuplicates(["s", "p", "o"])
+        )
+        if cache:
+            dictionary.df.cache()
+            triples = triples.cache()
+        return cls(spark, triples, dictionary)
+
+    @classmethod
+    def from_ntriples(
+        cls, spark: SparkSession, paths: str | list[str], cache: bool = True
+    ) -> "Graph":
+        return cls.from_string_triples(spark, read_ntriples(spark, paths), cache=cache)
+
+    def add_string_triples(self, striples: DataFrame) -> "Graph":
+        """Incremental insert (reference: performAdd, Sparql.scala:115-127).
+
+        Extends the dictionary with unseen terms, unions + dedups.
+        Returns a new immutable Graph (snapshot semantics replace LMDB
+        transactions, SURVEY §1.6/§1.7).
+        """
+        terms = (
+            striples.select(F.col("s").alias("value"))
+            .unionByName(striples.select(F.col("p").alias("value")))
+            .unionByName(striples.select(F.col("o").alias("value")))
+        )
+        d2 = self.dictionary.union(terms)
+        enc = striples
+        for c in ("s", "p", "o"):
+            enc = d2.encode_col(enc, c, f"{c}_id")
+        new_triples = enc.select(
+            F.col("s_id").alias("s"), F.col("p_id").alias("p"), F.col("o_id").alias("o")
+        )
+        triples = self.triples.unionByName(new_triples).dropDuplicates(["s", "p", "o"])
+        return Graph(self.spark, triples, d2)
+
+    # -- persistence -----------------------------------------------------
+    def save(self, path: str, p_buckets: int = 64) -> None:
+        """Persist predicate-first: partition dir = hash bucket of p.
+
+        At 100 TB a bound-predicate pattern scan then prunes to 1/64 of
+        the data before any IO — the Parquet analogue of the reference's
+        (0,p,0) index key (Index.scala:61-78).
+        """
+        (
+            self.triples.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(p_buckets)))
+            .repartition("p_bucket")
+            .sortWithinPartitions("p", "s", "o")
+            .write.mode("overwrite")
+            .partitionBy("p_bucket")
+            .parquet(f"{path}/triples")
+        )
+        self.dictionary.df.write.mode("overwrite").parquet(f"{path}/dict")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Graph":
+        triples = spark.read.parquet(f"{path}/triples").select("s", "p", "o")
+        d = Dictionary(spark, spark.read.parquet(f"{path}/dict"))
+        return cls(spark, triples, d)
+
+    # ------------------------------------------------------------------
+    # stats (reference: Index.valueCount O6, cached cardinalities O11)
+    # ------------------------------------------------------------------
+    @property
+    def stats(self) -> BgpStats:
+        if self._stats is None:
+            self._stats = BgpStats.compute(self.triples)
+        return self._stats
+
+    # ------------------------------------------------------------------
+    # core query API (reference: Graphula.execute / count, O10-O15)
+    # ------------------------------------------------------------------
+    def _const_ids(self, patterns: list[TriplePattern]) -> dict[str, int]:
+        consts = [c for pat in patterns for _, c in pat.consts()]
+        return self.dictionary.lookup_terms(consts)
+
+    def execute_bgp(self, patterns: list[TriplePattern]) -> DataFrame:
+        """BGP → DataFrame of long-id columns, one per variable."""
+        return execute_bgp(self.triples, patterns, self._const_ids(patterns), self.stats)
+
+    def execute_bgp_decoded(self, patterns: list[TriplePattern]) -> DataFrame:
+        """BGP with the final late-materialization decode join (O22)."""
+        df = self.execute_bgp(patterns)
+        return self.decode(df, df.columns)
+
+    def count_bgp(self, patterns: list[TriplePattern]) -> int:
+        """COUNT-only execution (reference: Graphula.count O14).
+
+        Single-pattern, predicate-only fast path answers from the stats
+        table without any scan (reference shortcut Graphula.scala:388-390).
+        """
+        if len(patterns) == 1:
+            pat = patterns[0]
+            if (
+                isinstance(pat.s, Var)
+                and isinstance(pat.o, Var)
+                and not isinstance(pat.p, Var)
+                and pat.s.name != pat.o.name
+            ):
+                ids = self._const_ids(patterns)
+                if pat.p not in ids:
+                    return 0
+                info = self.stats.by_pred.get(ids[pat.p])
+                if info is not None:
+                    return info[0]
+        return self.execute_bgp(patterns).count()
+
+    # -- point lookups (reference: Index.exists O4 / values O5) ----------
+    def exists(self, s: str | None, p: str | None, o: str | None) -> bool:
+        pat = TriplePattern(
+            s if s is not None else Var("s"),
+            p if p is not None else Var("p"),
+            o if o is not None else Var("o"),
+        )
+        return self.execute_bgp([pat]).limit(1).count() > 0
+
+    def values(self, s: str | None, p: str | None, o: str | None) -> DataFrame:
+        """Candidate values of the highest-priority unbound position
+        (p → s → o, reference Graphula.scala:255-261 / Index.values)."""
+        positions = {"s": s, "p": p, "o": o}
+        target = next((q for q in ("p", "s", "o") if positions[q] is None), None)
+        if target is None:
+            raise ValueError("fully bound pattern has no value position")
+        terms = {
+            q: (
+                Var("v")
+                if q == target
+                else (positions[q] if positions[q] is not None else Var(f"any_{q}"))
+            )
+            for q in ("s", "p", "o")
+        }
+        df = self.execute_bgp([TriplePattern(terms["s"], terms["p"], terms["o"])])
+        return self.decode(df.select("v").distinct(), ["v"])
+
+    def value_count(self, s: str | None, p: str | None, o: str | None) -> int:
+        """Exact dup-count for a pattern key (reference O6)."""
+        return self.values(s, p, o).count()
+
+    # ------------------------------------------------------------------
+    # decode boundary (reference: LazyBinding O22 / Dictionary O8)
+    # ------------------------------------------------------------------
+    def decode(self, df: DataFrame, cols: Iterable[str]) -> DataFrame:
+        out = df
+        for c in cols:
+            out = self.dictionary.decode_col(out, c)
+        return out
+
+    # ------------------------------------------------------------------
+    # SPARQL front-end (reference: Sparql.execute O18)
+    # ------------------------------------------------------------------
+    def sparql(self, query: str) -> DataFrame:
+        from graphula_spark.sparql.engine import execute_sparql
+
+        return execute_sparql(self, query)

@@ -1,0 +1,283 @@
+"""BGP (basic graph pattern) planning & execution as DataFrame self-joins.
+
+Reference parity — this module re-expresses the reference's recursive
+binding-at-a-time matcher and its greedy optimizer
+(core/.../Graphula.scala:120-190 optimize, :195-338 execute) as:
+
+  1. a *static* greedy pattern ordering using precomputed stats
+     (score ≈ the reference's ``coOccurrences +
+     numberOfLeadingZeros(cardinality)``, Graphula.scala:177 — i.e.
+     prefer well-connected, low-cardinality patterns), then
+  2. one aliased scan of the triples DataFrame per pattern, chained
+     with equi-joins on shared variables. Catalyst + AQE then pick the
+     physical join strategy (broadcast / SMJ / shuffled hash) and
+     re-optimize at runtime — replacing the reference's per-step
+     re-planning and Fork/Join fan-out (Graphula.scala:115,277-331),
+     which Spark gives us for free as partition parallelism.
+
+Scale notes (100 TB design point):
+- each pattern scan pushes its constant filters into the Parquet scan
+  (predicate pushdown + partition pruning on `p`), the Spark analogue
+  of the reference's LMDB prefix seeks (Index.scala:137-166);
+- fully-bound patterns become existence probes joined as broadcast
+  single-row cross joins (reference fast path Graphula.scala:238-253);
+- a pattern with estimated cardinality 0 (or an unknown constant)
+  short-circuits the whole BGP to an empty relation *before* any job
+  runs (reference fail-fast Graphula.scala:160-162; unknown-constant
+  short circuit GraphulaStageGenerator.scala:61-68).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Var:
+    """A query variable (reference encodes these as negative longs,
+    Graphula.scala:138-142; we use named columns instead)."""
+
+    name: str
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"?{self.name}"
+
+
+Term = "str | Var"
+
+
+class TriplePattern(NamedTuple):
+    """One (s, p, o) pattern; str = constant term, Var = variable.
+
+    Reference: core/.../TriplePattern.scala:3 (constants are encoded
+    longs, 0 = wildcard, negative = variable).
+    """
+
+    s: object
+    p: object
+    o: object
+
+    def vars(self) -> list[tuple[str, str]]:
+        """[(position, var name)] in s,p,o order."""
+        out = []
+        for pos, t in zip(("s", "p", "o"), self):
+            if isinstance(t, Var):
+                out.append((pos, t.name))
+        return out
+
+    def consts(self) -> list[tuple[str, str]]:
+        return [
+            (pos, t)
+            for pos, t in zip(("s", "p", "o"), self)
+            if not isinstance(t, Var)
+        ]
+
+
+class BgpStats:
+    """Per-predicate statistics for greedy ordering.
+
+    Replaces the reference's exact LMDB dup-counts
+    (Index.valueCount, core/.../index/Index.scala:120-131) with
+    driver-cached per-predicate (count, ~distinct s, ~distinct o).
+    Point lookups at plan time are O(1) dict hits — no Spark job.
+    """
+
+    def __init__(self, by_pred: dict[int, tuple[int, int, int]], total: int):
+        self.by_pred = by_pred  # p_id -> (count, n_distinct_s, n_distinct_o)
+        self.total = total
+
+    @classmethod
+    def compute(cls, triples: DataFrame) -> "BgpStats":
+        rows = (
+            triples.groupBy("p")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.approx_count_distinct("s").alias("ns"),
+                F.approx_count_distinct("o").alias("no"),
+            )
+            .collect()
+        )
+        by_pred = {r["p"]: (r["cnt"], max(r["ns"], 1), max(r["no"], 1)) for r in rows}
+        total = sum(v[0] for v in by_pred.values())
+        return cls(by_pred, total)
+
+    def estimate(self, s_bound: bool, p_id: int | None, o_bound: bool) -> float:
+        """Estimated result cardinality of a single pattern.
+
+        p unknown-constant → 0 exactly (fail fast). Mirrors the
+        cardinality the reference reads per pattern key
+        (Graphula.scala:144-167).
+        """
+        if p_id is not None and p_id not in self.by_pred:
+            return 0.0
+        if p_id is None:
+            cnt, ns, no = self.total, None, None
+            if s_bound or o_bound:
+                # bound s (or o) with unbound p: average triples per subject
+                n_subj = sum(v[1] for v in self.by_pred.values()) or 1
+                n_obj = sum(v[2] for v in self.by_pred.values()) or 1
+                est = float(cnt)
+                if s_bound:
+                    est /= n_subj
+                if o_bound:
+                    est /= n_obj
+                return max(est, 0.001)
+            return float(cnt)
+        cnt, ns, no = self.by_pred[p_id]
+        est = float(cnt)
+        if s_bound:
+            est /= ns
+        if o_bound:
+            est /= no
+        return max(est, 0.001)
+
+
+class BgpPlanner:
+    """Greedy selectivity + connectivity ordering of triple patterns.
+
+    Reference: ``optimize`` moves the pattern with the max score
+    ``coOccurrences + numberOfLeadingZeros(cardinality)`` to the head
+    at every step (Graphula.scala:120-190; co-occurrence
+    BgpArray.scala:84-108). We run the same greedy loop once, statically,
+    and additionally insist on join-graph connectivity to avoid
+    Cartesian products — AQE re-optimizes the rest at runtime.
+    """
+
+    def __init__(self, stats: BgpStats | None):
+        self.stats = stats
+
+    def order(
+        self, patterns: list[TriplePattern], const_ids: dict[str, int]
+    ) -> list[tuple[TriplePattern, float]]:
+        remaining = list(patterns)
+        ordered: list[tuple[TriplePattern, float]] = []
+        bound_vars: set[str] = set()
+
+        def est(pat: TriplePattern, bound: set[str]) -> float:
+            if self.stats is None:
+                # no stats: prefer more-constant patterns
+                n_const = len(pat.consts())
+                return float(10 ** (3 - n_const))
+            s_b = not isinstance(pat.s, Var) or pat.s.name in bound
+            o_b = not isinstance(pat.o, Var) or pat.o.name in bound
+            p_id = None
+            if not isinstance(pat.p, Var):
+                p_id = const_ids.get(pat.p, -1)
+                if p_id == -1:
+                    return 0.0
+            return self.stats.estimate(s_b, p_id, o_b)
+
+        while remaining:
+            connected = [
+                pat
+                for pat in remaining
+                if not ordered
+                or any(v in bound_vars for _, v in pat.vars())
+                or not pat.vars()
+            ]
+            pool = connected or remaining  # fall back to cartesian if disconnected
+            best = min(pool, key=lambda pat: est(pat, bound_vars))
+            card = est(best, bound_vars)
+            ordered.append((best, card))
+            remaining.remove(best)
+            bound_vars.update(v for _, v in best.vars())
+        return ordered
+
+
+def execute_bgp(
+    triples: DataFrame,
+    patterns: list[TriplePattern],
+    const_ids: dict[str, int],
+    stats: BgpStats | None = None,
+) -> DataFrame:
+    """Execute a BGP; returns a DataFrame with one long id column per var.
+
+    ``const_ids`` maps constant term strings to dictionary ids; a
+    constant absent from the map means 'unknown term' ⇒ empty result
+    (reference: GraphulaStageGenerator.scala:61-68,107-110).
+    """
+    spark = triples.sparkSession
+    all_vars = sorted({v for pat in patterns for _, v in pat.vars()})
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField(v, LongType(), True) for v in all_vars])
+    )
+    if not patterns:
+        return empty
+
+    # unknown constant anywhere → empty result, no job
+    for pat in patterns:
+        for _, c in pat.consts():
+            if c not in const_ids:
+                return empty
+
+    planner = BgpPlanner(stats)
+    ordered = planner.order(patterns, const_ids)
+    # static fail-fast: any zero-cardinality pattern kills the BGP
+    if stats is not None and any(card == 0.0 for _, card in ordered):
+        return empty
+
+    result: DataFrame | None = None
+    bound: set[str] = set()
+    for i, (pat, _card) in enumerate(ordered):
+        scan = _pattern_scan(triples, pat, const_ids, i)
+        pat_vars = {v for _, v in pat.vars()}
+        if result is None:
+            result = scan
+        elif not pat_vars:
+            # fully-bound pattern: existence probe (reference fast path
+            # Graphula.scala:238-253) — broadcast 1-row cross join keeps
+            # the plan lazy and cheap.
+            probe = F.broadcast(scan.select(F.lit(1).alias(f"__ex{i}")).limit(1))
+            result = result.crossJoin(probe).drop(f"__ex{i}")
+        else:
+            shared = sorted(pat_vars & bound)
+            if shared:
+                result = result.join(scan, on=shared, how="inner")
+            else:
+                result = result.crossJoin(scan)
+        bound.update(pat_vars)
+    return result.select(*all_vars) if all_vars else result
+
+
+def _pattern_scan(
+    triples: DataFrame, pat: TriplePattern, const_ids: dict[str, int], idx: int
+) -> DataFrame:
+    """One filtered+projected scan of the triples table for one pattern.
+
+    Constant positions become pushed-down filters (the Catalyst analogue
+    of the reference's LMDB prefix seek, Index.scala:137-166); variable
+    positions are projected & renamed to the variable name. A variable
+    repeated within the pattern adds an intra-scan equality filter.
+    """
+    df = triples
+    cond: Column | None = None
+    for pos, c in pat.consts():
+        clause = F.col(pos) == F.lit(const_ids[c])
+        cond = clause if cond is None else (cond & clause)
+    if cond is not None:
+        df = df.where(cond)
+
+    # intra-pattern repeated variables (?x p ?x)
+    seen: dict[str, str] = {}
+    for pos, v in pat.vars():
+        if v in seen:
+            df = df.where(F.col(seen[v]) == F.col(pos))
+        else:
+            seen[v] = pos
+
+    # fully bound: keep a marker-only scan
+    if not seen:
+        return df.select(F.lit(1).alias(f"__probe{idx}"))
+    select_cols = []
+    emitted = set()
+    for pos, v in pat.vars():
+        if v not in emitted:
+            select_cols.append(F.col(pos).alias(v))
+            emitted.add(v)
+    return df.select(*select_cols)

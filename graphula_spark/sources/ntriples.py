@@ -1,0 +1,55 @@
+"""N-Triples source: parse .nt files into a (s, p, o) string DataFrame.
+
+Reference parity: ``Sparql.loadNtriples`` streams the file through
+NxParser and dictionary-encodes each term inside one LMDB write
+transaction (sparql/.../Sparql.scala:78-113). Spark-first: the file is
+a distributed text scan; parsing is JVM-side regexp (no Python in the
+hot path); encoding is a later bulk join (see Graph.from_ntriples).
+
+Term canonicalization matches the reference's verbatim-string policy
+(sparql/.../jena/Transformations.scala:17-91):
+- URIs are stored *without* angle brackets
+- literals keep their N-Triples lexical syntax verbatim, including the
+  surrounding quotes and any ``@lang`` / ``^^<type>`` suffix
+- blank nodes keep their ``_:label`` form (per-file labels are assumed
+  globally scoped per load call, like the reference's per-load-session
+  BlankNodeNamespace, core/.../BlankNodeNamespace.scala:12-22)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# One triple line:  <s> <p> <o> .   with s ∈ {IRI, blank}, o ∈ {IRI, blank, literal}
+_SUBJ = r"(<[^>]*>|_:\S+)"
+_PRED = r"(<[^>]*>)"
+_OBJ = r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z][A-Za-z0-9-]*)?)'
+_LINE = rf"^\s*{_SUBJ}\s+{_PRED}\s+{_OBJ}\s*\.\s*$"
+
+
+def read_ntriples(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Parse N-Triples file(s) -> DataFrame(s: string, p: string, o: string).
+
+    Malformed / comment / blank lines are dropped (NxParser is similarly
+    lenient). Distributed: one task per input split.
+    """
+    text = spark.read.text(paths)
+    parsed = text.select(
+        F.regexp_extract("value", _LINE, 1).alias("s_raw"),
+        F.regexp_extract("value", _LINE, 2).alias("p_raw"),
+        F.regexp_extract("value", _LINE, 3).alias("o_raw"),
+    ).where((F.col("s_raw") != "") & (F.col("p_raw") != "") & (F.col("o_raw") != ""))
+
+    def norm(c: str):
+        col = F.col(c)
+        return F.when(
+            col.startswith("<"),
+            F.expr(f"substring({c}, 2, length({c}) - 2)"),
+        ).otherwise(col)
+
+    return parsed.select(
+        norm("s_raw").alias("s"),
+        norm("p_raw").alias("p"),
+        norm("o_raw").alias("o"),
+    )
