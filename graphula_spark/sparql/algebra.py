@@ -1,0 +1,119 @@
+"""SPARQL algebra nodes (the IR between parser and DataFrame compiler).
+
+The reference delegates everything above BGPs to Jena ARQ's algebra
+(sparql/.../Sparql.scala:41-52); these dataclasses are our own minimal
+equivalent of ARQ's Op tree, covering the surface inventoried in
+SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from graphula_spark.plans.bgp import TriplePattern
+
+
+# ---- expressions -----------------------------------------------------
+@dataclass
+class EVar:
+    name: str
+
+
+@dataclass
+class ELit:
+    value: Any  # python str / int / float / bool
+    lang: str | None = None
+    datatype: str | None = None
+
+
+@dataclass
+class EIri:
+    iri: str
+
+
+@dataclass
+class ECall:
+    func: str  # uppercase function name or operator symbol
+    args: list
+
+
+@dataclass
+class EExists:
+    group: "GroupGraphPattern"
+    negated: bool = False
+
+
+@dataclass
+class EAggregate:
+    func: str  # COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT
+    expr: Any | None  # None for COUNT(*)
+    distinct: bool = False
+    separator: str = " "
+
+
+# ---- graph patterns --------------------------------------------------
+@dataclass
+class Bgp:
+    patterns: list[TriplePattern] = field(default_factory=list)
+
+
+@dataclass
+class Filter:
+    expr: Any
+
+
+@dataclass
+class Optional_:
+    group: "GroupGraphPattern"
+
+
+@dataclass
+class Minus:
+    group: "GroupGraphPattern"
+
+
+@dataclass
+class Union:
+    groups: list["GroupGraphPattern"]
+
+
+@dataclass
+class Bind:
+    expr: Any
+    var: str
+
+
+@dataclass
+class InlineValues:
+    vars: list[str]
+    rows: list[list]  # entries: ELit / EIri / None (UNDEF)
+
+
+@dataclass
+class SubGroup:
+    group: "GroupGraphPattern"
+
+
+@dataclass
+class GroupGraphPattern:
+    elements: list = field(default_factory=list)
+
+
+# ---- query -----------------------------------------------------------
+@dataclass
+class SelectQuery:
+    variables: list  # list[(target_name, expr)] — expr EVar or computed
+    where: GroupGraphPattern
+    distinct: bool = False
+    group_by: list | None = None  # list of exprs
+    having: Any | None = None
+    order_by: list | None = None  # list[(expr, ascending: bool)]
+    limit: int | None = None
+    offset: int | None = None
+    select_star: bool = False
+
+
+@dataclass
+class AskQuery:
+    where: GroupGraphPattern

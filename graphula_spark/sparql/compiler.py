@@ -1,0 +1,563 @@
+"""Compile SPARQL algebra to DataFrame operations.
+
+This layer owns what the reference delegates to Jena ARQ
+(SURVEY.md §2.2): FILTER → df.filter, OPTIONAL → left_outer join,
+UNION → unionByName, MINUS → left_anti, EXISTS → left_semi,
+DISTINCT → dropDuplicates, ORDER/LIMIT/OFFSET, GROUP BY + aggregates,
+BIND/VALUES, ASK.
+
+Representation invariants:
+- a *solution* is a DataFrame with one column per in-scope variable;
+  BGP-produced variables hold dictionary ids (long, "id vars"), while
+  BIND/aggregate-produced variables hold computed values ("val vars").
+- joins between solutions happen on shared id vars (cheap long equi
+  joins, the late-materialization discipline of reference O22); if a
+  shared var is a val var on either side, both sides are materialized
+  to term strings first.
+- expressions evaluate under SPARQL *value* semantics: literal lexical
+  forms are extracted (``"5"^^<...int>`` → ``5``), numeric comparison
+  is used when both sides are numeric, string comparison otherwise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphula_spark.plans.bgp import TriplePattern, Var, execute_bgp
+from graphula_spark.sparql import algebra as A
+
+# ---------------------------------------------------------------------
+# solution container
+# ---------------------------------------------------------------------
+
+
+@dataclass
+class Solution:
+    df: DataFrame
+    id_vars: set[str] = field(default_factory=set)
+    val_vars: set[str] = field(default_factory=set)
+
+    @property
+    def vars(self) -> set[str]:
+        return self.id_vars | self.val_vars
+
+
+_LEX_RE = r'^"((?:[^"\\]|\\.)*)"'
+
+
+def rdf_value(term: Column) -> Column:
+    """Lexical form of a term string (reference keeps terms verbatim,
+    Transformations.scala:21-23; value extraction happens only inside
+    FILTER-style evaluation)."""
+    lex = F.regexp_extract(term, _LEX_RE, 1)
+    unescaped = F.regexp_replace(
+        F.regexp_replace(lex, r'\\"', '"'), r"\\\\", r"\\"
+    )
+    return F.when(term.startswith('"'), unescaped).otherwise(term)
+
+
+@dataclass
+class CE:
+    """Compiled expression: value column + optional numeric view + the
+    full term-string column when one exists."""
+
+    val: Column
+    num: Column | None = None
+    term: Column | None = None
+    is_bool: bool = False
+
+    def numeric(self) -> Column:
+        return self.num if self.num is not None else self.val.cast("double")
+
+
+class Compiler:
+    def __init__(self, graph):
+        self.graph = graph
+        self.spark = graph.spark
+        self._tmp = 0
+
+    # ------------------------------------------------------------------
+    def fresh(self, base: str) -> str:
+        self._tmp += 1
+        return f"__{base}{self._tmp}"
+
+    def term_col(self, sol: Solution, var: str) -> tuple[Solution, Column]:
+        """Column holding the term *string* for a variable, decoding an
+        id var on the fly (late materialization boundary)."""
+        if var in sol.val_vars:
+            return sol, F.col(var).cast("string")
+        tmp = self.fresh(f"t_{var}")
+        d = self.graph.dictionary.df.select(
+            F.col("id").alias(var), F.col("value").alias(tmp)
+        )
+        df = sol.df.join(d, var, "left").withColumn(
+            tmp,
+            F.coalesce(F.col(tmp), F.concat(F.lit("_:"), F.col(var).cast("string"))),
+        )
+        return Solution(df, sol.id_vars, sol.val_vars), F.col(tmp)
+
+    def materialize(self, sol: Solution, vars_: list[str]) -> Solution:
+        """Replace id columns with decoded term strings for `vars_`."""
+        df = sol.df
+        for v in vars_:
+            if v in sol.id_vars:
+                df = self.graph.dictionary.decode_col(df, v)
+        return Solution(
+            df,
+            sol.id_vars - set(vars_),
+            sol.val_vars | (set(vars_) & sol.id_vars) | (sol.val_vars & set(vars_)),
+        )
+
+    # ------------------------------------------------------------------
+    # group graph pattern
+    # ------------------------------------------------------------------
+    def compile_group(self, group: A.GroupGraphPattern) -> Solution:
+        sol: Solution | None = None
+        deferred_filters: list = []
+        for el in group.elements:
+            if isinstance(el, A.Bgp):
+                bgp_sol = self.compile_bgp(el.patterns)
+                sol = self.join(sol, bgp_sol) if sol is not None else bgp_sol
+            elif isinstance(el, A.SubGroup):
+                sub = self.compile_group(el.group)
+                sol = self.join(sol, sub) if sol is not None else sub
+            elif isinstance(el, A.Union):
+                branches = [self.compile_group(g) for g in el.groups]
+                u = self.union_all(branches)
+                sol = self.join(sol, u) if sol is not None else u
+            elif isinstance(el, A.Optional_):
+                right = self.compile_group(el.group)
+                sol = self.left_join(sol, right)
+            elif isinstance(el, A.Minus):
+                right = self.compile_group(el.group)
+                sol = self.minus(sol, right)
+            elif isinstance(el, A.Filter):
+                deferred_filters.append(el.expr)
+            elif isinstance(el, A.Bind):
+                sol = self.bind(sol, el)
+            elif isinstance(el, A.InlineValues):
+                v = self.compile_values(el)
+                sol = self.join(sol, v) if sol is not None else v
+            else:
+                raise NotImplementedError(f"group element {type(el).__name__}")
+        if sol is None:
+            sol = Solution(self.spark.range(1).select(F.lit(1).alias("__unit")))
+        # SPARQL scopes filters to the whole group
+        for f in deferred_filters:
+            sol = self.apply_filter(sol, f)
+        return sol
+
+    def compile_bgp(self, patterns: list[TriplePattern]) -> Solution:
+        df = self.graph.execute_bgp(patterns)
+        return Solution(df, id_vars=set(df.columns))
+
+    # -- solution combinators ------------------------------------------
+    def _align_for_join(
+        self, left: Solution, right: Solution
+    ) -> tuple[Solution, Solution, list[str]]:
+        shared = sorted(left.vars & right.vars)
+        mixed = [
+            v
+            for v in shared
+            if (v in left.id_vars) != (v in right.id_vars)
+        ]
+        if mixed:
+            left = self.materialize(left, [v for v in mixed if v in left.id_vars])
+            right = self.materialize(right, [v for v in mixed if v in right.id_vars])
+        return left, right, shared
+
+    def join(self, left: Solution | None, right: Solution) -> Solution:
+        if left is None:
+            return right
+        left, right, shared = self._align_for_join(left, right)
+        ldf = left.df
+        rdf = right.df
+        if shared:
+            df = ldf.join(rdf, on=shared, how="inner")
+        else:
+            df = ldf.crossJoin(rdf)
+        return Solution(
+            df.drop("__unit") if "__unit" in df.columns else df,
+            (left.id_vars | right.id_vars) - (left.val_vars | right.val_vars),
+            left.val_vars | right.val_vars,
+        )
+
+    def left_join(self, left: Solution | None, right: Solution) -> Solution:
+        if left is None:
+            return right
+        left, right, shared = self._align_for_join(left, right)
+        # drop helper columns from the right side that collide
+        keep = [c for c in right.df.columns if c in right.vars]
+        rdf = right.df.select(*keep)
+        if shared:
+            df = left.df.join(rdf, on=shared, how="left_outer")
+        else:
+            df = left.df.crossJoin(rdf)
+        return Solution(
+            df,
+            (left.id_vars | right.id_vars) - (left.val_vars | right.val_vars),
+            left.val_vars | right.val_vars,
+        )
+
+    def minus(self, left: Solution | None, right: Solution) -> Solution:
+        if left is None:
+            raise ValueError("MINUS with empty left side")
+        left2, right2, shared = self._align_for_join(left, right)
+        if not shared:
+            # SPARQL MINUS with disjoint domains removes nothing
+            return left
+        rdf = right2.df.select(*shared).dropDuplicates(shared)
+        return Solution(
+            left2.df.join(rdf, on=shared, how="left_anti"),
+            left2.id_vars,
+            left2.val_vars,
+        )
+
+    def union_all(self, branches: list[Solution]) -> Solution:
+        all_id = set().union(*(b.id_vars for b in branches))
+        all_val = set().union(*(b.val_vars for b in branches))
+        overlap = all_id & all_val
+        if overlap:
+            branches = [self.materialize(b, sorted(overlap & b.id_vars)) for b in branches]
+            all_id -= overlap
+            all_val |= overlap
+        dfs = []
+        for b in branches:
+            cols = [c for c in b.df.columns if c in b.vars]
+            dfs.append(b.df.select(*cols))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return Solution(out, all_id, all_val)
+
+    # -- VALUES ---------------------------------------------------------
+    def compile_values(self, v: A.InlineValues) -> Solution:
+        terms = [t for row in v.rows for t in row if t is not None]
+        ids = self.graph.dictionary.lookup_terms(terms)
+        sentinel = -1
+        data = []
+        for row in v.rows:
+            out_row = []
+            for t in row:
+                if t is None:
+                    out_row.append(None)  # UNDEF (join-compat caveat documented)
+                elif t in ids:
+                    out_row.append(ids[t])
+                else:
+                    sentinel -= 1
+                    out_row.append(sentinel)  # unknown term: joins with nothing
+            data.append(tuple(out_row))
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType([StructField(name, LongType(), True) for name in v.vars])
+        df = self.spark.createDataFrame(data, schema)
+        return Solution(df, id_vars=set(v.vars))
+
+    # -- BIND -----------------------------------------------------------
+    def bind(self, sol: Solution | None, b: A.Bind) -> Solution:
+        if sol is None:
+            sol = Solution(self.spark.range(1).select(F.lit(1).alias("__unit")))
+        sol2, ce = self.compile_expr(sol, b.expr)
+        df = sol2.df.withColumn(b.var, ce.num if ce.num is not None and not ce.is_bool else ce.val)
+        return Solution(df, sol2.id_vars, sol2.val_vars | {b.var})
+
+    # -- FILTER ---------------------------------------------------------
+    def apply_filter(self, sol: Solution, expr) -> Solution:
+        if isinstance(expr, A.EExists):
+            right = self.compile_group(expr.group)
+            left2, right2, shared = self._align_for_join(sol, right)
+            if not shared:
+                # EXISTS {} with no shared vars: keep all iff group non-empty
+                nonempty = right2.df.limit(1).count() > 0
+                keep = nonempty if not expr.negated else not nonempty
+                return left2 if keep else Solution(
+                    left2.df.where(F.lit(False)), left2.id_vars, left2.val_vars
+                )
+            how = "left_anti" if expr.negated else "left_semi"
+            rdf = right2.df.select(*shared).dropDuplicates(shared)
+            return Solution(
+                left2.df.join(rdf, on=shared, how=how), left2.id_vars, left2.val_vars
+            )
+        sol2, ce = self.compile_expr(sol, expr)
+        return Solution(sol2.df.where(ce.val), sol2.id_vars, sol2.val_vars)
+
+    # ------------------------------------------------------------------
+    # expressions
+    # ------------------------------------------------------------------
+    def compile_expr(self, sol: Solution, expr) -> tuple[Solution, CE]:
+        if isinstance(expr, A.EVar):
+            v = expr.name
+            if v in sol.val_vars:
+                col = F.col(v)
+                return sol, CE(col.cast("string"), col.cast("double"), col.cast("string"))
+            if v not in sol.id_vars:
+                return sol, CE(F.lit(None).cast("string"), None, F.lit(None).cast("string"))
+            sol2, term = self.term_col(sol, v)
+            val = rdf_value(term)
+            return sol2, CE(val, val.cast("double"), term)
+        if isinstance(expr, A.ELit):
+            if isinstance(expr.value, bool):
+                return sol, CE(F.lit(expr.value), None, None, is_bool=True)
+            if isinstance(expr.value, (int, float)):
+                return sol, CE(
+                    F.lit(expr.value).cast("string"),
+                    F.lit(float(expr.value)),
+                    F.lit(str(expr.value)),
+                )
+            return sol, CE(F.lit(expr.value), None, F.lit(f'"{expr.value}"'))
+        if isinstance(expr, A.EIri):
+            return sol, CE(F.lit(expr.iri), None, F.lit(expr.iri))
+        if isinstance(expr, A.ECall):
+            return self.compile_call(sol, expr)
+        if isinstance(expr, A.EAggregate):
+            raise NotImplementedError("aggregate outside GROUP BY projection")
+        raise NotImplementedError(f"expression {type(expr).__name__}")
+
+    def compile_call(self, sol: Solution, call: A.ECall) -> tuple[Solution, CE]:
+        f = call.func
+        args: list[CE] = []
+        for a in call.args:
+            sol, ce = self.compile_expr(sol, a)
+            args.append(ce)
+
+        def cmp(op) -> Column:
+            l, r = args
+            num_ok = (
+                l.num is not None
+                and r.num is not None
+            )
+            ln, rn = l.numeric(), r.numeric()
+            both_num = ln.isNotNull() & rn.isNotNull()
+            return F.when(both_num, op(ln, rn)).otherwise(op(l.val, r.val))
+
+        if f == "&&":
+            return sol, CE(args[0].val & args[1].val, is_bool=True)
+        if f == "||":
+            return sol, CE(args[0].val | args[1].val, is_bool=True)
+        if f == "!":
+            return sol, CE(~args[0].val, is_bool=True)
+        if f == "=":
+            return sol, CE(cmp(lambda a, b: a == b), is_bool=True)
+        if f == "!=":
+            return sol, CE(cmp(lambda a, b: a != b), is_bool=True)
+        if f == "<":
+            return sol, CE(cmp(lambda a, b: a < b), is_bool=True)
+        if f == "<=":
+            return sol, CE(cmp(lambda a, b: a <= b), is_bool=True)
+        if f == ">":
+            return sol, CE(cmp(lambda a, b: a > b), is_bool=True)
+        if f == ">=":
+            return sol, CE(cmp(lambda a, b: a >= b), is_bool=True)
+        if f == "IN":
+            head, *items = args
+            cond = F.lit(False)
+            for it in items:
+                both = head.numeric().isNotNull() & it.numeric().isNotNull()
+                cond = cond | F.when(
+                    both, head.numeric() == it.numeric()
+                ).otherwise(head.val == it.val)
+            return sol, CE(cond, is_bool=True)
+        if f in ("+", "-", "*", "/"):
+            l, r = args[0].numeric(), args[1].numeric()
+            col = {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[f]
+            return sol, CE(col.cast("string"), col, col.cast("string"))
+        if f == "neg":
+            n = -args[0].numeric()
+            return sol, CE(n.cast("string"), n, n.cast("string"))
+        if f == "REGEX":
+            pat = call.args[1]
+            flags = call.args[2].value if len(call.args) > 2 else ""
+            pattern = pat.value if isinstance(pat, A.ELit) else None
+            if pattern is None:
+                raise NotImplementedError("non-literal REGEX pattern")
+            if "i" in flags:
+                pattern = f"(?i){pattern}"
+            return sol, CE(args[0].val.rlike(pattern), is_bool=True)
+        if f == "BOUND":
+            src = args[0].term if args[0].term is not None else args[0].val
+            return sol, CE(src.isNotNull(), is_bool=True)
+        if f == "STR":
+            return sol, CE(args[0].val, None, args[0].val)
+        if f == "LANG":
+            t = args[0].term
+            return sol, CE(F.regexp_extract(t, r'"@([A-Za-z0-9-]+)$', 1), None, None)
+        if f == "DATATYPE":
+            t = args[0].term
+            return sol, CE(F.regexp_extract(t, r"\^\^<([^>]*)>$", 1), None, None)
+        if f == "CONTAINS":
+            return sol, CE(args[0].val.contains(args[1].val), is_bool=True)
+        if f == "STRSTARTS":
+            return sol, CE(args[0].val.startswith(args[1].val), is_bool=True)
+        if f == "STRENDS":
+            return sol, CE(args[0].val.endswith(args[1].val), is_bool=True)
+        if f == "STRLEN":
+            n = F.length(args[0].val).cast("double")
+            return sol, CE(n.cast("string"), n)
+        if f == "UCASE":
+            return sol, CE(F.upper(args[0].val))
+        if f == "LCASE":
+            return sol, CE(F.lower(args[0].val))
+        if f in ("ABS", "CEIL", "FLOOR", "ROUND"):
+            fn = {"ABS": F.abs, "CEIL": F.ceil, "FLOOR": F.floor, "ROUND": F.round}[f]
+            n = fn(args[0].numeric()).cast("double")
+            return sol, CE(n.cast("string"), n)
+        if f == "COALESCE":
+            val = F.coalesce(*[a.val for a in args])
+            nums = [a.num for a in args]
+            num = F.coalesce(*[a.numeric() for a in args]) if all(
+                n is not None for n in nums
+            ) else None
+            return sol, CE(val, num)
+        if f == "IF":
+            c, t, e = args
+            val = F.when(c.val, t.val).otherwise(e.val)
+            num = (
+                F.when(c.val, t.numeric()).otherwise(e.numeric())
+                if (t.num is not None or e.num is not None)
+                else None
+            )
+            return sol, CE(val, num)
+        if f in ("ISIRI", "ISURI"):
+            t = args[0].term
+            is_iri = (
+                t.isNotNull()
+                & ~t.startswith('"')
+                & ~t.startswith("_:")
+            )
+            return sol, CE(is_iri, is_bool=True)
+        if f == "ISLITERAL":
+            return sol, CE(args[0].term.startswith('"'), is_bool=True)
+        if f == "ISBLANK":
+            return sol, CE(args[0].term.startswith("_:"), is_bool=True)
+        if f == "ISNUMERIC":
+            return sol, CE(args[0].numeric().isNotNull(), is_bool=True)
+        if f == "CONCAT":
+            return sol, CE(F.concat(*[a.val for a in args]))
+        if f == "SUBSTR":
+            s = args[0].val
+            start = args[1].numeric().cast("int")
+            if len(args) > 2:
+                return sol, CE(s.substr(start, args[2].numeric().cast("int")))
+            return sol, CE(s.substr(start, F.length(s)))
+        if f == "REPLACE":
+            pat = call.args[1]
+            rep = call.args[2]
+            if not (isinstance(pat, A.ELit) and isinstance(rep, A.ELit)):
+                raise NotImplementedError("non-literal REPLACE args")
+            return sol, CE(F.regexp_replace(args[0].val, pat.value, rep.value))
+        if f in ("YEAR", "MONTH", "DAY"):
+            fn = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth}[f]
+            n = fn(F.to_timestamp(args[0].val)).cast("double")
+            return sol, CE(n.cast("string"), n)
+        raise NotImplementedError(f"function {f}")
+
+    # ------------------------------------------------------------------
+    # aggregation + projection
+    # ------------------------------------------------------------------
+    def compile_aggregate_query(self, q: A.SelectQuery, sol: Solution) -> Solution:
+        group_exprs = q.group_by or []
+        key_cols: list[str] = []
+        df_sol = sol
+        for ge in group_exprs:
+            if isinstance(ge, A.EVar):
+                key_cols.append(ge.name)
+            elif isinstance(ge, tuple) and ge[0] == "as":
+                df_sol, ce = self.compile_expr(df_sol, ge[1])
+                df_sol = Solution(
+                    df_sol.df.withColumn(ge[2], ce.num if ce.num is not None else ce.val),
+                    df_sol.id_vars,
+                    df_sol.val_vars | {ge[2]},
+                )
+                key_cols.append(ge[2])
+            else:
+                raise NotImplementedError("complex GROUP BY expression")
+
+        aggs = []
+        out_val_vars = set(key_cols)
+        # collect aggregates from projection + HAVING
+        agg_specs: list[tuple[str, A.EAggregate]] = []
+        for name, expr in q.variables:
+            if isinstance(expr, A.EAggregate):
+                agg_specs.append((name, expr))
+        having_aggs: list[tuple[str, A.EAggregate]] = []
+        if q.having is not None:
+            def walk(e):
+                if isinstance(e, A.EAggregate):
+                    nm = self.fresh("hav")
+                    having_aggs.append((nm, e))
+                    return A.EVar(nm)
+                if isinstance(e, A.ECall):
+                    return A.ECall(e.func, [walk(a) for a in e.args])
+                return e
+            q = A.SelectQuery(
+                q.variables, q.where, q.distinct, q.group_by,
+                walk(q.having), q.order_by, q.limit, q.offset, q.select_star,
+            )
+        for name, agg in agg_specs + having_aggs:
+            df_sol, col = self.compile_one_aggregate(df_sol, agg, name)
+            aggs.append(col)
+            out_val_vars.add(name)
+
+        gdf = df_sol.df.groupBy(*[F.col(k) for k in key_cols]) if key_cols else df_sol.df.groupBy()
+        out = gdf.agg(*aggs) if aggs else gdf.agg(F.count(F.lit(1)).alias("__cnt")).drop("__cnt")
+        new_sol = Solution(
+            out,
+            id_vars={k for k in key_cols if k in sol.id_vars},
+            val_vars=(set(k for k in key_cols if k not in sol.id_vars) | {n for n, _ in agg_specs + having_aggs}),
+        )
+        if q.having is not None:
+            new_sol = self.apply_filter(new_sol, q.having)
+            new_sol = Solution(
+                new_sol.df.drop(*[n for n, _ in having_aggs]),
+                new_sol.id_vars,
+                new_sol.val_vars - {n for n, _ in having_aggs},
+            )
+        return new_sol
+
+    def compile_one_aggregate(
+        self, sol: Solution, agg: A.EAggregate, name: str
+    ) -> tuple[Solution, Column]:
+        if agg.func == "COUNT" and agg.expr is None:
+            return sol, F.count(F.lit(1)).alias(name)
+        sol, ce = self.compile_expr(sol, agg.expr)
+        src_term = ce.term if ce.term is not None else ce.val
+        if agg.func == "COUNT":
+            col = (
+                F.countDistinct(src_term) if agg.distinct else F.count(src_term)
+            )
+            return sol, col.alias(name)
+        if agg.func == "SUM":
+            col = F.sum_distinct(ce.numeric()) if agg.distinct else F.sum(ce.numeric())
+            return sol, col.alias(name)
+        if agg.func == "AVG":
+            if agg.distinct:
+                return sol, (
+                    F.sum_distinct(ce.numeric()) / F.count_distinct(ce.numeric())
+                ).alias(name)
+            return sol, F.avg(ce.numeric()).alias(name)
+        if agg.func in ("MIN", "MAX"):
+            fn = F.min if agg.func == "MIN" else F.max
+            # numeric-first composite ordering: numeric rows order
+            # numerically, non-numeric lexically (SPARQL ORDER semantics)
+            n = ce.numeric()
+            packed = F.struct(
+                n.isNull().cast("int").alias("k0"),
+                F.coalesce(n, F.lit(0.0)).alias("k1"),
+                ce.val.alias("k2"),
+            )
+            return sol, fn(packed).getField("k2").alias(name)
+        if agg.func == "SAMPLE":
+            return sol, F.min(ce.val).alias(name)
+        if agg.func == "GROUP_CONCAT":
+            lst = F.collect_set(ce.val) if agg.distinct else F.collect_list(ce.val)
+            return sol, F.array_join(F.sort_array(lst), agg.separator).alias(name)
+        raise NotImplementedError(f"aggregate {agg.func}")
+
+
+def has_aggregates(q: A.SelectQuery) -> bool:
+    if q.group_by:
+        return True
+    return any(isinstance(e, A.EAggregate) for _, e in q.variables)

@@ -1,0 +1,102 @@
+"""SPARQL entry point: parse → compile → DataFrame.
+
+Reference parity: Sparql.execute (sparql/.../Sparql.scala:57-65) +
+CustomQueryExecution (SELECT only; the reference *throws* on ASK —
+CustomQueryExecution.scala:218-239 — we support it, as SURVEY §2.2
+flags). Output columns are the projected variable names; plain
+variables are decoded term strings (late materialization — the single
+decode join replaces the reference's LazyBinding memoization, O22);
+computed/aggregate columns keep their computed Spark types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphula_spark.sparql import algebra as A
+from graphula_spark.sparql.compiler import CE, Compiler, Solution, has_aggregates
+from graphula_spark.sparql.parser import parse_sparql
+
+
+def execute_sparql(graph, query: str) -> DataFrame:
+    q = parse_sparql(query)
+    c = Compiler(graph)
+    if isinstance(q, A.AskQuery):
+        sol = c.compile_group(q.where)
+        exists = sol.df.limit(1).count() > 0
+        return graph.spark.createDataFrame([(exists,)], "ask boolean")
+    return _execute_select(graph, c, q)
+
+
+def _execute_select(graph, c: Compiler, q: A.SelectQuery) -> DataFrame:
+    sol = c.compile_group(q.where)
+
+    if q.select_star:
+        proj_vars = sorted(sol.vars)
+        variables = [(v, A.EVar(v)) for v in proj_vars]
+    else:
+        variables = q.variables
+
+    if has_aggregates(q):
+        if not q.group_by:
+            # implicit single group
+            q = A.SelectQuery(
+                q.variables, q.where, q.distinct, [], q.having,
+                q.order_by, q.limit, q.offset, q.select_star,
+            )
+        sol = c.compile_aggregate_query(q, sol)
+        variables = [
+            (name, A.EVar(name) if isinstance(e, A.EAggregate) else e)
+            for name, e in variables
+        ]
+
+    # compute any non-trivial projection expressions as extra columns
+    out_cols: list[str] = []
+    order_tmp: list[str] = []
+    for name, e in variables:
+        if isinstance(e, A.EVar) and e.name == name and name in sol.vars:
+            out_cols.append(name)
+            continue
+        sol2, ce = c.compile_expr(sol, e)
+        col = ce.num if (ce.num is not None and not ce.is_bool) else ce.val
+        sol = Solution(sol2.df.withColumn(name, col), sol2.id_vars, sol2.val_vars | {name})
+        out_cols.append(name)
+
+    # ORDER BY keys may reference arbitrary expressions: compute before decode
+    sort_cols = []
+    if q.order_by:
+        for i, (expr, asc) in enumerate(q.order_by):
+            sol2, ce = c.compile_expr(sol, expr)
+            n = ce.numeric()
+            k_num_null = f"__ord{i}_a"
+            k_num = f"__ord{i}_b"
+            k_str = f"__ord{i}_c"
+            df = (
+                sol2.df.withColumn(k_num_null, n.isNull().cast("int"))
+                .withColumn(k_num, F.coalesce(n, F.lit(0.0)))
+                .withColumn(k_str, ce.val)
+            )
+            sol = Solution(df, sol2.id_vars, sol2.val_vars)
+            for k in (k_num_null, k_num, k_str):
+                sort_cols.append(F.col(k).asc() if asc else F.col(k).desc())
+                order_tmp.append(k)
+
+    # decode projected id vars (the one final dict join per column)
+    decode_vars = [v for v in out_cols if v in sol.id_vars]
+    sol = c.materialize(sol, decode_vars)
+
+    df = sol.df.select(*(out_cols + order_tmp))
+    if q.distinct:
+        # order keys are expressions over projected vars in supported
+        # queries, so dedup over (projection + keys) == dedup over
+        # projection; DISTINCT runs before ORDER per SPARQL semantics
+        df = df.dropDuplicates()
+    if sort_cols:
+        df = df.orderBy(*sort_cols)
+    df = df.select(*out_cols)
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df

@@ -1,0 +1,548 @@
+"""Minimal recursive-descent SPARQL parser for the SELECT/ASK subset.
+
+Covers the surface the reference effectively supports through Jena ARQ
+(SURVEY.md §2.2): BGPs, FILTER, OPTIONAL, UNION, MINUS, BIND, VALUES,
+DISTINCT/REDUCED, GROUP BY + aggregates, HAVING, ORDER BY, LIMIT/OFFSET,
+ASK, plus prefixed names, 'a' for rdf:type, and ';'/',' triple
+abbreviations. Property paths raise (the reference also throws at
+runtime on them, sparql/.../Sparql.scala:130-134).
+
+Terms are canonicalized exactly like the N-Triples source: URIs without
+angle brackets; literals in verbatim N-Triples lexical syntax
+('"abc"', '"abc"@en', '"5"^^http://...integer' is stored as
+'"5"^^<http://...integer>'); plain numbers in FILTER expressions stay
+numeric python values.
+"""
+
+from __future__ import annotations
+
+import re
+
+from graphula_spark.plans.bgp import TriplePattern, Var
+from graphula_spark.sparql.algebra import (
+    AskQuery,
+    Bgp,
+    Bind,
+    EAggregate,
+    ECall,
+    EExists,
+    EIri,
+    ELit,
+    EVar,
+    Filter,
+    GroupGraphPattern,
+    InlineValues,
+    Minus,
+    Optional_,
+    SelectQuery,
+    SubGroup,
+    Union,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRI><[^<>\s]*>)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<DTYPE>\^\^)
+  | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*)?:(?P<PLOCAL>[A-Za-z0-9_.-]*)
+  | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].;,=<>!+\-*/])
+    """,
+    re.VERBOSE,
+)
+
+
+class Token:
+    __slots__ = ("kind", "text", "pos")
+
+    def __init__(self, kind, text, pos):
+        self.kind, self.text, self.pos = kind, text, pos
+
+    def __repr__(self):  # pragma: no cover
+        return f"{self.kind}({self.text!r})"
+
+
+def tokenize(s: str) -> list[Token]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise SyntaxError(f"SPARQL tokenize error at {i}: {s[i:i+30]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        if kind == "PLOCAL":
+            prefix = m.group("PNAME") or ""
+            out.append(Token("PNAME", f"{prefix}:{m.group('PLOCAL')}", m.start()))
+            continue
+        out.append(Token(kind, m.group(0), m.start()))
+    out.append(Token("EOF", "", len(s)))
+    return out
+
+
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+_BUILTINS = {
+    "REGEX", "BOUND", "STR", "LANG", "DATATYPE", "CONTAINS", "STRSTARTS",
+    "STRENDS", "STRLEN", "UCASE", "LCASE", "ABS", "CEIL", "FLOOR", "ROUND",
+    "COALESCE", "IF", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISNUMERIC",
+    "CONCAT", "SUBSTR", "REPLACE", "YEAR", "MONTH", "DAY",
+}
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers --------------------------------------------------
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def kw(self) -> str:
+        """Uppercased text if current token is a keyword-like."""
+        t = self.peek()
+        return t.text.upper() if t.kind == "KW" else ""
+
+    def eat_kw(self, word: str) -> bool:
+        if self.kw() == word:
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, word: str):
+        if not self.eat_kw(word):
+            raise SyntaxError(f"expected {word}, got {self.peek()}")
+
+    def eat_op(self, op: str) -> bool:
+        t = self.peek()
+        if t.kind == "OP" and t.text == op:
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        if not self.eat_op(op):
+            raise SyntaxError(f"expected {op!r}, got {self.peek()}")
+
+    # -- entry ----------------------------------------------------------
+    def parse(self):
+        self.parse_prologue()
+        w = self.kw()
+        if w == "SELECT":
+            return self.parse_select()
+        if w == "ASK":
+            self.next()
+            self.eat_kw("WHERE")
+            return AskQuery(self.parse_group())
+        raise SyntaxError(f"only SELECT/ASK supported, got {self.peek()}")
+
+    def parse_prologue(self):
+        while True:
+            if self.eat_kw("PREFIX"):
+                name = self.next()
+                if name.kind != "PNAME" or not name.text.endswith(":"):
+                    # PNAME token is "pfx:" with empty local
+                    if name.kind != "PNAME":
+                        raise SyntaxError(f"bad PREFIX name {name}")
+                pfx = name.text[:-1] if name.text.endswith(":") else name.text.split(":")[0]
+                iri = self.next()
+                if iri.kind != "IRI":
+                    raise SyntaxError(f"bad PREFIX iri {iri}")
+                self.prefixes[pfx] = iri.text[1:-1]
+            elif self.eat_kw("BASE"):
+                self.next()
+            else:
+                return
+
+    # -- SELECT ---------------------------------------------------------
+    def parse_select(self):
+        self.expect_kw("SELECT")
+        distinct = self.eat_kw("DISTINCT") or (self.eat_kw("REDUCED") and False)
+        variables, star = [], False
+        if self.eat_op("*"):
+            star = True
+        else:
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    self.next()
+                    variables.append((t.text[1:], EVar(t.text[1:])))
+                elif t.kind == "OP" and t.text == "(":
+                    self.next()
+                    expr = self.parse_expr()
+                    self.expect_kw("AS")
+                    v = self.next()
+                    if v.kind != "VAR":
+                        raise SyntaxError(f"expected var after AS, got {v}")
+                    self.expect_op(")")
+                    variables.append((v.text[1:], expr))
+                else:
+                    break
+        self.eat_kw("WHERE")
+        where = self.parse_group()
+        group_by = having = order_by = None
+        limit = offset = None
+        while True:
+            w = self.kw()
+            if w == "GROUP":
+                self.next()
+                self.expect_kw("BY")
+                group_by = []
+                while True:
+                    t = self.peek()
+                    if t.kind == "VAR":
+                        self.next()
+                        group_by.append(EVar(t.text[1:]))
+                    elif t.kind == "OP" and t.text == "(":
+                        self.next()
+                        e = self.parse_expr()
+                        if self.eat_kw("AS"):
+                            v = self.next()
+                            e = ("as", e, v.text[1:])
+                        self.expect_op(")")
+                        group_by.append(e)
+                    else:
+                        break
+            elif w == "HAVING":
+                self.next()
+                self.expect_op("(")
+                having = self.parse_expr()
+                self.expect_op(")")
+            elif w == "ORDER":
+                self.next()
+                self.expect_kw("BY")
+                order_by = []
+                while True:
+                    if self.eat_kw("ASC"):
+                        self.expect_op("(")
+                        order_by.append((self.parse_expr(), True))
+                        self.expect_op(")")
+                    elif self.eat_kw("DESC"):
+                        self.expect_op("(")
+                        order_by.append((self.parse_expr(), False))
+                        self.expect_op(")")
+                    elif self.peek().kind == "VAR":
+                        order_by.append((EVar(self.next().text[1:]), True))
+                    elif self.peek().kind == "OP" and self.peek().text == "(":
+                        self.next()
+                        order_by.append((self.parse_expr(), True))
+                        self.expect_op(")")
+                    else:
+                        break
+            elif w == "LIMIT":
+                self.next()
+                limit = int(self.next().text)
+            elif w == "OFFSET":
+                self.next()
+                offset = int(self.next().text)
+            else:
+                break
+        return SelectQuery(
+            variables, where, distinct, group_by, having, order_by, limit, offset, star
+        )
+
+    # -- group graph pattern -------------------------------------------
+    def parse_group(self) -> GroupGraphPattern:
+        self.expect_op("{")
+        g = GroupGraphPattern()
+        while not self.eat_op("}"):
+            w = self.kw()
+            t = self.peek()
+            if w == "FILTER":
+                self.next()
+                if self.kw() == "EXISTS":
+                    self.next()
+                    g.elements.append(Filter(EExists(self.parse_group())))
+                elif self.kw() == "NOT":
+                    self.next()
+                    self.expect_kw("EXISTS")
+                    g.elements.append(Filter(EExists(self.parse_group(), negated=True)))
+                else:
+                    self.expect_op("(")
+                    g.elements.append(Filter(self.parse_expr()))
+                    self.expect_op(")")
+            elif w == "OPTIONAL":
+                self.next()
+                g.elements.append(Optional_(self.parse_group()))
+            elif w == "MINUS":
+                self.next()
+                g.elements.append(Minus(self.parse_group()))
+            elif w == "BIND":
+                self.next()
+                self.expect_op("(")
+                e = self.parse_expr()
+                self.expect_kw("AS")
+                v = self.next()
+                self.expect_op(")")
+                g.elements.append(Bind(e, v.text[1:]))
+            elif w == "VALUES":
+                self.next()
+                g.elements.append(self.parse_values())
+            elif t.kind == "OP" and t.text == "{":
+                first = self.parse_group()
+                groups = [first]
+                while self.kw() == "UNION":
+                    self.next()
+                    groups.append(self.parse_group())
+                if len(groups) > 1:
+                    g.elements.append(Union(groups))
+                else:
+                    g.elements.append(SubGroup(first))
+            else:
+                g.elements.append(Bgp(self.parse_triples_block()))
+            self.eat_op(".")
+        return g
+
+    def parse_values(self) -> InlineValues:
+        vars_, rows = [], []
+        if self.eat_op("("):
+            while self.peek().kind == "VAR":
+                vars_.append(self.next().text[1:])
+            self.expect_op(")")
+            self.expect_op("{")
+            while self.eat_op("("):
+                row = []
+                while not self.eat_op(")"):
+                    row.append(self.parse_values_term())
+                rows.append(row)
+            self.expect_op("}")
+        else:
+            v = self.next()
+            vars_.append(v.text[1:])
+            self.expect_op("{")
+            while not self.eat_op("}"):
+                rows.append([self.parse_values_term()])
+        return InlineValues(vars_, rows)
+
+    def parse_values_term(self):
+        t = self.peek()
+        if t.kind == "KW" and t.text.upper() == "UNDEF":
+            self.next()
+            return None
+        term = self.parse_term()
+        if isinstance(term, Var):
+            raise SyntaxError("variable not allowed in VALUES data")
+        return term
+
+    # -- triples block --------------------------------------------------
+    def parse_triples_block(self) -> list[TriplePattern]:
+        patterns = []
+        while True:
+            subj = self.parse_term()
+            while True:
+                pred = self.parse_verb()
+                while True:
+                    obj = self.parse_term()
+                    patterns.append(TriplePattern(subj, pred, obj))
+                    if not self.eat_op(","):
+                        break
+                if not self.eat_op(";"):
+                    break
+                if self.peek().kind == "OP" and self.peek().text in "}.":
+                    break
+            # continue block if a new subject follows after '.'
+            if self.peek().kind == "OP" and self.peek().text == ".":
+                nxt = self.peek(1)
+                if nxt.kind in ("IRI", "VAR", "PNAME", "NUM", "STRING") or (
+                    nxt.kind == "KW" and nxt.text == "a"
+                ):
+                    self.next()  # consume '.'
+                    continue
+            break
+        return patterns
+
+    def parse_verb(self):
+        t = self.peek()
+        if t.kind == "KW" and t.text == "a":
+            self.next()
+            return RDF_TYPE
+        v = self.parse_term()
+        return v
+
+    def parse_term(self):
+        """Term in pattern position → str (canonical term) or Var."""
+        t = self.next()
+        if t.kind == "VAR":
+            return Var(t.text[1:])
+        if t.kind == "IRI":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            pfx, local = t.text.split(":", 1)
+            if pfx == "_":  # blank node label
+                return t.text
+            if pfx not in self.prefixes:
+                raise SyntaxError(f"unknown prefix {pfx!r}")
+            return self.prefixes[pfx] + local
+        if t.kind == "STRING":
+            lex = t.text[1:-1]
+            base = f'"{lex}"'
+            nxt = self.peek()
+            if nxt.kind == "LANGTAG":
+                self.next()
+                return base + nxt.text
+            if nxt.kind == "DTYPE":
+                self.next()
+                dt = self.next()
+                if dt.kind == "IRI":
+                    return f"{base}^^{dt.text}"
+                if dt.kind == "PNAME":
+                    pfx, local = dt.text.split(":", 1)
+                    return f"{base}^^<{self.prefixes[pfx]}{local}>"
+                raise SyntaxError(f"bad datatype {dt}")
+            return base
+        if t.kind == "NUM":
+            # numeric literal in data position: store bare lexical form
+            return t.text
+        if t.kind == "KW" and t.text.upper() in ("TRUE", "FALSE"):
+            return t.text.lower()
+        raise SyntaxError(f"unexpected term {t}")
+
+    # -- expressions ----------------------------------------------------
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        e = self.parse_and()
+        while self.eat_op("||"):
+            e = ECall("||", [e, self.parse_and()])
+        return e
+
+    def parse_and(self):
+        e = self.parse_rel()
+        while self.eat_op("&&"):
+            e = ECall("&&", [e, self.parse_rel()])
+        return e
+
+    def parse_rel(self):
+        e = self.parse_add()
+        for op in ("<=", ">=", "!=", "=", "<", ">"):
+            if self.eat_op(op):
+                return ECall(op, [e, self.parse_add()])
+        if self.kw() == "IN" or (self.kw() == "NOT" and self.peek(1).text.upper() == "IN"):
+            neg = self.eat_kw("NOT")
+            self.expect_kw("IN")
+            self.expect_op("(")
+            items = []
+            if not self.eat_op(")"):
+                items.append(self.parse_expr())
+                while self.eat_op(","):
+                    items.append(self.parse_expr())
+                self.expect_op(")")
+            e = ECall("IN", [e] + items)
+            if neg:
+                e = ECall("!", [e])
+        return e
+
+    def parse_add(self):
+        e = self.parse_mul()
+        while True:
+            if self.eat_op("+"):
+                e = ECall("+", [e, self.parse_mul()])
+            elif self.eat_op("-"):
+                e = ECall("-", [e, self.parse_mul()])
+            else:
+                return e
+
+    def parse_mul(self):
+        e = self.parse_unary()
+        while True:
+            if self.eat_op("*"):
+                e = ECall("*", [e, self.parse_unary()])
+            elif self.eat_op("/"):
+                e = ECall("/", [e, self.parse_unary()])
+            else:
+                return e
+
+    def parse_unary(self):
+        if self.eat_op("!"):
+            return ECall("!", [self.parse_unary()])
+        if self.eat_op("-"):
+            return ECall("neg", [self.parse_unary()])
+        if self.eat_op("+"):
+            return self.parse_unary()
+        return self.parse_primary()
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if t.kind == "VAR":
+            self.next()
+            return EVar(t.text[1:])
+        if t.kind == "NUM":
+            self.next()
+            txt = t.text
+            return ELit(float(txt) if ("." in txt or "e" in txt or "E" in txt) else int(txt))
+        if t.kind == "STRING":
+            self.next()
+            return ELit(t.text[1:-1])
+        if t.kind == "IRI":
+            self.next()
+            return EIri(t.text[1:-1])
+        if t.kind == "PNAME":
+            self.next()
+            pfx, local = t.text.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SyntaxError(f"unknown prefix {pfx!r}")
+            return EIri(self.prefixes[pfx] + local)
+        if t.kind == "KW":
+            w = t.text.upper()
+            if w in ("TRUE", "FALSE"):
+                self.next()
+                return ELit(w == "TRUE")
+            if w == "EXISTS":
+                self.next()
+                return EExists(self.parse_group())
+            if w == "NOT" and self.peek(1).text.upper() == "EXISTS":
+                self.next()
+                self.next()
+                return EExists(self.parse_group(), negated=True)
+            if w in _AGG_FUNCS:
+                return self.parse_aggregate()
+            if w in _BUILTINS:
+                self.next()
+                self.expect_op("(")
+                args = []
+                if not self.eat_op(")"):
+                    args.append(self.parse_expr())
+                    while self.eat_op(","):
+                        args.append(self.parse_expr())
+                    self.expect_op(")")
+                return ECall(w, args)
+        raise SyntaxError(f"unexpected expression token {t}")
+
+    def parse_aggregate(self):
+        func = self.next().text.upper()
+        self.expect_op("(")
+        distinct = self.eat_kw("DISTINCT")
+        if self.eat_op("*"):
+            expr = None
+        else:
+            expr = self.parse_expr()
+        sep = " "
+        if self.eat_op(";"):
+            self.expect_kw("SEPARATOR")
+            self.expect_op("=")
+            sep = self.next().text[1:-1]
+        self.expect_op(")")
+        return EAggregate(func, expr, distinct, sep)
+
+
+def parse_sparql(text: str):
+    return Parser(text).parse()

@@ -1,0 +1,196 @@
+"""SPARQL feature tests for the surface the reference delegates to Jena
+ARQ (SURVEY.md §2.2) — all our own code here."""
+
+import pytest
+
+from graphula_spark.graph import Graph
+
+TRIPLES = [
+    # people with ages (bare numeric literals) and optional emails
+    ("alice", "age", "30"),
+    ("bob", "age", "25"),
+    ("carol", "age", "35"),
+    ("dave", "age", "9"),
+    ("alice", "email", "alice@x.org"),
+    ("carol", "email", "carol@x.org"),
+    ("alice", "knows", "bob"),
+    ("bob", "knows", "carol"),
+    ("carol", "knows", "alice"),
+    ("alice", "likes", "pizza"),
+    ("bob", "likes", "sushi"),
+    ("alice", "city", "zurich"),
+    ("bob", "city", "zurich"),
+    ("carol", "city", "bern"),
+    ("dave", "city", "bern"),
+]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    df = spark.createDataFrame(TRIPLES, ["s", "p", "o"])
+    gr = Graph.from_string_triples(spark, df)
+    yield gr
+    gr.triples.unpersist()
+    gr.dictionary.df.unpersist()
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_filter_numeric(g):
+    df = g.sparql("SELECT ?x WHERE { ?x <age> ?a . FILTER(?a > 26) }")
+    assert {r["x"] for r in df.collect()} == {"alice", "carol"}
+
+
+def test_filter_numeric_not_lexicographic(g):
+    # "9" > "25" lexicographically — numeric semantics must win
+    df = g.sparql("SELECT ?x WHERE { ?x <age> ?a . FILTER(?a < 26) }")
+    assert {r["x"] for r in df.collect()} == {"bob", "dave"}
+
+
+def test_filter_regex_and_logic(g):
+    df = g.sparql(
+        'SELECT ?x WHERE { ?x <age> ?a . FILTER(REGEX(STR(?x), "^[ab]") && ?a >= 25) }'
+    )
+    assert {r["x"] for r in df.collect()} == {"alice", "bob"}
+
+
+def test_optional(g):
+    df = g.sparql(
+        "SELECT ?x ?e WHERE { ?x <age> ?a . OPTIONAL { ?x <email> ?e } }"
+    )
+    got = {(r["x"], r["e"]) for r in df.collect()}
+    assert got == {
+        ("alice", "alice@x.org"),
+        ("bob", None),
+        ("carol", "carol@x.org"),
+        ("dave", None),
+    }
+
+
+def test_optional_with_bound_filter(g):
+    df = g.sparql(
+        "SELECT ?x WHERE { ?x <age> ?a . OPTIONAL { ?x <email> ?e } FILTER(!BOUND(?e)) }"
+    )
+    assert {r["x"] for r in df.collect()} == {"bob", "dave"}
+
+
+def test_union(g):
+    df = g.sparql(
+        "SELECT ?x WHERE { { ?x <likes> <pizza> } UNION { ?x <likes> <sushi> } }"
+    )
+    assert {r["x"] for r in df.collect()} == {"alice", "bob"}
+
+
+def test_minus(g):
+    df = g.sparql("SELECT ?x WHERE { ?x <age> ?a . MINUS { ?x <email> ?e } }")
+    assert {r["x"] for r in df.collect()} == {"bob", "dave"}
+
+
+def test_not_exists(g):
+    df = g.sparql(
+        "SELECT ?x WHERE { ?x <age> ?a . FILTER NOT EXISTS { ?x <email> ?e } }"
+    )
+    assert {r["x"] for r in df.collect()} == {"bob", "dave"}
+
+
+def test_exists(g):
+    df = g.sparql(
+        "SELECT ?x WHERE { ?x <age> ?a . FILTER EXISTS { ?x <email> ?e } }"
+    )
+    assert {r["x"] for r in df.collect()} == {"alice", "carol"}
+
+
+def test_distinct(g):
+    df = g.sparql("SELECT DISTINCT ?c WHERE { ?x <city> ?c }")
+    assert sorted(r["c"] for r in df.collect()) == ["bern", "zurich"]
+
+
+def test_order_limit_offset(g):
+    df = g.sparql(
+        "SELECT ?x ?a WHERE { ?x <age> ?a } ORDER BY DESC(?a) LIMIT 2"
+    )
+    assert [r["x"] for r in df.collect()] == ["carol", "alice"]
+    df2 = g.sparql(
+        "SELECT ?x WHERE { ?x <age> ?a } ORDER BY ?a LIMIT 2 OFFSET 1"
+    )
+    assert [r["x"] for r in df2.collect()] == ["bob", "alice"]
+
+
+def test_group_by_aggregates(g):
+    df = g.sparql(
+        """SELECT ?c (COUNT(?x) AS ?n) (AVG(?a) AS ?avg_age) (MAX(?a) AS ?max_age)
+           WHERE { ?x <city> ?c . ?x <age> ?a } GROUP BY ?c"""
+    )
+    got = {(r["c"], r["n"], r["avg_age"], r["max_age"]) for r in df.collect()}
+    assert got == {("zurich", 2, 27.5, "30"), ("bern", 2, 22.0, "35")}
+
+
+def test_group_by_having(g):
+    df = g.sparql(
+        """SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x <city> ?c . ?x <email> ?m }
+           GROUP BY ?c HAVING (COUNT(?x) < 2)"""
+    )
+    got = {(r["c"], r["n"]) for r in df.collect()}
+    assert got == {("zurich", 1), ("bern", 1)}
+
+
+def test_implicit_group(g):
+    df = g.sparql("SELECT (COUNT(?x) AS ?n) (SUM(?a) AS ?total) WHERE { ?x <age> ?a }")
+    r = df.collect()[0]
+    assert r["n"] == 4 and r["total"] == 99.0
+
+
+def test_count_distinct(g):
+    df = g.sparql("SELECT (COUNT(DISTINCT ?c) AS ?n) WHERE { ?x <city> ?c }")
+    assert df.collect()[0]["n"] == 2
+
+
+def test_bind(g):
+    df = g.sparql(
+        "SELECT ?x ?a2 WHERE { ?x <age> ?a . BIND(?a * 2 AS ?a2) FILTER(?a2 > 60) }"
+    )
+    got = {(r["x"], r["a2"]) for r in df.collect()}
+    assert got == {("carol", 70.0)}
+
+
+def test_values(g):
+    df = g.sparql(
+        "SELECT ?x ?a WHERE { VALUES ?x { <alice> <dave> } ?x <age> ?a }"
+    )
+    got = {(r["x"], r["a"]) for r in df.collect()}
+    assert got == {("alice", "30"), ("dave", "9")}
+
+
+def test_ask(g):
+    assert g.sparql("ASK { <alice> <knows> <bob> }").collect()[0]["ask"] is True
+    assert g.sparql("ASK { <alice> <knows> <carol> }").collect()[0]["ask"] is False
+
+
+def test_select_star(g):
+    df = g.sparql("SELECT * WHERE { ?x <likes> ?f }")
+    assert sorted(df.columns) == ["f", "x"]
+    assert len(df.collect()) == 2
+
+
+def test_select_expression(g):
+    df = g.sparql(
+        'SELECT ?x (CONCAT(STR(?x), "!") AS ?bang) WHERE { ?x <likes> <pizza> }'
+    )
+    assert rows(df) == [("alice", "alice!")]
+
+
+def test_property_path_unsupported(g):
+    # reference also throws on property paths (Sparql.scala:130-134)
+    with pytest.raises(Exception):
+        g.sparql("SELECT ?x WHERE { ?x <knows>+ ?y }").collect()
+
+
+def test_subquery_group_semantics(g):
+    df = g.sparql(
+        """SELECT ?x WHERE {
+             { ?x <city> <zurich> . ?x <email> ?e }
+           }"""
+    )
+    assert {r["x"] for r in df.collect()} == {"alice"}
