@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline (JVM higher-order
+functions — zip_with + aggregate — no Python in the loop); the LSH
+random-hyperplane variant is the 100 TB scale path: bucket first, then
+score only within buckets, turning the O(N·Q) scan into a bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score) — k rows per query.
+
+    Cross join + window rank; the vectors side should be the big one
+    (queries broadcast). Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (no RNG state —
+    reproducible across engines/runs)."""
+    import math
+
+    return [
+        math.sin(0.7 * (plane + 1) * (i + 1) + 0.13 * plane) for i in range(dim)
+    ]
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Sign-bit sketch over `num_planes` fixed hyperplanes → bucket id;
+    candidates = same bucket (multi-probe: exact bucket only, recall
+    traded for a ~2^planes reduction in scored pairs). At 100 TB the
+    bucket join shuffles on the bucket id instead of broadcasting the
+    full corpus.
+    """
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+
+    def bucket(vec):
+        bits = None
+        for pi, plane in enumerate(planes):
+            arr = F.array(*[F.lit(x) for x in plane])
+            d = _dot(vec, arr)
+            bit = F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**pi)
+            bits = bit if bits is None else bits + bit
+        return bits
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    ).withColumn("bucket", bucket(F.col("nv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", bucket(F.col("qv")))
+    scored = (
+        v.join(q, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
+    )

@@ -1,0 +1,250 @@
+"""Deduplication operators for large-scale document pipelines.
+
+All hot paths are JVM-side DataFrame expressions (no Python UDFs):
+shingling via split/transform, hashing via xxhash64/md5, band-bucket
+joins for candidate generation. Designed so the candidate-generation
+shuffle keys (band hashes) distribute evenly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id row per identical text.
+
+    One hash-aggregate shuffle on the text hash; at scale, group on
+    xxhash64(text) instead of the full text to keep shuffle rows small.
+    """
+    h = F.xxhash64(F.col(text_col)).alias("__h")
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        df.withColumn("__h", F.xxhash64(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """n-word shingles as an array<string> column (distinct)."""
+    tokens = F.split(F.trim(F.lower(text_col)), r"\s+")
+    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    return F.when(
+        F.size(tokens) < n,
+        F.array(F.concat_ws(" ", tokens)),
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))
+            )
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature via k seeded xxhash64 mins.
+
+    explode(shingles) → one row per (doc, shingle) → k column-wise min
+    aggregates in a single shuffle (map-side partial aggregation keeps
+    the shuffle tiny: k longs per doc per partition).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    hashed = exploded.select(
+        "id",
+        *[
+            F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact verify.
+
+    Pipeline: signatures → band hashes → self-join on (band, hash) for
+    candidates → exact shingle-set Jaccard on candidates only. Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return verify_jaccard(
+        df, candidates, id_col, text_col, shingle_n, jaccard_threshold
+    )
+
+
+def verify_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via shingle-set joins."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    exploded = sh.select("id", F.explode("sh").alias("s"))
+    a = exploded.select(F.col("id").alias("id_a"), F.col("s"))
+    b = exploded.select(F.col("id").alias("id_b"), F.col("s"))
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", "s"]).groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_inter")
+        )
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Deterministic blocked exact-Jaccard pairs (oracle-friendly).
+
+    Blocks = equal first `prefix_len` chars of the normalized text;
+    exact word-shingle Jaccard within blocks. Deliberately reproducible
+    in ANSI SQL for the correctness oracle.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    blocked = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, prefix_len).alias("blk"),
+    )
+    a = blocked.select(F.col("id").alias("id_a"), "blk")
+    b = blocked.select(F.col("id").alias("id_b"), "blk")
+    pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return verify_jaccard(df, pairs, id_col, text_col, shingle_n, threshold)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens (JVM-side, no UDF).
+
+    For each bit position, sum +1/-1 according to the token hash bit;
+    sign of the sum becomes the fingerprint bit.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tokens.groupBy("id").agg(*bit_aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    quarters (a pair within distance 3 shares at least one of 4 blocks
+    — pigeonhole), so the self-join never goes quadratic."""
+    fp = simhash64(df, id_col, text_col)
+    blocks = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned(F.col("simhash"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bk"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.q").alias("q"), F.col("b.bk").alias("bk"))
+    a = blocks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "q", "bk"
+    )
+    b = blocks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "q", "bk"
+    )
+    cand = (
+        a.join(b, ["q", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

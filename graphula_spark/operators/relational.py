@@ -1,0 +1,119 @@
+"""Relational operators beyond the reference's surface (SURVEY §2.3
+lists these as absent there): window functions, rollup, as-of join,
+range join — implemented Spark-first for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top_n_per_group(
+    df: DataFrame, group_cols: list[str], order_col: str, n: int, descending: bool = True
+) -> DataFrame:
+    """row_number window — single shuffle on the group key."""
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    # deterministic tiebreak on all group+order context is caller's job;
+    # add the first remaining column as a stable tiebreak
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .drop("rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right.on <= left.on within the same `by` group.
+
+    Spark-first implementation via union + window last_value instead of
+    a per-row correlated lookup: one shuffle on `by`, ordered scan —
+    scales linearly, no broadcast nested loop. (DuckDB expresses the
+    same as ASOF JOIN; that is the correctness oracle.)
+    """
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c not in (on, by)]
+    l_tag = left.select(
+        F.lit(1).alias("__is_left"),
+        F.col(on).alias("__t"),
+        F.col(by).alias("__by"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*rcols).alias("x")).schema["x"].dataType
+        ).alias("__r"),
+    )
+    r_tag = right.select(
+        F.lit(0).alias("__is_left"),
+        F.col(on).alias("__t"),
+        F.col(by).alias("__by"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("x")).schema["x"].dataType
+        ).alias("__l"),
+        F.struct(*rcols).alias("__r"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal timestamps so a
+    # same-instant right row is visible to the left row (<= semantics)
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    out = filled.where(F.col("__is_left") == 1)
+    sel = [F.col(f"__l.{c}").alias(c) for c in lcols]
+    sel += [F.col(f"__last_r.{c}").alias(f"{c}{suffix}" if c in lcols else c) for c in rcols]
+    return out.select(*sel)
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    count_name: str = "n_in_range",
+) -> DataFrame:
+    """For each left row, count right rows (same `by`) with
+    right_ts in [left_ts - lower, left_ts + upper].
+
+    Implemented as a bucketed equi-join: both sides bucket timestamps
+    into `width = lower+upper` bins, left explodes to the neighboring
+    bins, join on (by, bin) then exact range filter — avoids the
+    broadcast-nested-loop a plain interval join would produce, and
+    shuffles on (by, bin) which stays balanced at scale.
+    """
+    width = lower_seconds + upper_seconds
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / width)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / width)
+    l2 = left.withColumn(
+        "__bin", F.explode(F.array(lb - 1, lb, lb + 1))
+    ).withColumn("__lt", F.unix_timestamp(F.col(left_ts)))
+    r2 = right.select(
+        F.col(by).alias("__rby"),
+        rb.alias("__bin"),
+        F.unix_timestamp(F.col(right_ts)).alias("__rt"),
+    )
+    joined = l2.join(
+        r2,
+        (F.col(by) == F.col("__rby"))
+        & (l2["__bin"] == r2["__bin"])
+        & (F.col("__rt") >= F.col("__lt") - lower_seconds)
+        & (F.col("__rt") <= F.col("__lt") + upper_seconds),
+        "left",
+    )
+    return (
+        joined.groupBy(*[F.col(c) for c in left.columns])
+        .agg(F.count("__rt").alias(count_name))
+    )

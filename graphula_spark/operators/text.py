@@ -1,0 +1,113 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting. All JVM-side expressions; every function is written to
+be reproducible in ANSI SQL for the DuckDB correctness oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the lower-cased text (empty tokens dropped)."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] (lower-cased)."""
+    stripped = F.regexp_replace(F.lower(text), r"[a-z0-9 ]", "")
+    return F.round(
+        F.length(stripped).cast("double") / F.greatest(F.length(text), F.lit(1)), 4
+    )
+
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "que"],
+}
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    sw = STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return F.round(
+        hits.cast("double") / F.greatest(F.size(toks), F.lit(1)), 4
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane mean token
+    length, low punctuation noise, some stopwords (English-weighted)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n, F.lit(1)).cast("double")
+    len_ok = F.when((mean_len >= 3.0) & (mean_len <= 10.0), 1.0).otherwise(0.0)
+    n_ok = F.when(n >= 10, 1.0).otherwise(n.cast("double") / 10.0)
+    p = punct_ratio(text)
+    p_ok = F.when(p <= 0.1, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (p - 0.1) * 5))
+    sw_ok = F.least(stopword_ratio(text, "en") * F.lit(5.0), F.lit(1.0))
+    return F.round((len_ok + n_ok + p_ok + sw_ok) / 4.0, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID over the supported language set.
+
+    Deterministic argmax with language-code tiebreak (alphabetical).
+    """
+    toks = tokens(text)
+
+    def contains(sw):
+        # nb: a two-arg lambda would make F.filter pass the element
+        # *index* as the second argument — capture via closure instead
+        return lambda t: t.isin(*sw)
+
+    scores = [
+        (code, F.size(F.filter(toks, contains(sw))))
+        for code, sw in sorted(STOPWORDS.items())
+    ]
+    best_code, best_score = None, None
+    # fold: keep the first (alphabetically smallest) language on ties
+    expr = F.lit("und")
+    best = F.lit(0)
+    for code, score in scores:
+        cond = score > best
+        expr = F.when(cond, F.lit(code)).otherwise(expr)
+        best = F.when(cond, score).otherwise(best)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lower-
+    cased text — deterministic and reproducible in any SQL engine."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars_m"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio_en"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("pred_lang"),
+        fingerprint(t).alias("fp"),
+    )

@@ -1,0 +1,73 @@
+"""Relational → triples bridge: triple-ize tabular data into a Graph.
+
+Deterministic mapping so DuckDB oracles can reproduce results over the
+original tables:
+
+    subject   = '<table>:' || <key column value>
+    predicate = column name
+    object    = value rendered as a bare string
+                (ints verbatim, doubles via CAST AS STRING,
+                 timestamps as 'yyyy-MM-dd HH:mm:ss')
+
+NULL values produce no triple (RDF absent-property semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType, TimestampType
+
+from graphula_spark.graph import Graph
+
+
+def _render(df: DataFrame, col: str):
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampType):
+        return F.date_format(F.col(col), "yyyy-MM-dd HH:mm:ss")
+    return F.col(col).cast("string")
+
+
+def table_to_triples(df: DataFrame, table: str, key_col: str) -> DataFrame:
+    subject = F.concat(F.lit(f"{table}:"), F.col(key_col).cast("string"))
+    parts = []
+    for c in df.columns:
+        parts.append(
+            df.select(
+                subject.alias("s"),
+                F.lit(c).alias("p"),
+                _render(df, c).alias("o"),
+            ).where(F.col(c).isNotNull())
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# table -> key column (subject identity)
+TPCH_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+}
+
+DEFAULT_GRAPH_TABLES = ("region", "nation", "customer", "supplier", "orders")
+
+
+def load_tpch_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = DEFAULT_GRAPH_TABLES,
+    cache: bool = True,
+) -> Graph:
+    """Triple-ize the TPC-H-ish testdata tables into one Graph."""
+    all_triples: DataFrame | None = None
+    for t in tables:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        tr = table_to_triples(df, t, TPCH_KEYS[t])
+        all_triples = tr if all_triples is None else all_triples.unionByName(tr)
+    return Graph.from_string_triples(spark, all_triples, cache=cache)

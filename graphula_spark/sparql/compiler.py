@@ -70,7 +70,7 @@ class CE:
     is_bool: bool = False
 
     def numeric(self) -> Column:
-        return self.num if self.num is not None else self.val.cast("double")
+        return self.num if self.num is not None else self.val.try_cast("double")
 
 
 class Compiler:
@@ -292,12 +292,12 @@ class Compiler:
             v = expr.name
             if v in sol.val_vars:
                 col = F.col(v)
-                return sol, CE(col.cast("string"), col.cast("double"), col.cast("string"))
+                return sol, CE(col.cast("string"), col.try_cast("double"), col.cast("string"))
             if v not in sol.id_vars:
                 return sol, CE(F.lit(None).cast("string"), None, F.lit(None).cast("string"))
             sol2, term = self.term_col(sol, v)
             val = rdf_value(term)
-            return sol2, CE(val, val.cast("double"), term)
+            return sol2, CE(val, val.try_cast("double"), term)
         if isinstance(expr, A.ELit):
             if isinstance(expr.value, bool):
                 return sol, CE(F.lit(expr.value), None, None, is_bool=True)

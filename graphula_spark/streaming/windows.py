@@ -1,0 +1,127 @@
+"""Structured Streaming operators over the events feed.
+
+The reference has no streaming at all (SURVEY §2.3); this is the
+driver-mandated extension surface, built on readStream + watermarks +
+windowed/stateful aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window count+sum per event_type. Works identically on a
+    batch DataFrame and a streaming one (same logical plan)."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), window).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessions per user with an inactivity gap, batch formulation:
+    a session starts where the gap from the previous event exceeds the
+    threshold (classic lag+cumsum; one shuffle on user_id).
+
+    The streaming formulation of the same operator is
+    `streaming_session_window` (F.session_window with watermark).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("__start", starts)
+        .groupBy("user_id")
+        .agg(
+            F.sum("__start").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def streaming_session_window(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """F.session_window aggregation (streaming-native session operator)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_over_parquet(
+    spark: SparkSession,
+    parquet_path: str,
+    transform,
+    query_name: str = "graphula_stream",
+) -> DataFrame:
+    """Execute `transform` over the parquet file as a real Structured
+    Streaming job (availableNow trigger, complete mode, memory sink) and
+    return the final result as a batch DataFrame.
+
+    This is the 'streams and batch share one engine' contract: the same
+    transform function is applied to readStream input, and the produced
+    result can be compared 1:1 against the batch run / SQL oracle.
+    """
+    # testdata parquet carries TIMESTAMP(NANOS) — see sources/events.py
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(parquet_path).schema
+    # the file streaming source requires a *directory*; expose a single
+    # parquet file through a stable symlink dir
+    import hashlib
+    import os
+
+    if os.path.isfile(parquet_path):
+        d = f"/tmp/graphula_stream_src/{hashlib.md5(parquet_path.encode()).hexdigest()}"
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, os.path.basename(parquet_path))
+        if not os.path.exists(link):
+            os.symlink(parquet_path, link)
+        parquet_path = d
+    stream = spark.readStream.schema(batch_schema).parquet(parquet_path)
+    from pyspark.sql.types import LongType
+
+    if "ts" in stream.columns and isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
