@@ -25,13 +25,26 @@ _GRAPH_CACHE: dict = {}
 
 
 def _graph(spark: SparkSession, sf_dir: str):
+    """Shared triple-ized graph, persisted to the predicate-partitioned
+    parquet layout and re-read: queries then plan against small parquet
+    scans with pushdown + partition pruning instead of dragging the
+    whole triple-ization lineage into every query plan."""
     key = ("tpch", sf_dir)
     if key not in _GRAPH_CACHE:
+        import os
+
+        from graphula_spark.graph import Graph
         from graphula_spark.sources.relational import load_tpch_graph
 
-        g = load_tpch_graph(spark, sf_dir)
-        g.triples.count()  # materialize cache once
-        g.stats  # precompute planner stats
+        tag = sf_dir.strip("/").replace("/", "_")
+        store = f"/tmp/graphula_store/{tag}"
+        marker = f"{store}/_DONE"
+        if not os.path.exists(marker):
+            g = load_tpch_graph(spark, sf_dir, cache=False)
+            g.save(store)
+            open(marker, "w").write("ok")
+        g = Graph.load(spark, store)
+        g.stats  # warm planner stats (one tiny aggregate job)
         _GRAPH_CACHE[key] = g
     return _GRAPH_CACHE[key]
 

@@ -77,13 +77,28 @@ class Dictionary:
         entry (the reference pre-seeds it, Dictionary.scala:66-76).
         """
         col = terms.columns[0]
-        distinct = terms.select(F.col(col).alias("value")).where(
-            F.col("value").isNotNull()
-        ).distinct()
+        distinct = (
+            terms.select(F.col(col).alias("value"))
+            .where(F.col("value").isNotNull())
+            .distinct()
+            .withColumn("raw_id", term_id_col(F.col("value")))
+        )
+        # Collisions are ~never (63-bit space); detect them with a cheap
+        # count aggregate and only window over the (tiny) collided set —
+        # avoids a global row_number sort-shuffle on every load.
+        collided_ids = (
+            distinct.groupBy("raw_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .select("raw_id")
+        )
+        clean = distinct.join(
+            F.broadcast(collided_ids), "raw_id", "left_anti"
+        ).select(F.col("raw_id").alias("id"), "value")
+        collided = distinct.join(F.broadcast(collided_ids), "raw_id", "left_semi")
         w = Window.partitionBy("raw_id").orderBy("value")
-        df = (
-            distinct.withColumn("raw_id", term_id_col(F.col("value")))
-            .withColumn("rank", F.row_number().over(w))
+        resolved = (
+            collided.withColumn("rank", F.row_number().over(w))
             .withColumn(
                 "id",
                 F.when(F.col("rank") == 1, F.col("raw_id")).otherwise(
@@ -98,7 +113,7 @@ class Dictionary:
             )
             .select("id", "value")
         )
-        return cls(spark, df)
+        return cls(spark, clean.unionByName(resolved))
 
     def union(self, other_terms: DataFrame) -> "Dictionary":
         """Extend with new terms (incremental load); existing ids stable."""

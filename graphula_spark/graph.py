@@ -107,13 +107,19 @@ class Graph:
         return Graph(self.spark, triples, d2)
 
     # -- persistence -----------------------------------------------------
-    def save(self, path: str, p_buckets: int = 64) -> None:
+    #: fixed bucket count for the predicate-partitioned layout
+    P_BUCKETS = 64
+
+    def save(self, path: str, p_buckets: int | None = None) -> None:
         """Persist predicate-first: partition dir = hash bucket of p.
 
         At 100 TB a bound-predicate pattern scan then prunes to 1/64 of
         the data before any IO — the Parquet analogue of the reference's
-        (0,p,0) index key (Index.scala:61-78).
+        (0,p,0) index key (Index.scala:61-78). Rows are sorted by
+        (p, s, o) within partitions so parquet min/max row-group stats
+        prune bound-subject scans too.
         """
+        p_buckets = p_buckets or Graph.P_BUCKETS
         (
             self.triples.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(p_buckets)))
             .repartition("p_bucket")
@@ -126,7 +132,11 @@ class Graph:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Graph":
-        triples = spark.read.parquet(f"{path}/triples").select("s", "p", "o")
+        """Load a persisted graph; keeps the p_bucket partition column so
+        pattern scans with a bound predicate prune partitions."""
+        triples = spark.read.parquet(f"{path}/triples").select(
+            "s", "p", "o", "p_bucket"
+        )
         d = Dictionary(spark, spark.read.parquet(f"{path}/dict"))
         return cls(spark, triples, d)
 

@@ -59,14 +59,30 @@ def minhash_signatures(
     aggregates in a single shuffle (map-side partial aggregation keeps
     the shuffle tiny: k longs per doc per partition).
     """
-    exploded = df.select(
+    # small single-file inputs otherwise run the whole explode+hash on
+    # one task; at scale maxPartitionBytes already splits the scan
+    par = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(par, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
     )
+    # double hashing: h_i = h1 XOR rotl(h2, i) — two real hashes per
+    # shingle plus cheap bitwise mixing (ANSI-safe: no +/* overflow),
+    # instead of k full string hashes; candidates are exact-verified
+    # downstream so approximation quality only affects recall.
+    h1 = F.xxhash64(F.col("sh"))
+    h2 = F.xxhash64(F.concat(F.lit("\x02"), F.col("sh")))
+
+    def rotl(c, i):
+        i = i % 64
+        if i == 0:
+            return c
+        return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
+
     hashed = exploded.select(
         "id",
         *[
-            F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("sh"))).alias(f"h{i}")
+            h1.bitwiseXOR(rotl(h2, 2 * i + 1)).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -91,7 +107,11 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # the banded self-join consumes the signature subtree twice; persist
+    # so the explode+hash work runs once (materialized eagerly — the
+    # signature table is k longs per doc, tiny relative to the corpus)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sig.count()
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -127,9 +147,21 @@ def verify_jaccard(
     threshold: float,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via shingle-set joins."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    touched = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
     )
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .join(touched, "id", "left_semi")  # only docs in candidate pairs
+    )
+    sh = sh.persist()
     sizes = sh.select("id", F.size("sh").alias("n"))
     exploded = sh.select("id", F.explode("sh").alias("s"))
     a = exploded.select(F.col("id").alias("id_a"), F.col("s"))
@@ -171,7 +203,8 @@ def ngram_jaccard_blocked(
     in ANSI SQL for the correctness oracle.
     """
     norm = F.lower(F.trim(F.col(text_col)))
-    blocked = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    blocked = df.repartition(par, id_col).select(
         F.col(id_col).alias("id"),
         F.substring(norm, 1, prefix_len).alias("blk"),
     )
@@ -187,7 +220,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     For each bit position, sum +1/-1 according to the token hash bit;
     sign of the sum becomes the fingerprint bit.
     """
-    tokens = df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tokens = df.repartition(par, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

@@ -259,6 +259,14 @@ def _pattern_scan(
     cond: Column | None = None
     for pos, c in pat.consts():
         clause = F.col(pos) == F.lit(const_ids[c])
+        if pos == "p" and "p_bucket" in triples.columns:
+            # persisted graphs are partitioned by pmod(p, P_BUCKETS):
+            # a bound predicate prunes partitions before any IO
+            from graphula_spark.graph import Graph
+
+            clause = clause & (
+                F.col("p_bucket") == F.lit(const_ids[c] % Graph.P_BUCKETS)
+            )
         cond = clause if cond is None else (cond & clause)
     if cond is not None:
         df = df.where(cond)
