@@ -424,6 +424,33 @@ def q_events_range_join(spark, sf):
     return out.select("event_id", "n_clicks_near")
 
 
+def _belongs_edges(spark, sf):
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    nat = spark.read.parquet(f"{sf}/nation.parquet").select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return cust.unionByName(nat)
+
+
+def q_transitive_closure(spark, sf):
+    from graphula_spark.operators.paths import transitive_closure
+
+    return transitive_closure(_belongs_edges(spark, sf), "src", "dst")
+
+
+def q_reachable_from(spark, sf):
+    from graphula_spark.operators.paths import reachable_from
+
+    seeds = spark.createDataFrame(
+        [("customer:1",), ("customer:2",), ("nation:0",)], ["start"]
+    )
+    return reachable_from(_belongs_edges(spark, sf), seeds)
+
+
 def q_topn_per_group(spark, sf):
     from pyspark.sql.window import Window
 
@@ -506,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
+        "rel_transitive_closure": q_transitive_closure,
+        "rel_reachable_from": q_reachable_from,
         "rel_topn_per_group": q_topn_per_group,
         "rel_rollup": q_rollup,
         "rel_window_running": q_window_running,
@@ -734,6 +763,33 @@ def oracle_sql() -> dict[str, str]:
                            AND epoch(c.ts) >= epoch(p.ts) - 600
                            AND epoch(c.ts) <= epoch(p.ts) + 600) AS BIGINT) AS n_clicks_near
             FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "rel_transitive_closure": """
+            WITH RECURSIVE edges AS (
+              SELECT 'customer:' || c_custkey AS src, 'nation:' || c_nationkey AS dst
+              FROM customer
+              UNION ALL
+              SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+            ), closure AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+            )
+            SELECT DISTINCT src, dst FROM closure
+        """,
+        "rel_reachable_from": """
+            WITH RECURSIVE edges AS (
+              SELECT 'customer:' || c_custkey AS src, 'nation:' || c_nationkey AS dst
+              FROM customer
+              UNION ALL
+              SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+            ), seeds(start) AS (VALUES ('customer:1'), ('customer:2'), ('nation:0')),
+            reach AS (
+              SELECT s.start, e.dst AS node FROM seeds s JOIN edges e ON e.src = s.start
+              UNION
+              SELECT r.start, e.dst FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT DISTINCT start, node FROM reach
         """,
         "rel_topn_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -1,0 +1,86 @@
+"""Property paths / transitive closure via semi-naive iterative joins.
+
+The reference declares property paths but throws at runtime
+(sparql/.../Sparql.scala:130-134 — Graph.find is unimplemented); the
+divide-and-conquer execution this engine uses instead is the classic
+semi-naive datalog iteration: each round joins only the *new* frontier
+against the base edges, unions, dedups, and stops at a fixed point.
+
+Scale notes: every iteration is one shuffle join on the frontier; the
+accumulated path set is persisted per round and the previous round
+unpersisted, so memory stays bounded by |closure|. At 100 TB you bound
+rounds with max_iter (graph diameter) and the frontier shrinks
+monotonically once the closure saturates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """All pairs (src, dst) connected by a path of >= 1 edges."""
+    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    base = base.persist()
+    base.count()
+    paths = base
+    frontier = base
+    for _ in range(max_iter):
+        grown = (
+            frontier.alias("f")
+            .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
+            .select(F.col("f.src").alias("src"), F.col("b.dst").alias("dst"))
+            .distinct()
+        )
+        new = grown.join(paths, ["src", "dst"], "left_anti").persist()
+        if new.limit(1).count() == 0:
+            new.unpersist()
+            break
+        old = paths
+        paths = paths.unionByName(new).persist()
+        paths.count()
+        if old is not base:
+            old.unpersist()
+        frontier = new
+    return paths
+
+
+def reachable_from(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """BFS from a seed set: distinct nodes reachable in >= 1 hops.
+    Returns (start, node)."""
+    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    seeds = sources.select(F.col(sources.columns[0]).alias("start"))
+    frontier = (
+        seeds.join(base, seeds["start"] == base["src"])
+        .select("start", F.col("dst").alias("node"))
+        .distinct()
+        .persist()
+    )
+    seen = frontier
+    for _ in range(max_iter):
+        grown = (
+            frontier.alias("f")
+            .join(base.alias("b"), F.col("f.node") == F.col("b.src"))
+            .select(F.col("f.start").alias("start"), F.col("b.dst").alias("node"))
+            .distinct()
+        )
+        new = grown.join(seen, ["start", "node"], "left_anti").persist()
+        if new.limit(1).count() == 0:
+            new.unpersist()
+            break
+        seen = seen.unionByName(new).persist()
+        seen.count()
+        frontier = new
+    return seen

@@ -59,6 +59,17 @@ class Bgp:
 
 
 @dataclass
+class PathPattern:
+    """Property path `s <pred>+ o` / `s <pred>* o` — extension beyond
+    the reference (which throws on paths, Sparql.scala:130-134)."""
+
+    s: Any  # str | Var
+    pred: str
+    o: Any  # str | Var
+    mod: str  # '+' or '*'
+
+
+@dataclass
 class Filter:
     expr: Any
 

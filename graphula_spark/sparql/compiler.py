@@ -141,6 +141,9 @@ class Compiler:
             elif isinstance(el, A.InlineValues):
                 v = self.compile_values(el)
                 sol = self.join(sol, v) if sol is not None else v
+            elif isinstance(el, A.PathPattern):
+                p = self.compile_path(el)
+                sol = self.join(sol, p) if sol is not None else p
             else:
                 raise NotImplementedError(f"group element {type(el).__name__}")
         if sol is None:
@@ -232,6 +235,59 @@ class Compiler:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return Solution(out, all_id, all_val)
+
+    # -- property paths --------------------------------------------------
+    def compile_path(self, el: A.PathPattern) -> Solution:
+        """`s <p>+ o` / `s <p>* o` via semi-naive transitive closure
+        (operators/paths.py). `*` adds zero-length pairs over the nodes
+        incident to the predicate's edges."""
+        from graphula_spark.operators.paths import transitive_closure
+
+        edges = self.graph.execute_bgp(
+            [TriplePattern(Var("src"), el.pred, Var("dst"))]
+        )
+        closure = transitive_closure(edges, "src", "dst")
+        if el.mod == "*":
+            nodes = (
+                edges.select(F.col("src").alias("n"))
+                .unionByName(edges.select(F.col("dst").alias("n")))
+                .distinct()
+            )
+            closure = closure.unionByName(
+                nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+            ).distinct()
+
+        df = closure
+        out_vars: set[str] = set()
+        consts = self.graph.dictionary.lookup_terms(
+            [t for t in (el.s, el.o) if not isinstance(t, Var)]
+        )
+        if isinstance(el.s, Var):
+            df = df.withColumnRenamed("src", el.s.name)
+            out_vars.add(el.s.name)
+        else:
+            if el.s not in consts:
+                df = df.where(F.lit(False))
+            else:
+                df = df.where(F.col("src") == F.lit(consts[el.s]))
+            df = df.drop("src")
+        if isinstance(el.o, Var):
+            if isinstance(el.s, Var) and el.o.name == el.s.name:
+                df = df.where(F.col(el.s.name) == F.col("dst")).drop("dst")
+            else:
+                df = df.withColumnRenamed("dst", el.o.name)
+                out_vars.add(el.o.name)
+        else:
+            if el.o not in consts:
+                df = df.where(F.lit(False))
+            else:
+                df = df.where(F.col("dst") == F.lit(consts[el.o]))
+            df = df.drop("dst")
+        if not out_vars:
+            # fully bound path: existence gate
+            df = df.select(F.lit(1).alias("__unit")).limit(1)
+            return Solution(df)
+        return Solution(df.select(*sorted(out_vars)), id_vars=out_vars)
 
     # -- VALUES ---------------------------------------------------------
     def compile_values(self, v: A.InlineValues) -> Solution:

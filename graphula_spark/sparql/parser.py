@@ -302,7 +302,10 @@ class Parser:
                 else:
                     g.elements.append(SubGroup(first))
             else:
-                g.elements.append(Bgp(self.parse_triples_block()))
+                patterns, paths = self.parse_triples_block()
+                if patterns:
+                    g.elements.append(Bgp(patterns))
+                g.elements.extend(paths)
             self.eat_op(".")
         return g
 
@@ -338,15 +341,27 @@ class Parser:
         return term
 
     # -- triples block --------------------------------------------------
-    def parse_triples_block(self) -> list[TriplePattern]:
-        patterns = []
+    def parse_triples_block(self) -> tuple[list[TriplePattern], list]:
+        from graphula_spark.sparql.algebra import PathPattern
+
+        patterns: list[TriplePattern] = []
+        paths: list = []
         while True:
             subj = self.parse_term()
             while True:
                 pred = self.parse_verb()
+                mod = None
+                if isinstance(pred, str):
+                    if self.eat_op("+"):
+                        mod = "+"
+                    elif self.eat_op("*"):
+                        mod = "*"
                 while True:
                     obj = self.parse_term()
-                    patterns.append(TriplePattern(subj, pred, obj))
+                    if mod is not None:
+                        paths.append(PathPattern(subj, pred, obj, mod))
+                    else:
+                        patterns.append(TriplePattern(subj, pred, obj))
                     if not self.eat_op(","):
                         break
                 if not self.eat_op(";"):
@@ -362,7 +377,7 @@ class Parser:
                     self.next()  # consume '.'
                     continue
             break
-        return patterns
+        return patterns, paths
 
     def parse_verb(self):
         t = self.peek()

@@ -181,10 +181,30 @@ def test_select_expression(g):
     assert rows(df) == [("alice", "alice!")]
 
 
-def test_property_path_unsupported(g):
-    # reference also throws on property paths (Sparql.scala:130-134)
-    with pytest.raises(Exception):
-        g.sparql("SELECT ?x WHERE { ?x <knows>+ ?y }").collect()
+def test_property_path_plus(g):
+    # extension: the reference throws on paths (Sparql.scala:130-134);
+    # we run them via semi-naive transitive closure.
+    # knows edges: alice->bob->carol->alice (a 3-cycle)
+    df = g.sparql("SELECT ?y WHERE { <alice> <knows>+ ?y }")
+    assert {r["y"] for r in df.collect()} == {"alice", "bob", "carol"}
+
+
+def test_property_path_star(g):
+    df = g.sparql("SELECT ?y WHERE { <dave> <knows>* ?y }")
+    # dave has no knows edges; zero-length over incident nodes only —
+    # dave is not incident, so no rows (documented deviation from the
+    # all-graph-terms SPARQL zero-path domain)
+    assert df.count() == 0
+    df2 = g.sparql("SELECT ?y WHERE { <bob> <knows>* ?y }")
+    assert {r["y"] for r in df2.collect()} == {"alice", "bob", "carol"}
+
+
+def test_property_path_joined(g):
+    df = g.sparql(
+        "SELECT DISTINCT ?x WHERE { ?x <knows>+ ?y . ?y <email> ?e }"
+    )
+    # everyone in the cycle reaches alice and carol (who have emails)
+    assert {r["x"] for r in df.collect()} == {"alice", "bob", "carol"}
 
 
 def test_subquery_group_semantics(g):
