@@ -1,0 +1,126 @@
+"""Port of the reference's IndexSpec property tests
+(core/src/test/scala/com/graphula/index/IndexSpec.scala:66-192): for a
+random triple set, every pattern key's value enumeration matches the
+expected set computed independently — here the 'index' is Catalyst
+pruning over the triples DataFrame, so these invariants verify that
+filter+project scans are equivalent to the reference's 8 permutation
+keys. Randomness via Hypothesis (same role ScalaCheck plays there).
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from graphula_spark.graph import Graph
+
+terms = st.sampled_from([f"t{i}" for i in range(6)])
+triple = st.tuples(terms, terms, terms)
+triple_sets = st.lists(triple, min_size=1, max_size=20, unique=True)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(triple_sets)
+def test_pattern_scan_matches_expected(spark, triples):
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(triples, ["s", "p", "o"]), cache=False
+    )
+    ts = set(triples)
+    s0, p0, o0 = triples[0]
+
+    # (s,p,0) key: objects of (s,p)  — Index.scala:61-78 row 4
+    expect_o = {o for (s, p, o) in ts if s == s0 and p == p0}
+    got_o = {r["v"] for r in g.values(s0, p0, None).collect()}
+    assert got_o == expect_o
+
+    # (0,p,0) key: subjects using p — row 5
+    expect_s = {s for (s, p, o) in ts if p == p0}
+    got_s = {r["v"] for r in g.values(None, p0, None).collect()}
+    assert got_s == expect_s
+
+    # (s,0,0) key: distinct predicates of s — row 6
+    expect_p = {p for (s, p, o) in ts if s == s0}
+    got_p = {r["v"] for r in g.values(s0, None, None).collect()}
+    assert got_p == expect_p
+
+    # (0,0,0) key: all predicates — row 8
+    expect_all_p = {p for (_, p, _) in ts}
+    got_all_p = {r["v"] for r in g.values(None, None, None).collect()}
+    assert got_all_p == expect_all_p
+
+    # existence probe (s,p,o)
+    assert g.exists(s0, p0, o0)
+    assert not g.exists("nosuch", p0, o0)
+
+    # cardinality = exact dup count (valueCount, Index.scala:120-131)
+    assert g.value_count(None, p0, None) == len(expect_s)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(triple_sets)
+def test_count_bgp_matches_brute_force(spark, triples):
+    from graphula_spark.plans.bgp import TriplePattern, Var
+
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(triples, ["s", "p", "o"]), cache=False
+    )
+    ts = set(triples)
+    X, Y = Var("X"), Var("Y")
+    p0 = triples[0][1]
+    # chain join ?X p0 ?Y . ?Y p0 ?Z — brute force in python
+    Z = Var("Z")
+    expect = {
+        (s1, o1, o2)
+        for (s1, p1, o1) in ts
+        if p1 == p0
+        for (s2, p2, o2) in ts
+        if p2 == p0 and s2 == o1
+    }
+    got = g.count_bgp(
+        [TriplePattern(X, p0, Y), TriplePattern(Y, p0, Z)]
+    )
+    assert got == len(expect)
+
+
+def test_incremental_insert_and_persistence(spark, tmp_path):
+    from graphula_spark.plans.bgp import TriplePattern, Var
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [("a", "knows", "b"), ("b", "knows", "c")], ["s", "p", "o"]
+        ),
+        cache=False,
+    )
+    # O2: single-triple insert path; duplicate is idempotent (O3)
+    g2 = g.add_string_triples(
+        spark.createDataFrame(
+            [("c", "knows", "d"), ("a", "knows", "b")], ["s", "p", "o"]
+        )
+    )
+    assert g2.triples.count() == 3
+    X, Y = Var("X"), Var("Y")
+    assert g2.count_bgp([TriplePattern(X, "knows", Y)]) == 3
+
+    # save/load round trip with the predicate-partitioned layout
+    path = str(tmp_path / "store")
+    g2.save(path)
+    g3 = Graph.load(spark, path)
+    assert "p_bucket" in g3.triples.columns
+    got = {
+        (r["X"], r["Y"])
+        for r in g3.execute_bgp_decoded(
+            [TriplePattern(X, "knows", Y)]
+        ).collect()
+    }
+    assert got == {("a", "b"), ("b", "c"), ("c", "d")}
+    # bound-predicate scan must prune partitions in the physical plan
+    plan = g3.execute_bgp([TriplePattern(X, "knows", Y)])._jdf.queryExecution().executedPlan().toString()
+    assert "p_bucket" in plan

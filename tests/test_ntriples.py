@@ -1,0 +1,83 @@
+"""N-Triples source tests: syntax edge cases the NxParser path of the
+reference handles (escaped quotes, lang tags, typed literals, blank
+nodes, comments/garbage lines)."""
+
+import os
+
+import pytest
+
+from graphula_spark.sources.ntriples import read_ntriples
+
+NT = r"""
+<http://ex.org/a> <http://ex.org/p> <http://ex.org/b> .
+<http://ex.org/a> <http://ex.org/name> "Alice" .
+<http://ex.org/a> <http://ex.org/greet> "hello \"world\"" .
+<http://ex.org/a> <http://ex.org/label> "bonjour"@fr .
+<http://ex.org/a> <http://ex.org/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+_:b0 <http://ex.org/p> _:b1 .
+# a comment line
+not a triple at all
+<http://ex.org/x> <http://ex.org/p> "trailing spaces" .
+"""
+
+
+@pytest.fixture(scope="module")
+def nt_df(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("nt") / "test.nt"
+    p.write_text(NT)
+    df = read_ntriples(spark, str(p))
+    rows = {(r["s"], r["p"], r["o"]) for r in df.collect()}
+    return rows
+
+
+def test_parse_count(nt_df):
+    assert len(nt_df) == 7  # comment + garbage dropped
+
+
+def test_uri_triple(nt_df):
+    assert ("http://ex.org/a", "http://ex.org/p", "http://ex.org/b") in nt_df
+
+
+def test_plain_literal_verbatim(nt_df):
+    assert ("http://ex.org/a", "http://ex.org/name", '"Alice"') in nt_df
+
+
+def test_escaped_quotes_kept(nt_df):
+    assert ("http://ex.org/a", "http://ex.org/greet", '"hello \\"world\\""') in nt_df
+
+
+def test_lang_tag_verbatim(nt_df):
+    assert ("http://ex.org/a", "http://ex.org/label", '"bonjour"@fr') in nt_df
+
+
+def test_typed_literal_verbatim(nt_df):
+    assert (
+        "http://ex.org/a",
+        "http://ex.org/age",
+        '"30"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    ) in nt_df
+
+
+def test_blank_nodes(nt_df):
+    assert ("_:b0", "http://ex.org/p", "_:b1") in nt_df
+
+
+def test_sparql_over_typed_literals(spark, tmp_path_factory):
+    from graphula_spark.graph import Graph
+
+    p = tmp_path_factory.mktemp("nt2") / "typed.nt"
+    p.write_text(
+        '<http://e/x> <http://e/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<http://e/y> <http://e/age> "9"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+    )
+    g = Graph.from_ntriples(spark, str(p), cache=False)
+    # numeric FILTER must use the lexical value of the typed literal
+    df = g.sparql("SELECT ?s WHERE { ?s <http://e/age> ?a . FILTER(?a > 10) }")
+    assert [r["s"] for r in df.collect()] == ["http://e/x"]
+    # DATATYPE() extraction
+    df2 = g.sparql(
+        "SELECT ?s (DATATYPE(?a) AS ?dt) WHERE { ?s <http://e/age> ?a . }"
+    )
+    assert {r["dt"] for r in df2.collect()} == {
+        "http://www.w3.org/2001/XMLSchema#integer"
+    }
