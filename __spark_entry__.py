@@ -331,6 +331,37 @@ def q_ann_lsh(spark, sf):
     return lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), dim=dim, k=5)
 
 
+def q_dedup_embedding(spark, sf):
+    from graphula_spark.operators.ann import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb(spark, sf), threshold=0.3)
+
+
+def q_events_stateful(spark, sf):
+    from graphula_spark.streaming.stateful import run_stateful_over_parquet
+
+    return run_stateful_over_parquet(spark, f"{sf}/events.parquet")
+
+
+def q_mm_frames(spark, sf):
+    from graphula_spark.operators.multimodal import documents_as_media, sample_frames
+
+    media = documents_as_media(_docs(spark, sf))
+    return (
+        sample_frames(media, every_n=10)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+
+
+def q_approx_distinct(spark, sf):
+    # HLL sketch — approximate by construction, rows-only check
+    ev = _events(spark, sf)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
 def q_text_token_count(spark, sf):
     from graphula_spark.operators.text import char_count, token_count
 
@@ -523,6 +554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
+        "dedup_embedding": q_dedup_embedding,
+        "events_stateful": q_events_stateful,
+        "mm_frames": q_mm_frames,
+        "approx_distinct": q_approx_distinct,
         "text_token_count": q_text_token_count,
         "text_punct_stopword": q_text_punct_stopword,
         "text_langid": q_text_langid,
@@ -681,6 +716,25 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q, embeddings v
               WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id
             ) WHERE rn <= 5
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS score
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "events_stateful": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "mm_frames": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(((greatest(strlen(text) // 64, 1) - 1) // 10) + 1 AS BIGINT) AS n_frames
+            FROM documents
         """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens,

@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "dedup_embedding",
+    "events_stateful",
+    "rel_transitive_closure",
     "text_token_count",
     "text_langid",
     "text_fingerprint",

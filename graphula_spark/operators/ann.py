@@ -64,6 +64,44 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse blocks.
+
+    `block_col` plays the IVF-cell role: pairs are only scored inside a
+    block, so the join shuffles on the block key instead of going
+    quadratic. Returns (id_a, id_b, score) with id_a < id_b.
+    """
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    # normalize once per vector (not once per pair): score = plain dot
+    v = (
+        vectors.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("n", _norm(F.col("v")))
+        .withColumn("v", F.transform(F.col("v"), lambda x: x / F.col("n")))
+        .drop("n")
+        .persist()
+    )
+    a = v.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"))
+    scored = (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", _dot(F.col("va"), F.col("vb")))
+        .where(F.col("score") >= threshold)
+    )
+    return scored.select("id_a", "id_b", F.round("score", 4).alias("score"))
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane (no RNG state —
     reproducible across engines/runs)."""
