@@ -61,6 +61,10 @@ class Dictionary:
     def __init__(self, spark: SparkSession, df: DataFrame):
         self.spark = spark
         self.df = df
+        # driver-side memo for query-constant resolution: query planning
+        # repeatedly resolves a handful of constants; caching avoids one
+        # Spark job per query (negative results cached as None)
+        self._term_cache: dict[str, int | None] = {}
 
     @classmethod
     def empty(cls, spark: SparkSession) -> "Dictionary":
@@ -156,12 +160,21 @@ class Dictionary:
         """
         if not terms:
             return {}
-        rows = (
-            self.df.where(F.col("value").isin(list(set(terms))))
-            .select("value", "id")
-            .collect()
-        )
-        return {r["value"]: r["id"] for r in rows}
+        missing = [t for t in set(terms) if t not in self._term_cache]
+        if missing:
+            rows = (
+                self.df.where(F.col("value").isin(missing))
+                .select("value", "id")
+                .collect()
+            )
+            found = {r["value"]: r["id"] for r in rows}
+            for t in missing:
+                self._term_cache[t] = found.get(t)
+        return {
+            t: self._term_cache[t]
+            for t in set(terms)
+            if self._term_cache.get(t) is not None
+        }
 
     # -- decode ----------------------------------------------------------
     def decode_col(self, df: DataFrame, col: str, out: str | None = None) -> DataFrame:

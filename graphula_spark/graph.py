@@ -36,11 +36,15 @@ class Graph:
         triples: DataFrame,
         dictionary: Dictionary,
         stats: BgpStats | None = None,
+        triples_ops: DataFrame | None = None,
     ):
         self.spark = spark
         self.triples = triples
         self.dictionary = dictionary
         self._stats = stats
+        #: optional o-clustered copy (OPS permutation analogue) used for
+        #: bound-object pattern scans
+        self.triples_ops = triples_ops
 
     # ------------------------------------------------------------------
     # construction / load (reference: Sparql.loadNtriples, O1-O3)
@@ -120,13 +124,26 @@ class Graph:
         prune bound-subject scans too.
         """
         p_buckets = p_buckets or Graph.P_BUCKETS
+        bucketed = self.triples.withColumn(
+            "p_bucket", F.pmod(F.col("p"), F.lit(p_buckets))
+        )
         (
-            self.triples.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(p_buckets)))
-            .repartition("p_bucket")
+            bucketed.repartition("p_bucket")
             .sortWithinPartitions("p", "s", "o")
             .write.mode("overwrite")
             .partitionBy("p_bucket")
             .parquet(f"{path}/triples")
+        )
+        # second copy clustered by object — the OPS permutations of the
+        # reference's 8-way index (Index.scala:61-78 rows (0,p,o)/(0,0,o)):
+        # bound-object scans hit this copy and prune via (p,o) row-group
+        # stats instead of scanning the whole predicate partition
+        (
+            bucketed.repartition("p_bucket")
+            .sortWithinPartitions("p", "o", "s")
+            .write.mode("overwrite")
+            .partitionBy("p_bucket")
+            .parquet(f"{path}/triples_ops")
         )
         self.dictionary.df.write.mode("overwrite").parquet(f"{path}/dict")
 
@@ -137,8 +154,15 @@ class Graph:
         triples = spark.read.parquet(f"{path}/triples").select(
             "s", "p", "o", "p_bucket"
         )
+        import os
+
+        ops = None
+        if os.path.isdir(f"{path}/triples_ops"):
+            ops = spark.read.parquet(f"{path}/triples_ops").select(
+                "s", "p", "o", "p_bucket"
+            )
         d = Dictionary(spark, spark.read.parquet(f"{path}/dict"))
-        return cls(spark, triples, d)
+        return cls(spark, triples, d, triples_ops=ops)
 
     # ------------------------------------------------------------------
     # stats (reference: Index.valueCount O6, cached cardinalities O11)
@@ -158,7 +182,13 @@ class Graph:
 
     def execute_bgp(self, patterns: list[TriplePattern]) -> DataFrame:
         """BGP → DataFrame of long-id columns, one per variable."""
-        return execute_bgp(self.triples, patterns, self._const_ids(patterns), self.stats)
+        return execute_bgp(
+            self.triples,
+            patterns,
+            self._const_ids(patterns),
+            self.stats,
+            triples_ops=self.triples_ops,
+        )
 
     def execute_bgp_decoded(self, patterns: list[TriplePattern]) -> DataFrame:
         """BGP with the final late-materialization decode join (O22)."""

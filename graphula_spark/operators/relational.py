@@ -25,6 +25,52 @@ def top_n_per_group(
     )
 
 
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with key salting for skewed keys.
+
+    Phase 1 groups on (key, salt) so a hot key spreads over `salt`
+    reducers; phase 2 merges the partials. `aggs` maps column -> one of
+    'sum' | 'count' | 'min' | 'max'. Spark's map-side partial
+    aggregation already handles mild skew — this is for the pathological
+    hot-key case (AQE skew-join handles the join analogue).
+    """
+    phase1_aggs = []
+    phase2_aggs = []
+    for col, how in aggs.items():
+        out = f"{col}_{how}"
+        if how == "count":
+            phase1_aggs.append(F.count(F.lit(1)).alias(out))
+            phase2_aggs.append(F.sum(out).alias(out))
+        elif how == "sum":
+            phase1_aggs.append(F.sum(col).alias(out))
+            phase2_aggs.append(F.sum(out).alias(out))
+        elif how == "min":
+            phase1_aggs.append(F.min(col).alias(out))
+            phase2_aggs.append(F.min(out).alias(out))
+        elif how == "max":
+            phase1_aggs.append(F.max(col).alias(out))
+            phase2_aggs.append(F.max(out).alias(out))
+        else:
+            raise ValueError(f"unsupported agg {how}")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    )
+    partial = salted.groupBy(*key_cols, "__salt").agg(*phase1_aggs)
+    return partial.groupBy(*key_cols).agg(*phase2_aggs)
+
+
+def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Explicit broadcast join for small dimension tables — makes the
+    'small dims broadcast' contract visible in the plan regardless of
+    statistics quality."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -193,6 +193,7 @@ def execute_bgp(
     patterns: list[TriplePattern],
     const_ids: dict[str, int],
     stats: BgpStats | None = None,
+    triples_ops: DataFrame | None = None,
 ) -> DataFrame:
     """Execute a BGP; returns a DataFrame with one long id column per var.
 
@@ -225,7 +226,7 @@ def execute_bgp(
     result: DataFrame | None = None
     bound: set[str] = set()
     for i, (pat, _card) in enumerate(ordered):
-        scan = _pattern_scan(triples, pat, const_ids, i)
+        scan = _pattern_scan(triples, pat, const_ids, i, triples_ops)
         pat_vars = {v for _, v in pat.vars()}
         if result is None:
             result = scan
@@ -246,7 +247,11 @@ def execute_bgp(
 
 
 def _pattern_scan(
-    triples: DataFrame, pat: TriplePattern, const_ids: dict[str, int], idx: int
+    triples: DataFrame,
+    pat: TriplePattern,
+    const_ids: dict[str, int],
+    idx: int,
+    triples_ops: DataFrame | None = None,
 ) -> DataFrame:
     """One filtered+projected scan of the triples table for one pattern.
 
@@ -255,7 +260,18 @@ def _pattern_scan(
     positions are projected & renamed to the variable name. A variable
     repeated within the pattern adds an intra-scan equality filter.
     """
-    df = triples
+    # bound-object patterns read the o-clustered copy when one exists
+    # (the OPS permutation analogue — reference Index.scala:61-78 row 2/7):
+    # row-group (p,o) min/max stats then prune instead of full-p scans
+    const_pos = {pos for pos, _ in pat.consts()}
+    if (
+        triples_ops is not None
+        and "o" in const_pos
+        and "s" not in const_pos
+    ):
+        df = triples_ops
+    else:
+        df = triples
     cond: Column | None = None
     for pos, c in pat.consts():
         clause = F.col(pos) == F.lit(const_ids[c])

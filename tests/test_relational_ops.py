@@ -1,0 +1,89 @@
+"""Unit tests for the relational extension operators (as-of join,
+range join, salted aggregation, broadcast dim join)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    from graphula_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00:00"), "u1"),
+            (2, ts("2024-01-01T12:00:00"), "u1"),
+            (3, ts("2024-01-01T09:00:00"), "u2"),
+        ],
+        ["id", "ts", "user"],
+    )
+    right = spark.createDataFrame(
+        [
+            (ts("2024-01-01T09:30:00"), "u1", "a"),
+            (ts("2024-01-01T11:00:00"), "u1", "b"),
+            (ts("2024-01-01T12:00:00"), "u1", "c"),  # same-instant counts (<=)
+            (ts("2024-01-01T23:00:00"), "u2", "d"),  # after left: no match
+        ],
+        ["ts", "user", "tag"],
+    )
+    out = asof_join(left, right, on="ts", by="user")
+    got = {(r["id"], r["tag"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, "c"), (3, None)}
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from graphula_spark.operators.relational import salted_aggregate
+
+    # one pathologically hot key
+    rows = [("hot", float(i)) for i in range(1000)] + [
+        ("cold", 1.0),
+        ("cold", 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {
+        (r["k"], r["v_sum"], r["v_count"], r["v_max"])
+        for r in salted_aggregate(df, ["k"], {"v": "sum"}, salt=8)
+        .join(
+            salted_aggregate(df, ["k"], {"v": "count"}, salt=8), "k"
+        )
+        .join(salted_aggregate(df, ["k"], {"v": "max"}, salt=8), "k")
+        .collect()
+    }
+    assert out == {("hot", 499500.0, 1000, 999.0), ("cold", 3.0, 2, 2.0)}
+
+
+def test_broadcast_dim_join_plan(spark):
+    from graphula_spark.operators.relational import broadcast_dim_join
+
+    fact = spark.range(1000).select(
+        F.col("id"), F.pmod("id", F.lit(5)).alias("k")
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(5)], ["k", "name"])
+    out = broadcast_dim_join(fact, dim, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert out.count() == 1000
+
+
+def test_range_join_count(spark):
+    from graphula_spark.operators.relational import range_join_count
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "u1")], ["id", "ts", "user"]
+    )
+    right = spark.createDataFrame(
+        [
+            (ts("2024-01-01T09:55:00"), "u1"),  # in [-10m, +10m]
+            (ts("2024-01-01T10:09:00"), "u1"),  # in
+            (ts("2024-01-01T10:11:00"), "u1"),  # out
+            (ts("2024-01-01T10:01:00"), "u2"),  # wrong user
+        ],
+        ["ts", "user"],
+    )
+    out = range_join_count(left, right, "ts", "ts", "user", 600, 600)
+    assert out.collect()[0]["n_in_range"] == 2
