@@ -58,6 +58,30 @@ def _nation_graph(spark: SparkSession, sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
+def _lineitem_graph(spark: SparkSession, sf_dir: str):
+    """Separate heavy graph: triple-ized lineitem (6.6M triples at
+    sf0.1) — the scale test for BGP aggregation."""
+    key = ("lineitem", sf_dir)
+    if key not in _GRAPH_CACHE:
+        import os
+
+        from graphula_spark.graph import Graph
+        from graphula_spark.sources.relational import lineitem_to_triples
+
+        tag = sf_dir.strip("/").replace("/", "_") + "_lineitem"
+        store = f"/tmp/graphula_store/{tag}"
+        marker = f"{store}/_DONE"
+        if not os.path.exists(marker):
+            df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            g = Graph.from_string_triples(spark, lineitem_to_triples(df), cache=False)
+            g.save(store)
+            open(marker, "w").write("ok")
+        g = Graph.load(spark, store)
+        g.stats
+        _GRAPH_CACHE[key] = g
+    return _GRAPH_CACHE[key]
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -275,6 +299,28 @@ def q_select_expr(spark, sf):
         """SELECT ?name (CONCAT(STR(?seg), "!") AS ?tagged) WHERE {
              ?c <c_name> ?name . ?c <c_mktsegment> ?seg .
              FILTER(REGEX(STR(?name), "Customer#00000000[0-4]$")) }"""
+    )
+
+
+def q_lineitem_agg(spark, sf):
+    """TPC-H Q1-style pricing summary over the triple-ized lineitem —
+    a 4-pattern BGP star at millions-of-triples scale feeding GROUP BY."""
+    g = _lineitem_graph(spark, sf)
+    df = g.sparql(
+        """SELECT ?rf ?ls (COUNT(?li) AS ?n) (SUM(?qty) AS ?sum_qty)
+                  (AVG(?price) AS ?avg_price) WHERE {
+             ?li <l_returnflag> ?rf .
+             ?li <l_linestatus> ?ls .
+             ?li <l_quantity> ?qty .
+             ?li <l_extendedprice> ?price . }
+           GROUP BY ?rf ?ls"""
+    )
+    return df.select(
+        "rf",
+        "ls",
+        "n",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("avg_price", 2).alias("avg_price"),
     )
 
 
@@ -547,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_values": q_values_inline,
         "sq_ask": q_ask,
         "sq_select_expr": q_select_expr,
+        "sq_lineitem_agg": q_lineitem_agg,
         # extensions
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -679,6 +726,13 @@ def oracle_sql() -> dict[str, str]:
         "sq_select_expr": """
             SELECT c_name AS name, c_mktsegment || '!' AS tagged
             FROM customer WHERE regexp_matches(c_name, 'Customer#00000000[0-4]$')
+        """,
+        "sq_lineitem_agg": """
+            SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price
+            FROM lineitem GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM (

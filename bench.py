@@ -29,6 +29,7 @@ HEADLINE = [
     "sq_filter",
     "sq_optional",
     "sq_groupby_agg",
+    "sq_lineitem_agg",
     "sq_order_limit",
     "sq_minus",
     "dedup_exact",
@@ -58,7 +59,8 @@ def main() -> None:
 
     queries = entry_mod.queries()
     t0 = time.time()
-    entry_mod._graph(spark, sf_dir)  # warm the shared graph once
+    entry_mod._graph(spark, sf_dir)  # warm the shared graphs once
+    entry_mod._lineitem_graph(spark, sf_dir)
     graph_load = time.time() - t0
 
     per_query: dict[str, float] = {}

@@ -40,7 +40,12 @@ def word_shingles(text_col, n: int = 3):
     ).otherwise(
         F.array_distinct(
             F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))
+                idx,
+                # element_at is O(1); slice() would copy O(n) per shingle
+                # making shingling O(n^2) per document
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tokens, i + k) for k in range(1, n + 1)]
+                ),
             )
         )
     )

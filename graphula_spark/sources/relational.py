@@ -54,7 +54,20 @@ TPCH_KEYS = {
     "supplier": "s_suppkey",
     "part": "p_partkey",
     "orders": "o_orderkey",
+    "lineitem": None,  # composite key, see below
 }
+
+
+def lineitem_to_triples(df: DataFrame) -> DataFrame:
+    """The synthetic lineitem's (orderkey, linenumber) is NOT unique, so
+    subjects are deterministic row numbers (total order over all
+    columns). Real deployments would use the table's actual key —
+    the global sort is a testdata accommodation, not the scale path."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*[F.col(c) for c in df.columns])
+    keyed = df.withColumn("__key", F.row_number().over(w).cast("string"))
+    return table_to_triples(keyed, "lineitem", "__key").where(F.col("p") != "__key")
 
 DEFAULT_GRAPH_TABLES = ("region", "nation", "customer", "supplier", "orders")
 
