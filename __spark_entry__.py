@@ -466,6 +466,12 @@ def q_events_window_stream(spark, sf):
     )
 
 
+def q_events_window_sliding(spark, sf):
+    from graphula_spark.streaming.windows import sliding_window_agg
+
+    return sliding_window_agg(_events(spark, sf), "1 hour", "30 minutes")
+
+
 def q_events_sessionize(spark, sf):
     from graphula_spark.streaming.windows import session_counts
 
@@ -612,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "events_window": q_events_window,
         "events_window_stream": q_events_window_stream,
+        "events_window_sliding": q_events_window_sliding,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -844,6 +851,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_window_sliding": """
+            WITH starts AS (
+              SELECT event_type,
+                     to_timestamp(floor(epoch(ts) / 1800) * 1800) AS w0 FROM events
+            ), cand AS (
+              SELECT event_type, w0 AS window_start FROM starts
+              UNION ALL
+              SELECT event_type, w0 - INTERVAL 30 MINUTE FROM starts
+            )
+            SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM cand GROUP BY 1, 2
         """,
         "events_sessionize": """
             WITH g AS (

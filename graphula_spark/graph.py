@@ -110,6 +110,21 @@ class Graph:
         triples = self.triples.unionByName(new_triples).dropDuplicates(["s", "p", "o"])
         return Graph(self.spark, triples, d2)
 
+    def delete_string_triples(self, striples: DataFrame) -> "Graph":
+        """Delete matching triples (extension: the reference is
+        insert-only — Index.scala has no delete path, SURVEY §2.3).
+        Returns a new snapshot; dictionary entries are retained (ids are
+        content-hashes, so orphaned entries are harmless and keep
+        decode stable for concurrent readers)."""
+        enc = striples
+        for c in ("s", "p", "o"):
+            enc = self.dictionary.encode_col(enc, c, f"{c}_id")
+        victims = enc.select(
+            F.col("s_id").alias("s"), F.col("p_id").alias("p"), F.col("o_id").alias("o")
+        )
+        remaining = self.triples.join(victims, ["s", "p", "o"], "left_anti")
+        return Graph(self.spark, remaining, self.dictionary)
+
     # -- persistence -----------------------------------------------------
     #: fixed bucket count for the predicate-partitioned layout
     P_BUCKETS = 64

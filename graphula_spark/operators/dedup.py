@@ -75,19 +75,23 @@ def minhash_signatures(
     # shingle plus cheap bitwise mixing (ANSI-safe: no +/* overflow),
     # instead of k full string hashes; candidates are exact-verified
     # downstream so approximation quality only affects recall.
-    h1 = F.xxhash64(F.col("sh"))
-    h2 = F.xxhash64(F.concat(F.lit("\x02"), F.col("sh")))
-
     def rotl(c, i):
         i = i % 64
         if i == 0:
             return c
         return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
 
-    hashed = exploded.select(
+    # materialize the two base hashes as columns first so each h_i reads
+    # them instead of re-hashing the shingle string k times
+    based = exploded.select(
+        "id",
+        F.xxhash64(F.col("sh")).alias("b1"),
+        F.xxhash64(F.concat(F.lit("\x02"), F.col("sh"))).alias("b2"),
+    )
+    hashed = based.select(
         "id",
         *[
-            h1.bitwiseXOR(rotl(h2, 2 * i + 1)).alias(f"h{i}")
+            F.col("b1").bitwiseXOR(rotl(F.col("b2"), 2 * i + 1)).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )

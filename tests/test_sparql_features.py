@@ -207,6 +207,37 @@ def test_property_path_joined(g):
     assert {r["x"] for r in df.collect()} == {"alice", "bob", "carol"}
 
 
+def test_group_concat_sample(g):
+    df = g.sparql(
+        """SELECT ?c (GROUP_CONCAT(?x ; SEPARATOR = ",") AS ?who)
+                  (SAMPLE(?x) AS ?one)
+           WHERE { ?x <city> ?c } GROUP BY ?c"""
+    )
+    got = {(r["c"], r["who"]) for r in df.collect()}
+    assert got == {("zurich", "alice,bob"), ("bern", "carol,dave")}
+    ones = {r["one"] for r in df.collect()}
+    assert ones <= {"alice", "bob", "carol", "dave"}
+
+
+def test_in_coalesce_if(g):
+    df = g.sparql(
+        """SELECT ?x ?grp WHERE {
+             ?x <age> ?a . OPTIONAL { ?x <email> ?e }
+             BIND(IF(?a >= 30, "senior", "junior") AS ?grp)
+             FILTER(?x IN (<alice>, <dave>)) }"""
+    )
+    got = {(r["x"], r["grp"]) for r in df.collect()}
+    assert got == {("alice", "senior"), ("dave", "junior")}
+
+
+def test_isiri_isliteral(g):
+    df = g.sparql(
+        "SELECT ?x WHERE { ?x <age> ?a . FILTER(ISIRI(?x) && ISLITERAL(?a) = false) }"
+    )
+    # bare-term graph: ages are not quoted literals, so all pass
+    assert df.count() == 4
+
+
 def test_subquery_group_semantics(g):
     df = g.sparql(
         """SELECT ?x WHERE {
