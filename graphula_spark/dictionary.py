@@ -65,6 +65,18 @@ class Dictionary:
         # repeatedly resolves a handful of constants; caching avoids one
         # Spark job per query (negative results cached as None)
         self._term_cache: dict[str, int | None] = {}
+        self._nrows: int | None = None
+
+    #: dictionaries below this row count get an explicit broadcast hint
+    #: on decode joins — robust against conservative session-level
+    #: autoBroadcastJoinThreshold defaults; above it, decode is a
+    #: shuffle join by design (the 100 TB dict is itself distributed)
+    BROADCAST_MAX_ROWS = 5_000_000
+
+    def _broadcastable(self) -> bool:
+        if self._nrows is None:
+            self._nrows = self.df.count()
+        return self._nrows < Dictionary.BROADCAST_MAX_ROWS
 
     @classmethod
     def empty(cls, spark: SparkSession) -> "Dictionary":
@@ -188,6 +200,8 @@ class Dictionary:
         """
         out = out or col
         d = self.df.select(F.col("id").alias(col), F.col("value").alias(f"__dec_{col}"))
+        if self._broadcastable():
+            d = F.broadcast(d)
         decoded = df.join(d, col, "left").withColumn(
             f"__dec_{col}",
             F.coalesce(

@@ -93,6 +93,8 @@ class Compiler:
         d = self.graph.dictionary.df.select(
             F.col("id").alias(var), F.col("value").alias(tmp)
         )
+        if self.graph.dictionary._broadcastable():
+            d = F.broadcast(d)
         df = sol.df.join(d, var, "left").withColumn(
             tmp,
             F.coalesce(F.col(tmp), F.concat(F.lit("_:"), F.col(var).cast("string"))),
