@@ -430,6 +430,20 @@ def q_text_punct_stopword(spark, sf):
     )
 
 
+def q_text_bpe_tokens(spark, sf):
+    from graphula_spark.operators.text import bpe_ish_token_count
+
+    return _docs(spark, sf).select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def q_text_kgram_fp(spark, sf):
+    from graphula_spark.operators.text import sampled_kgram_fingerprints
+
+    return sampled_kgram_fingerprints(_docs(spark, sf), "doc_id", "text")
+
+
 def q_text_langid(spark, sf):
     from graphula_spark.operators.text import lang_id
 
@@ -613,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "text_token_count": q_text_token_count,
         "text_punct_stopword": q_text_punct_stopword,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_kgram_fp": q_text_kgram_fp,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "mm_features": q_mm_features,
@@ -809,6 +825,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_filter({_TOKENS}, t -> list_contains({_SW_EN}, t))) AS DOUBLE)
                          / greatest(len({_TOKENS}), 1), 4) AS stopword_ratio_en
             FROM documents
+        """,
+        "text_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_kgram_fp": """
+            WITH g AS (
+              SELECT doc_id,
+                     regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+              FROM documents
+            )
+            SELECT DISTINCT doc_id AS id, md5(substr(norm, i, 8)) AS gram_hash
+            FROM (
+              SELECT doc_id, norm,
+                     unnest(range(1, greatest(length(norm) - 7, 0) + 1)) AS i
+              FROM g
+            )
+            WHERE md5(substr(norm, i, 8)) LIKE '0%'
         """,
         "text_langid": f"""
             WITH scored AS (

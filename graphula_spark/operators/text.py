@@ -92,6 +92,45 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+#: the common subset of GPT-2-style pretokenization expressible
+#: identically in Java regex (Spark) and RE2 (DuckDB)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-style pre-tokenizer regex (vs whitespace
+    tokens, which undercount punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def sampled_kgram_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprints: hash every character
+    k-gram of the normalized text, keep the ~1/16 sample whose md5 hex
+    starts with '0' (mod-sampling — same guarantee winnowing's
+    min-in-window gives: shared substrings produce shared fingerprints).
+    Returns (id, gram_hash) distinct rows; containment between two docs'
+    fingerprint sets estimates overlap. md5-based so any SQL engine
+    reproduces the sample exactly.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(norm.substr(i, F.lit(k))))
+            ).alias("gram_hash"),
+        )
+        .where(F.col("gram_hash").startswith("0"))
+        .distinct()
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lower-
     cased text — deterministic and reproducible in any SQL engine."""

@@ -1,0 +1,109 @@
+"""Structured Streaming tests: windowed agg parity, watermark late-data
+drop across real micro-batches, stateful operator."""
+
+from datetime import datetime
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    """The same transform over readStream equals the batch run."""
+    from graphula_spark.streaming.windows import (
+        run_stream_over_parquet,
+        tumbling_window_agg,
+    )
+
+    rows = [
+        (1, ts("2024-01-01T10:05:00"), 7, "click", 1.0, "{}"),
+        (2, ts("2024-01-01T10:55:00"), 7, "click", 2.0, "{}"),
+        (3, ts("2024-01-01T11:05:00"), 8, "view", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    path = str(tmp_path / "events_parquet")
+    df.write.parquet(path)
+    got = run_stream_over_parquet(
+        spark, path, tumbling_window_agg, "parity_test"
+    )
+    batch = tumbling_window_agg(spark.read.parquet(path))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    from graphula_spark.streaming.windows import tumbling_window_agg
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]).coalesce(1).write.parquet(str(src / name))
+
+    # batch 1: one 10:00-window event + an 11:30 event that advances the
+    # watermark (10min delay) past the 10:00 window's end
+    write_batch("b1", [
+        (1, ts("2024-01-01T10:05:00"), 1, "click", 1.0, "{}"),
+        (2, ts("2024-01-01T11:30:00"), 1, "click", 1.0, "{}"),
+    ])
+    schema = spark.read.parquet(str(src / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")  # append emits only watermark-closed windows
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a late event for the already-closed 10:00 window
+    write_batch("b2", [
+        (3, ts("2024-01-01T10:06:00"), 1, "click", 1.0, "{}"),
+        (4, ts("2024-01-01T13:00:00"), 1, "click", 1.0, "{}"),
+    ])
+    q.processAllAvailable()
+    q.stop()
+    out = {
+        (r["ws"], r["n"]) for r in spark.table("late_test").collect()
+    }
+    # the 10:00 window was finalized with n=1; the late event (id=3) was
+    # dropped, not re-emitted as n=2
+    assert (ts("2024-01-01T10:00:00"), 1) in out
+    assert (ts("2024-01-01T10:00:00"), 2) not in out
+
+
+def test_stateful_running_totals_batch_equivalence(spark, tmp_path):
+    from graphula_spark.streaming.stateful import run_stateful_over_parquet
+
+    rows = [
+        (1, ts("2024-01-01T10:00:00"), 1, "click", 1.5, "{}"),
+        (2, ts("2024-01-01T10:01:00"), 1, "view", 2.5, "{}"),
+        (3, ts("2024-01-01T10:02:00"), 2, "click", 10.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+    got = {
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in run_stateful_over_parquet(spark, path, "stateful_unit").collect()
+    }
+    assert got == {(1, 2, 4.0), (2, 1, 10.0)}
