@@ -302,6 +302,18 @@ def q_select_expr(spark, sf):
     )
 
 
+def q_subquery(spark, sf):
+    """SPARQL 1.1 subquery: customers of the two largest nations."""
+    g = _graph(spark, sf)
+    df = g.sparql(
+        """SELECT ?name ?n WHERE {
+             { SELECT ?k (COUNT(?c) AS ?n) WHERE { ?c <c_nationkey> ?k }
+               GROUP BY ?k ORDER BY DESC(?n) ?k LIMIT 2 }
+             ?c2 <c_nationkey> ?k . ?c2 <c_name> ?name . }"""
+    )
+    return df.select("name", "n")
+
+
 def q_lineitem_agg(spark, sf):
     """TPC-H Q1-style pricing summary over the triple-ized lineitem —
     a 4-pattern BGP star at millions-of-triples scale feeding GROUP BY."""
@@ -614,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_ask": q_ask,
         "sq_select_expr": q_select_expr,
         "sq_lineitem_agg": q_lineitem_agg,
+        "sq_subquery": q_subquery,
         # extensions
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -749,6 +762,14 @@ def oracle_sql() -> dict[str, str]:
         "sq_select_expr": """
             SELECT c_name AS name, c_mktsegment || '!' AS tagged
             FROM customer WHERE regexp_matches(c_name, 'Customer#00000000[0-4]$')
+        """,
+        "sq_subquery": """
+            WITH top2 AS (
+              SELECT c_nationkey AS k, count(*) AS n FROM customer
+              GROUP BY 1 ORDER BY n DESC, c_nationkey LIMIT 2
+            )
+            SELECT c.c_name AS name, CAST(t.n AS BIGINT) AS n
+            FROM customer c JOIN top2 t ON c.c_nationkey = t.k
         """,
         "sq_lineitem_agg": """
             SELECT l_returnflag AS rf, l_linestatus AS ls,

@@ -107,6 +107,13 @@ class SubGroup:
 
 
 @dataclass
+class SubSelect:
+    """Nested SELECT inside a group (SPARQL 1.1 subquery)."""
+
+    query: "SelectQuery"
+
+
+@dataclass
 class GroupGraphPattern:
     elements: list = field(default_factory=list)
 

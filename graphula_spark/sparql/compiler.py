@@ -146,6 +146,9 @@ class Compiler:
             elif isinstance(el, A.PathPattern):
                 p = self.compile_path(el)
                 sol = self.join(sol, p) if sol is not None else p
+            elif isinstance(el, A.SubSelect):
+                s = self.compile_subselect(el.query)
+                sol = self.join(sol, s) if sol is not None else s
             else:
                 raise NotImplementedError(f"group element {type(el).__name__}")
         if sol is None:
@@ -237,6 +240,72 @@ class Compiler:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return Solution(out, all_id, all_val)
+
+    # -- subqueries ------------------------------------------------------
+    def compile_subselect(self, q) -> Solution:
+        """SPARQL 1.1 subquery → Solution. Projected plain variables stay
+        as dictionary-id columns so the outer query joins on longs; only
+        computed/aggregate columns become value vars."""
+        sol = self.compile_group(q.where)
+        has_agg = q.group_by or any(
+            isinstance(e, A.EAggregate) for _, e in q.variables
+        )
+        if q.select_star:
+            variables = [(v, A.EVar(v)) for v in sorted(sol.vars)]
+        else:
+            variables = q.variables
+        if has_agg:
+            sub_q = A.SelectQuery(
+                variables, q.where, q.distinct, q.group_by or [], q.having,
+                q.order_by, q.limit, q.offset, q.select_star,
+            )
+            sol = self.compile_aggregate_query(sub_q, sol)
+            variables = [
+                (name, A.EVar(name)) for name, _ in variables
+            ]
+        out_cols: list[str] = []
+        for name, e in variables:
+            if isinstance(e, A.EVar) and e.name == name and name in sol.vars:
+                out_cols.append(name)
+                continue
+            sol2, ce = self.compile_expr(sol, e)
+            col = ce.num if (ce.num is not None and not ce.is_bool) else ce.val
+            sol = Solution(
+                sol2.df.withColumn(name, col), sol2.id_vars, sol2.val_vars | {name}
+            )
+            out_cols.append(name)
+        sort_cols = []
+        if q.order_by:
+            df_sol = sol
+            for i, (expr, asc) in enumerate(q.order_by):
+                df_sol, ce = self.compile_expr(df_sol, expr)
+                n = ce.numeric()
+                for suffix, c in (("a", n.isNull().cast("int")), ("b", F.coalesce(n, F.lit(0.0))), ("c", ce.val)):
+                    k = f"__sord{i}{suffix}"
+                    df_sol = Solution(
+                        df_sol.df.withColumn(k, c), df_sol.id_vars, df_sol.val_vars
+                    )
+                    sort_cols.append(F.col(k).asc() if asc else F.col(k).desc())
+            sol = df_sol
+            df = sol.df
+        else:
+            df = sol.df
+        keep = out_cols + [c for c in df.columns if c.startswith("__sord")]
+        df = df.select(*keep)
+        if q.distinct:
+            df = df.dropDuplicates(out_cols)
+        if sort_cols:
+            df = df.orderBy(*sort_cols)
+        df = df.select(*out_cols)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return Solution(
+            df,
+            id_vars={c for c in out_cols if c in sol.id_vars},
+            val_vars={c for c in out_cols if c not in sol.id_vars},
+        )
 
     # -- property paths --------------------------------------------------
     def compile_path(self, el: A.PathPattern) -> Solution:

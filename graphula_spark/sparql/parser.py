@@ -291,6 +291,18 @@ class Parser:
             elif w == "VALUES":
                 self.next()
                 g.elements.append(self.parse_values())
+            elif (
+                t.kind == "OP"
+                and t.text == "{"
+                and self.peek(1).kind == "KW"
+                and self.peek(1).text.upper() == "SELECT"
+            ):
+                from graphula_spark.sparql.algebra import SubSelect
+
+                self.next()  # consume '{'
+                sub = self.parse_select()
+                self.expect_op("}")
+                g.elements.append(SubSelect(sub))
             elif t.kind == "OP" and t.text == "{":
                 first = self.parse_group()
                 groups = [first]

@@ -238,6 +238,29 @@ def test_isiri_isliteral(g):
     assert df.count() == 4
 
 
+def test_subquery_aggregate_join(g):
+    # SPARQL 1.1 subquery: cities with their resident count, joined back
+    # to residents of cities having 2 people with emails... simpler:
+    # count per city in a subquery, join to people in those cities
+    df = g.sparql(
+        """SELECT ?x ?n WHERE {
+             { SELECT ?c (COUNT(?p) AS ?n) WHERE { ?p <city> ?c } GROUP BY ?c }
+             ?x <city> ?c . ?x <email> ?e . }"""
+    )
+    got = {(r["x"], r["n"]) for r in df.collect()}
+    assert got == {("alice", 2), ("carol", 2)}
+
+
+def test_subquery_limit(g):
+    df = g.sparql(
+        """SELECT ?x ?a WHERE {
+             { SELECT ?x WHERE { ?x <age> ?a0 } ORDER BY DESC(?a0) LIMIT 2 }
+             ?x <age> ?a . }"""
+    )
+    got = {(r["x"], r["a"]) for r in df.collect()}
+    assert got == {("carol", "35"), ("alice", "30")}
+
+
 def test_subquery_group_semantics(g):
     df = g.sparql(
         """SELECT ?x WHERE {
