@@ -131,8 +131,7 @@ class Compiler:
                 u = self.union_all(branches)
                 sol = self.join(sol, u) if sol is not None else u
             elif isinstance(el, A.Optional_):
-                right = self.compile_group(el.group)
-                sol = self.left_join(sol, right)
+                sol = self.compile_optional(sol, el.group)
             elif isinstance(el, A.Minus):
                 right = self.compile_group(el.group)
                 sol = self.minus(sol, right)
@@ -192,6 +191,85 @@ class Compiler:
             (left.id_vars | right.id_vars) - (left.val_vars | right.val_vars),
             left.val_vars | right.val_vars,
         )
+
+    def compile_optional(
+        self, left: Solution | None, group: A.GroupGraphPattern
+    ) -> Solution:
+        """OPTIONAL = SPARQL LeftJoin(left, right, F).
+
+        Filters inside the group that only mention the group's own
+        variables stay inside (equivalent and cheaper). A filter that
+        references *outer* variables is the LeftJoin condition: it is
+        evaluated on the merged row, and rows failing it fall back to
+        the left side — computed as Filter(F, Join) ∪ (left ∖ matched).
+        """
+        if left is None:
+            return self.compile_group(group)
+
+        def group_own_vars(g: A.GroupGraphPattern) -> set[str]:
+            out: set[str] = set()
+            for el in g.elements:
+                if isinstance(el, A.Bgp):
+                    for pat in el.patterns:
+                        out |= {v for _, v in pat.vars()}
+                elif isinstance(el, (A.SubGroup, A.Optional_, A.Minus)):
+                    out |= group_own_vars(el.group)
+                elif isinstance(el, A.Union):
+                    for b in el.groups:
+                        out |= group_own_vars(b)
+                elif isinstance(el, A.Bind):
+                    out.add(el.var)
+                elif isinstance(el, A.InlineValues):
+                    out |= set(el.vars)
+                elif isinstance(el, A.PathPattern):
+                    for t in (el.s, el.o):
+                        if isinstance(t, Var):
+                            out.add(t.name)
+            return out
+
+        def expr_vars(e) -> set[str]:
+            if isinstance(e, A.EVar):
+                return {e.name}
+            if isinstance(e, A.ECall):
+                return set().union(*(expr_vars(a) for a in e.args)) if e.args else set()
+            return set()
+
+        own = group_own_vars(group)
+        inner_elements, correlated = [], []
+        for el in group.elements:
+            if (
+                isinstance(el, A.Filter)
+                and not isinstance(el.expr, A.EExists)
+                and not (expr_vars(el.expr) <= own)
+            ):
+                correlated.append(el.expr)
+            else:
+                inner_elements.append(el)
+        right = self.compile_group(A.GroupGraphPattern(inner_elements))
+        if not correlated:
+            return self.left_join(left, right)
+
+        # Filter(F, Join) ∪ (left rows with no surviving partner).
+        # nb: the difference is computed on the full left row — exact
+        # for set semantics (duplicate identical left rows collapse to
+        # the same match outcome, so only pathological multiset
+        # duplicates could differ).
+        joined = self.join(left, right)
+        for f in correlated:
+            joined = self.apply_filter(joined, f)
+        matched_df = joined.df.select(*sorted(joined.vars))
+        left_cols = sorted(left.vars)
+        unmatched = left.df.select(*left_cols).join(
+            matched_df.select(*left_cols).dropDuplicates(),
+            on=left_cols,
+            how="left_anti",
+        )
+        for v in sorted(joined.vars - left.vars):
+            unmatched = unmatched.withColumn(
+                v, F.lit(None).cast(matched_df.schema[v].dataType)
+            )
+        result_df = matched_df.unionByName(unmatched.select(*sorted(joined.vars)))
+        return Solution(result_df, joined.id_vars, joined.val_vars)
 
     def left_join(self, left: Solution | None, right: Solution) -> Solution:
         if left is None:

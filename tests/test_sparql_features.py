@@ -76,6 +76,26 @@ def test_optional_with_bound_filter(g):
     assert {r["x"] for r in df.collect()} == {"bob", "dave"}
 
 
+def test_optional_correlated_filter(g):
+    # LeftJoin condition referencing an OUTER variable: pairs (x, y)
+    # where y is x's friend, keeping the friend only if y's age exceeds
+    # x's age — x rows always survive (SPARQL LeftJoin semantics)
+    df = g.sparql(
+        """SELECT ?x ?y WHERE {
+             ?x <age> ?a .
+             OPTIONAL { ?x <knows> ?y . ?y <age> ?b . FILTER(?b > ?a) } }"""
+    )
+    got = {(r["x"], r["y"]) for r in df.collect()}
+    # alice(30) knows bob(25): filter fails -> alice kept with null;
+    # bob(25) knows carol(35): kept; carol(35) knows alice(30): fails
+    assert got == {
+        ("alice", None),
+        ("bob", "carol"),
+        ("carol", None),
+        ("dave", None),
+    }
+
+
 def test_union(g):
     df = g.sparql(
         "SELECT ?x WHERE { { ?x <likes> <pizza> } UNION { ?x <likes> <sushi> } }"
