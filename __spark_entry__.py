@@ -462,6 +462,22 @@ def q_text_langid(spark, sf):
     return _docs(spark, sf).select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
 
 
+def q_text_quality(spark, sf):
+    from graphula_spark.operators.text import quality_score
+
+    return _docs(spark, sf).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_salted_agg(spark, sf):
+    from graphula_spark.operators.relational import salted_aggregate
+
+    ev = _events(spark, sf).select("event_type", "value")
+    out = salted_aggregate(ev, ["event_type"], {"value": "sum"}, salt=16)
+    return out.select("event_type", F.round("value_sum", 4).alias("value_sum"))
+
+
 def q_text_fingerprint(spark, sf):
     from graphula_spark.operators.text import fingerprint
 
@@ -643,7 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_kgram_fp": q_text_kgram_fp,
         "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "rel_salted_agg": q_salted_agg,
         "mm_features": q_mm_features,
         "events_window": q_events_window,
         "events_window_stream": q_events_window_stream,
@@ -886,6 +904,32 @@ def oracle_sql() -> dict[str, str]:
                 WHEN de > 0 THEN 'de'
                 ELSE 'und' END AS pred_lang
             FROM s2
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS toks,
+                     round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1), 4) AS p,
+                     round(CAST(len(list_filter({_TOKENS}, x -> list_contains({_SW_EN}, x))) AS DOUBLE)
+                           / greatest(len({_TOKENS}), 1), 4) AS swr
+              FROM documents
+            ), m AS (
+              SELECT doc_id, len(toks) AS n, p, swr,
+                     CAST(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') AS DOUBLE)
+                       / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_len
+              FROM t
+            )
+            SELECT doc_id, floor((
+                     (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1.0 ELSE 0.0 END)
+                   + (CASE WHEN n >= 10 THEN 1.0 ELSE CAST(n AS DOUBLE) / 10.0 END)
+                   + (CASE WHEN p <= 0.1 THEN 1.0 ELSE greatest(0.0, 1.0 - (p - 0.1) * 5) END)
+                   + least(swr * 5.0, 1.0)
+                   ) / 4.0 * 10000) / 10000 AS quality
+            FROM m
+        """,
+        "rel_salted_agg": """
+            SELECT event_type, round(sum(value), 4) AS value_sum
+            FROM events GROUP BY event_type
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp

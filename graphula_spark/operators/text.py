@@ -62,7 +62,9 @@ def quality_score(text: Column) -> Column:
     p = punct_ratio(text)
     p_ok = F.when(p <= 0.1, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (p - 0.1) * 5))
     sw_ok = F.least(stopword_ratio(text, "en") * F.lit(5.0), F.lit(1.0))
-    return F.round((len_ok + n_ok + p_ok + sw_ok) / 4.0, 4)
+    # floor-truncate instead of round: round() tie-breaking modes differ
+    # across engines, floor over IEEE doubles is bit-identical everywhere
+    return F.floor((len_ok + n_ok + p_ok + sw_ok) / 4.0 * 10000) / 10000
 
 
 def lang_id(text: Column) -> Column:
