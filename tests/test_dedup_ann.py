@@ -1,0 +1,79 @@
+"""Semantic quality tests for the approximate operators (the rows-only
+driver entries): MinHash-LSH must find planted near-duplicates, SimHash
+must find planted near-identical docs, hyperplane-LSH top-k must achieve
+reasonable recall against exact cosine top-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees "
+    "as morning light spreads slowly across the quiet village square"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    words = BASE.split()
+    variant1 = " ".join(words[:-2])  # drop two words -> high jaccard
+    variant2 = " ".join(["hello"] + words[1:])  # swap one word
+    unrelated = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, BASE),
+        (2, variant1),
+        (3, variant2),
+        (4, unrelated),
+        (5, "completely different text about spark catalyst optimizer internals " * 3),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_finds_planted_neardups(spark, planted_docs):
+    from graphula_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            planted_docs, "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_finds_planted_neardups(spark, planted_docs):
+    from graphula_spark.operators.dedup import simhash_near_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            planted_docs, "doc_id", "text", max_hamming=16
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    from graphula_spark.operators.ann import cosine_topk, lsh_bucket_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    dim = len(emb.select("embedding").first()[0])
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    # fewer planes -> bigger buckets -> higher recall (quality/cost knob)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucket_topk(emb, queries, dim=dim, k=5, num_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall {recall:.2f} implausibly low"
+    # every approx result must be a true same-bucket neighbor pair (sane scores)
+    scores = [r["score"] for r in lsh_bucket_topk(emb, queries, dim=dim, k=5, num_planes=4).collect()]
+    assert all(-1.0001 <= s <= 1.0001 for s in scores)
