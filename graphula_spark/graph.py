@@ -107,7 +107,11 @@ class Graph:
         new_triples = enc.select(
             F.col("s_id").alias("s"), F.col("p_id").alias("p"), F.col("o_id").alias("o")
         )
-        triples = self.triples.unionByName(new_triples).dropDuplicates(["s", "p", "o"])
+        triples = (
+            self.triples.select("s", "p", "o")
+            .unionByName(new_triples)
+            .dropDuplicates(["s", "p", "o"])
+        )
         return Graph(self.spark, triples, d2)
 
     def delete_string_triples(self, striples: DataFrame) -> "Graph":
@@ -122,7 +126,9 @@ class Graph:
         victims = enc.select(
             F.col("s_id").alias("s"), F.col("p_id").alias("p"), F.col("o_id").alias("o")
         )
-        remaining = self.triples.join(victims, ["s", "p", "o"], "left_anti")
+        remaining = self.triples.select("s", "p", "o").join(
+            victims, ["s", "p", "o"], "left_anti"
+        )
         return Graph(self.spark, remaining, self.dictionary)
 
     # -- persistence -----------------------------------------------------

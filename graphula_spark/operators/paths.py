@@ -39,14 +39,18 @@ def transitive_closure(
             .distinct()
         )
         new = grown.join(paths, ["src", "dst"], "left_anti").persist()
-        if new.limit(1).count() == 0:
+        empty = new.limit(1).count() == 0
+        old_frontier = frontier
+        if empty:
             new.unpersist()
             break
         old = paths
         paths = paths.unionByName(new).persist()
-        paths.count()
+        paths.count()  # materialize before unpersisting inputs
         if old is not base:
             old.unpersist()
+        if old_frontier is not base:
+            old_frontier.unpersist()
         frontier = new
     return paths
 

@@ -107,3 +107,48 @@ def test_stateful_running_totals_batch_equivalence(spark, tmp_path):
         for r in run_stateful_over_parquet(spark, path, "stateful_unit").collect()
     }
     assert got == {(1, 2, 4.0), (2, 1, 10.0)}
+
+
+def test_streaming_ntriples_ingest(spark, tmp_path):
+    """Two micro-batches of .nt files accumulate into one queryable,
+    persisted graph with set semantics across batches."""
+    from graphula_spark.graph import Graph
+    from graphula_spark.plans.bgp import TriplePattern, Var
+    from graphula_spark.streaming.ingest import stream_ntriples_ingest
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    (src / "b1.nt").write_text(
+        "<http://e/a> <http://e/knows> <http://e/b> .\n"
+        "<http://e/b> <http://e/knows> <http://e/c> .\n"
+    )
+    q = stream_ntriples_ingest(spark, str(src), store, ckpt)
+    q.processAllAvailable()
+
+    g1 = Graph.load(spark, store)
+    X, Y = Var("X"), Var("Y")
+    assert g1.count_bgp([TriplePattern(X, "http://e/knows", Y)]) == 2
+
+    # batch 2: one new triple + one duplicate (idempotent)
+    (src / "b2.nt").write_text(
+        "<http://e/c> <http://e/knows> <http://e/d> .\n"
+        "<http://e/a> <http://e/knows> <http://e/b> .\n"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    g2 = Graph.load(spark, store)
+    got = {
+        (r["X"], r["Y"])
+        for r in g2.execute_bgp_decoded(
+            [TriplePattern(X, "http://e/knows", Y)]
+        ).collect()
+    }
+    assert got == {
+        ("http://e/a", "http://e/b"),
+        ("http://e/b", "http://e/c"),
+        ("http://e/c", "http://e/d"),
+    }
