@@ -76,6 +76,50 @@ def main() -> None:
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
     per_query["graph_load"] = round(graph_load, 3)
+
+    # LUBM — the reference's own benchmark dataset/queries (read-only
+    # .nt inputs; queries from benchmarks/.../lubm/Lubm.scala). Loads
+    # all 15 files, then runs a 1-pattern scan (Q14), a 5-pattern star
+    # (Q8) and the 6-pattern triangular join (Q9).
+    import glob
+
+    from graphula_spark.graph import Graph
+
+    lubm_paths = sorted(glob.glob("/root/reference/benchmarks/data/university0_*.nt"))
+    if lubm_paths:
+        P = (
+            "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+            "PREFIX ub: <http://swat.cse.lehigh.edu/onto/univ-bench.owl#>\n"
+        )
+        t0 = time.time()
+        g = Graph.from_ntriples(spark, lubm_paths)
+        n_triples = g.triples.count()
+        load_s = time.time() - t0
+        per_query["lubm_load"] = round(load_s, 3)
+        print(
+            f"# lubm_load: {n_triples} triples, {n_triples/load_s:,.0f} triples/s",
+            file=sys.stderr,
+        )
+        lubm_queries = {
+            "lubm_q14": P + "SELECT ?X WHERE { ?X rdf:type ub:UndergraduateStudent . }",
+            "lubm_q8": P + """SELECT ?X ?Y ?Z WHERE {
+                ?Y ub:subOrganizationOf <http://www.University0.edu> .
+                ?Y rdf:type ub:Department . ?X ub:memberOf ?Y .
+                ?X rdf:type ub:Student . ?X ub:emailAddress ?Z . }""",
+            "lubm_q9": P + """SELECT ?X ?Y ?Z WHERE {
+                ?Y rdf:type ub:Faculty . ?Y ub:teacherOf ?Z .
+                ?X ub:advisor ?Y . ?X ub:takesCourse ?Z .
+                ?Z rdf:type ub:Course . ?X rdf:type ub:Student . }""",
+        }
+        for name, qtext in lubm_queries.items():
+            t0 = time.time()
+            n = g.sparql(qtext).count()
+            dt = time.time() - t0
+            per_query[name] = round(dt, 3)
+            total += dt
+            print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        g.triples.unpersist()
+        g.dictionary.df.unpersist()
     print(
         json.dumps(
             {

@@ -653,6 +653,31 @@ class Compiler:
             if not (isinstance(pat, A.ELit) and isinstance(rep, A.ELit)):
                 raise NotImplementedError("non-literal REPLACE args")
             return sol, CE(F.regexp_replace(args[0].val, pat.value, rep.value))
+        if f == "STRBEFORE":
+            pos = F.instr(args[0].val, args[1].val)
+            return sol, CE(
+                F.when(pos > 0, args[0].val.substr(F.lit(1), pos - 1)).otherwise(
+                    F.lit("")
+                )
+            )
+        if f == "STRAFTER":
+            pos = F.instr(args[0].val, args[1].val)
+            return sol, CE(
+                F.when(
+                    pos > 0,
+                    args[0].val.substr(
+                        pos + F.length(args[1].val), F.length(args[0].val)
+                    ),
+                ).otherwise(F.lit(""))
+            )
+        if f == "MD5":
+            return sol, CE(F.md5(args[0].val))
+        if f == "SHA1":
+            return sol, CE(F.sha1(args[0].val))
+        if f == "SHA256":
+            return sol, CE(F.sha2(args[0].val, 256))
+        if f == "ENCODE_FOR_URI":
+            return sol, CE(F.url_encode(args[0].val))
         if f in ("YEAR", "MONTH", "DAY"):
             fn = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth}[f]
             n = fn(F.to_timestamp(args[0].val)).cast("double")

@@ -93,6 +93,7 @@ _BUILTINS = {
     "STRENDS", "STRLEN", "UCASE", "LCASE", "ABS", "CEIL", "FLOOR", "ROUND",
     "COALESCE", "IF", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISNUMERIC",
     "CONCAT", "SUBSTR", "REPLACE", "YEAR", "MONTH", "DAY",
+    "STRBEFORE", "STRAFTER", "MD5", "SHA1", "SHA256", "ENCODE_FOR_URI",
 }
 
 

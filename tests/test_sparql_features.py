@@ -281,6 +281,20 @@ def test_subquery_limit(g):
     assert got == {("carol", "35"), ("alice", "30")}
 
 
+def test_str_functions(g):
+    df = g.sparql(
+        """SELECT ?x (STRAFTER(STR(?x), "a") AS ?after)
+                  (STRBEFORE(STR(?x), "l") AS ?before)
+                  (MD5(STR(?x)) AS ?h)
+           WHERE { ?x <likes> <pizza> }"""
+    )
+    import hashlib
+
+    r = df.collect()[0]
+    assert r["after"] == "lice" and r["before"] == "a"
+    assert r["h"] == hashlib.md5(b"alice").hexdigest()
+
+
 def test_subquery_group_semantics(g):
     df = g.sparql(
         """SELECT ?x WHERE {
