@@ -77,24 +77,9 @@ def run_stateful_over_parquet(spark, parquet_path: str, query_name: str = "state
 
     # update-mode memory sink keeps the latest row per key emitted;
     # with availableNow + single batch, that's the final totals
-    import hashlib
-    import os
+    from graphula_spark.sources.events import open_event_stream
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(parquet_path).schema
-    if os.path.isfile(parquet_path):
-        d = f"/tmp/graphula_stream_src/{hashlib.md5(parquet_path.encode()).hexdigest()}"
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, os.path.basename(parquet_path))
-        if not os.path.exists(link):
-            os.symlink(parquet_path, link)
-        parquet_path = d
-    stream = spark.readStream.schema(schema).parquet(parquet_path)
-    if isinstance(stream.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = open_event_stream(spark, parquet_path)
     out = running_user_totals(stream)
     # state-store partition count is fixed at query start from
     # spark.sql.shuffle.partitions; a python state worker per partition

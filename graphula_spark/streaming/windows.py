@@ -95,26 +95,9 @@ def run_stream_over_parquet(
     transform function is applied to readStream input, and the produced
     result can be compared 1:1 against the batch run / SQL oracle.
     """
-    # testdata parquet carries TIMESTAMP(NANOS) — see sources/events.py
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(parquet_path).schema
-    # the file streaming source requires a *directory*; expose a single
-    # parquet file through a stable symlink dir
-    import hashlib
-    import os
+    from graphula_spark.sources.events import open_event_stream
 
-    if os.path.isfile(parquet_path):
-        d = f"/tmp/graphula_stream_src/{hashlib.md5(parquet_path.encode()).hexdigest()}"
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, os.path.basename(parquet_path))
-        if not os.path.exists(link):
-            os.symlink(parquet_path, link)
-        parquet_path = d
-    stream = spark.readStream.schema(batch_schema).parquet(parquet_path)
-    from pyspark.sql.types import LongType
-
-    if "ts" in stream.columns and isinstance(stream.schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = open_event_stream(spark, parquet_path)
     out = transform(stream)
     q = (
         out.writeStream.format("memory")

@@ -1,0 +1,71 @@
+"""Unit tests for the greedy BGP planner (reference: Graphula.optimize,
+core/.../Graphula.scala:120-190) — pure driver-side logic, no Spark jobs."""
+
+from graphula_spark.plans.bgp import BgpPlanner, BgpStats, TriplePattern, Var
+
+X, Y, Z = Var("X"), Var("Y"), Var("Z")
+
+# predicates: type is huge (rdf:type-like), email is small
+STATS = BgpStats(
+    by_pred={
+        1: (100_000, 50_000, 10),  # p=type: many triples, few classes
+        2: (500, 500, 500),  # p=email: few triples
+        3: (20_000, 10_000, 5_000),  # p=memberOf
+    },
+    total=120_500,
+)
+IDS = {"type": 1, "email": 2, "memberOf": 3}
+
+
+def order_of(patterns):
+    return [pat for pat, _ in BgpPlanner(STATS).order(patterns, IDS)]
+
+
+def test_selective_pattern_first():
+    pats = [
+        TriplePattern(X, "type", "Student"),
+        TriplePattern(X, "email", Y),
+    ]
+    assert order_of(pats)[0].p == "email"
+
+
+def test_connectivity_avoids_cartesian():
+    # Z is disconnected from X/Y until the memberOf pattern binds it —
+    # the planner must not schedule the Z-only pattern before a
+    # connected one unless forced
+    pats = [
+        TriplePattern(X, "email", Y),
+        TriplePattern(Z, "type", "Dept"),
+        TriplePattern(X, "memberOf", Z),
+    ]
+    ordered = order_of(pats)
+    pos = {id(p): i for i, p in enumerate(ordered)}
+    member_idx = next(i for i, p in enumerate(ordered) if p.p == "memberOf")
+    z_type_idx = next(i for i, p in enumerate(ordered) if p.p == "type")
+    assert member_idx < z_type_idx
+
+
+def test_bound_object_lowers_estimate():
+    est_unbound = STATS.estimate(False, 1, False)
+    est_bound_o = STATS.estimate(False, 1, True)
+    assert est_bound_o < est_unbound
+
+
+def test_unknown_predicate_zero():
+    assert STATS.estimate(False, 99, False) == 0.0
+
+
+def test_fail_fast_empty_relation(spark):
+    # a zero-cardinality pattern must produce an empty result without
+    # running the other patterns' joins
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame([("a", "knows", "b")], ["s", "p", "o"]),
+        cache=False,
+    )
+    df = g.execute_bgp(
+        [TriplePattern(X, "knows", Y), TriplePattern(Y, "nosuch", Z)]
+    )
+    assert df.count() == 0
