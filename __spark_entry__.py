@@ -389,6 +389,13 @@ def q_ann_lsh(spark, sf):
     return lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), dim=dim, k=5)
 
 
+def q_ann_ivf(spark, sf):
+    from graphula_spark.operators.ann import ivf_topk
+
+    emb = _emb(spark, sf)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
 def q_dedup_embedding(spark, sf):
     from graphula_spark.operators.ann import embedding_near_dup_pairs
 
@@ -650,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "events_stateful": q_events_stateful,
         "mm_frames": q_mm_frames,

@@ -77,3 +77,21 @@ def test_lsh_topk_recall_vs_exact(spark):
     # every approx result must be a true same-bucket neighbor pair (sane scores)
     scores = [r["score"] for r in lsh_bucket_topk(emb, queries, dim=dim, k=5, num_planes=4).collect()]
     assert all(-1.0001 <= s <= 1.0001 for s in scores)
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from graphula_spark.operators.ann import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells should recover a solid fraction of true top-k
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
