@@ -74,7 +74,8 @@ def _lineitem_graph(spark: SparkSession, sf_dir: str):
         if not os.path.exists(marker):
             df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
             g = Graph.from_string_triples(spark, lineitem_to_triples(df), cache=False)
-            g.save(store)
+            # lineitem queries bind predicates, not objects — skip OPS copy
+            g.save(store, include_ops=False)
             open(marker, "w").write("ok")
         g = Graph.load(spark, store)
         g.stats

@@ -135,7 +135,9 @@ class Graph:
     #: fixed bucket count for the predicate-partitioned layout
     P_BUCKETS = 64
 
-    def save(self, path: str, p_buckets: int | None = None) -> None:
+    def save(
+        self, path: str, p_buckets: int | None = None, include_ops: bool = True
+    ) -> None:
         """Persist predicate-first: partition dir = hash bucket of p.
 
         At 100 TB a bound-predicate pattern scan then prunes to 1/64 of
@@ -158,14 +160,16 @@ class Graph:
         # second copy clustered by object — the OPS permutations of the
         # reference's 8-way index (Index.scala:61-78 rows (0,p,o)/(0,0,o)):
         # bound-object scans hit this copy and prune via (p,o) row-group
-        # stats instead of scanning the whole predicate partition
-        (
-            bucketed.repartition("p_bucket")
-            .sortWithinPartitions("p", "o", "s")
-            .write.mode("overwrite")
-            .partitionBy("p_bucket")
-            .parquet(f"{path}/triples_ops")
-        )
+        # stats instead of scanning the whole predicate partition.
+        # Optional: workloads that never bind o can skip the write cost.
+        if include_ops:
+            (
+                bucketed.repartition("p_bucket")
+                .sortWithinPartitions("p", "o", "s")
+                .write.mode("overwrite")
+                .partitionBy("p_bucket")
+                .parquet(f"{path}/triples_ops")
+            )
         self.dictionary.df.write.mode("overwrite").parquet(f"{path}/dict")
 
     @classmethod

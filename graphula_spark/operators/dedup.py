@@ -213,9 +213,15 @@ def ngram_jaccard_blocked(
     """
     norm = F.lower(F.trim(F.col(text_col)))
     par = df.sparkSession.sparkContext.defaultParallelism
-    blocked = df.repartition(par, id_col).select(
-        F.col(id_col).alias("id"),
-        F.substring(norm, 1, prefix_len).alias("blk"),
+    # both sides of the self-join read this projection: persist so the
+    # source scan + substring run once
+    blocked = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.substring(norm, 1, prefix_len).alias("blk"),
+        )
+        .persist()
     )
     a = blocked.select(F.col("id").alias("id_a"), "blk")
     b = blocked.select(F.col("id").alias("id_b"), "blk")
