@@ -58,45 +58,45 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, h0..h{k-1}) MinHash signature via k seeded xxhash64 mins.
+    """(id, h0..h{k-1}) MinHash signature, fully per-row.
 
-    explode(shingles) → one row per (doc, shingle) → k column-wise min
-    aggregates in a single shuffle (map-side partial aggregation keeps
-    the shuffle tiny: k longs per doc per partition).
+    Array higher-order functions hash the shingle array into two
+    base-hash arrays once; each h_i is array_min over a cheap bitwise
+    mix (double hashing h_i = h1 XOR rotl(h2, 2i+1), ANSI-safe) — no
+    explode, no shuffle, no aggregation. Candidates are exact-verified
+    downstream so approximation quality only affects recall.
     """
-    # small single-file inputs otherwise run the whole explode+hash on
-    # one task; at scale maxPartitionBytes already splits the scan
+    # small single-file inputs still repartition to use all cores; at
+    # scale maxPartitionBytes already splits the scan
     par = df.sparkSession.sparkContext.defaultParallelism
-    exploded = df.repartition(par, id_col).select(
+    based = df.repartition(par, id_col).select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("b1"),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n),
+            lambda s: F.xxhash64(F.concat(F.lit("\x02"), s)),
+        ).alias("b2"),
     )
-    # double hashing: h_i = h1 XOR rotl(h2, i) — two real hashes per
-    # shingle plus cheap bitwise mixing (ANSI-safe: no +/* overflow),
-    # instead of k full string hashes; candidates are exact-verified
-    # downstream so approximation quality only affects recall.
+
     def rotl(c, i):
         i = i % 64
         if i == 0:
             return c
         return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
 
-    # materialize the two base hashes as columns first so each h_i reads
-    # them instead of re-hashing the shingle string k times
-    based = exploded.select(
-        "id",
-        F.xxhash64(F.col("sh")).alias("b1"),
-        F.xxhash64(F.concat(F.lit("\x02"), F.col("sh"))).alias("b2"),
-    )
-    hashed = based.select(
+    def mixer(i):
+        # closure factory: a default-arg lambda would change the HOF
+        # arity and make zip_with pass the element index instead
+        return lambda a, b: a.bitwiseXOR(rotl(b, 2 * i + 1))
+
+    return based.select(
         "id",
         *[
-            F.col("b1").bitwiseXOR(rotl(F.col("b2"), 2 * i + 1)).alias(f"h{i}")
+            F.array_min(F.zip_with(F.col("b1"), F.col("b2"), mixer(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ],
-    )
-    return hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
