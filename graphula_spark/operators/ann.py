@@ -191,14 +191,16 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 5,
     num_planes: int = 8,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
     Sign-bit sketch over `num_planes` fixed hyperplanes → bucket id;
-    candidates = same bucket (multi-probe: exact bucket only, recall
-    traded for a ~2^planes reduction in scored pairs). At 100 TB the
-    bucket join shuffles on the bucket id instead of broadcasting the
-    full corpus.
+    candidates = same bucket. `multi_probe` > 0 additionally probes the
+    buckets reachable by flipping each of the first `multi_probe` sketch
+    bits (the standard recall lever: probing b buckets ≈ b× candidates).
+    At 100 TB the bucket join shuffles on the bucket id instead of
+    broadcasting the full corpus.
     """
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
 
@@ -219,8 +221,18 @@ def lsh_bucket_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("bucket", bucket(F.col("qv")))
+    if multi_probe > 0:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**b))
+                for b in range(min(multi_probe, num_planes))
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = (
         v.join(q, "bucket")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "score",

@@ -47,9 +47,6 @@ class Var:
         return f"?{self.name}"
 
 
-Term = "str | Var"
-
-
 class TriplePattern(NamedTuple):
     """One (s, p, o) pattern; str = constant term, Var = variable.
 

@@ -95,3 +95,28 @@ def test_ivf_topk_recall_vs_exact(spark):
     recall = len(exact & approx) / len(exact)
     # probing half the cells should recover a solid fraction of true top-k
     assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    from graphula_spark.operators.ann import cosine_topk, lsh_bucket_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    dim = len(emb.select("embedding").first()[0])
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(mp):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_bucket_topk(
+                emb, queries, dim=dim, k=5, num_planes=4, multi_probe=mp
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0, f"multi-probe lowered recall: {r0:.2f} -> {r4:.2f}"
+    assert r4 >= 0.3, f"multi-probe recall {r4:.2f}"  # near-uniform vectors bound LSH recall
