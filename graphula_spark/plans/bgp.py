@@ -83,9 +83,19 @@ class BgpStats:
     Point lookups at plan time are O(1) dict hits — no Spark job.
     """
 
-    def __init__(self, by_pred: dict[int, tuple[int, int, int]], total: int):
+    #: heavy-hitter objects tracked per predicate (exact counts for the
+    #: most frequent (p, o) pairs — rdf:type-like skew)
+    TOP_OBJECTS = 32
+
+    def __init__(
+        self,
+        by_pred: dict[int, tuple[int, int, int]],
+        total: int,
+        po_top: dict[tuple[int, int], int] | None = None,
+    ):
         self.by_pred = by_pred  # p_id -> (count, n_distinct_s, n_distinct_o)
         self.total = total
+        self.po_top = po_top or {}
 
     @classmethod
     def compute(cls, triples: DataFrame) -> "BgpStats":
@@ -100,9 +110,30 @@ class BgpStats:
         )
         by_pred = {r["p"]: (r["cnt"], max(r["ns"], 1), max(r["no"], 1)) for r in rows}
         total = sum(v[0] for v in by_pred.values())
-        return cls(by_pred, total)
+        # exact counts for each predicate's heaviest objects: one extra
+        # aggregate at stats time, O(1) plan-time lookups thereafter
+        # (reference reads exact per-key counts from LMDB instead,
+        # Index.valueCount, Index.scala:120-131)
+        from pyspark.sql.window import Window
 
-    def estimate(self, s_bound: bool, p_id: int | None, o_bound: bool) -> float:
+        w = Window.partitionBy("p").orderBy(F.col("cnt").desc(), F.col("o").asc())
+        po_rows = (
+            triples.groupBy("p", "o")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= cls.TOP_OBJECTS)
+            .collect()
+        )
+        po_top = {(r["p"], r["o"]): r["cnt"] for r in po_rows}
+        return cls(by_pred, total, po_top)
+
+    def estimate(
+        self,
+        s_bound: bool,
+        p_id: int | None,
+        o_bound: bool,
+        o_id: int | None = None,
+    ) -> float:
         """Estimated result cardinality of a single pattern.
 
         p unknown-constant → 0 exactly (fail fast). Mirrors the
@@ -126,6 +157,12 @@ class BgpStats:
             return float(cnt)
         cnt, ns, no = self.by_pred[p_id]
         est = float(cnt)
+        if o_bound and o_id is not None and (p_id, o_id) in self.po_top:
+            # exact cardinality for a heavy-hitter object
+            est = float(self.po_top[(p_id, o_id)])
+            if s_bound:
+                est /= ns
+            return max(est, 0.001)
         if s_bound:
             est /= ns
         if o_bound:
@@ -166,7 +203,12 @@ class BgpPlanner:
                 p_id = const_ids.get(pat.p, -1)
                 if p_id == -1:
                     return 0.0
-            return self.stats.estimate(s_b, p_id, o_b)
+            o_id = None
+            if not isinstance(pat.o, Var):
+                o_id = const_ids.get(pat.o, -1)
+                if o_id == -1:
+                    return 0.0
+            return self.stats.estimate(s_b, p_id, o_b, o_id)
 
         while remaining:
             connected = [

@@ -135,3 +135,15 @@ class SelectQuery:
 @dataclass
 class AskQuery:
     where: GroupGraphPattern
+
+
+@dataclass
+class ConstructQuery:
+    template: list  # list[TriplePattern] (vars + constant terms)
+    where: GroupGraphPattern
+
+
+@dataclass
+class DescribeQuery:
+    terms: list  # list[str | Var-name] — IRIs or projected vars
+    where: GroupGraphPattern | None

@@ -26,7 +26,85 @@ def execute_sparql(graph, query: str) -> DataFrame:
         sol = c.compile_group(q.where)
         exists = sol.df.limit(1).count() > 0
         return graph.spark.createDataFrame([(exists,)], "ask boolean")
+    if isinstance(q, A.ConstructQuery):
+        return _execute_construct(graph, c, q)
+    if isinstance(q, A.DescribeQuery):
+        return _execute_describe(graph, c, q)
     return _execute_select(graph, c, q)
+
+
+def _execute_construct(graph, c: Compiler, q: A.ConstructQuery) -> DataFrame:
+    """CONSTRUCT → DataFrame of (s, p, o) term strings, distinct.
+
+    The reference throws on CONSTRUCT (CustomQueryExecution.scala:
+    218-239) — extension. Template rows with any unbound slot are
+    skipped (SPARQL semantics).
+    """
+    from graphula_spark.plans.bgp import Var
+
+    sol = c.compile_group(q.where)
+    used_vars = sorted(
+        {
+            t.name
+            for pat in q.template
+            for t in pat
+            if isinstance(t, Var) and t.name in sol.vars
+        }
+    )
+    sol = c.materialize(sol, [v for v in used_vars if v in sol.id_vars])
+    parts = []
+    for pat in q.template:
+        cols = []
+        ok = True
+        for pos, t in zip(("s", "p", "o"), pat):
+            if isinstance(t, Var):
+                if t.name not in sol.vars:
+                    ok = False
+                    break
+                cols.append(F.col(t.name).cast("string").alias(pos))
+            else:
+                cols.append(F.lit(t).alias(pos))
+        if not ok:
+            continue
+        row = sol.df.select(*cols)
+        parts.append(row.where(
+            F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+        ))
+    if not parts:
+        return graph.spark.createDataFrame([], "s string, p string, o string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _execute_describe(graph, c: Compiler, q: A.DescribeQuery) -> DataFrame:
+    """DESCRIBE → all triples whose subject is a described resource
+    (simple symmetric-concise-bounded description: outgoing edges)."""
+    from graphula_spark.plans.bgp import TriplePattern, Var
+
+    spark = graph.spark
+    iris = [t for t in q.terms if isinstance(t, str)]
+    var_terms = [t for t in q.terms if isinstance(t, Var)]
+    subjects = None
+    if iris:
+        ids = graph.dictionary.lookup_terms(iris)
+        found = [ids[i] for i in iris if i in ids]
+        subjects = spark.createDataFrame(
+            [(i,) for i in found] or [], "s bigint"
+        )
+    if var_terms and q.where is not None:
+        sol = c.compile_group(q.where)
+        for v in var_terms:
+            if v.name in sol.id_vars:
+                part = sol.df.select(F.col(v.name).alias("s")).distinct()
+                subjects = part if subjects is None else subjects.unionByName(part)
+    if subjects is None:
+        return spark.createDataFrame([], "s string, p string, o string")
+    triples = graph.triples.join(
+        subjects.distinct(), "s", "left_semi"
+    ).select("s", "p", "o")
+    return graph.decode(triples, ["s", "p", "o"])
 
 
 def _execute_select(graph, c: Compiler, q: A.SelectQuery) -> DataFrame:

@@ -148,7 +148,41 @@ class Parser:
             self.next()
             self.eat_kw("WHERE")
             return AskQuery(self.parse_group())
-        raise SyntaxError(f"only SELECT/ASK supported, got {self.peek()}")
+        if w == "CONSTRUCT":
+            from graphula_spark.sparql.algebra import ConstructQuery
+
+            self.next()
+            self.expect_op("{")
+            template, paths = self.parse_triples_block()
+            if paths:
+                raise SyntaxError("property paths not allowed in CONSTRUCT template")
+            self.eat_op(".")
+            self.expect_op("}")
+            self.eat_kw("WHERE")
+            return ConstructQuery(template, self.parse_group())
+        if w == "DESCRIBE":
+            from graphula_spark.sparql.algebra import DescribeQuery
+
+            self.next()
+            terms = []
+            while True:
+                t = self.peek()
+                if t.kind == "VAR":
+                    terms.append(Var(self.next().text[1:]))
+                elif t.kind in ("IRI", "PNAME"):
+                    terms.append(self.parse_term())
+                else:
+                    break
+            where = None
+            if self.kw() == "WHERE" or (
+                self.peek().kind == "OP" and self.peek().text == "{"
+            ):
+                self.eat_kw("WHERE")
+                where = self.parse_group()
+            return DescribeQuery(terms, where)
+        raise SyntaxError(
+            f"only SELECT/ASK/CONSTRUCT/DESCRIBE supported, got {self.peek()}"
+        )
 
     def parse_prologue(self):
         while True:

@@ -14,7 +14,7 @@ STATS = BgpStats(
     },
     total=120_500,
 )
-IDS = {"type": 1, "email": 2, "memberOf": 3}
+IDS = {"type": 1, "email": 2, "memberOf": 3, "Student": 101, "Dept": 102}
 
 
 def order_of(patterns):
@@ -69,3 +69,16 @@ def test_fail_fast_empty_relation(spark):
         [TriplePattern(X, "knows", Y), TriplePattern(Y, "nosuch", Z)]
     )
     assert df.count() == 0
+
+
+def test_heavy_hitter_exact_estimates():
+    stats = BgpStats(
+        by_pred={1: (100_000, 50_000, 10)},
+        total=100_000,
+        po_top={(1, 77): 15, (1, 88): 90_000},
+    )
+    # heavy-hitter object: exact count instead of cnt/nd_o
+    assert stats.estimate(False, 1, True, 77) == 15.0
+    assert stats.estimate(False, 1, True, 88) == 90_000.0
+    # unknown object falls back to the uniform estimate
+    assert stats.estimate(False, 1, True, 999) == 100_000 / 10

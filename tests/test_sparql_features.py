@@ -281,6 +281,34 @@ def test_subquery_limit(g):
     assert got == {("carol", "35"), ("alice", "30")}
 
 
+def test_construct(g):
+    # reference throws on CONSTRUCT (CustomQueryExecution.scala:218-239)
+    df = g.sparql(
+        """CONSTRUCT { ?x <rich> <yes> . ?x <hasAge> ?a }
+           WHERE { ?x <age> ?a . FILTER(?a >= 30) }"""
+    )
+    got = {(r["s"], r["p"], r["o"]) for r in df.collect()}
+    assert got == {
+        ("alice", "rich", "yes"),
+        ("carol", "rich", "yes"),
+        ("alice", "hasAge", "30"),
+        ("carol", "hasAge", "35"),
+    }
+
+
+def test_describe_iri(g):
+    df = g.sparql("DESCRIBE <alice>")
+    got = {(r["p"], r["o"]) for r in df.collect()}
+    assert ("age", "30") in got and ("likes", "pizza") in got
+    assert all(r["s"] == "alice" for r in df.collect())
+
+
+def test_describe_var(g):
+    df = g.sparql("DESCRIBE ?x WHERE { ?x <city> <bern> }")
+    subs = {r["s"] for r in df.collect()}
+    assert subs == {"carol", "dave"}
+
+
 def test_str_functions(g):
     df = g.sparql(
         """SELECT ?x (STRAFTER(STR(?x), "a") AS ?after)
