@@ -289,3 +289,13 @@ class Graph:
         from graphula_spark.sparql.engine import execute_sparql
 
         return execute_sparql(self, query)
+
+    def sparql_update(self, update: str) -> "Graph":
+        """SPARQL Update subset: ``INSERT DATA { ... }`` / ``DELETE DATA
+        { ... }`` with ground triples. Returns the new snapshot (the
+        reference is insert-only and has no update language at all;
+        this maps onto add/delete_string_triples).
+        """
+        from graphula_spark.sparql.engine import execute_update
+
+        return execute_update(self, update)

@@ -33,6 +33,42 @@ def execute_sparql(graph, query: str) -> DataFrame:
     return _execute_select(graph, c, q)
 
 
+def execute_update(graph, update: str):
+    """INSERT DATA / DELETE DATA with ground (variable-free) triples."""
+    from graphula_spark.plans.bgp import Var
+    from graphula_spark.sparql.parser import Parser
+
+    p = Parser(update)
+    p.parse_prologue()
+    word = p.kw()
+    if word == "INSERT":
+        p.next()
+        p.expect_kw("DATA")
+        mode = "insert"
+    elif word == "DELETE":
+        p.next()
+        p.expect_kw("DATA")
+        mode = "delete"
+    else:
+        raise SyntaxError(f"only INSERT DATA / DELETE DATA supported, got {p.peek()}")
+    p.expect_op("{")
+    patterns, paths = p.parse_triples_block()
+    if paths:
+        raise SyntaxError("property paths not allowed in ground data")
+    p.eat_op(".")
+    p.expect_op("}")
+    for pat in patterns:
+        for t in pat:
+            if isinstance(t, Var):
+                raise SyntaxError("INSERT/DELETE DATA requires ground triples")
+    df = graph.spark.createDataFrame(
+        [(pat.s, pat.p, pat.o) for pat in patterns], "s string, p string, o string"
+    )
+    if mode == "insert":
+        return graph.add_string_triples(df)
+    return graph.delete_string_triples(df)
+
+
 def _execute_construct(graph, c: Compiler, q: A.ConstructQuery) -> DataFrame:
     """CONSTRUCT → DataFrame of (s, p, o) term strings, distinct.
 

@@ -281,6 +281,26 @@ def test_subquery_limit(g):
     assert got == {("carol", "35"), ("alice", "30")}
 
 
+def test_sparql_update_insert_delete(spark):
+    from graphula_spark.graph import Graph
+
+    g0 = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame([("a", "p", "b")], ["s", "p", "o"]),
+        cache=False,
+    )
+    g1 = g0.sparql_update(
+        'INSERT DATA { <c> <p> <d> . <c> <name> "carl" . }'
+    )
+    assert g1.sparql("SELECT ?x WHERE { ?x <p> ?y }").count() == 2
+    assert (
+        g1.sparql('ASK { <c> <name> "carl" }').collect()[0]["ask"] is True
+    )
+    g2 = g1.sparql_update("DELETE DATA { <a> <p> <b> . }")
+    got = {(r["x"], r["y"]) for r in g2.sparql("SELECT ?x ?y WHERE { ?x <p> ?y }").collect()}
+    assert got == {("c", "d")}
+
+
 def test_construct(g):
     # reference throws on CONSTRUCT (CustomQueryExecution.scala:218-239)
     df = g.sparql(
