@@ -290,6 +290,17 @@ class Graph:
 
         return execute_sparql(self, query)
 
+    def create_views(self, prefix: str = "graphula") -> None:
+        """Register temp views for raw ``spark.sql`` interop:
+        ``<prefix>_triples(s,p,o)``, ``<prefix>_dict(id,value)`` and a
+        decoded ``<prefix>_spo(s,p,o)`` string view."""
+        self.triples.select("s", "p", "o").createOrReplaceTempView(
+            f"{prefix}_triples"
+        )
+        self.dictionary.df.createOrReplaceTempView(f"{prefix}_dict")
+        decoded = self.decode(self.triples.select("s", "p", "o"), ["s", "p", "o"])
+        decoded.createOrReplaceTempView(f"{prefix}_spo")
+
     def sparql_update(self, update: str) -> "Graph":
         """SPARQL Update subset: ``INSERT DATA { ... }`` / ``DELETE DATA
         { ... }`` with ground triples. Returns the new snapshot (the

@@ -128,3 +128,22 @@ class TestIndexEquivalents:
         )
         g = Graph.from_string_triples(spark, df, cache=False)
         assert g.triples.count() == 2
+
+
+def test_sql_views_interop(spark):
+    g = make_graph(
+        spark, [("a", "knows", "b"), ("b", "knows", "c"), ("a", "likes", "x")]
+    )
+    g.create_views("tv")
+    n = spark.sql("SELECT count(*) AS n FROM tv_triples").collect()[0]["n"]
+    assert n == 3
+    rows = spark.sql(
+        "SELECT s, o FROM tv_spo WHERE p = 'knows' ORDER BY s"
+    ).collect()
+    assert [(r["s"], r["o"]) for r in rows] == [("a", "b"), ("b", "c")]
+    # join through the dict view round-trips ids
+    m = spark.sql(
+        """SELECT d.value AS subj FROM tv_triples t JOIN tv_dict d ON t.s = d.id
+           GROUP BY d.value ORDER BY subj"""
+    ).collect()
+    assert [r["subj"] for r in m] == ["a", "b"]

@@ -19,7 +19,7 @@ triple_sets = st.lists(triple, min_size=1, max_size=20, unique=True)
 
 
 @settings(
-    max_examples=4,
+    max_examples=2,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -60,7 +60,7 @@ def test_pattern_scan_matches_expected(spark, triples):
 
 
 @settings(
-    max_examples=3,
+    max_examples=2,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
