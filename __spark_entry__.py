@@ -470,6 +470,22 @@ def q_text_langid(spark, sf):
     return _docs(spark, sf).select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
 
 
+def q_text_scrub_pii(spark, sf):
+    from graphula_spark.operators.text import scrub_pii
+
+    d = _docs(spark, sf)
+    # synthesize PII-bearing text deterministically from doc fields so
+    # the scrub has something to redact, then scrub it
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or visit https://ex.org/"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", scrub_pii(synth).alias("clean"))
+
+
 def q_text_quality(spark, sf):
     from graphula_spark.operators.text import quality_score
 
@@ -669,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kgram_fp": q_text_kgram_fp,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
+        "text_scrub_pii": q_text_scrub_pii,
         "text_fingerprint": q_text_fingerprint,
         "rel_salted_agg": q_salted_agg,
         "mm_features": q_mm_features,
@@ -913,6 +930,22 @@ def oracle_sql() -> dict[str, str]:
                 WHEN de > 0 THEN 'de'
                 ELSE 'und' END AS pred_lang
             FROM s2
+        """,
+        "text_scrub_pii": """
+            SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                           || '@example.com or visit https://ex.org/'
+                           || CAST(doc_id AS VARCHAR),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]', '<PHONE>', 'g'),
+                  'https?://[^\\s]+', '<URL>', 'g'),
+                '\\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\\b', '<CARD>', 'g')
+              AS clean
+            FROM documents
         """,
         "text_quality": f"""
             WITH t AS (

@@ -140,6 +140,26 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+# conservative patterns valid in both Java regex (Spark) and RE2
+# (DuckDB) so the scrub is oracle-reproducible
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b", "<CARD>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, phone-like numbers, URLs and card-like numbers —
+    the standard pre-training scrub pass. Order matters (emails before
+    phone digits)."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     t = F.col(text_col)
     return df.select(
