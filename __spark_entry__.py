@@ -996,9 +996,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_window_sliding": """
+            -- naive-TIMESTAMP arithmetic only: DuckDB to_timestamp() would
+            -- yield TIMESTAMPTZ and break the schema compare vs Spark's
+            -- naive window bounds (round-1 red row)
             WITH starts AS (
               SELECT event_type,
-                     to_timestamp(floor(epoch(ts) / 1800) * 1800) AS w0 FROM events
+                     date_trunc('hour', ts)
+                       + CASE WHEN extract(minute FROM ts) >= 30
+                              THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS w0
+              FROM events
             ), cand AS (
               SELECT event_type, w0 AS window_start FROM starts
               UNION ALL
