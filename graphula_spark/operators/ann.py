@@ -173,6 +173,78 @@ def ivf_topk(
     )
 
 
+def seed_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k with deterministic seed centroids: the cells are anchored
+    on the corpus vectors with the `n_cells` smallest ids instead of
+    KMeans-learned centers.
+
+    Same physical shape as `ivf_topk` (cell assignment → probe n_probe
+    nearest cells → score only inside probed cells, shuffling on the cell
+    id), but partition-order independent and reproducible in ANSI SQL, so
+    the driver's DuckDB oracle can hash-match the output exactly.
+    `ivf_topk` (learned centroids) remains the production path; its
+    recall is pytest-gated against the exact operator.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    cdf = v.orderBy("neighbor_id").limit(n_cells).select(
+        F.col("neighbor_id").alias("cell"), F.col("nv").alias("cv")
+    )
+
+    def _sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # assign each corpus vector to its nearest seed cell
+    va = v.crossJoin(F.broadcast(cdf)).withColumn("dist", _sqdist(F.col("nv"), F.col("cv")))
+    wa = Window.partitionBy("neighbor_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+    assigned = (
+        va.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "nv", "cell")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    qc = q.crossJoin(F.broadcast(cdf)).withColumn("dist", _sqdist(F.col("qv"), F.col("cv")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+    probed = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        probed.join(assigned, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane (no RNG state —
     reproducible across engines/runs)."""
@@ -192,6 +264,7 @@ def lsh_bucket_topk(
     k: int = 5,
     num_planes: int = 8,
     multi_probe: int = 0,
+    bucket_dims: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
@@ -201,14 +274,21 @@ def lsh_bucket_topk(
     bits (the standard recall lever: probing b buckets ≈ b× candidates).
     At 100 TB the bucket join shuffles on the bucket id instead of
     broadcasting the full corpus.
+
+    `bucket_dims` restricts the sketch to the first N vector components
+    (scoring always uses the full vector): hyperplanes then have a fixed
+    arity independent of the embedding dim, so an external SQL oracle can
+    embed the same hyperplane constants and reproduce bucket assignment.
     """
-    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+    bdims = min(bucket_dims, dim) if bucket_dims else dim
+    planes = [_hyperplane(bdims, p) for p in range(num_planes)]
 
     def bucket(vec):
+        pre = F.slice(vec, 1, bdims)
         bits = None
         for pi, plane in enumerate(planes):
             arr = F.array(*[F.lit(x) for x in plane])
-            d = _dot(vec, arr)
+            d = _dot(pre, arr)
             bit = F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**pi)
             bits = bit if bits is None else bits + bit
         return bits

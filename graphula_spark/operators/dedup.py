@@ -16,11 +16,12 @@ from pyspark.sql.window import Window
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the min-id row per identical text.
 
-    One hash-aggregate shuffle on the text hash; at scale, group on
-    xxhash64(text) instead of the full text to keep shuffle rows small.
+    One hash-aggregate shuffle keyed on the text hash. The window also
+    partitions on the text itself so a 64-bit hash collision between two
+    distinct texts can never merge them — the hash only serves to keep
+    the shuffle partitioner cheap.
     """
-    h = F.xxhash64(F.col(text_col)).alias("__h")
-    w = Window.partitionBy("__h").orderBy(id_col)
+    w = Window.partitionBy("__h", text_col).orderBy(id_col)
     return (
         df.withColumn("__h", F.xxhash64(F.col(text_col)))
         .withColumn("__rn", F.row_number().over(w))
@@ -255,13 +256,66 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select("id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hash60(col):
+    """60-bit positive hash reproducible across Spark and ANSI-SQL
+    engines: first 15 hex chars of md5, parsed as an integer.
+
+    Slower than xxhash64 (use only where cross-engine reproducibility is
+    required, e.g. oracle-checked fingerprints); still fully JVM-side.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_portable(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
-    quarters (a pair within distance 3 shares at least one of 4 blocks
-    — pigeonhole), so the self-join never goes quadratic."""
-    fp = simhash64(df, id_col, text_col)
+    """SimHash over word tokens using the cross-engine `hash60` token
+    hash, so a SQL oracle can reproduce fingerprints bit-for-bit."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tokens = (
+        df.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+        .withColumn("h", hash60(F.col("tok")))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tokens.groupBy("id").agg(*bit_aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select("id", fp.alias("simhash"))
+
+
+def _hamming_blocked_pairs(
+    fp: DataFrame, max_hamming: int, bits: int
+) -> DataFrame:
+    """Pairs within `max_hamming` of each other on fp(id, simhash),
+    found via pigeonhole blocking: the fingerprint is cut into
+    `max_hamming + 1` disjoint blocks — d differing bits can touch at
+    most d blocks, so any pair within distance d shares at least one
+    block verbatim. Recall is therefore EXACT for the given threshold;
+    the blocked self-join only bounds the candidate set.
+
+    Scale lever: larger thresholds mean narrower blocks and denser
+    buckets (fewer distinct block values), pushing the candidate join
+    toward quadratic — keep max_hamming small at large corpus sizes.
+    """
+    n_blocks = min(max_hamming + 1, bits)
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    fp = fp.persist()
     blocks = fp.select(
         "id",
         "simhash",
@@ -270,11 +324,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftrightunsigned(F.col("simhash"), q * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), q * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bk"),
                     )
-                    for q in range(4)
+                    for q in range(n_blocks)
                 ]
             )
         ).alias("b"),
@@ -297,3 +351,25 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_portable_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs on the portable 60-bit SimHash. Recall-complete
+    for the threshold by pigeonhole blocking, so an all-pairs SQL
+    oracle matches bit-for-bit."""
+    fp = simhash_portable(df, id_col, text_col)
+    return _hamming_blocked_pairs(fp, max_hamming, bits=60)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash Hamming distance. Blocking is
+    pigeonhole-adaptive (`max_hamming + 1` blocks), so recall is exact
+    for the requested threshold — the round-1 fixed-4-block version
+    silently lost pairs at distances 4+ when called with a larger
+    threshold."""
+    fp = simhash64(df, id_col, text_col)
+    return _hamming_blocked_pairs(fp, max_hamming, bits=64)

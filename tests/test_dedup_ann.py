@@ -120,3 +120,66 @@ def test_lsh_multiprobe_improves_recall(spark):
     r0, r4 = recall(0), recall(4)
     assert r4 >= r0, f"multi-probe lowered recall: {r0:.2f} -> {r4:.2f}"
     assert r4 >= 0.3, f"multi-probe recall {r4:.2f}"  # near-uniform vectors bound LSH recall
+
+
+def test_simhash_blocked_recall_is_exact_vs_bruteforce(spark, planted_docs):
+    """Pigeonhole blocking must return EXACTLY the all-pairs set within
+    the Hamming threshold — adaptive block count restores the recall
+    guarantee for thresholds above 3 (round-1 bug)."""
+    from graphula_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    fp = {r["id"]: r["simhash"] for r in simhash64(planted_docs, "doc_id", "text").collect()}
+    for max_h in (3, 10, 16):
+        truth = {
+            (a, b)
+            for a in fp
+            for b in fp
+            if a < b and bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1") <= max_h
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs(
+                planted_docs, "doc_id", "text", max_hamming=max_h
+            ).collect()
+        }
+        assert got == truth, f"max_hamming={max_h}: {got} != {truth}"
+
+
+def test_simhash_portable_matches_bruteforce(spark, planted_docs):
+    from graphula_spark.operators.dedup import simhash_portable, simhash_portable_pairs
+
+    fp = {
+        r["id"]: r["simhash"]
+        for r in simhash_portable(planted_docs, "doc_id", "text").collect()
+    }
+    assert all(0 <= v < 2**60 for v in fp.values())
+    truth = {
+        (a, b)
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_portable_pairs(
+            planted_docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_seed_ivf_matches_kmeans_shape_and_recall(spark):
+    from graphula_spark.operators.ann import cosine_topk, seed_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in seed_ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"seed-IVF recall {recall:.2f}"
