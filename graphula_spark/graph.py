@@ -37,6 +37,7 @@ class Graph:
         dictionary: Dictionary,
         stats: BgpStats | None = None,
         triples_ops: DataFrame | None = None,
+        p_buckets: int | None = None,
     ):
         self.spark = spark
         self.triples = triples
@@ -45,6 +46,9 @@ class Graph:
         #: optional o-clustered copy (OPS permutation analogue) used for
         #: bound-object pattern scans
         self.triples_ops = triples_ops
+        #: bucket count of the persisted predicate-partitioned layout
+        #: (None for in-memory graphs; read back from _meta on load)
+        self.p_buckets = p_buckets
 
     # ------------------------------------------------------------------
     # construction / load (reference: Sparql.loadNtriples, O1-O3)
@@ -171,23 +175,39 @@ class Graph:
                 .parquet(f"{path}/triples_ops")
             )
         self.dictionary.df.write.mode("overwrite").parquet(f"{path}/dict")
+        # the bucket count is part of the layout contract: the pruning
+        # filter must use the SAME modulus or bound-predicate scans
+        # silently miss their partition
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/_meta.json", "w") as fh:
+            json.dump({"p_buckets": p_buckets, "layout": "pmod(p)"}, fh)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Graph":
         """Load a persisted graph; keeps the p_bucket partition column so
-        pattern scans with a bound predicate prune partitions."""
+        pattern scans with a bound predicate prune partitions. The bucket
+        count comes from the store's _meta.json (falls back to the class
+        default for stores written before the meta file existed)."""
+        import json
+        import os
+
+        p_buckets = Graph.P_BUCKETS
+        if os.path.exists(f"{path}/_meta.json"):
+            with open(f"{path}/_meta.json") as fh:
+                p_buckets = json.load(fh).get("p_buckets", Graph.P_BUCKETS)
         triples = spark.read.parquet(f"{path}/triples").select(
             "s", "p", "o", "p_bucket"
         )
-        import os
-
         ops = None
         if os.path.isdir(f"{path}/triples_ops"):
             ops = spark.read.parquet(f"{path}/triples_ops").select(
                 "s", "p", "o", "p_bucket"
             )
         d = Dictionary(spark, spark.read.parquet(f"{path}/dict"))
-        return cls(spark, triples, d, triples_ops=ops)
+        return cls(spark, triples, d, triples_ops=ops, p_buckets=p_buckets)
 
     # ------------------------------------------------------------------
     # stats (reference: Index.valueCount O6, cached cardinalities O11)
@@ -213,6 +233,7 @@ class Graph:
             self._const_ids(patterns),
             self.stats,
             triples_ops=self.triples_ops,
+            p_buckets=self.p_buckets,
         )
 
     def execute_bgp_decoded(self, patterns: list[TriplePattern]) -> DataFrame:

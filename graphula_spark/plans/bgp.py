@@ -233,6 +233,7 @@ def execute_bgp(
     const_ids: dict[str, int],
     stats: BgpStats | None = None,
     triples_ops: DataFrame | None = None,
+    p_buckets: int | None = None,
 ) -> DataFrame:
     """Execute a BGP; returns a DataFrame with one long id column per var.
 
@@ -265,7 +266,7 @@ def execute_bgp(
     result: DataFrame | None = None
     bound: set[str] = set()
     for i, (pat, _card) in enumerate(ordered):
-        scan = _pattern_scan(triples, pat, const_ids, i, triples_ops)
+        scan = _pattern_scan(triples, pat, const_ids, i, triples_ops, p_buckets)
         pat_vars = {v for _, v in pat.vars()}
         if result is None:
             result = scan
@@ -291,6 +292,7 @@ def _pattern_scan(
     const_ids: dict[str, int],
     idx: int,
     triples_ops: DataFrame | None = None,
+    p_buckets: int | None = None,
 ) -> DataFrame:
     """One filtered+projected scan of the triples table for one pattern.
 
@@ -315,12 +317,16 @@ def _pattern_scan(
     for pos, c in pat.consts():
         clause = F.col(pos) == F.lit(const_ids[c])
         if pos == "p" and "p_bucket" in triples.columns:
-            # persisted graphs are partitioned by pmod(p, P_BUCKETS):
-            # a bound predicate prunes partitions before any IO
+            # persisted graphs are partitioned by pmod(p, n_buckets):
+            # a bound predicate prunes partitions before any IO. The
+            # bucket count comes from the store's _meta (Graph.load) —
+            # a store saved with a custom count would silently return
+            # wrong results under a hardcoded default.
             from graphula_spark.graph import Graph
 
+            n_buckets = p_buckets or Graph.P_BUCKETS
             clause = clause & (
-                F.col("p_bucket") == F.lit(const_ids[c] % Graph.P_BUCKETS)
+                F.col("p_bucket") == F.lit(const_ids[c] % n_buckets)
             )
         cond = clause if cond is None else (cond & clause)
     if cond is not None:

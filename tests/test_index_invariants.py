@@ -124,3 +124,30 @@ def test_incremental_insert_and_persistence(spark, tmp_path):
     # bound-predicate scan must prune partitions in the physical plan
     plan = g3.execute_bgp([TriplePattern(X, "knows", Y)])._jdf.queryExecution().executedPlan().toString()
     assert "p_bucket" in plan
+
+
+def test_custom_p_buckets_roundtrip(spark, tmp_path):
+    """A store saved with a non-default bucket count must still answer
+    bound-predicate patterns after load: the pruning modulus is read
+    from the store's _meta.json, not the class constant (round-1 advice:
+    a hardcoded 64 silently emptied scans on custom-bucket stores)."""
+    from graphula_spark.plans.bgp import TriplePattern, Var
+
+    rows = [(f"s{i}", f"pred{i % 5}", f"o{i}") for i in range(50)]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"]), cache=False
+    )
+    store = str(tmp_path / "g7")
+    g.save(store, p_buckets=7)
+    g2 = Graph.load(spark, store)
+    assert g2.p_buckets == 7
+    X, Y = Var("x"), Var("y")
+    for pred in ("pred0", "pred3"):
+        got = {
+            (r["x"], r["y"])
+            for r in g2.decode(
+                g2.execute_bgp([TriplePattern(X, pred, Y)]), ["x", "y"]
+            ).collect()
+        }
+        want = {(s, o) for s, p, o in rows if p == pred}
+        assert got == want, f"{pred}: {len(got)} vs {len(want)}"
