@@ -223,7 +223,27 @@ class Graph:
     # ------------------------------------------------------------------
     def _const_ids(self, patterns: list[TriplePattern]) -> dict[str, int]:
         consts = [c for pat in patterns for _, c in pat.consts()]
-        return self.dictionary.lookup_terms(consts)
+        ids = self.dictionary.lookup_terms(consts)
+        # probe the bare lexical form for typed numeric/boolean constants:
+        # .nt-loaded graphs store '"5"^^<xsd:integer>' but triple-ized
+        # relational tables store the bare '5'
+        import re
+
+        typed = re.compile(
+            r'^"([^"]*)"\^\^<http://www\.w3\.org/2001/XMLSchema#'
+            r"(integer|decimal|double|boolean)>$"
+        )
+        missing = {
+            m.group(1): c
+            for c in consts
+            if c not in ids and (m := typed.match(c))
+        }
+        if missing:
+            alt = self.dictionary.lookup_terms(list(missing))
+            for bare, c in missing.items():
+                if bare in alt:
+                    ids[c] = alt[bare]
+        return ids
 
     def execute_bgp(self, patterns: list[TriplePattern]) -> DataFrame:
         """BGP → DataFrame of long-id columns, one per variable."""

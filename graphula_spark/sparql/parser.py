@@ -466,10 +466,25 @@ class Parser:
                 raise SyntaxError(f"bad datatype {dt}")
             return base
         if t.kind == "NUM":
-            # numeric literal in data position: store bare lexical form
-            return t.text
+            # numeric literal in data position is SPARQL shorthand for a
+            # typed literal ("5" is "5"^^xsd:integer) — canonicalize to
+            # the typed N-Triples form the .nt loader stores, keeping the
+            # lexical form verbatim. Graph._const_ids additionally probes
+            # the bare lexical form for triple-ized relational data.
+            import re as _re
+
+            if _re.fullmatch(r"[+-]?\d+", t.text):
+                dt = "integer"
+            elif _re.fullmatch(r"[+-]?(\d+\.\d*|\.\d+)", t.text):
+                dt = "decimal"
+            else:
+                dt = "double"
+            return f'"{t.text}"^^<http://www.w3.org/2001/XMLSchema#{dt}>'
         if t.kind == "KW" and t.text.upper() in ("TRUE", "FALSE"):
-            return t.text.lower()
+            return (
+                f'"{t.text.lower()}"'
+                "^^<http://www.w3.org/2001/XMLSchema#boolean>"
+            )
         raise SyntaxError(f"unexpected term {t}")
 
     # -- expressions ----------------------------------------------------

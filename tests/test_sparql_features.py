@@ -350,3 +350,56 @@ def test_subquery_group_semantics(g):
            }"""
     )
     assert {r["x"] for r in df.collect()} == {"alice"}
+
+
+def test_numeric_literal_in_data_position(spark):
+    """SPARQL `5` in a triple pattern is `"5"^^xsd:integer`; it must
+    match NT-style typed literals AND (via the bare-lexical fallback)
+    triple-ized relational data (round-1 advice item)."""
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    typed = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [("a", "age", f'"30"^^<{xsd_int}>'), ("b", "age", f'"9"^^<{xsd_int}>')],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    assert rows(typed.sparql("SELECT ?x WHERE { ?x <age> 30 . }")) == [("a",)]
+
+    bare = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [("a", "age", "30"), ("b", "age", "9")], ["s", "p", "o"]
+        ),
+        cache=False,
+    )
+    assert rows(bare.sparql("SELECT ?x WHERE { ?x <age> 30 . }")) == [("a",)]
+
+
+def test_boolean_literal_in_data_position(spark):
+    xsd_bool = "http://www.w3.org/2001/XMLSchema#boolean"
+    g2 = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [("a", "ok", f'"true"^^<{xsd_bool}>'), ("b", "ok", f'"false"^^<{xsd_bool}>')],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    assert rows(g2.sparql("SELECT ?x WHERE { ?x <ok> true . }")) == [("a",)]
+
+
+def test_insert_data_numeric_stores_typed_form(spark):
+    g0 = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame([("seed", "p", "o")], ["s", "p", "o"]),
+        cache=False,
+    )
+    g1 = g0.sparql_update('INSERT DATA { <x> <age> 42 . }')
+    # stored in the NT typed convention, so both query spellings match
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    assert rows(g1.sparql("SELECT ?s WHERE { ?s <age> 42 . }")) == [("x",)]
+    assert rows(
+        g1.sparql(f'SELECT ?s WHERE {{ ?s <age> "42"^^<{xsd_int}> . }}')
+    ) == [("x",)]
