@@ -289,6 +289,20 @@ def q_values_inline(spark, sf):
     )
 
 
+def q_values_undef(spark, sf):
+    """VALUES with UNDEF rows: compatibility join (unbound matches
+    anything) — a solution compatible with both VALUES rows appears
+    once per row (bag semantics), mirrored by UNION ALL in the oracle."""
+    g = _graph(spark, sf)
+    return g.sparql(
+        """SELECT ?cname ?seg ?nname WHERE {
+             ?c <c_name> ?cname . ?c <c_mktsegment> ?seg .
+             ?c <c_nationkey> ?k .
+             ?n <n_nationkey> ?k . ?n <n_name> ?nname .
+             VALUES (?seg ?nname) { (<FURNITURE> UNDEF) (UNDEF <NATION_2>) } }"""
+    )
+
+
 def q_ask(spark, sf):
     g = _graph(spark, sf)
     return g.sparql("ASK { ?c <c_mktsegment> <FURNITURE> . }")
@@ -687,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_agg_minmax": q_agg_minmax,
         "sq_bind": q_bind,
         "sq_values": q_values_inline,
+        "sq_values_undef": q_values_undef,
         "sq_ask": q_ask,
         "sq_select_expr": q_select_expr,
         "sq_lineitem_agg": q_lineitem_agg,
@@ -932,6 +947,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name AS nname, c_name AS cname
             FROM nation JOIN customer ON c_nationkey = n_nationkey
             WHERE n_name IN ('NATION_1', 'NATION_3')
+        """,
+        "sq_values_undef": """
+            SELECT c_name AS cname, c_mktsegment AS seg, n_name AS nname
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_mktsegment = 'FURNITURE'
+            UNION ALL
+            SELECT c_name AS cname, c_mktsegment AS seg, n_name AS nname
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'NATION_2'
         """,
         "sq_ask": "SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'FURNITURE') AS ask",
         "sq_select_expr": """

@@ -39,6 +39,11 @@ class Solution:
     df: DataFrame
     id_vars: set[str] = field(default_factory=set)
     val_vars: set[str] = field(default_factory=set)
+    #: vars that can be NULL (unbound) in some rows: produced by
+    #: OPTIONAL's right side, UNION branches lacking the var, or VALUES
+    #: UNDEF. Joins touching these use SPARQL compatibility semantics
+    #: (unbound matches anything) instead of plain equi-joins.
+    maybe_unbound: set[str] = field(default_factory=set)
 
     @property
     def vars(self) -> set[str]:
@@ -99,7 +104,7 @@ class Compiler:
             tmp,
             F.coalesce(F.col(tmp), F.concat(F.lit("_:"), F.col(var).cast("string"))),
         )
-        return Solution(df, sol.id_vars, sol.val_vars), F.col(tmp)
+        return Solution(df, sol.id_vars, sol.val_vars, sol.maybe_unbound), F.col(tmp)
 
     def materialize(self, sol: Solution, vars_: list[str]) -> Solution:
         """Replace id columns with decoded term strings for `vars_`."""
@@ -111,6 +116,7 @@ class Compiler:
             df,
             sol.id_vars - set(vars_),
             sol.val_vars | (set(vars_) & sol.id_vars) | (sol.val_vars & set(vars_)),
+            sol.maybe_unbound,
         )
 
     # ------------------------------------------------------------------
@@ -176,20 +182,66 @@ class Compiler:
             right = self.materialize(right, [v for v in mixed if v in right.id_vars])
         return left, right, shared
 
+    def _compat_join(
+        self, left: Solution, right: Solution, shared: list[str],
+        nullable: list[str], how: str,
+    ) -> DataFrame:
+        """Join under SPARQL compatibility: for vars that can be unbound
+        on either side, NULL matches anything and the merged row takes
+        the bound value (coalesce). Vars certainly bound on both sides
+        stay plain equality clauses, so Catalyst still extracts them as
+        hash-join keys; the null-tolerant clauses ride along as a
+        residual condition."""
+        rdf = right.df.select(
+            *[F.col(c).alias(f"__rj_{c}") for c in right.df.columns]
+        )
+        cond = None
+        for v in shared:
+            r = F.col(f"__rj_{v}")
+            if v in nullable:
+                cl = F.col(v).isNull() | r.isNull() | (F.col(v) == r)
+            else:
+                cl = F.col(v) == r
+            cond = cl if cond is None else cond & cl
+        df = left.df.join(rdf, cond, how)
+        for v in shared:
+            if v in nullable:
+                df = df.withColumn(v, F.coalesce(F.col(v), F.col(f"__rj_{v}")))
+            df = df.drop(f"__rj_{v}")
+        for c in right.df.columns:
+            if c not in shared:
+                df = df.withColumnRenamed(f"__rj_{c}", c)
+        return df
+
     def join(self, left: Solution | None, right: Solution) -> Solution:
         if left is None:
             return right
         left, right, shared = self._align_for_join(left, right)
+        nullable = [
+            v for v in shared
+            if v in left.maybe_unbound or v in right.maybe_unbound
+        ]
         ldf = left.df
         rdf = right.df
-        if shared:
+        if shared and not nullable:
             df = ldf.join(rdf, on=shared, how="inner")
+        elif shared:
+            df = self._compat_join(left, right, shared, nullable, "inner")
         else:
             df = ldf.crossJoin(rdf)
+        # a shared nullable var stays nullable only if BOTH sides can
+        # leave it unbound (coalesce of two NULLs); a var certain on one
+        # side is certain after the join
+        mu = (
+            (left.maybe_unbound - right.vars)
+            | (right.maybe_unbound - left.vars)
+            | (left.maybe_unbound & right.maybe_unbound)
+        )
         return Solution(
             df.drop("__unit") if "__unit" in df.columns else df,
             (left.id_vars | right.id_vars) - (left.val_vars | right.val_vars),
             left.val_vars | right.val_vars,
+            mu,
         )
 
     def compile_optional(
@@ -269,23 +321,43 @@ class Compiler:
                 v, F.lit(None).cast(matched_df.schema[v].dataType)
             )
         result_df = matched_df.unionByName(unmatched.select(*sorted(joined.vars)))
-        return Solution(result_df, joined.id_vars, joined.val_vars)
+        return Solution(
+            result_df,
+            joined.id_vars,
+            joined.val_vars,
+            joined.maybe_unbound | (joined.vars - left.vars),
+        )
 
     def left_join(self, left: Solution | None, right: Solution) -> Solution:
         if left is None:
             return right
         left, right, shared = self._align_for_join(left, right)
+        nullable = [
+            v for v in shared
+            if v in left.maybe_unbound or v in right.maybe_unbound
+        ]
         # drop helper columns from the right side that collide
         keep = [c for c in right.df.columns if c in right.vars]
-        rdf = right.df.select(*keep)
-        if shared:
-            df = left.df.join(rdf, on=shared, how="left_outer")
+        rsol = Solution(
+            right.df.select(*keep), right.id_vars, right.val_vars,
+            right.maybe_unbound,
+        )
+        if shared and not nullable:
+            df = left.df.join(rsol.df, on=shared, how="left_outer")
+        elif shared:
+            df = self._compat_join(left, rsol, shared, nullable, "left_outer")
         else:
-            df = left.df.crossJoin(rdf)
+            df = left.df.crossJoin(rsol.df)
+        mu = (
+            left.maybe_unbound
+            | (right.vars - left.vars)  # unmatched left rows leave these NULL
+            | (right.maybe_unbound & left.maybe_unbound)
+        )
         return Solution(
             df,
             (left.id_vars | right.id_vars) - (left.val_vars | right.val_vars),
             left.val_vars | right.val_vars,
+            mu,
         )
 
     def minus(self, left: Solution | None, right: Solution) -> Solution:
@@ -295,11 +367,31 @@ class Compiler:
         if not shared:
             # SPARQL MINUS with disjoint domains removes nothing
             return left
+        nullable = [
+            v for v in shared
+            if v in left2.maybe_unbound or v in right2.maybe_unbound
+        ]
         rdf = right2.df.select(*shared).dropDuplicates(shared)
+        if not nullable:
+            df = left2.df.join(rdf, on=shared, how="left_anti")
+        else:
+            # spec MINUS: remove the left row if a compatible right row
+            # exists AND their bound domains actually intersect
+            rdf = rdf.select(*[F.col(v).alias(f"__rj_{v}") for v in shared])
+            compat = None
+            overlap = None
+            for v in shared:
+                r = F.col(f"__rj_{v}")
+                cl = F.col(v).isNull() | r.isNull() | (F.col(v) == r)
+                compat = cl if compat is None else compat & cl
+                ov = F.col(v).isNotNull() & r.isNotNull()
+                overlap = ov if overlap is None else overlap | ov
+            df = left2.df.join(rdf, compat & overlap, "left_anti")
         return Solution(
-            left2.df.join(rdf, on=shared, how="left_anti"),
+            df,
             left2.id_vars,
             left2.val_vars,
+            left2.maybe_unbound,
         )
 
     def union_all(self, branches: list[Solution]) -> Solution:
@@ -317,7 +409,11 @@ class Compiler:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
-        return Solution(out, all_id, all_val)
+        all_vars = all_id | all_val
+        mu = set().union(*(b.maybe_unbound for b in branches))
+        for b in branches:
+            mu |= all_vars - b.vars  # missing in this branch → NULL rows
+        return Solution(out, all_id, all_val, mu)
 
     # -- subqueries ------------------------------------------------------
     def compile_subselect(self, q) -> Solution:
@@ -383,6 +479,7 @@ class Compiler:
             df,
             id_vars={c for c in out_cols if c in sol.id_vars},
             val_vars={c for c in out_cols if c not in sol.id_vars},
+            maybe_unbound={c for c in out_cols if c in sol.maybe_unbound},
         )
 
     # -- property paths --------------------------------------------------
@@ -448,7 +545,7 @@ class Compiler:
             out_row = []
             for t in row:
                 if t is None:
-                    out_row.append(None)  # UNDEF (join-compat caveat documented)
+                    out_row.append(None)  # UNDEF → unbound (compat join)
                 elif t in ids:
                     out_row.append(ids[t])
                 else:
@@ -459,7 +556,12 @@ class Compiler:
 
         schema = StructType([StructField(name, LongType(), True) for name in v.vars])
         df = self.spark.createDataFrame(data, schema)
-        return Solution(df, id_vars=set(v.vars))
+        undef_vars = {
+            name
+            for i, name in enumerate(v.vars)
+            if any(row[i] is None for row in v.rows)
+        }
+        return Solution(df, id_vars=set(v.vars), maybe_unbound=undef_vars)
 
     # -- BIND -----------------------------------------------------------
     def bind(self, sol: Solution | None, b: A.Bind) -> Solution:
@@ -467,7 +569,11 @@ class Compiler:
             sol = Solution(self.spark.range(1).select(F.lit(1).alias("__unit")))
         sol2, ce = self.compile_expr(sol, b.expr)
         df = sol2.df.withColumn(b.var, ce.num if ce.num is not None and not ce.is_bool else ce.val)
-        return Solution(df, sol2.id_vars, sol2.val_vars | {b.var})
+        # an erroring/NULL expression leaves the var unbound (ARQ parity)
+        return Solution(
+            df, sol2.id_vars, sol2.val_vars | {b.var},
+            sol2.maybe_unbound | {b.var},
+        )
 
     # -- FILTER ---------------------------------------------------------
     def apply_filter(self, sol: Solution, expr) -> Solution:
@@ -482,12 +588,29 @@ class Compiler:
                     left2.df.where(F.lit(False)), left2.id_vars, left2.val_vars
                 )
             how = "left_anti" if expr.negated else "left_semi"
+            nullable = [
+                v for v in shared
+                if v in left2.maybe_unbound or v in right2.maybe_unbound
+            ]
             rdf = right2.df.select(*shared).dropDuplicates(shared)
+            if not nullable:
+                df = left2.df.join(rdf, on=shared, how=how)
+            else:
+                rdf = rdf.select(*[F.col(v).alias(f"__rj_{v}") for v in shared])
+                cond = None
+                for v in shared:
+                    r = F.col(f"__rj_{v}")
+                    cl = F.col(v).isNull() | r.isNull() | (F.col(v) == r)
+                    cond = cl if cond is None else cond & cl
+                df = left2.df.join(rdf, cond, how)
             return Solution(
-                left2.df.join(rdf, on=shared, how=how), left2.id_vars, left2.val_vars
+                df, left2.id_vars, left2.val_vars, left2.maybe_unbound
             )
         sol2, ce = self.compile_expr(sol, expr)
-        return Solution(sol2.df.where(ce.val), sol2.id_vars, sol2.val_vars)
+        return Solution(
+            sol2.df.where(ce.val), sol2.id_vars, sol2.val_vars,
+            sol2.maybe_unbound,
+        )
 
     # ------------------------------------------------------------------
     # expressions
@@ -737,6 +860,7 @@ class Compiler:
             out,
             id_vars={k for k in key_cols if k in sol.id_vars},
             val_vars=(set(k for k in key_cols if k not in sol.id_vars) | {n for n, _ in agg_specs + having_aggs}),
+            maybe_unbound={k for k in key_cols if k in sol.maybe_unbound},
         )
         if q.having is not None:
             new_sol = self.apply_filter(new_sol, q.having)
@@ -744,6 +868,7 @@ class Compiler:
                 new_sol.df.drop(*[n for n, _ in having_aggs]),
                 new_sol.id_vars,
                 new_sol.val_vars - {n for n, _ in having_aggs},
+                new_sol.maybe_unbound,
             )
         return new_sol
 

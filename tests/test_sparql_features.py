@@ -403,3 +403,42 @@ def test_insert_data_numeric_stores_typed_form(spark):
     assert rows(
         g1.sparql(f'SELECT ?s WHERE {{ ?s <age> "42"^^<{xsd_int}> . }}')
     ) == [("x",)]
+
+
+def test_values_undef_compat_join(g):
+    """UNDEF in VALUES is an unbound binding: compatible with anything
+    on that var (ARQ semantics; round-1 gap — null-rejecting equi-joins
+    dropped these rows)."""
+    out = rows(g.sparql(
+        """SELECT ?x ?city WHERE {
+             ?x <city> ?city .
+             VALUES (?x ?city) { (<alice> UNDEF) (UNDEF <bern>) } }"""
+    ))
+    assert out == [("alice", "zurich"), ("carol", "bern"), ("dave", "bern")]
+
+
+def test_optional_var_joined_downstream(g):
+    """A var bound only in some rows (OPTIONAL) later joined against
+    VALUES must keep the unbound-left rows and adopt the binding."""
+    out = rows(g.sparql(
+        """SELECT ?x ?e WHERE {
+             ?x <knows> ?y .
+             OPTIONAL { ?x <email> ?e }
+             VALUES ?e { <alice@x.org> } }"""
+    ))
+    # alice binds e=alice@x.org (equal -> kept); bob has no email ->
+    # unbound e is compatible and adopts the VALUES binding; carol's
+    # email differs -> dropped
+    assert out == [("alice", "alice@x.org"), ("bob", "alice@x.org")]
+
+
+def test_minus_ignores_unbound_shared_var(g):
+    """MINUS only removes rows whose bound domains actually intersect:
+    a left row with ?e unbound shares nothing with the MINUS group."""
+    out = rows(g.sparql(
+        """SELECT ?x WHERE {
+             ?x <city> ?c .
+             OPTIONAL { ?x <email> ?e }
+             MINUS { ?m <email> ?e } }"""
+    ))
+    assert out == [("bob",), ("dave",)]
