@@ -329,6 +329,37 @@ def q_subquery(spark, sf):
     return df.select("name", "n")
 
 
+def q_hash_fns(spark, sf):
+    g = _graph(spark, sf)
+    return g.sparql(
+        """SELECT ?name ?md ?sha WHERE {
+             ?c <c_name> ?name . ?c <c_mktsegment> <FURNITURE> .
+             BIND(MD5(STR(?name)) AS ?md)
+             BIND(SHA256(STR(?name)) AS ?sha) }"""
+    )
+
+
+def q_datetime_parts(spark, sf):
+    g = _graph(spark, sf)
+    return g.sparql(
+        """SELECT ?o ?y ?m WHERE {
+             ?o <o_orderdate> ?d . ?o <o_orderstatus> <F> .
+             BIND(YEAR(?d) AS ?y) BIND(MONTH(?d) AS ?m) }"""
+    )
+
+
+def q_iri_construct(spark, sf):
+    """IRI() constructor: build the customer subject from the foreign-key
+    value and join it back against the graph (val-var/id-var join)."""
+    g = _graph(spark, sf)
+    return g.sparql(
+        """SELECT ?o ?name WHERE {
+             ?o <o_custkey> ?ck .
+             BIND(IRI(CONCAT("customer:", STR(?ck))) AS ?cust)
+             ?cust <c_name> ?name . }"""
+    )
+
+
 def q_lineitem_agg(spark, sf):
     """TPC-H Q1-style pricing summary over the triple-ized lineitem —
     a 4-pattern BGP star at millions-of-triples scale feeding GROUP BY."""
@@ -704,6 +735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_values_undef": q_values_undef,
         "sq_ask": q_ask,
         "sq_select_expr": q_select_expr,
+        "sq_hash_fns": q_hash_fns,
+        "sq_datetime_parts": q_datetime_parts,
+        "sq_iri_construct": q_iri_construct,
         "sq_lineitem_agg": q_lineitem_agg,
         "sq_subquery": q_subquery,
         # extensions
@@ -969,6 +1003,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c.c_name AS name, CAST(t.n AS BIGINT) AS n
             FROM customer c JOIN top2 t ON c.c_nationkey = t.k
+        """,
+        "sq_hash_fns": """
+            SELECT c_name AS name, md5(c_name) AS md, sha256(c_name) AS sha
+            FROM customer WHERE c_mktsegment = 'FURNITURE'
+        """,
+        "sq_datetime_parts": """
+            SELECT 'orders:' || o_orderkey AS o,
+                   CAST(year(o_orderdate) AS DOUBLE) AS y,
+                   CAST(month(o_orderdate) AS DOUBLE) AS m
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "sq_iri_construct": """
+            SELECT 'orders:' || o_orderkey AS o, c_name AS name
+            FROM orders JOIN customer ON c_custkey = o_custkey
         """,
         "sq_lineitem_agg": """
             SELECT l_returnflag AS rf, l_linestatus AS ls,

@@ -802,9 +802,94 @@ class Compiler:
         if f == "ENCODE_FOR_URI":
             return sol, CE(F.url_encode(args[0].val))
         if f in ("YEAR", "MONTH", "DAY"):
-            fn = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth}[f]
-            n = fn(F.to_timestamp(args[0].val)).cast("double")
+            # XSD component semantics: read the lexical form directly
+            # (to_timestamp would shift zone-offset literals into the
+            # session timezone; spec HOURS("..T14:45:13-05:00") = 14)
+            idx = {"YEAR": 1, "MONTH": 2, "DAY": 3}[f]
+            n = F.regexp_extract(
+                args[0].val, r"^(-?\d{4,})-(\d{2})-(\d{2})", idx
+            ).try_cast("double")
             return sol, CE(n.cast("string"), n)
+        if f in ("HOURS", "MINUTES", "SECONDS"):
+            idx = {"HOURS": 1, "MINUTES": 2, "SECONDS": 3}[f]
+            n = F.regexp_extract(
+                args[0].val, r"[T ](\d{2}):(\d{2}):(\d{2}(?:\.\d+)?)", idx
+            ).try_cast("double")
+            return sol, CE(n.cast("string"), n)
+        if f in ("TZ", "TIMEZONE"):
+            tz = F.regexp_extract(args[0].val, r"(Z|[+-]\d{2}:\d{2})$", 1)
+            if f == "TZ":
+                return sol, CE(tz)
+            # TIMEZONE → xsd:dayTimeDuration lexical form
+            hh = F.regexp_extract(tz, r"[+-](\d{2}):", 1).cast("int")
+            mm = F.regexp_extract(tz, r":(\d{2})$", 1).cast("int")
+            sign = F.when(tz.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+            dur = (
+                F.when(tz == "Z", F.lit("PT0S"))
+                .when(tz == "", F.lit(None).cast("string"))
+                .otherwise(
+                    F.concat(
+                        sign,
+                        F.lit("PT"),
+                        hh.cast("string"),
+                        F.lit("H"),
+                        F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(F.lit("")),
+                    )
+                )
+            )
+            return sol, CE(dur)
+        if f == "LANGMATCHES":
+            lang = F.lower(args[0].val)
+            rng = F.lower(args[1].val)
+            # RFC 4647 basic filtering: exact tag or prefix + "-"
+            return sol, CE(
+                F.when(rng == "*", lang != "").otherwise(
+                    (lang == rng) | lang.startswith(F.concat(rng, F.lit("-")))
+                ),
+                is_bool=True,
+            )
+        if f == "SAMETERM":
+            ta = args[0].term if args[0].term is not None else args[0].val
+            tb = args[1].term if args[1].term is not None else args[1].val
+            return sol, CE(ta.eqNullSafe(tb), is_bool=True)
+        if f in ("IRI", "URI"):
+            # IRIs are bare strings in the term convention (§1.4)
+            return sol, CE(args[0].val, None, args[0].val)
+        if f == "BNODE":
+            if args:
+                b = F.concat(F.lit("_:"), args[0].val)
+            else:
+                b = F.concat(
+                    F.lit("_:b"), F.monotonically_increasing_id().cast("string")
+                )
+            return sol, CE(b, None, b)
+        if f == "NOW":
+            ts = F.date_format(
+                F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS"
+            )
+            term = F.concat(
+                F.lit('"'), ts,
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+            )
+            return sol, CE(ts, None, term)
+        if f == "UUID":
+            u = F.concat(F.lit("urn:uuid:"), F.expr("uuid()"))
+            return sol, CE(u, None, u)
+        if f == "STRUUID":
+            return sol, CE(F.expr("uuid()"))
+        if f == "RAND":
+            n = F.rand()
+            return sol, CE(n.cast("string"), n)
+        if f in ("SHA384", "SHA512"):
+            return sol, CE(F.sha2(args[0].val, int(f[3:])))
+        if f == "STRDT":
+            t = F.concat(
+                F.lit('"'), args[0].val, F.lit('"^^<'), args[1].val, F.lit(">")
+            )
+            return sol, CE(args[0].val, None, t)
+        if f == "STRLANG":
+            t = F.concat(F.lit('"'), args[0].val, F.lit('"@'), args[1].val)
+            return sol, CE(args[0].val, None, t)
         raise NotImplementedError(f"function {f}")
 
     # ------------------------------------------------------------------

@@ -94,6 +94,9 @@ _BUILTINS = {
     "COALESCE", "IF", "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISNUMERIC",
     "CONCAT", "SUBSTR", "REPLACE", "YEAR", "MONTH", "DAY",
     "STRBEFORE", "STRAFTER", "MD5", "SHA1", "SHA256", "ENCODE_FOR_URI",
+    "LANGMATCHES", "SAMETERM", "IRI", "URI", "BNODE", "NOW", "UUID",
+    "STRUUID", "HOURS", "MINUTES", "SECONDS", "TIMEZONE", "TZ",
+    "SHA384", "SHA512", "RAND", "STRDT", "STRLANG",
 }
 
 

@@ -442,3 +442,92 @@ def test_minus_ignores_unbound_shared_var(g):
              MINUS { ?m <email> ?e } }"""
     ))
     assert out == [("bob",), ("dave",)]
+
+
+@pytest.fixture(scope="module")
+def lang_graph(spark):
+    triples = [
+        ("a", "label", '"hello"@en'),
+        ("b", "label", '"hallo"@de-CH'),
+        ("c", "label", '"plain"'),
+        ("a", "alt", '"hello"@en'),
+        ("b", "alt", '"servus"@de'),
+        ("e", "when", '"2011-01-10T14:45:13.815-05:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+        ("f", "when", '"2020-06-01T03:04:05Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+    ]
+    gr = Graph.from_string_triples(
+        spark, spark.createDataFrame(triples, ["s", "p", "o"]), cache=False
+    )
+    return gr
+
+
+def test_langmatches(lang_graph):
+    q = """SELECT ?x WHERE {{ ?x <label> ?l . FILTER(LANGMATCHES(LANG(?l), "{r}")) }}"""
+    assert rows(lang_graph.sparql(q.format(r="en"))) == [("a",)]
+    assert rows(lang_graph.sparql(q.format(r="de"))) == [("b",)]  # de matches de-CH
+    assert rows(lang_graph.sparql(q.format(r="*"))) == [("a",), ("b",)]
+
+
+def test_sameterm(lang_graph):
+    out = rows(lang_graph.sparql(
+        """SELECT ?x WHERE { ?x <label> ?l . ?x <alt> ?m .
+             FILTER(SAMETERM(?l, ?m)) }"""
+    ))
+    assert out == [("a",)]
+
+
+def test_iri_constructor_and_hash_functions(g):
+    out = rows(g.sparql(
+        """SELECT ?u ?h WHERE {
+             ?x <city> <zurich> . ?x <likes> ?f .
+             BIND(IRI(CONCAT("food:", STR(?f))) AS ?u)
+             BIND(SHA256(STR(?f)) AS ?h) }"""
+    ))
+    import hashlib
+    expect = sorted(
+        (f"food:{f}", hashlib.sha256(f.encode()).hexdigest())
+        for f in ("pizza", "sushi")
+    )
+    assert out == expect
+
+
+def test_datetime_accessors(lang_graph):
+    out = rows(lang_graph.sparql(
+        """SELECT ?x ?h ?mi ?sec ?tz WHERE {
+             ?x <when> ?w .
+             BIND(HOURS(?w) AS ?h) BIND(MINUTES(?w) AS ?mi)
+             BIND(SECONDS(?w) AS ?sec) BIND(TZ(?w) AS ?tz) }"""
+    ))
+    assert out == [
+        ("e", 14.0, 45.0, 13.815, "-05:00"),
+        ("f", 3.0, 4.0, 5.0, "Z"),
+    ]
+
+
+def test_timezone_duration(lang_graph):
+    out = rows(lang_graph.sparql(
+        """SELECT ?x ?d WHERE { ?x <when> ?w . BIND(TIMEZONE(?w) AS ?d) }"""
+    ))
+    assert out == [("e", "-PT5H"), ("f", "PT0S")]
+
+
+def test_uuid_strdt_strlang(g):
+    out = g.sparql(
+        """SELECT ?u ?su ?t WHERE {
+             ?x <city> <bern> .
+             BIND(UUID() AS ?u) BIND(STRUUID() AS ?su)
+             BIND(STRLEN(STR(?x)) AS ?t) }"""
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["u"].startswith("urn:uuid:") and len(r["su"]) == 36
+    # STRDT/STRLANG produce typed terms visible through DATATYPE/LANG
+    out2 = rows(g.sparql(
+        """SELECT ?dt ?lg WHERE {
+             ?x <city> <bern> . ?x <age> ?a .
+             BIND(DATATYPE(STRDT(STR(?a), IRI("http://www.w3.org/2001/XMLSchema#integer"))) AS ?dt)
+             BIND(LANG(STRLANG(STR(?x), "en")) AS ?lg) }"""
+    ))
+    assert out2 == [
+        ("http://www.w3.org/2001/XMLSchema#integer", "en"),
+    ] * 2
