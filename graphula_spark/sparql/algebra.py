@@ -60,13 +60,41 @@ class Bgp:
 
 @dataclass
 class PathPattern:
-    """Property path `s <pred>+ o` / `s <pred>* o` — extension beyond
-    the reference (which throws on paths, Sparql.scala:130-134)."""
+    """Property path `s <path> o` — extension beyond the reference
+    (which throws on paths, Sparql.scala:130-134). `path` is a tree of
+    PIri / PSeq / PAlt / PMod / PInv nodes."""
 
     s: Any  # str | Var
-    pred: str
+    path: Any
     o: Any  # str | Var
-    mod: str  # '+' or '*'
+
+
+@dataclass
+class PIri:
+    iri: str
+
+
+@dataclass
+class PSeq:
+    a: Any
+    b: Any
+
+
+@dataclass
+class PAlt:
+    a: Any
+    b: Any
+
+
+@dataclass
+class PMod:
+    path: Any
+    mod: str  # '+', '*' or '?'
+
+
+@dataclass
+class PInv:
+    path: Any
 
 
 @dataclass

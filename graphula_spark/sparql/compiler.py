@@ -483,27 +483,61 @@ class Compiler:
         )
 
     # -- property paths --------------------------------------------------
-    def compile_path(self, el: A.PathPattern) -> Solution:
-        """`s <p>+ o` / `s <p>* o` via semi-naive transitive closure
-        (operators/paths.py). `*` adds zero-length pairs over the nodes
-        incident to the predicate's edges."""
+    def _path_pairs(self, p) -> DataFrame:
+        """Evaluate a path expression tree to a (src, dst) id-pair DF.
+
+        Sequence = equi-join on the middle node, alternation = union,
+        +/* = semi-naive transitive closure (operators/paths.py), ^ =
+        column swap. Zero-length semantics for * and ? bind s=o over the
+        nodes incident to the sub-path's edge set (ARQ restricts to graph
+        terms; incident nodes are the pragmatic distributed equivalent)."""
         from graphula_spark.operators.paths import transitive_closure
 
-        edges = self.graph.execute_bgp(
-            [TriplePattern(Var("src"), el.pred, Var("dst"))]
-        )
-        closure = transitive_closure(edges, "src", "dst")
-        if el.mod == "*":
-            nodes = (
-                edges.select(F.col("src").alias("n"))
-                .unionByName(edges.select(F.col("dst").alias("n")))
+        if isinstance(p, A.PIri):
+            return self.graph.execute_bgp(
+                [TriplePattern(Var("src"), p.iri, Var("dst"))]
+            )
+        if isinstance(p, A.PInv):
+            inner = self._path_pairs(p.path)
+            return inner.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        if isinstance(p, A.PSeq):
+            a = self._path_pairs(p.a).select(
+                "src", F.col("dst").alias("__mid")
+            )
+            b = self._path_pairs(p.b).select(
+                F.col("src").alias("__mid"), "dst"
+            )
+            return a.join(b, "__mid").select("src", "dst").distinct()
+        if isinstance(p, A.PAlt):
+            return (
+                self._path_pairs(p.a)
+                .unionByName(self._path_pairs(p.b))
                 .distinct()
             )
-            closure = closure.unionByName(
-                nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-            ).distinct()
+        if isinstance(p, A.PMod):
+            base = self._path_pairs(p.path)
+            if p.mod == "+":
+                return transitive_closure(base, "src", "dst")
+            nodes = (
+                base.select(F.col("src").alias("n"))
+                .unionByName(base.select(F.col("dst").alias("n")))
+                .distinct()
+            )
+            zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+            if p.mod == "?":
+                return base.unionByName(zero).distinct()
+            return (
+                transitive_closure(base, "src", "dst")
+                .unionByName(zero)
+                .distinct()
+            )
+        raise NotImplementedError(f"path node {type(p).__name__}")
 
-        df = closure
+    def compile_path(self, el: A.PathPattern) -> Solution:
+        """`s <path> o` over the evaluated pair set."""
+        df = self._path_pairs(el.path)
         out_vars: set[str] = set()
         consts = self.graph.dictionary.lookup_terms(
             [t for t in (el.s, el.o) if not isinstance(t, Var)]

@@ -52,7 +52,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*)?:(?P<PLOCAL>[A-Za-z0-9_.-]*)
   | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].;,=<>!+\-*/])
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].;,=<>!+\-*/|?^])
     """,
     re.VERBOSE,
 )
@@ -399,19 +399,13 @@ class Parser:
         while True:
             subj = self.parse_term()
             while True:
-                pred = self.parse_verb()
-                mod = None
-                if isinstance(pred, str):
-                    if self.eat_op("+"):
-                        mod = "+"
-                    elif self.eat_op("*"):
-                        mod = "*"
+                pred = self.parse_verb_or_path()
                 while True:
                     obj = self.parse_term()
-                    if mod is not None:
-                        paths.append(PathPattern(subj, pred, obj, mod))
-                    else:
+                    if isinstance(pred, (str, Var)):
                         patterns.append(TriplePattern(subj, pred, obj))
+                    else:
+                        paths.append(PathPattern(subj, pred, obj))
                     if not self.eat_op(","):
                         break
                 if not self.eat_op(";"):
@@ -436,6 +430,64 @@ class Parser:
             return RDF_TYPE
         v = self.parse_term()
         return v
+
+    def parse_verb_or_path(self):
+        """Predicate position: plain verb (str IRI or Var), or a property
+        path tree when path syntax (/ | ^ + * ? parens) is present."""
+        from graphula_spark.sparql.algebra import PIri
+
+        if self.peek().kind == "VAR":
+            return self.parse_verb()
+        path = self.parse_path()
+        if isinstance(path, PIri):
+            return path.iri  # plain predicate
+        return path
+
+    def parse_path(self):
+        from graphula_spark.sparql.algebra import PAlt
+
+        e = self.parse_path_seq()
+        while self.eat_op("|"):
+            e = PAlt(e, self.parse_path_seq())
+        return e
+
+    def parse_path_seq(self):
+        from graphula_spark.sparql.algebra import PSeq
+
+        e = self.parse_path_elt()
+        while self.eat_op("/"):
+            e = PSeq(e, self.parse_path_elt())
+        return e
+
+    def parse_path_elt(self):
+        from graphula_spark.sparql.algebra import PInv, PIri, PMod
+
+        inv = self.eat_op("^")
+        if self.eat_op("("):
+            p = self.parse_path()
+            self.expect_op(")")
+        else:
+            t = self.next()
+            if t.kind == "KW" and t.text == "a":
+                p = PIri(RDF_TYPE)
+            elif t.kind == "IRI":
+                p = PIri(t.text[1:-1])
+            elif t.kind == "PNAME":
+                pfx, local = t.text.split(":", 1)
+                if pfx not in self.prefixes:
+                    raise SyntaxError(f"unknown prefix {pfx!r}")
+                p = PIri(self.prefixes[pfx] + local)
+            else:
+                raise SyntaxError(f"bad path primary {t}")
+        if inv:
+            p = PInv(p)
+        if self.eat_op("+"):
+            p = PMod(p, "+")
+        elif self.eat_op("*"):
+            p = PMod(p, "*")
+        elif self.eat_op("?"):
+            p = PMod(p, "?")
+        return p
 
     def parse_term(self):
         """Term in pattern position → str (canonical term) or Var."""

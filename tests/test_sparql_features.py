@@ -531,3 +531,30 @@ def test_uuid_strdt_strlang(g):
     assert out2 == [
         ("http://www.w3.org/2001/XMLSchema#integer", "en"),
     ] * 2
+
+
+def test_property_path_forms(g):
+    """Sequence /, alternation |, optional ?, inverse ^ (round-2
+    extension; reference throws on all paths)."""
+    # knows cycle: alice->bob->carol->alice
+    assert rows(g.sparql(
+        "SELECT ?f WHERE { <alice> <knows>/<likes> ?f . }"
+    )) == [("sushi",)]  # alice knows bob, bob likes sushi
+    assert rows(g.sparql(
+        "SELECT ?v WHERE { <bob> <likes>|<city> ?v . }"
+    )) == [("sushi",), ("zurich",)]
+    assert rows(g.sparql(
+        "SELECT ?y WHERE { <carol> ^<knows> ?y . }"
+    )) == [("bob",)]
+    # zero-or-one over knows from alice: alice itself + bob
+    assert rows(g.sparql(
+        "SELECT ?y WHERE { <alice> <knows>? ?y . }"
+    )) == [("alice",), ("bob",)]
+    # closure still works through the general tree: whole cycle
+    assert rows(g.sparql(
+        "SELECT ?y WHERE { <alice> <knows>+ ?y . }"
+    )) == [("alice",), ("bob",), ("carol",)]
+    # inverse sequence combo
+    assert rows(g.sparql(
+        "SELECT ?y WHERE { <bob> (^<knows>)/<likes> ?y . }"
+    )) == [("pizza",)]
