@@ -194,6 +194,14 @@ class Graph:
         import json
         import os
 
+        # versioned ingest stores publish snapshots behind a CURRENT
+        # pointer (streaming/ingest.py); follow it transparently
+        if os.path.exists(f"{path}/CURRENT"):
+            from graphula_spark.streaming.ingest import current_store_version
+
+            resolved = current_store_version(path)
+            if resolved is not None:
+                path = resolved
         p_buckets = Graph.P_BUCKETS
         if os.path.exists(f"{path}/_meta.json"):
             with open(f"{path}/_meta.json") as fh:

@@ -39,6 +39,18 @@ def _parse_lines(text_df: DataFrame) -> DataFrame:
     )
 
 
+def current_store_version(store_dir: str) -> str | None:
+    """Resolve the active snapshot dir of a versioned ingest store via
+    its CURRENT pointer file; None when no snapshot is published yet."""
+    cur = f"{store_dir}/CURRENT"
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as fh:
+        name = fh.read().strip()
+    path = f"{store_dir}/{name}"
+    return path if os.path.isdir(path) else None
+
+
 def stream_ntriples_ingest(
     spark: SparkSession,
     src_dir: str,
@@ -56,20 +68,37 @@ def stream_ntriples_ingest(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         striples = _parse_lines(batch_df)
-        if os.path.isdir(f"{store_dir}/triples"):
-            g = Graph.load(spark, store_dir)
+        cur = current_store_version(store_dir)
+        if cur is not None:
+            g = Graph.load(spark, cur)
             g2 = g.add_string_triples(striples)
         else:
             g2 = Graph.from_string_triples(spark, striples, cache=False)
-        # write to a fresh versioned dir then swap — the store is an
-        # immutable snapshot (SURVEY §1.6: snapshots replace LMDB txns)
-        tmp = f"{store_dir}_v{batch_id}"
-        g2.save(tmp)
+        # write a fresh versioned snapshot, then flip the CURRENT pointer
+        # atomically (os.replace) — a crash mid-publish leaves the old
+        # snapshot intact and readable, and concurrent readers of the
+        # previous version keep their files (SURVEY §1.6: snapshots
+        # replace LMDB txns). The old delete-then-rename swap could lose
+        # the store on a crash between the two calls.
+        os.makedirs(store_dir, exist_ok=True)
+        new_name = f"v{batch_id}"
+        g2.save(f"{store_dir}/{new_name}")
+        tmp = f"{store_dir}/CURRENT.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(new_name)
+        os.replace(tmp, f"{store_dir}/CURRENT")
+        # GC: keep the new snapshot plus the immediately-previous one
+        # (bounded disk; readers of older versions must re-resolve)
         import shutil
 
-        if os.path.isdir(store_dir):
-            shutil.rmtree(store_dir)
-        os.rename(tmp, store_dir)
+        keep = {new_name, os.path.basename(cur) if cur else ""}
+        for entry in os.listdir(store_dir):
+            if (
+                entry.startswith("v")
+                and entry not in keep
+                and os.path.isdir(f"{store_dir}/{entry}")
+            ):
+                shutil.rmtree(f"{store_dir}/{entry}", ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(process_batch)
