@@ -82,73 +82,108 @@ class Dictionary:
     def empty(cls, spark: SparkSession) -> "Dictionary":
         return cls(spark, spark.createDataFrame([], DICT_SCHEMA))
 
+    @staticmethod
+    def _assign_ids(
+        terms: DataFrame, existing: DataFrame | None, max_rounds: int = 12
+    ) -> DataFrame:
+        """Assign a unique id to every term in `terms` (one 'value'
+        column, distinct, non-null), disjoint from `existing` ids.
+
+        Shared by build and incremental union (the round-1 union clash
+        path used a single fixed salt and never verified post-salt
+        uniqueness). Iterated ranked re-salting: per round, ids that are
+        duplicated within the set or taken by an existing entry are
+        re-hashed with a (round, rank) salt; the lexicographically
+        smallest holder of a free id keeps it. Collisions are ~2^-63 in
+        the real 63-bit space, so the happy path is exactly one cheap
+        emptiness probe over a count aggregate — the window only ever
+        runs over the (tiny) collided subset.
+        """
+        result = terms.withColumn("id", term_id_col(F.col("value")))
+        ex_ids = existing.select("id").distinct() if existing is not None else None
+        for rnd in range(max_rounds):
+            dup_ids = (
+                result.groupBy("id")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > 1)
+                .select("id")
+            )
+            bad_ids = dup_ids
+            if ex_ids is not None:
+                clash_ids = (
+                    result.join(ex_ids, "id", "left_semi").select("id").distinct()
+                )
+                bad_ids = dup_ids.unionByName(clash_ids).distinct()
+            if bad_ids.isEmpty():
+                return result.select("id", "value")
+            bad = result.join(F.broadcast(bad_ids), "id", "left_semi")
+            good = result.join(F.broadcast(bad_ids), "id", "left_anti")
+            if ex_ids is not None:
+                bad = bad.join(
+                    ex_ids.withColumn("__ex", F.lit(1)), "id", "left"
+                )
+            else:
+                bad = bad.withColumn("__ex", F.lit(None).cast("int"))
+            w = Window.partitionBy("id").orderBy("value")
+            resalted = (
+                bad.withColumn("rank", F.row_number().over(w))
+                .withColumn(
+                    "id",
+                    F.when(
+                        (F.col("rank") == 1) & F.col("__ex").isNull(),
+                        F.col("id"),
+                    ).otherwise(
+                        term_id_col(
+                            F.concat(
+                                F.col("value"),
+                                F.lit("\x01"),
+                                F.lit(f"{rnd}:"),
+                                F.col("rank").cast("string"),
+                            )
+                        )
+                    ),
+                )
+                .select("id", "value")
+            )
+            # Only reached when a collision actually exists (~2^-63 per
+            # pair in production). Eagerly truncate lineage so repeated
+            # rounds don't stack window+join stages into one deep plan.
+            result = good.select("id", "value").unionByName(resalted).localCheckpoint()
+        raise RuntimeError(
+            f"dictionary id assignment did not converge in {max_rounds} rounds"
+        )
+
     @classmethod
     def build(cls, spark: SparkSession, terms: DataFrame) -> "Dictionary":
         """Build a dictionary from a one-column DataFrame of term strings.
 
-        Collision handling: within each raw-hash bucket, the
-        lexicographically smallest term keeps the raw id; the others get
-        deterministic re-salted ids (salt = collision rank appended as
-        control bytes, re-hashed). The empty string is always a valid
-        entry (the reference pre-seeds it, Dictionary.scala:66-76).
+        Collision handling via `_assign_ids` (ranked deterministic
+        re-salting). The empty string is always a valid entry (the
+        reference pre-seeds it, Dictionary.scala:66-76).
         """
         col = terms.columns[0]
         distinct = (
             terms.select(F.col(col).alias("value"))
             .where(F.col("value").isNotNull())
             .distinct()
-            .withColumn("raw_id", term_id_col(F.col("value")))
         )
-        # Collisions are ~never (63-bit space); detect them with a cheap
-        # count aggregate and only window over the (tiny) collided set —
-        # avoids a global row_number sort-shuffle on every load.
-        collided_ids = (
-            distinct.groupBy("raw_id")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") > 1)
-            .select("raw_id")
-        )
-        clean = distinct.join(
-            F.broadcast(collided_ids), "raw_id", "left_anti"
-        ).select(F.col("raw_id").alias("id"), "value")
-        collided = distinct.join(F.broadcast(collided_ids), "raw_id", "left_semi")
-        w = Window.partitionBy("raw_id").orderBy("value")
-        resolved = (
-            collided.withColumn("rank", F.row_number().over(w))
-            .withColumn(
-                "id",
-                F.when(F.col("rank") == 1, F.col("raw_id")).otherwise(
-                    term_id_col(
-                        F.concat(
-                            F.col("value"),
-                            F.lit("\x01"),
-                            F.col("rank").cast("string"),
-                        )
-                    )
-                ),
-            )
-            .select("id", "value")
-        )
-        return cls(spark, clean.unionByName(resolved))
+        return cls(spark, cls._assign_ids(distinct, None))
 
     def union(self, other_terms: DataFrame) -> "Dictionary":
-        """Extend with new terms (incremental load); existing ids stable."""
+        """Extend with new terms (incremental load); existing ids stable.
+
+        Fresh ids are assigned with the same iterated ranked-salt scheme
+        as build, with the existing id set excluded — post-salt
+        uniqueness is guaranteed by the fixed point, not assumed.
+        """
         new_terms = (
             other_terms.select(F.col(other_terms.columns[0]).alias("value"))
             .where(F.col("value").isNotNull())
             .distinct()
             .join(self.df, "value", "left_anti")
         )
-        fresh = Dictionary.build(self.spark, new_terms).df
-        # A fresh term could collide with an *existing* id: re-salt those.
-        clash = fresh.join(
-            self.df.select(F.col("id")), "id", "left_semi"
-        ).withColumn(
-            "id",
-            term_id_col(F.concat(F.col("value"), F.lit("\x01x"))),
-        )
-        no_clash = fresh.join(self.df.select("id"), "id", "left_anti")
-        return Dictionary(self.spark, self.df.unionByName(no_clash.unionByName(clash)))
+        fresh = Dictionary._assign_ids(new_terms, self.df)
+        return Dictionary(self.spark, self.df.unionByName(fresh))
 
     # -- encode ----------------------------------------------------------
     def encode_col(self, df: DataFrame, col: str, out: str) -> DataFrame:

@@ -60,13 +60,29 @@ TPCH_KEYS = {
 
 def lineitem_to_triples(df: DataFrame) -> DataFrame:
     """The synthetic lineitem's (orderkey, linenumber) is NOT unique, so
-    subjects are deterministic row numbers (total order over all
-    columns). Real deployments would use the table's actual key —
-    the global sort is a testdata accommodation, not the scale path."""
+    subjects are synthesized as a 128-bit full-row hash (two xxhash64
+    seeds — cross-seed collision odds are negligible at any realistic
+    row count) plus a row_number over the duplicate group to keep
+    byte-identical rows distinct.
+
+    Scale notes: the only shuffle is the window partitioned by the FULL
+    row, whose partitions are duplicate groups (almost always size 1) —
+    hash-distributed and parallel, unlike the round-1 unpartitioned
+    row_number() global sort that serialized the load through one task.
+    Real deployments would use the table's actual key."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(*[F.col(c) for c in df.columns])
-    keyed = df.withColumn("__key", F.row_number().over(w).cast("string"))
+    cols = [F.col(c) for c in df.columns]
+    w = Window.partitionBy(*cols).orderBy(F.lit(1))
+    keyed = df.withColumn(
+        "__key",
+        F.concat_ws(
+            "-",
+            F.xxhash64(*cols).cast("string"),
+            F.xxhash64(F.lit("\x01"), *cols).cast("string"),
+            F.row_number().over(w).cast("string"),
+        ),
+    )
     return table_to_triples(keyed, "lineitem", "__key").where(F.col("p") != "__key")
 
 DEFAULT_GRAPH_TABLES = ("region", "nation", "customer", "supplier", "orders")

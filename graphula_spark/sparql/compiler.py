@@ -302,25 +302,38 @@ class Compiler:
             return self.left_join(left, right)
 
         # Filter(F, Join) ∪ (left rows with no surviving partner).
-        # nb: the difference is computed on the full left row — exact
-        # for set semantics (duplicate identical left rows collapse to
-        # the same match outcome, so only pathological multiset
-        # duplicates could differ).
-        joined = self.join(left, right)
+        # Multiset-exact (ARQ semantics): each left row gets a
+        # deterministic tag — a row_number within its duplicate group,
+        # windowed over the FULL left row (hash-partitioned shuffle, no
+        # global sort) — so identical duplicate left rows are tracked
+        # independently through the join and the difference.
+        from pyspark.sql.window import Window
+
+        left_cols = sorted(left.vars)
+        dup_w = Window.partitionBy(*left_cols).orderBy(F.lit(1))
+        tagged = Solution(
+            left.df.withColumn("__lrow", F.row_number().over(dup_w)),
+            left.id_vars,
+            left.val_vars,
+            left.maybe_unbound,
+        )
+        joined = self.join(tagged, right)
         for f in correlated:
             joined = self.apply_filter(joined, f)
-        matched_df = joined.df.select(*sorted(joined.vars))
-        left_cols = sorted(left.vars)
-        unmatched = left.df.select(*left_cols).join(
-            matched_df.select(*left_cols).dropDuplicates(),
-            on=left_cols,
+        matched_df = joined.df.select("__lrow", *sorted(joined.vars))
+        unmatched = tagged.df.select("__lrow", *left_cols).join(
+            matched_df.select("__lrow", *left_cols).dropDuplicates(),
+            on=["__lrow", *left_cols],
             how="left_anti",
         )
         for v in sorted(joined.vars - left.vars):
             unmatched = unmatched.withColumn(
                 v, F.lit(None).cast(matched_df.schema[v].dataType)
             )
-        result_df = matched_df.unionByName(unmatched.select(*sorted(joined.vars)))
+        result_df = (
+            matched_df.unionByName(unmatched.select("__lrow", *sorted(joined.vars)))
+            .drop("__lrow")
+        )
         return Solution(
             result_df,
             joined.id_vars,

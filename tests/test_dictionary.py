@@ -67,3 +67,51 @@ def test_roundtrip_property(spark, terms):
     got = {r["value"]: r["id"] for r in d.df.collect()}
     assert set(got) == set(terms)
     assert len(set(got.values())) == len(terms)
+
+
+def test_forced_collision_build_and_union(spark, monkeypatch):
+    """Reference DictionarySpec analogue (Fixture.scala:65-76 forces
+    collisions with hash % 10): shrink the id space to 16 slots so both
+    the build and the union clash paths must re-salt, then assert full
+    uniqueness and stability of pre-existing ids."""
+    import graphula_spark.dictionary as D
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(
+        D, "term_id_col", lambda c: F.xxhash64(c).bitwiseAND(F.lit(15))
+    )
+    t1 = [f"old{i}" for i in range(5)]
+    d1 = D.Dictionary.build(
+        spark, spark.createDataFrame([(t,) for t in t1], ["value"])
+    )
+    m1 = {r["value"]: r["id"] for r in d1.df.collect()}
+    assert set(m1) == set(t1)
+    assert len(set(m1.values())) == 5
+
+    t2 = [f"new{i}" for i in range(6)]
+    d2 = d1.union(spark.createDataFrame([(t,) for t in t2 + t1[:2]], ["value"]))
+    m2 = {r["value"]: r["id"] for r in d2.df.collect()}
+    assert set(m2) == set(t1) | set(t2)
+    # every id unique even in the 16-slot space
+    assert len(set(m2.values())) == 11
+    # existing ids never move on union
+    for t in t1:
+        assert m2[t] == m1[t]
+
+
+def test_assign_ids_nonconvergence_raises(spark, monkeypatch):
+    """More terms than available ids must fail loudly, not loop."""
+    import pytest as _pytest
+
+    import graphula_spark.dictionary as D
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(
+        D, "term_id_col", lambda c: F.xxhash64(c).bitwiseAND(F.lit(1))
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        D.Dictionary._assign_ids(
+            spark.createDataFrame([(f"t{i}",) for i in range(5)], ["value"]),
+            None,
+            max_rounds=3,
+        )

@@ -96,6 +96,26 @@ def test_optional_correlated_filter(g):
     }
 
 
+def test_optional_correlated_filter_multiset(g):
+    # ARQ is multiset-exact: duplicate identical left rows (built here
+    # with a self-UNION) must each survive the correlated LeftJoin —
+    # matched rows AND unmatched null-extended rows appear per-duplicate.
+    df = g.sparql(
+        """SELECT ?x ?y WHERE {
+             { ?x <age> ?a } UNION { ?x <age> ?a }
+             OPTIONAL { ?x <knows> ?y . ?y <age> ?b . FILTER(?b > ?a) } }"""
+    )
+    got = sorted((r["x"], r["y"]) for r in df.collect())
+    assert got == sorted(
+        [
+            ("alice", None), ("alice", None),
+            ("bob", "carol"), ("bob", "carol"),
+            ("carol", None), ("carol", None),
+            ("dave", None), ("dave", None),
+        ]
+    )
+
+
 def test_union(g):
     df = g.sparql(
         "SELECT ?x WHERE { { ?x <likes> <pizza> } UNION { ?x <likes> <sushi> } }"
