@@ -63,10 +63,24 @@ def main() -> None:
     entry_mod._lineitem_graph(spark, sf_dir)
     graph_load = time.time() - t0
 
+    # JMH-style warmup (the reference's suite uses JMH @Warmup
+    # iterations, benchmarks/.../LubmGraphula.scala): one untimed pass
+    # warms codegen caches, broadcast builds and AQE stats before the
+    # timed pass. Set SPARK_GRAFT_WARMUP=0 for cold numbers.
+    warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
+    # compute-bound entries gain nothing from a warm pass — skip to keep
+    # bench wall-clock down; their time is real work, not session floor
+    no_warmup = {
+        "dedup_minhash", "dedup_ngram_jaccard", "events_stateful",
+        "rel_transitive_closure",
+    }
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
+        for _ in range(0 if name in no_warmup else warmup):
+            fn(spark, sf_dir).count()
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
@@ -112,6 +126,8 @@ def main() -> None:
                 ?Z rdf:type ub:Course . ?X rdf:type ub:Student . }""",
         }
         for name, qtext in lubm_queries.items():
+            for _ in range(warmup):
+                g.sparql(qtext).count()
             t0 = time.time()
             n = g.sparql(qtext).count()
             dt = time.time() - t0
@@ -128,6 +144,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "warmup_iters": warmup,
             }
         )
     )

@@ -98,6 +98,24 @@ class PInv:
 
 
 @dataclass
+class PNeg:
+    """Negated property set `!(p1|...|^q1|...)` — fwd holds forward IRIs,
+    inv holds the `^`-reversed ones (SPARQL 1.1 §9.1)."""
+
+    fwd: list
+    inv: list
+
+
+@dataclass
+class PRange:
+    """Quantified path `p{lo,hi}`; hi=None means unbounded `{lo,}`."""
+
+    path: Any
+    lo: int
+    hi: Any  # int | None
+
+
+@dataclass
 class Filter:
     expr: Any
 

@@ -533,12 +533,7 @@ class Compiler:
             base = self._path_pairs(p.path)
             if p.mod == "+":
                 return transitive_closure(base, "src", "dst")
-            nodes = (
-                base.select(F.col("src").alias("n"))
-                .unionByName(base.select(F.col("dst").alias("n")))
-                .distinct()
-            )
-            zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+            zero = self._incident_identity(base)
             if p.mod == "?":
                 return base.unionByName(zero).distinct()
             return (
@@ -546,7 +541,81 @@ class Compiler:
                 .unionByName(zero)
                 .distinct()
             )
+        if isinstance(p, A.PNeg):
+            # SPARQL 1.1 §9.1 NegatedPropertySet: forward branch over
+            # triples whose predicate is outside the forward set, plus
+            # the reversed branch for `^`-members. A NOT IN over a tiny
+            # literal id list rides the predicate-partitioned scan.
+            ids = self.graph.dictionary.lookup_terms(
+                list({*p.fwd, *p.inv})
+            )
+            trip = self.graph.triples.select(
+                F.col("s").alias("src"), "p", F.col("o").alias("dst")
+            )
+            parts = []
+            if p.fwd:
+                fwd_ids = [ids[t] for t in p.fwd if ids.get(t) is not None]
+                cond = ~F.col("p").isin(fwd_ids) if fwd_ids else F.lit(True)
+                parts.append(trip.where(cond).select("src", "dst"))
+            if p.inv:
+                inv_ids = [ids[t] for t in p.inv if ids.get(t) is not None]
+                cond = ~F.col("p").isin(inv_ids) if inv_ids else F.lit(True)
+                parts.append(
+                    trip.where(cond).select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                )
+            out = parts[0]
+            for part in parts[1:]:
+                out = out.unionByName(part)
+            return out.distinct()
+        if isinstance(p, A.PRange):
+            base = self._path_pairs(p.path).distinct()
+            lo, hi = p.lo, p.hi
+            if hi is None:
+                # {lo,}: closure gives length>=1; pre-compose lo-1 hops
+                reach = transitive_closure(base, "src", "dst")
+                for _ in range(max(lo - 1, 0)):
+                    reach = self._compose_pairs(base, reach)
+                out = reach
+            else:
+                powers = []
+                cur = base
+                for k in range(1, hi + 1):
+                    if k >= max(lo, 1):
+                        powers.append(cur)
+                    if k < hi:
+                        cur = self._compose_pairs(cur, base)
+                out = powers[0] if powers else None
+                for pw in powers[1:]:
+                    out = out.unionByName(pw)
+            if lo == 0:
+                zero = self._incident_identity(base)
+                out = zero if out is None else out.unionByName(zero)
+            return out.distinct()
         raise NotImplementedError(f"path node {type(p).__name__}")
+
+    @staticmethod
+    def _compose_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+        """Relational composition a;b on (src, dst) pair sets."""
+        return (
+            a.select("src", F.col("dst").alias("__m"))
+            .join(b.select(F.col("src").alias("__m"), "dst"), "__m")
+            .select("src", "dst")
+            .distinct()
+        )
+
+    @staticmethod
+    def _incident_identity(base: DataFrame) -> DataFrame:
+        """Zero-length pairs: s=o over nodes incident to base's edges
+        (ARQ restricts to graph terms; incident nodes are the pragmatic
+        distributed equivalent — documented in ROADMAP.md)."""
+        nodes = (
+            base.select(F.col("src").alias("n"))
+            .unionByName(base.select(F.col("dst").alias("n")))
+            .distinct()
+        )
+        return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
 
     def compile_path(self, el: A.PathPattern) -> Solution:
         """`s <path> o` over the evaluated pair set."""

@@ -459,34 +459,74 @@ class Parser:
             e = PSeq(e, self.parse_path_elt())
         return e
 
-    def parse_path_elt(self):
-        from graphula_spark.sparql.algebra import PInv, PIri, PMod
+    def _parse_path_iri(self) -> str:
+        """A bare predicate IRI inside a path ('a' | <iri> | pname)."""
+        t = self.next()
+        if t.kind == "KW" and t.text == "a":
+            return RDF_TYPE
+        if t.kind == "IRI":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            pfx, local = t.text.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SyntaxError(f"unknown prefix {pfx!r}")
+            return self.prefixes[pfx] + local
+        raise SyntaxError(f"bad path primary {t}")
 
-        inv = self.eat_op("^")
-        if self.eat_op("("):
-            p = self.parse_path()
-            self.expect_op(")")
-        else:
-            t = self.next()
-            if t.kind == "KW" and t.text == "a":
-                p = PIri(RDF_TYPE)
-            elif t.kind == "IRI":
-                p = PIri(t.text[1:-1])
-            elif t.kind == "PNAME":
-                pfx, local = t.text.split(":", 1)
-                if pfx not in self.prefixes:
-                    raise SyntaxError(f"unknown prefix {pfx!r}")
-                p = PIri(self.prefixes[pfx] + local)
+    def parse_path_elt(self):
+        from graphula_spark.sparql.algebra import (
+            PInv, PIri, PMod, PNeg, PRange,
+        )
+
+        if self.eat_op("!"):
+            # negated property set: !iri | !^iri | !(iri|^iri|...)
+            fwd: list[str] = []
+            inv_set: list[str] = []
+
+            def one():
+                (inv_set if self.eat_op("^") else fwd).append(
+                    self._parse_path_iri()
+                )
+
+            if self.eat_op("("):
+                one()
+                while self.eat_op("|"):
+                    one()
+                self.expect_op(")")
             else:
-                raise SyntaxError(f"bad path primary {t}")
-        if inv:
-            p = PInv(p)
+                one()
+            p = PNeg(fwd, inv_set)
+        else:
+            inv = self.eat_op("^")
+            if self.eat_op("("):
+                p = self.parse_path()
+                self.expect_op(")")
+            else:
+                p = PIri(self._parse_path_iri())
+            if inv:
+                p = PInv(p)
         if self.eat_op("+"):
             p = PMod(p, "+")
         elif self.eat_op("*"):
             p = PMod(p, "*")
         elif self.eat_op("?"):
             p = PMod(p, "?")
+        elif self.eat_op("{"):
+            lo_t = self.next()
+            if lo_t.kind != "NUM":
+                raise SyntaxError(f"bad path quantifier {lo_t}")
+            lo = int(lo_t.text)
+            if self.eat_op(","):
+                if self.peek().kind == "NUM":
+                    hi = int(self.next().text)
+                else:
+                    hi = None
+            else:
+                hi = lo
+            self.expect_op("}")
+            if hi is not None and hi < lo:
+                raise SyntaxError(f"bad path quantifier {{{lo},{hi}}}")
+            p = PRange(p, lo, hi)
         return p
 
     def parse_term(self):

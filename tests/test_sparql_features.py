@@ -578,3 +578,35 @@ def test_property_path_forms(g):
     assert rows(g.sparql(
         "SELECT ?y WHERE { <bob> (^<knows>)/<likes> ?y . }"
     )) == [("pizza",)]
+
+
+def test_negated_property_set(g):
+    # everything alice relates to EXCEPT via knows/likes
+    assert rows(g.sparql(
+        "SELECT ?v WHERE { <alice> !(<knows>|<likes>) ?v . }"
+    )) == [("30",), ("alice@x.org",), ("zurich",)]
+    # single negated predicate
+    got = rows(g.sparql("SELECT ?v WHERE { <dave> !<city> ?v . }"))
+    assert got == [("9",)]
+    # inverse member: who points AT zurich with anything but city
+    assert rows(g.sparql(
+        "SELECT ?v WHERE { <zurich> !(^<city>) ?v . }"
+    )) == []
+
+
+def test_path_quantifiers(g):
+    # knows cycle alice->bob->carol->alice
+    assert rows(g.sparql(
+        "SELECT ?y WHERE { <alice> <knows>{2} ?y . }"
+    )) == [("carol",)]
+    assert rows(g.sparql(
+        "SELECT ?y WHERE { <alice> <knows>{1,2} ?y . }"
+    )) == [("bob",), ("carol",)]
+    # unbounded lower-bounded: length >= 2 around the 3-cycle
+    assert rows(g.sparql(
+        "SELECT ?y WHERE { <alice> <knows>{2,} ?y . }"
+    )) == [("alice",), ("bob",), ("carol",)]
+    # {0,1} == ? (zero-length binds the node itself)
+    assert rows(g.sparql(
+        "SELECT ?y WHERE { <alice> <knows>{0,1} ?y . }"
+    )) == [("alice",), ("bob",)]
