@@ -563,6 +563,12 @@ def q_text_quality(spark, sf):
     )
 
 
+def q_text_gopher(spark, sf):
+    from graphula_spark.operators.text import gopher_signals
+
+    return gopher_signals(_docs(spark, sf), "doc_id", "text")
+
+
 def q_salted_agg(spark, sf):
     from graphula_spark.operators.relational import salted_aggregate
 
@@ -760,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_scrub_pii": q_text_scrub_pii,
         "text_fingerprint": q_text_fingerprint,
+        "text_gopher": q_text_gopher,
         "rel_salted_agg": q_salted_agg,
         "mm_features": q_mm_features,
         "events_window": q_events_window,
@@ -1197,6 +1204,44 @@ def oracle_sql() -> dict[str, str]:
                    + least(swr * 5.0, 1.0)
                    ) / 4.0 * 10000) / 10000 AS quality
             FROM m
+        """,
+        "text_gopher": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKENS} AS tk FROM documents
+            ), s AS (
+              SELECT doc_id, tk, len(tk) AS n,
+                     CASE WHEN len(tk) >= 2
+                          THEN list_transform(range(1, len(tk)),
+                                              i -> tk[i] || ' ' || tk[i+1])
+                          ELSE [] END AS g
+              FROM t
+            ), sig AS (
+              SELECT doc_id, n AS n_words,
+                     floor(CAST(list_aggregate(list_transform(tk, x -> strlen(x)), 'sum') AS DOUBLE)
+                           / greatest(n, 1) * 10000) / 10000 AS mean_word_len,
+                     floor(CAST(len(list_distinct(tk)) AS DOUBLE)
+                           / greatest(n, 1) * 10000) / 10000 AS distinct_word_frac,
+                     floor(CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                           / greatest(n, 1) * 10000) / 10000 AS alpha_word_frac,
+                     CASE WHEN len(g) > 0
+                          THEN floor((1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)) * 10000) / 10000
+                          ELSE 0.0 END AS dup_2gram_frac
+              FROM s
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS c
+              FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY doc_id, w
+            ), top AS (
+              SELECT doc_id, floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000) / 10000 AS top_word_frac
+              FROM wc GROUP BY doc_id
+            )
+            SELECT sig.doc_id, n_words, mean_word_len, distinct_word_frac,
+                   alpha_word_frac, dup_2gram_frac,
+                   coalesce(top_word_frac, 0.0) AS top_word_frac,
+                   (n_words >= 5 AND n_words <= 100000
+                    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                    AND alpha_word_frac > 0.7 AND top_word_frac < 0.2
+                    AND dup_2gram_frac < 0.4) AS gopher_pass
+            FROM sig LEFT JOIN top USING (doc_id)
         """,
         "rel_salted_agg": """
             SELECT event_type, round(sum(value), 4) AS value_sum

@@ -160,6 +160,94 @@ def scrub_pii(text: Column) -> Column:
     return out
 
 
+def _floor4(c: Column) -> Column:
+    """Truncate to 4 decimals — floor, not round, so Spark (half-up) and
+    DuckDB (half-even) never disagree on .xxxx5 ties."""
+    return F.floor(c * 10000) / 10000
+
+
+def gopher_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition and quality signals per document (public
+    rules from Rae et al. 2021 'Scaling Language Models', §A1.1, adapted
+    to word-level signals since the synthetic docs are single-line).
+
+    Per-doc array signals are pure JVM higher-order functions (zero
+    shuffle); the top-word share uses explode → two keyed aggregations —
+    shuffles bounded by (doc, word) cardinality, never all-pairs — so
+    the operator survives arbitrarily long documents where a
+    per-row O(distinct×n) HOF scan would not.
+
+    Signals: n_words, mean_word_len, distinct_word_frac,
+    alpha_word_frac, dup_2gram_frac (fraction of repeated word bigrams),
+    top_word_frac (most frequent word's share), gopher_pass (composite
+    accept/reject per Gopher-like bounds).
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size("__toks")
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat(
+                F.get("__toks", i), F.lit(" "), F.get("__toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__grams", grams
+    )
+    ng = F.size("__grams")
+    sig = base.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        _floor4(
+            F.aggregate(
+                "__toks", F.lit(0), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.greatest(n, F.lit(1))
+        ).alias("mean_word_len"),
+        _floor4(
+            F.size(F.array_distinct("__toks")).cast("double")
+            / F.greatest(n, F.lit(1))
+        ).alias("distinct_word_frac"),
+        _floor4(
+            F.size(
+                F.filter("__toks", lambda t: t.rlike("[a-z]"))
+            ).cast("double")
+            / F.greatest(n, F.lit(1))
+        ).alias("alpha_word_frac"),
+        F.when(
+            ng > 0,
+            _floor4(
+                F.lit(1.0)
+                - F.size(F.array_distinct("__grams")).cast("double") / ng
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+    )
+    words = base.select(F.col(id_col), F.explode("__toks").alias("__w"))
+    top = (
+        words.groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            _floor4(
+                F.max("__c").cast("double") / F.sum("__c")
+            ).alias("top_word_frac")
+        )
+    )
+    out = sig.join(top, id_col, "left").na.fill({"top_word_frac": 0.0})
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 5)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("alpha_word_frac") > 0.7)
+        & (F.col("top_word_frac") < 0.2)
+        & (F.col("dup_2gram_frac") < 0.4),
+    )
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     t = F.col(text_col)
     return df.select(
