@@ -102,6 +102,115 @@ def embedding_near_dup_pairs(
     return scored.select("id_a", "id_b", F.round("score", 4).alias("score"))
 
 
+class IvfIndex:
+    """Persistable IVF index: KMeans centroids + cell-assigned corpus.
+
+    Fit once per corpus (`IvfIndex.build`), query many times, optionally
+    `save`/`load` to parquet. The corpus parquet is partitioned by cell,
+    so a loaded index serves each query by scanning ONLY its probed
+    cells (partition pruning) — the 100 TB read path touches
+    n_probe/n_cells of the data.
+    """
+
+    def __init__(self, assigned: DataFrame, centroids: DataFrame):
+        self.assigned = assigned  # (neighbor_id, nv, cell)
+        self.centroids = centroids  # (cell, cv)
+
+    @classmethod
+    def build(
+        cls,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_cells: int = 16,
+        seed: int = 42,
+    ) -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        v = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        ).withColumn("features", array_to_vector(F.col("nv")))
+        km = KMeans(
+            k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+        )
+        model = km.fit(v)
+        assigned = model.transform(v).select("neighbor_id", "nv", "cell")
+        centers_rows = [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        cdf = vectors.sparkSession.createDataFrame(
+            centers_rows, "cell int, cv array<double>"
+        )
+        return cls(assigned, cdf)
+
+    def save(self, path: str) -> None:
+        self.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/corpus"
+        )
+        self.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        return cls(
+            spark.read.parquet(f"{path}/corpus"),
+            spark.read.parquet(f"{path}/centroids"),
+        )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k: int = 5,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        # rank cells per query by centroid distance, keep n_probe
+        qc = q.crossJoin(F.broadcast(self.centroids)).withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("cell").asc()
+        )
+        probed = (
+            qc.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n_probe)
+            .select("query_id", "qv", "cell")
+        )
+        scored = (
+            probed.join(self.assigned, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "score",
+                _dot(F.col("qv"), F.col("nv"))
+                / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= k)
+            .select(
+                "query_id", "neighbor_id", F.round("score", 4).alias("score")
+            )
+        )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -116,61 +225,14 @@ def ivf_topk(
     cells; each query probes its `n_probe` nearest cells and scores only
     those vectors. At scale the scored-pair count drops by
     ~n_cells/n_probe and the join shuffles on the cell id.
+
+    One-shot convenience over `IvfIndex.build(...).topk(...)`; build the
+    index explicitly to reuse or persist the trained cells.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("nv"),
-    ).withColumn("features", array_to_vector(F.col("nv")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(v)
-    assigned = model.transform(v).select("neighbor_id", "nv", "cell")
-
-    centers = model.clusterCenters()
-    centers_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
-    cdf = vectors.sparkSession.createDataFrame(
-        centers_rows, "cell int, cv array<double>"
+    idx = IvfIndex.build(
+        vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    # rank cells per query by centroid distance, keep n_probe
-    qc = (
-        q.crossJoin(F.broadcast(cdf))
-        .withColumn(
-            "dist",
-            F.aggregate(
-                F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
-    probed = (
-        qc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "cell")
-    )
-    scored = (
-        probed.join(assigned, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "score",
-            _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
-    )
+    return idx.topk(queries, id_col=id_col, vec_col=vec_col, k=k, n_probe=n_probe)
 
 
 def seed_ivf_topk(

@@ -97,6 +97,29 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f}"
 
 
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    from graphula_spark.operators.ann import IvfIndex, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    direct = sorted(
+        tuple(r) for r in ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
+    )
+    idx = IvfIndex.build(emb, n_cells=8)
+    path = str(tmp_path / "ivf_index")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    via_store = sorted(
+        tuple(r) for r in loaded.topk(queries, k=5, n_probe=4).collect()
+    )
+    # persisted index must answer identically to the freshly-fit one
+    assert via_store == direct
+    # cell-partitioned layout on disk (partition pruning for probes)
+    import os
+
+    assert any(d.startswith("cell=") for d in os.listdir(f"{path}/corpus"))
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     from graphula_spark.operators.ann import cosine_topk, lsh_bucket_topk
 
