@@ -569,6 +569,18 @@ def q_text_gopher(spark, sf):
     return gopher_signals(_docs(spark, sf), "doc_id", "text")
 
 
+def q_text_pack_shards(spark, sf):
+    from graphula_spark.operators.relational import pack_by_budget
+    from graphula_spark.operators.text import token_count
+
+    d = _docs(spark, sf).select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_by_budget(
+        d, "lang", "doc_id", "n_tokens", budget=500.0
+    ).select("doc_id", "lang", "n_tokens", "shard")
+
+
 def q_salted_agg(spark, sf):
     from graphula_spark.operators.relational import salted_aggregate
 
@@ -767,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": q_text_scrub_pii,
         "text_fingerprint": q_text_fingerprint,
         "text_gopher": q_text_gopher,
+        "text_pack_shards": q_text_pack_shards,
         "rel_salted_agg": q_salted_agg,
         "mm_features": q_mm_features,
         "events_window": q_events_window,
@@ -1242,6 +1255,16 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_frac > 0.7 AND top_word_frac < 0.2
                     AND dup_2gram_frac < 0.4) AS gopher_pass
             FROM sig LEFT JOIN top USING (doc_id)
+        """,
+        "text_pack_shards": f"""
+            WITH d AS (
+              SELECT doc_id, lang, len({_TOKENS}) AS n_tokens FROM documents
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                                   ROWS UNBOUNDED PRECEDING)
+                               - n_tokens) / 500.0) AS BIGINT) AS shard
+            FROM d
         """,
         "rel_salted_agg": """
             SELECT event_type, round(sum(value), 4) AS value_sum

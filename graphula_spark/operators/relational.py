@@ -25,6 +25,36 @@ def top_n_per_group(
     )
 
 
+def pack_by_budget(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    weight_col: str,
+    budget: float,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Pack rows into fixed-budget shards per partition key — the
+    training-data op that turns documents into ~budget-token shards.
+
+    shard = floor(exclusive-prefix-sum(weight) / budget) over the
+    deterministic (part, order) sequence: each shard's total stays
+    within budget + one row's overshoot, the standard streaming-pack
+    contract. The window is PARTITIONED by part_col, so the running sum
+    parallelizes across partitions (languages, sources, date buckets);
+    a single global cumsum would serialize 100 TB through one task —
+    callers wanting one global sequence should pre-bucket and offset.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    excl_prefix = F.sum(weight_col).over(w) - F.col(weight_col)
+    return df.withColumn(
+        shard_col, F.floor(excl_prefix / F.lit(budget)).cast("long")
+    )
+
+
 def salted_aggregate(
     df: DataFrame,
     key_cols: list[str],

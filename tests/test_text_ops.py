@@ -1,6 +1,26 @@
 """Edge cases for text operators not exercised by the synthetic docs."""
 
+from graphula_spark.operators.relational import pack_by_budget
 from graphula_spark.operators.text import gopher_signals
+
+
+def test_pack_by_budget_contract(spark):
+    rows = [("en", i, 40) for i in range(10)] + [("de", 0, 1000)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "n_tok"])
+    out = pack_by_budget(df, "lang", "doc_id", "n_tok", budget=100.0)
+    got = {(r["lang"], r["doc_id"]): r["shard"] for r in out.collect()}
+    # en: exclusive prefix 0,40,80 -> shard 0; 120,160 -> 1; ...
+    assert [got[("en", i)] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # oversize single row still lands in its own shard 0
+    assert got[("de", 0)] == 0
+    # every shard's total <= budget + one row overshoot (40)
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    for (lang, i), s in got.items():
+        if lang == "en":
+            totals[s] += 40
+    assert all(t <= 100 + 40 for t in totals.values())
 
 
 def test_gopher_signals_edge_cases(spark):
