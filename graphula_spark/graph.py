@@ -194,14 +194,19 @@ class Graph:
         import json
         import os
 
-        # versioned ingest stores publish snapshots behind a CURRENT
-        # pointer (streaming/ingest.py); follow it transparently
+        # versioned ingest stores publish a manifest behind a CURRENT
+        # pointer (streaming/ingest.py); load the full base ∪ deltas view
         if os.path.exists(f"{path}/CURRENT"):
-            from graphula_spark.streaming.ingest import current_store_version
+            from graphula_spark.streaming.ingest import (
+                load_versioned_graph,
+                read_manifest,
+            )
 
-            resolved = current_store_version(path)
-            if resolved is not None:
-                path = resolved
+            m = read_manifest(path)
+            if m is not None and m["deltas"]:
+                return load_versioned_graph(spark, path)
+            if m is not None:
+                path = f"{path}/{m['base']}"
         p_buckets = Graph.P_BUCKETS
         if os.path.exists(f"{path}/_meta.json"):
             with open(f"{path}/_meta.json") as fh:

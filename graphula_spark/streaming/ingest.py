@@ -7,11 +7,21 @@ analogue uses foreachBatch so each micro-batch reuses the *batch*
 dictionary/encode code against the current store snapshot — one engine
 for streams and batch, with watermark-free append semantics (triples
 are facts; set-dedup happens against the accumulated store).
+
+Store layout (Delta-style log, round-2): a CURRENT pointer file holds a
+JSON manifest `{"base": dir, "deltas": [dir, ...]}`. Each micro-batch
+writes ONLY its delta (new triples + fresh dictionary entries) and
+republishes the manifest atomically; every `compact_every` deltas the
+store is compacted into a fresh base. Readers union base + deltas —
+write amplification per batch is O(batch), not O(store), which is what
+lets the ingest path survive a store that has grown to 100 TB.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,16 +49,79 @@ def _parse_lines(text_df: DataFrame) -> DataFrame:
     )
 
 
-def current_store_version(store_dir: str) -> str | None:
-    """Resolve the active snapshot dir of a versioned ingest store via
-    its CURRENT pointer file; None when no snapshot is published yet."""
+def read_manifest(store_dir: str) -> dict | None:
+    """The active manifest of a versioned ingest store, or None before
+    the first publish. Accepts both the round-2 JSON manifest and the
+    round-1 plain-dir-name CURRENT format (treated as a base with no
+    deltas)."""
     cur = f"{store_dir}/CURRENT"
     if not os.path.exists(cur):
         return None
     with open(cur) as fh:
-        name = fh.read().strip()
-    path = f"{store_dir}/{name}"
-    return path if os.path.isdir(path) else None
+        content = fh.read().strip()
+    if content.startswith("{"):
+        m = json.loads(content)
+    else:
+        m = {"base": content, "deltas": []}
+    if not os.path.isdir(f"{store_dir}/{m['base']}"):
+        return None
+    return m
+
+
+def current_store_version(store_dir: str) -> str | None:
+    """Resolve the active BASE snapshot dir of a versioned ingest store;
+    None when no snapshot is published yet. Note: stores with pending
+    deltas have newer data than the base — use `load_versioned_graph`
+    (or Graph.load on the store dir) for the full view."""
+    m = read_manifest(store_dir)
+    return f"{store_dir}/{m['base']}" if m else None
+
+
+def load_versioned_graph(spark: SparkSession, store_dir: str) -> Graph:
+    """Load the full current view of a versioned store: base ∪ deltas.
+
+    Base and deltas share one layout contract (same p_buckets modulus,
+    same sorted-parquet format), so the unioned DataFrames keep the
+    partition-pruning column and per-file row-group stats of each part.
+    """
+    m = read_manifest(store_dir)
+    if m is None:
+        raise FileNotFoundError(f"no published snapshot in {store_dir}")
+    g = Graph.load(spark, f"{store_dir}/{m['base']}")
+    triples, ops, ddf = g.triples, g.triples_ops, g.dictionary.df
+    for name in m["deltas"]:
+        dg = Graph.load(spark, f"{store_dir}/{name}")
+        triples = triples.unionByName(dg.triples)
+        if ops is not None and dg.triples_ops is not None:
+            ops = ops.unionByName(dg.triples_ops)
+        else:
+            ops = None
+        ddf = ddf.unionByName(dg.dictionary.df)
+    return Graph(
+        spark, triples, Dictionary(spark, ddf),
+        triples_ops=ops, p_buckets=g.p_buckets,
+    )
+
+
+def _publish(store_dir: str, manifest: dict, old: dict | None) -> None:
+    """Atomically flip CURRENT to `manifest`; GC dirs referenced by
+    neither the new manifest nor the immediately-previous one (readers
+    of the previous version keep their files)."""
+    tmp = f"{store_dir}/CURRENT.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(manifest))
+    os.replace(tmp, f"{store_dir}/CURRENT")
+    keep = {manifest["base"], *manifest["deltas"]}
+    if old is not None:
+        keep |= {old["base"], *old["deltas"]}
+    for entry in os.listdir(store_dir):
+        if (
+            (entry.startswith("base_") or entry.startswith("delta_")
+             or entry.startswith("v"))
+            and entry not in keep
+            and os.path.isdir(f"{store_dir}/{entry}")
+        ):
+            shutil.rmtree(f"{store_dir}/{entry}", ignore_errors=True)
 
 
 def stream_ntriples_ingest(
@@ -57,48 +130,70 @@ def stream_ntriples_ingest(
     store_dir: str,
     checkpoint_dir: str,
     query_name: str = "graphula_ingest",
+    compact_every: int = 4,
 ):
     """Start a streaming ingest of .nt files appearing in `src_dir`.
 
-    Each micro-batch: parse → extend-or-create the store's dictionary →
-    encode → dedup against the store → append. Returns the streaming
+    Each micro-batch: parse → extend the store dictionary with fresh
+    terms only → encode → dedup against the accumulated store → write a
+    DELTA dir and republish the manifest. Every `compact_every` deltas
+    the store is compacted into a fresh base. Returns the streaming
     query handle; call `.processAllAvailable()` / `.stop()` to drive it.
     """
+
     stream = spark.readStream.format("text").load(src_dir + "/*.nt")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         striples = _parse_lines(batch_df)
-        cur = current_store_version(store_dir)
-        if cur is not None:
-            g = Graph.load(spark, cur)
-            g2 = g.add_string_triples(striples)
-        else:
-            g2 = Graph.from_string_triples(spark, striples, cache=False)
-        # write a fresh versioned snapshot, then flip the CURRENT pointer
-        # atomically (os.replace) — a crash mid-publish leaves the old
-        # snapshot intact and readable, and concurrent readers of the
-        # previous version keep their files (SURVEY §1.6: snapshots
-        # replace LMDB txns). The old delete-then-rename swap could lose
-        # the store on a crash between the two calls.
         os.makedirs(store_dir, exist_ok=True)
-        new_name = f"v{batch_id}"
-        g2.save(f"{store_dir}/{new_name}")
-        tmp = f"{store_dir}/CURRENT.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(new_name)
-        os.replace(tmp, f"{store_dir}/CURRENT")
-        # GC: keep the new snapshot plus the immediately-previous one
-        # (bounded disk; readers of older versions must re-resolve)
-        import shutil
+        cur = read_manifest(store_dir)
+        if cur is None:
+            g = Graph.from_string_triples(spark, striples, cache=False)
+            base = f"base_{batch_id}"
+            g.save(f"{store_dir}/{base}")
+            _publish(store_dir, {"base": base, "deltas": []}, None)
+            return
 
-        keep = {new_name, os.path.basename(cur) if cur else ""}
-        for entry in os.listdir(store_dir):
-            if (
-                entry.startswith("v")
-                and entry not in keep
-                and os.path.isdir(f"{store_dir}/{entry}")
-            ):
-                shutil.rmtree(f"{store_dir}/{entry}", ignore_errors=True)
+        old = load_versioned_graph(spark, store_dir)
+        terms = (
+            striples.select(F.col("s").alias("value"))
+            .unionByName(striples.select(F.col("p").alias("value")))
+            .unionByName(striples.select(F.col("o").alias("value")))
+            .where(F.col("value").isNotNull())
+            .distinct()
+        )
+        new_terms = terms.join(old.dictionary.df, "value", "left_anti")
+        fresh = Dictionary._assign_ids(new_terms, old.dictionary.df)
+        full_dict = Dictionary(
+            spark, old.dictionary.df.unionByName(fresh)
+        )
+        enc = striples
+        for c in ("s", "p", "o"):
+            enc = full_dict.encode_col(enc, c, f"{c}_id")
+        new_triples = (
+            enc.select(
+                F.col("s_id").alias("s"),
+                F.col("p_id").alias("p"),
+                F.col("o_id").alias("o"),
+            )
+            .dropDuplicates(["s", "p", "o"])
+            .join(old.triples.select("s", "p", "o"), ["s", "p", "o"], "left_anti")
+        )
+        delta_name = f"delta_{batch_id}"
+        delta_g = Graph(spark, new_triples, Dictionary(spark, fresh))
+        delta_g.save(f"{store_dir}/{delta_name}", p_buckets=old.p_buckets)
+        deltas = [*cur["deltas"], delta_name]
+        if len(deltas) >= compact_every:
+            merged = Graph(
+                spark,
+                old.triples.select("s", "p", "o").unionByName(new_triples),
+                full_dict,
+            )
+            base = f"base_{batch_id}"
+            merged.save(f"{store_dir}/{base}", p_buckets=old.p_buckets)
+            _publish(store_dir, {"base": base, "deltas": []}, cur)
+        else:
+            _publish(store_dir, {"base": cur["base"], "deltas": deltas}, cur)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

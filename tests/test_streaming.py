@@ -152,3 +152,61 @@ def test_streaming_ntriples_ingest(spark, tmp_path):
         ("http://e/b", "http://e/c"),
         ("http://e/c", "http://e/d"),
     }
+    # batch 2 wrote a DELTA (O(batch) write amplification), not a rewrite
+    from graphula_spark.streaming.ingest import read_manifest
+
+    m = read_manifest(store)
+    assert m["base"].startswith("base_") and len(m["deltas"]) == 1
+
+
+def test_streaming_ingest_compaction(spark, tmp_path):
+    """With compact_every=2 the second delta triggers compaction into a
+    fresh base; data survives and old dirs are GC'd down to the bounded
+    keep-set."""
+    import os
+
+    from graphula_spark.graph import Graph
+    from graphula_spark.plans.bgp import TriplePattern, Var
+    from graphula_spark.streaming.ingest import (
+        read_manifest,
+        stream_ntriples_ingest,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = None
+    try:
+        (src / "b1.nt").write_text("<http://e/a> <http://e/p> <http://e/b> .\n")
+        q = stream_ntriples_ingest(
+            spark, str(src), store, ckpt, query_name="ingest_compact",
+            compact_every=2,
+        )
+        q.processAllAvailable()
+        (src / "b2.nt").write_text("<http://e/b> <http://e/p> <http://e/c> .\n")
+        q.processAllAvailable()
+        (src / "b3.nt").write_text("<http://e/c> <http://e/p> <http://e/d> .\n")
+        q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+
+    m = read_manifest(store)
+    # b2 made delta #1, b3 made delta #2 -> compacted into a new base
+    assert m["deltas"] == [] and m["base"] == "base_2"
+    X, Y = Var("X"), Var("Y")
+    g = Graph.load(spark, store)
+    got = {
+        (r["X"], r["Y"])
+        for r in g.execute_bgp_decoded([TriplePattern(X, "http://e/p", Y)]).collect()
+    }
+    assert got == {
+        ("http://e/a", "http://e/b"),
+        ("http://e/b", "http://e/c"),
+        ("http://e/c", "http://e/d"),
+    }
+    # GC bounded: only dirs referenced by current or previous manifest remain
+    dirs = {d for d in os.listdir(store) if os.path.isdir(f"{store}/{d}")}
+    assert "base_2" in dirs and len(dirs) <= 4
