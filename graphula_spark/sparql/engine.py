@@ -34,8 +34,13 @@ def execute_sparql(graph, query: str) -> DataFrame:
 
 
 def execute_update(graph, update: str):
-    """INSERT DATA / DELETE DATA with ground (variable-free) triples."""
-    from graphula_spark.plans.bgp import Var
+    """SPARQL 1.1 Update: INSERT DATA / DELETE DATA (ground triples),
+    DELETE WHERE, and the pattern forms DELETE {t} [INSERT {t}] WHERE
+    {g} / INSERT {t} WHERE {g}. The reference is insert-only via the
+    load path (Index.scala has no delete; SURVEY §2.3) — extension.
+
+    Returns a NEW Graph (immutable snapshots); both templates are
+    instantiated against the pre-update state, per spec."""
     from graphula_spark.sparql.parser import Parser
 
     p = Parser(update)
@@ -43,14 +48,41 @@ def execute_update(graph, update: str):
     word = p.kw()
     if word == "INSERT":
         p.next()
-        p.expect_kw("DATA")
-        mode = "insert"
-    elif word == "DELETE":
+        if p.kw() == "DATA":
+            p.next()
+            return _ground_update(graph, p, "insert")
+        ins_t = _parse_quad_template(p)
+        p.expect_kw("WHERE")
+        return _pattern_update(graph, p.parse_group(), None, ins_t)
+    if word == "DELETE":
         p.next()
-        p.expect_kw("DATA")
-        mode = "delete"
-    else:
-        raise SyntaxError(f"only INSERT DATA / DELETE DATA supported, got {p.peek()}")
+        if p.kw() == "DATA":
+            p.next()
+            return _ground_update(graph, p, "delete")
+        if p.kw() == "WHERE":
+            # DELETE WHERE {g}: the pattern doubles as the template
+            p.next()
+            grp = p.parse_group()
+            tmpl = [
+                pat
+                for el in grp.elements
+                if isinstance(el, A.Bgp)
+                for pat in el.patterns
+            ]
+            return _pattern_update(graph, grp, tmpl, None)
+        del_t = _parse_quad_template(p)
+        ins_t = None
+        if p.kw() == "INSERT":
+            p.next()
+            ins_t = _parse_quad_template(p)
+        p.expect_kw("WHERE")
+        return _pattern_update(graph, p.parse_group(), del_t, ins_t)
+    raise SyntaxError(f"unsupported update form at {p.peek()}")
+
+
+def _ground_update(graph, p, mode: str):
+    from graphula_spark.plans.bgp import Var
+
     p.expect_op("{")
     patterns, paths = p.parse_triples_block()
     if paths:
@@ -69,27 +101,50 @@ def execute_update(graph, update: str):
     return graph.delete_string_triples(df)
 
 
-def _execute_construct(graph, c: Compiler, q: A.ConstructQuery) -> DataFrame:
-    """CONSTRUCT → DataFrame of (s, p, o) term strings, distinct.
+def _parse_quad_template(p):
+    p.expect_op("{")
+    patterns, paths = p.parse_triples_block()
+    if paths:
+        raise SyntaxError("property paths not allowed in update templates")
+    p.eat_op(".")
+    p.expect_op("}")
+    return patterns
 
-    The reference throws on CONSTRUCT (CustomQueryExecution.scala:
-    218-239) — extension. Template rows with any unbound slot are
-    skipped (SPARQL semantics).
-    """
+
+def _pattern_update(graph, where: A.GroupGraphPattern, delete_t, insert_t):
+    """Evaluate WHERE once, instantiate both templates against the
+    pre-state, delete then insert (SPARQL 1.1 Update §3.1.3)."""
+    c = Compiler(graph)
+    sol = c.compile_group(where)
+    g2 = graph
+    if delete_t:
+        g2 = g2.delete_string_triples(
+            _instantiate_template(graph, c, sol, delete_t)
+        )
+    if insert_t:
+        g2 = g2.add_string_triples(
+            _instantiate_template(graph, c, sol, insert_t)
+        )
+    return g2
+
+
+def _instantiate_template(graph, c: Compiler, sol: Solution, template) -> DataFrame:
+    """Template patterns × solution rows → distinct (s,p,o) term-string
+    triples; rows with any unbound slot are skipped (SPARQL semantics).
+    Shared with CONSTRUCT."""
     from graphula_spark.plans.bgp import Var
 
-    sol = c.compile_group(q.where)
     used_vars = sorted(
         {
             t.name
-            for pat in q.template
+            for pat in template
             for t in pat
             if isinstance(t, Var) and t.name in sol.vars
         }
     )
     sol = c.materialize(sol, [v for v in used_vars if v in sol.id_vars])
     parts = []
-    for pat in q.template:
+    for pat in template:
         cols = []
         ok = True
         for pos, t in zip(("s", "p", "o"), pat):
@@ -109,9 +164,20 @@ def _execute_construct(graph, c: Compiler, q: A.ConstructQuery) -> DataFrame:
     if not parts:
         return graph.spark.createDataFrame([], "s string, p string, o string")
     out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    for part in parts[1:]:
+        out = out.unionByName(part)
     return out.distinct()
+
+
+def _execute_construct(graph, c: Compiler, q: A.ConstructQuery) -> DataFrame:
+    """CONSTRUCT → DataFrame of (s, p, o) term strings, distinct.
+
+    The reference throws on CONSTRUCT (CustomQueryExecution.scala:
+    218-239) — extension. Template rows with any unbound slot are
+    skipped (SPARQL semantics).
+    """
+    sol = c.compile_group(q.where)
+    return _instantiate_template(graph, c, sol, q.template)
 
 
 def _execute_describe(graph, c: Compiler, q: A.DescribeQuery) -> DataFrame:

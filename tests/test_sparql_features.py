@@ -321,6 +321,56 @@ def test_sparql_update_insert_delete(spark):
     assert got == {("c", "d")}
 
 
+def test_sparql_update_pattern_forms(spark):
+    from graphula_spark.graph import Graph
+
+    g0 = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [
+                ("a", "status", "old"),
+                ("b", "status", "old"),
+                ("c", "status", "new"),
+                ("a", "score", "10"),
+            ],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+
+    # DELETE WHERE: pattern doubles as template
+    g1 = g0.sparql_update("DELETE WHERE { ?x <status> <old> }")
+    got = {
+        (r["x"], r["v"])
+        for r in g1.sparql("SELECT ?x ?v WHERE { ?x <status> ?v }").collect()
+    }
+    assert got == {("c", "new")}
+    # untouched triples survive
+    assert g1.sparql("SELECT ?s WHERE { ?s <score> ?v }").count() == 1
+
+    # DELETE {t} INSERT {t} WHERE {g}: rename a predicate in one update
+    g2 = g0.sparql_update(
+        """DELETE { ?x <status> ?v } INSERT { ?x <state> ?v }
+           WHERE { ?x <status> ?v }"""
+    )
+    assert g2.sparql("SELECT ?x WHERE { ?x <status> ?v }").count() == 0
+    got = {
+        (r["x"], r["v"])
+        for r in g2.sparql("SELECT ?x ?v WHERE { ?x <state> ?v }").collect()
+    }
+    assert got == {("a", "old"), ("b", "old"), ("c", "new")}
+
+    # INSERT {t} WHERE {g} with a filter
+    g3 = g0.sparql_update(
+        """INSERT { ?x <flagged> <true> }
+           WHERE { ?x <score> ?s . FILTER(?s >= 5) }"""
+    )
+    got = {r["x"] for r in g3.sparql("SELECT ?x WHERE { ?x <flagged> <true> }").collect()}
+    assert got == {"a"}
+    # pre-state untouched in the new snapshot
+    assert g3.sparql("SELECT ?x ?v WHERE { ?x <status> ?v }").count() == 3
+
+
 def test_construct(g):
     # reference throws on CONSTRUCT (CustomQueryExecution.scala:218-239)
     df = g.sparql(
