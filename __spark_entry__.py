@@ -191,6 +191,18 @@ def q_optional(spark, sf):
     return df.select("name", F.col("ok").cast("long").alias("ok"))
 
 
+def q_sq_path_seq(spark, sf):
+    """Sequence + inverse property path: customer → nation name via the
+    shared key value node (c_nationkey value, entered backwards through
+    n_nationkey). Exercises PSeq/PInv end-to-end over the store."""
+    g = _graph(spark, sf)
+    return g.sparql(
+        """SELECT ?cn ?nname WHERE {
+             ?c <c_name> ?cn .
+             ?c <c_nationkey>/^<n_nationkey>/<n_name> ?nname }"""
+    )
+
+
 def q_union(spark, sf):
     g = _graph(spark, sf)
     return g.sparql(
@@ -740,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_roundtrip": q_decode_roundtrip,
         "sq_filter": q_filter,
         "sq_optional": q_optional,
+        "sq_path_seq": q_sq_path_seq,
         "sq_union": q_union,
         "sq_minus": q_minus,
         "sq_exists": q_exists_filter,
@@ -957,6 +970,10 @@ def oracle_sql() -> dict[str, str]:
         "sq_optional": """
             SELECT c_name AS name, CAST(o_orderkey AS BIGINT) AS ok
             FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        """,
+        "sq_path_seq": """
+            SELECT c_name AS cn, n_name AS nname
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
         """,
         "sq_union": """
             SELECT c_name AS name FROM customer WHERE c_mktsegment = 'FURNITURE'
