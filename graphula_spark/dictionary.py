@@ -58,9 +58,21 @@ class Dictionary:
     (add:144-161, apply(String):125-139, apply(Long):103-119).
     """
 
-    def __init__(self, spark: SparkSession, df: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        bucketed_df: DataFrame | None = None,
+        id_buckets: int | None = None,
+    ):
         self.spark = spark
         self.df = df
+        # optional id-bucketed parquet view (persisted stores): decode
+        # joins include the partition column so Spark's dynamic partition
+        # pruning reads only the buckets the result ids actually hit —
+        # the 100 TB-dictionary decode path (see decode_col)
+        self.bucketed_df = bucketed_df
+        self.id_buckets = id_buckets
         # driver-side memo for query-constant resolution: query planning
         # repeatedly resolves a handful of constants; caching avoids one
         # Spark job per query (negative results cached as None)
@@ -232,8 +244,37 @@ class Dictionary:
         materialization* boundary — call only on final results
         (reference keeps LazyBinding ids until asked,
         core/.../LazyBinding.scala:13-28).
+
+        Past the broadcast threshold, a store-backed dictionary joins
+        through its id-bucketed parquet layout: the join key includes
+        the partition column (a pure function of the id), so dynamic
+        partition pruning restricts the dictionary scan to the buckets
+        present in the (small) result — instead of shuffling the whole
+        multi-TB dictionary per query.
         """
         out = out or col
+        if (
+            self.bucketed_df is not None
+            and self.id_buckets
+            and not self._broadcastable()
+        ):
+            d = self.bucketed_df.select(
+                F.col("id").alias(col),
+                F.col("id_bucket").alias("__dec_b"),
+                F.col("value").alias(f"__dec_{col}"),
+            )
+            keyed = df.withColumn(
+                "__dec_b", F.pmod(F.col(col), F.lit(self.id_buckets))
+            )
+            decoded = keyed.join(d, [col, "__dec_b"], "left").drop("__dec_b")
+            decoded = decoded.withColumn(
+                f"__dec_{col}",
+                F.coalesce(
+                    F.col(f"__dec_{col}"),
+                    F.concat(F.lit("_:"), F.col(col).cast("string")),
+                ),
+            )
+            return decoded.drop(col).withColumnRenamed(f"__dec_{col}", out)
         d = self.df.select(F.col("id").alias(col), F.col("value").alias(f"__dec_{col}"))
         if self._broadcastable():
             d = F.broadcast(d)

@@ -138,6 +138,8 @@ class Graph:
     # -- persistence -----------------------------------------------------
     #: fixed bucket count for the predicate-partitioned layout
     P_BUCKETS = 64
+    #: id-hash bucket count for the persisted dictionary layout
+    DICT_BUCKETS = 64
 
     def save(
         self, path: str, p_buckets: int | None = None, include_ops: bool = True
@@ -174,7 +176,19 @@ class Graph:
                 .partitionBy("p_bucket")
                 .parquet(f"{path}/triples_ops")
             )
-        self.dictionary.df.write.mode("overwrite").parquet(f"{path}/dict")
+        # dictionary partitioned by an id-hash bucket: decode joins on a
+        # loaded store include the partition column, so dynamic partition
+        # pruning reads only the buckets a result's ids hit — the decode
+        # path for dictionaries too big to broadcast (100 TB design)
+        (
+            self.dictionary.df.withColumn(
+                "id_bucket", F.pmod(F.col("id"), F.lit(Graph.DICT_BUCKETS))
+            )
+            .repartition("id_bucket")
+            .write.mode("overwrite")
+            .partitionBy("id_bucket")
+            .parquet(f"{path}/dict")
+        )
         # the bucket count is part of the layout contract: the pruning
         # filter must use the SAME modulus or bound-predicate scans
         # silently miss their partition
@@ -183,7 +197,14 @@ class Graph:
 
         os.makedirs(path, exist_ok=True)
         with open(f"{path}/_meta.json", "w") as fh:
-            json.dump({"p_buckets": p_buckets, "layout": "pmod(p)"}, fh)
+            json.dump(
+                {
+                    "p_buckets": p_buckets,
+                    "layout": "pmod(p)",
+                    "dict_buckets": Graph.DICT_BUCKETS,
+                },
+                fh,
+            )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Graph":
@@ -208,9 +229,12 @@ class Graph:
             if m is not None:
                 path = f"{path}/{m['base']}"
         p_buckets = Graph.P_BUCKETS
+        dict_buckets = None
         if os.path.exists(f"{path}/_meta.json"):
             with open(f"{path}/_meta.json") as fh:
-                p_buckets = json.load(fh).get("p_buckets", Graph.P_BUCKETS)
+                meta = json.load(fh)
+            p_buckets = meta.get("p_buckets", Graph.P_BUCKETS)
+            dict_buckets = meta.get("dict_buckets")
         triples = spark.read.parquet(f"{path}/triples").select(
             "s", "p", "o", "p_bucket"
         )
@@ -219,7 +243,16 @@ class Graph:
             ops = spark.read.parquet(f"{path}/triples_ops").select(
                 "s", "p", "o", "p_bucket"
             )
-        d = Dictionary(spark, spark.read.parquet(f"{path}/dict"))
+        dict_raw = spark.read.parquet(f"{path}/dict")
+        if dict_buckets:
+            d = Dictionary(
+                spark,
+                dict_raw.select("id", "value"),
+                bucketed_df=dict_raw.select("id", "value", "id_bucket"),
+                id_buckets=dict_buckets,
+            )
+        else:
+            d = Dictionary(spark, dict_raw.select("id", "value"))
         return cls(spark, triples, d, triples_ops=ops, p_buckets=p_buckets)
 
     # ------------------------------------------------------------------

@@ -99,6 +99,40 @@ def test_forced_collision_build_and_union(spark, monkeypatch):
         assert m2[t] == m1[t]
 
 
+def test_bucketed_decode_path(spark, tmp_path, monkeypatch):
+    """A store-backed dictionary past the broadcast threshold decodes
+    through the id-bucketed layout: values identical to the broadcast
+    path, and the join carries the partition column so the dict scan is
+    prunable to the result's buckets."""
+    import graphula_spark.dictionary as D
+    from graphula_spark.graph import Graph
+    from graphula_spark.plans.bgp import TriplePattern, Var
+
+    triples = [(f"s{i}", "p", f"o{i}") for i in range(20)]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(triples, ["s", "p", "o"]), cache=False
+    )
+    store = str(tmp_path / "store")
+    g.save(store)
+    g2 = Graph.load(spark, store)
+    assert g2.dictionary.id_buckets == Graph.DICT_BUCKETS
+
+    X, Y = Var("X"), Var("Y")
+    expected = {(f"s{i}", f"o{i}") for i in range(20)}
+    # broadcast path
+    got_b = {
+        (r["X"], r["Y"])
+        for r in g2.execute_bgp_decoded([TriplePattern(X, "p", Y)]).collect()
+    }
+    assert got_b == expected
+    # force the bucketed join path
+    monkeypatch.setattr(D.Dictionary, "BROADCAST_MAX_ROWS", 0)
+    decoded = g2.execute_bgp_decoded([TriplePattern(X, "p", Y)])
+    got = {(r["X"], r["Y"]) for r in decoded.collect()}
+    assert got == expected
+    assert "id_bucket" in decoded._jdf.queryExecution().executedPlan().toString()
+
+
 def test_assign_ids_nonconvergence_raises(spark, monkeypatch):
     """More terms than available ids must fail loudly, not loop."""
     import pytest as _pytest
