@@ -59,5 +59,64 @@ p = plan_of(sig)
 out.append("## 4. MinHash signatures\n")
 out.append(f"```\nExchanges: {p.count('Exchange')} (single repartition of the 5k-doc scan; zero aggregation shuffles — signatures are per-row array folds)\n```\n")
 
+# 5. bucketed-dictionary decode join (round 2): force the non-broadcast
+# path and show the id_bucket partition column riding the join
+import graphula_spark.dictionary as D
+
+saved_thresh = D.Dictionary.BROADCAST_MAX_ROWS
+D.Dictionary.BROADCAST_MAX_ROWS = 0
+try:
+    dec = g.execute_bgp_decoded([TriplePattern(X, "c_name", Y)])
+    dec.count()
+    p = plan_of(dec)
+    has_bucket = "id_bucket" in p
+    dyn = "dynamicpruning" in p.lower()
+    out.append("## 5. Decode join past the broadcast threshold (id-bucketed dict layout)\n")
+    out.append(
+        f"```\njoin key includes id_bucket partition column: {has_bucket}\n"
+        f"dynamic partition pruning expression present: {dyn}\n```\n"
+    )
+    out.append(
+        "With the dictionary too big to broadcast, the decode join carries "
+        "`pmod(id, 64)` so the dict scan prunes to the buckets the result "
+        "ids hit — the whole dictionary is never shuffled.\n"
+    )
+finally:
+    D.Dictionary.BROADCAST_MAX_ROWS = saved_thresh
+
+# 6. lineitem triple-izer — no global sort (round-2 fix)
+from graphula_spark.sources.relational import lineitem_to_triples
+
+li = spark.read.parquet(f"{sf}/lineitem.parquet")
+p = plan_of(lineitem_to_triples(li))
+n_single = p.count("SinglePartition")
+out.append("## 6. Lineitem triple-izer subject assignment\n")
+out.append(
+    f"```\nExchange SinglePartition stages: {n_single}\n"
+    f"Window partitioned by full row (hash-distributed): {'Window' in p}\n```\n"
+)
+out.append(
+    "Round 1 used an unpartitioned row_number (global sort through one "
+    "task); subjects are now a 128-bit full-row hash + per-duplicate-group "
+    "sequence — the only shuffle is hash-partitioned by the full row.\n"
+)
+
+# 7. gopher signals — two-stage keyed aggregation for top-word share
+gp = E.q_text_gopher(spark, sf)
+gp.count()
+p = plan_of(gp)
+out.append("## 7. Gopher signals (top-word share)\n")
+out.append(
+    f"```\nHashAggregate stages: {p.count('HashAggregate')} "
+    f"(partial+final on (doc,word), then (doc))\n"
+    f"SortMergeJoin: {p.count('SortMergeJoin')}   "
+    f"BroadcastHashJoin: {p.count('BroadcastHashJoin')}\n```\n"
+)
+out.append(
+    "Per-doc array signals are JVM higher-order functions (no shuffle); "
+    "only the top-word share explodes to (doc, word) and aggregates on "
+    "bounded keys.\n"
+)
+
 open("/root/repo/PLANS.md", "w").write("\n".join(out))
 print("written")
