@@ -77,6 +77,36 @@ def execute_update(graph, update: str):
             ins_t = _parse_quad_template(p)
         p.expect_kw("WHERE")
         return _pattern_update(graph, p.parse_group(), del_t, ins_t)
+    if word == "CLEAR":
+        # single-graph store: CLEAR DEFAULT / CLEAR ALL empty it
+        p.next()
+        if p.kw() in ("DEFAULT", "ALL"):
+            p.next()
+        elif p.kw() == "SILENT":
+            p.next()
+            if p.kw() in ("DEFAULT", "ALL"):
+                p.next()
+        from graphula_spark.graph import Graph
+
+        return Graph.from_string_triples(
+            graph.spark,
+            graph.spark.createDataFrame([], "s string, p string, o string"),
+            cache=False,
+        )
+    if word == "LOAD":
+        # LOAD <path-or-file-iri>: bulk-add an N-Triples file
+        p.next()
+        if p.kw() == "SILENT":
+            p.next()
+        t = p.next()
+        if t.kind != "IRI":
+            raise SyntaxError(f"LOAD expects an IRI, got {t}")
+        src = t.text[1:-1]
+        if src.startswith("file://"):
+            src = src[len("file://"):]
+        from graphula_spark.sources.ntriples import read_ntriples
+
+        return graph.add_string_triples(read_ntriples(graph.spark, src))
     raise SyntaxError(f"unsupported update form at {p.peek()}")
 
 

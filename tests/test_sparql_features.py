@@ -371,6 +371,28 @@ def test_sparql_update_pattern_forms(spark):
     assert g3.sparql("SELECT ?x ?v WHERE { ?x <status> ?v }").count() == 3
 
 
+def test_sparql_update_clear_and_load(spark, tmp_path):
+    from graphula_spark.graph import Graph
+
+    g0 = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame([("a", "p", "b")], ["s", "p", "o"]),
+        cache=False,
+    )
+    g1 = g0.sparql_update("CLEAR DEFAULT")
+    assert g1.triples.count() == 0
+
+    nt = tmp_path / "feed.nt"
+    nt.write_text(
+        "<http://e/x> <http://e/p> <http://e/y> .\n"
+        "<http://e/y> <http://e/p> <http://e/z> .\n"
+    )
+    g2 = g0.sparql_update(f"LOAD <file://{nt}>")
+    assert g2.sparql("SELECT ?s WHERE { ?s <http://e/p> ?o }").count() == 2
+    # original triple still present
+    assert g2.sparql("ASK { <a> <p> <b> }").collect()[0]["ask"] is True
+
+
 def test_construct(g):
     # reference throws on CONSTRUCT (CustomQueryExecution.scala:218-239)
     df = g.sparql(
