@@ -171,6 +171,38 @@ def q_decode_roundtrip(spark, sf):
     )
 
 
+def q_graph_probes(spark, sf):
+    """Five core probe operators folded into one driver row (the driver
+    records at most 50 CORRECTNESS rows, in queries() insertion order):
+    COUNT-only BGP (O14, Graphula.scala:365-486), existence probe (O4,
+    Index.scala:112-118), pattern cardinality (O6, Index.scala:120-131),
+    dictionary term count (O7, Dictionary.scala:144-161), and the decode
+    round-trip (O8, Dictionary.scala:103-119). Each sub-probe keeps its
+    own pytest coverage; this entry is the oracle-hashed evidence."""
+    parts = [
+        q_bgp_count(spark, sf).select(
+            F.lit("bgp_count").alias("probe"), F.col("n").cast("string").alias("v")
+        ),
+        q_exists_probe(spark, sf).select(
+            F.lit("exists_probe").alias("probe"), F.col("ask").cast("string").alias("v")
+        ),
+        q_value_count(spark, sf).select(
+            F.lit("value_count").alias("probe"), F.col("n").cast("string").alias("v")
+        ),
+        q_dict_terms(spark, sf).select(
+            F.lit("dict_terms").alias("probe"),
+            F.col("n_terms").cast("string").alias("v"),
+        ),
+        q_decode_roundtrip(spark, sf).select(
+            F.lit("decode").alias("probe"), F.col("c").alias("v")
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_filter(spark, sf):
     g = _graph(spark, sf)
     df = g.sparql(
@@ -291,20 +323,11 @@ def q_bind(spark, sf):
     return df.select("name", F.round(F.col("bonus"), 4).alias("bonus"))
 
 
-def q_values_inline(spark, sf):
-    g = _graph(spark, sf)
-    return g.sparql(
-        """SELECT ?nname ?cname WHERE {
-             VALUES ?nname { <NATION_1> <NATION_3> }
-             ?n <n_name> ?nname . ?n <n_nationkey> ?k .
-             ?c <c_nationkey> ?k . ?c <c_name> ?cname . }"""
-    )
-
-
 def q_values_undef(spark, sf):
-    """VALUES with UNDEF rows: compatibility join (unbound matches
-    anything) — a solution compatible with both VALUES rows appears
-    once per row (bag semantics), mirrored by UNION ALL in the oracle."""
+    """VALUES incl. UNDEF rows: inline-data join plus the SPARQL
+    compatibility semantics (unbound matches anything) — a solution
+    compatible with both VALUES rows appears once per row (bag
+    semantics), mirrored by UNION ALL in the oracle."""
     g = _graph(spark, sf)
     return g.sparql(
         """SELECT ?cname ?seg ?nname WHERE {
@@ -341,11 +364,18 @@ def q_subquery(spark, sf):
     return df.select("name", "n")
 
 
-def q_hash_fns(spark, sf):
+def q_term_fns(spark, sf):
+    """Term-constructor and hash builtins in one row: IRI() building a
+    subject from a foreign-key value and joining it back into the graph
+    (val-var/id-var join), plus MD5/SHA256 over the joined name — the
+    ARQ-delegated function surface the reference gets from Jena
+    (Sparql.scala:41-52, build.sbt:25)."""
     g = _graph(spark, sf)
     return g.sparql(
-        """SELECT ?name ?md ?sha WHERE {
-             ?c <c_name> ?name . ?c <c_mktsegment> <FURNITURE> .
+        """SELECT ?o ?name ?md ?sha WHERE {
+             ?o <o_custkey> ?ck .
+             BIND(IRI(CONCAT("customer:", STR(?ck))) AS ?cust)
+             ?cust <c_name> ?name .
              BIND(MD5(STR(?name)) AS ?md)
              BIND(SHA256(STR(?name)) AS ?sha) }"""
     )
@@ -357,18 +387,6 @@ def q_datetime_parts(spark, sf):
         """SELECT ?o ?y ?m WHERE {
              ?o <o_orderdate> ?d . ?o <o_orderstatus> <F> .
              BIND(YEAR(?d) AS ?y) BIND(MONTH(?d) AS ?m) }"""
-    )
-
-
-def q_iri_construct(spark, sf):
-    """IRI() constructor: build the customer subject from the foreign-key
-    value and join it back against the graph (val-var/id-var join)."""
-    g = _graph(spark, sf)
-    return g.sparql(
-        """SELECT ?o ?name WHERE {
-             ?o <o_custkey> ?ck .
-             BIND(IRI(CONCAT("customer:", STR(?ck))) AS ?cust)
-             ?cust <c_name> ?name . }"""
     )
 
 
@@ -476,17 +494,6 @@ def q_events_stateful(spark, sf):
     return run_stateful_over_parquet(spark, f"{sf}/events.parquet")
 
 
-def q_mm_frames(spark, sf):
-    from graphula_spark.operators.multimodal import documents_as_media, sample_frames
-
-    media = documents_as_media(_docs(spark, sf))
-    return (
-        sample_frames(media, every_n=10)
-        .groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n_frames"))
-    )
-
-
 def q_approx_distinct(spark, sf):
     # HLL sketch, driver-verifiable form: emit the exact count (oracle
     # hash-matches it) plus a bounded-relative-error flag for the sketch
@@ -510,32 +517,45 @@ def q_approx_distinct(spark, sf):
 
 
 def q_text_token_count(spark, sf):
-    from graphula_spark.operators.text import char_count, token_count
+    """Whitespace token count, char count, and the BPE-ish regex token
+    count ([A-Za-z]+|[0-9]+|punct) in one per-doc row."""
+    from graphula_spark.operators.text import (
+        bpe_ish_token_count,
+        char_count,
+        token_count,
+    )
 
     d = _docs(spark, sf)
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         char_count(F.col("text")).alias("n_chars_m"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
-def q_text_punct_stopword(spark, sf):
-    from graphula_spark.operators.text import punct_ratio, stopword_ratio
+def q_text_profile(spark, sf):
+    """Per-document text-analysis profile in one row: punctuation and
+    stopword ratios, composite quality score, n-gram-heuristic language
+    id, and the normalized md5 fingerprint — one pass over documents
+    computing all profile columns (the shape a 100 TB pipeline would
+    use: a single scan, all-column select, zero shuffles)."""
+    from graphula_spark.operators.text import (
+        fingerprint,
+        lang_id,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
 
     d = _docs(spark, sf)
     return d.select(
         "doc_id",
         punct_ratio(F.col("text")).alias("punct_ratio"),
         stopword_ratio(F.col("text"), "en").alias("stopword_ratio_en"),
-    )
-
-
-def q_text_bpe_tokens(spark, sf):
-    from graphula_spark.operators.text import bpe_ish_token_count
-
-    return _docs(spark, sf).select(
-        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("pred_lang"),
+        fingerprint(F.col("text")).alias("fp"),
     )
 
 
@@ -543,12 +563,6 @@ def q_text_kgram_fp(spark, sf):
     from graphula_spark.operators.text import sampled_kgram_fingerprints
 
     return sampled_kgram_fingerprints(_docs(spark, sf), "doc_id", "text")
-
-
-def q_text_langid(spark, sf):
-    from graphula_spark.operators.text import lang_id
-
-    return _docs(spark, sf).select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
 
 
 def q_text_scrub_pii(spark, sf):
@@ -565,14 +579,6 @@ def q_text_scrub_pii(spark, sf):
         F.col("doc_id").cast("string"),
     )
     return d.select("doc_id", scrub_pii(synth).alias("clean"))
-
-
-def q_text_quality(spark, sf):
-    from graphula_spark.operators.text import quality_score
-
-    return _docs(spark, sf).select(
-        "doc_id", quality_score(F.col("text")).alias("quality")
-    )
 
 
 def q_text_gopher(spark, sf):
@@ -601,17 +607,24 @@ def q_salted_agg(spark, sf):
     return out.select("event_type", F.round("value_sum", 4).alias("value_sum"))
 
 
-def q_text_fingerprint(spark, sf):
-    from graphula_spark.operators.text import fingerprint
-
-    return _docs(spark, sf).select("doc_id", fingerprint(F.col("text")).alias("fp"))
-
-
-def q_mm_features(spark, sf):
-    from graphula_spark.operators.multimodal import documents_as_media, extract_features
+def q_mm_pipeline(spark, sf):
+    """Multimodal pipeline in one row: binary+metadata media schema,
+    Arrow-batched feature extraction (mapInPandas), and frame sampling —
+    features joined with per-media frame counts."""
+    from graphula_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+        sample_frames,
+    )
 
     media = documents_as_media(_docs(spark, sf))
-    return extract_features(media, fake=True).select("media_id", "n_bytes", "digest")
+    feats = extract_features(media, fake=True).select("media_id", "n_bytes", "digest")
+    frames = (
+        sample_frames(media, every_n=10)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return feats.join(frames, "media_id")
 
 
 def q_events_window(spark, sf):
@@ -643,8 +656,12 @@ def q_events_sessionize(spark, sf):
     return session_counts(_events(spark, sf), gap_minutes=30)
 
 
-def q_events_asof(spark, sf):
-    from graphula_spark.operators.relational import asof_join
+def q_events_temporal_join(spark, sf):
+    """Both temporal-join operators in one row: as-of join (last click
+    at-or-before each purchase, union+window — no per-row lookup) and
+    the bucketed range join (clicks within ±600 s, bucketed equi-join —
+    no BNLJ), joined on the purchase id."""
+    from graphula_spark.operators.relational import asof_join, range_join_count
 
     ev = _events(spark, sf)
     purchases = ev.where(F.col("event_type") == "purchase").select(
@@ -654,22 +671,15 @@ def q_events_asof(spark, sf):
         F.col("ts").alias("ts"), F.col("user_id").alias("user_id"),
         F.col("event_id").alias("click_id"),
     )
-    out = asof_join(purchases, clicks, on="ts", by="user_id")
-    return out.select("event_id", "user_id", "click_id")
-
-
-def q_events_range_join(spark, sf):
-    from graphula_spark.operators.relational import range_join_count
-
-    ev = _events(spark, sf)
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "ts", "user_id"
+    out_asof = asof_join(purchases, clicks, on="ts", by="user_id").select(
+        "event_id", "user_id", "click_id"
     )
-    clicks = ev.where(F.col("event_type") == "click").select("ts", "user_id")
-    out = range_join_count(
-        purchases, clicks, "ts", "ts", "user_id", 600, 600, "n_clicks_near"
-    )
-    return out.select("event_id", "n_clicks_near")
+    rj = range_join_count(
+        purchases,
+        clicks.select("ts", "user_id"),
+        "ts", "ts", "user_id", 600, 600, "n_clicks_near",
+    ).select("event_id", "n_clicks_near")
+    return out_asof.join(rj, "event_id")
 
 
 def _belongs_edges(spark, sf):
@@ -684,32 +694,53 @@ def _belongs_edges(spark, sf):
     return cust.unionByName(nat)
 
 
-def q_transitive_closure(spark, sf):
-    from graphula_spark.operators.paths import transitive_closure
+def q_graph_reach(spark, sf):
+    """Semi-naive iterative graph operators in one row: full transitive
+    closure plus seeded reachability (frontier-only joins, per-round
+    persist/unpersist), labeled and unioned."""
+    from graphula_spark.operators.paths import reachable_from, transitive_closure
 
-    return transitive_closure(_belongs_edges(spark, sf), "src", "dst")
-
-
-def q_reachable_from(spark, sf):
-    from graphula_spark.operators.paths import reachable_from
-
+    edges = _belongs_edges(spark, sf)
+    clo = transitive_closure(edges, "src", "dst").select(
+        F.lit("closure").alias("kind"), F.col("src").alias("a"), F.col("dst").alias("b")
+    )
     seeds = spark.createDataFrame(
         [("customer:1",), ("customer:2",), ("nation:0",)], ["start"]
     )
-    return reachable_from(_belongs_edges(spark, sf), seeds)
+    rfr = reachable_from(edges, seeds).select(
+        F.lit("reach").alias("kind"),
+        F.col("start").alias("a"),
+        F.col("node").alias("b"),
+    )
+    return clo.unionByName(rfr)
 
 
-def q_topn_per_group(spark, sf):
+def q_window_funcs(spark, sf):
+    """Both window-function operators in one row: top-n per group
+    (row_number over price-desc) and the running total (sum over
+    date-ordered rows) — top-3 orders per customer, each carrying its
+    running total at that point in the customer's order history."""
     from pyspark.sql.window import Window
 
     orders = spark.read.parquet(f"{sf}/orders.parquet")
-    w = Window.partitionBy("o_custkey").orderBy(
+    w_rank = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_rank).alias("rn"),
+            F.round(F.sum("o_totalprice").over(w_run), 2).alias("run_total"),
+        )
         .where(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "run_total")
     )
 
 
@@ -724,32 +755,17 @@ def q_rollup(spark, sf):
     )
 
 
-def q_window_running(spark, sf):
-    from pyspark.sql.window import Window
-
-    orders = spark.read.parquet(f"{sf}/orders.parquet")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return orders.select(
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("run_total"),
-    )
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # core engine (SURVEY §2: O4-O14, O18-O22 + §2.2 surface)
+        # core engine (SURVEY §2: O4-O14, O18-O22 + §2.2 surface).
+        # NOTE: the driver records at most 50 CORRECTNESS rows in
+        # insertion order — keep this dict at <=50 entries; related
+        # operators share a merged entry (see each q_* docstring for
+        # the operator -> entry mapping, mirrored in SURVEY.md §8).
         "bgp_join": q_bgp_join,
         "bgp_star": q_bgp_star,
-        "bgp_count": q_bgp_count,
-        "exists_probe": q_exists_probe,
+        "graph_probes": q_graph_probes,
         "values_scan": q_values_scan,
-        "value_count": q_value_count,
-        "dict_terms": q_dict_terms,
-        "decode_roundtrip": q_decode_roundtrip,
         "sq_filter": q_filter,
         "sq_optional": q_optional,
         "sq_path_seq": q_sq_path_seq,
@@ -762,13 +778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_having": q_having,
         "sq_agg_minmax": q_agg_minmax,
         "sq_bind": q_bind,
-        "sq_values": q_values_inline,
-        "sq_values_undef": q_values_undef,
+        "sq_values": q_values_undef,
         "sq_ask": q_ask,
         "sq_select_expr": q_select_expr,
-        "sq_hash_fns": q_hash_fns,
+        "sq_term_fns": q_term_fns,
         "sq_datetime_parts": q_datetime_parts,
-        "sq_iri_construct": q_iri_construct,
         "sq_lineitem_agg": q_lineitem_agg,
         "sq_subquery": q_subquery,
         # extensions
@@ -781,31 +795,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "events_stateful": q_events_stateful,
-        "mm_frames": q_mm_frames,
         "approx_distinct": q_approx_distinct,
         "text_token_count": q_text_token_count,
-        "text_punct_stopword": q_text_punct_stopword,
-        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_profile": q_text_profile,
         "text_kgram_fp": q_text_kgram_fp,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
         "text_scrub_pii": q_text_scrub_pii,
-        "text_fingerprint": q_text_fingerprint,
         "text_gopher": q_text_gopher,
         "text_pack_shards": q_text_pack_shards,
         "rel_salted_agg": q_salted_agg,
-        "mm_features": q_mm_features,
+        "mm_pipeline": q_mm_pipeline,
         "events_window": q_events_window,
         "events_window_stream": q_events_window_stream,
         "events_window_sliding": q_events_window_sliding,
         "events_sessionize": q_events_sessionize,
-        "events_asof": q_events_asof,
-        "events_range_join": q_events_range_join,
-        "rel_transitive_closure": q_transitive_closure,
-        "rel_reachable_from": q_reachable_from,
-        "rel_topn_per_group": q_topn_per_group,
+        "events_temporal_join": q_events_temporal_join,
+        "rel_graph_reach": q_graph_reach,
+        "rel_window_funcs": q_window_funcs,
         "rel_rollup": q_rollup,
-        "rel_window_running": q_window_running,
     }
 
 
@@ -946,23 +952,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
         """,
-        "bgp_count": "SELECT CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_orderstatus = 'F'",
-        "exists_probe": "SELECT EXISTS(SELECT 1 FROM customer WHERE c_custkey = 1) AS ask",
-        "values_scan": "SELECT DISTINCT 'customer:' || c_custkey AS subj FROM customer",
-        "value_count": "SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n FROM customer",
-        "dict_terms": """
-            SELECT CAST(count(*) AS BIGINT) AS n_terms FROM (
+        "graph_probes": """
+            SELECT 'bgp_count' AS probe,
+                   CAST(count(*) AS VARCHAR) AS v
+            FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT 'exists_probe',
+                   CAST(EXISTS(SELECT 1 FROM customer WHERE c_custkey = 1) AS VARCHAR)
+            UNION ALL
+            SELECT 'value_count', CAST(count(DISTINCT c_custkey) AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'dict_terms', CAST(count(*) AS VARCHAR) FROM (
               SELECT 'nation:' || n_nationkey AS v FROM nation
               UNION SELECT 'n_nationkey' UNION SELECT 'n_name' UNION SELECT 'n_regionkey'
               UNION SELECT CAST(n_nationkey AS VARCHAR) FROM nation
               UNION SELECT n_name FROM nation
               UNION SELECT CAST(n_regionkey AS VARCHAR) FROM nation
             )
+            UNION ALL
+            SELECT 'decode', c FROM (
+              SELECT 'customer:' || c_custkey AS c FROM customer
+              WHERE c_mktsegment = 'FURNITURE' ORDER BY 1 LIMIT 5
+            )
         """,
-        "decode_roundtrip": """
-            SELECT 'customer:' || c_custkey AS c FROM customer
-            WHERE c_mktsegment = 'FURNITURE' ORDER BY 1 LIMIT 5
-        """,
+        "values_scan": "SELECT DISTINCT 'customer:' || c_custkey AS subj FROM customer",
         "sq_filter": """
             SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
             FROM customer WHERE c_acctbal > 5000
@@ -1015,11 +1029,6 @@ def oracle_sql() -> dict[str, str]:
             FROM customer WHERE c_acctbal > 9000
         """,
         "sq_values": """
-            SELECT n_name AS nname, c_name AS cname
-            FROM nation JOIN customer ON c_nationkey = n_nationkey
-            WHERE n_name IN ('NATION_1', 'NATION_3')
-        """,
-        "sq_values_undef": """
             SELECT c_name AS cname, c_mktsegment AS seg, n_name AS nname
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WHERE c_mktsegment = 'FURNITURE'
@@ -1041,19 +1050,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_name AS name, CAST(t.n AS BIGINT) AS n
             FROM customer c JOIN top2 t ON c.c_nationkey = t.k
         """,
-        "sq_hash_fns": """
-            SELECT c_name AS name, md5(c_name) AS md, sha256(c_name) AS sha
-            FROM customer WHERE c_mktsegment = 'FURNITURE'
+        "sq_term_fns": """
+            SELECT 'orders:' || o_orderkey AS o, c_name AS name,
+                   md5(c_name) AS md, sha256(c_name) AS sha
+            FROM orders JOIN customer ON c_custkey = o_custkey
         """,
         "sq_datetime_parts": """
             SELECT 'orders:' || o_orderkey AS o,
                    CAST(year(o_orderdate) AS DOUBLE) AS y,
                    CAST(month(o_orderdate) AS DOUBLE) AS m
             FROM orders WHERE o_orderstatus = 'F'
-        """,
-        "sq_iri_construct": """
-            SELECT 'orders:' || o_orderkey AS o, c_name AS name
-            FROM orders JOIN customer ON c_custkey = o_custkey
         """,
         "sq_lineitem_agg": """
             SELECT l_returnflag AS rf, l_linestatus AS ls,
@@ -1139,29 +1145,48 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
         """,
-        "mm_frames": """
-            SELECT CAST(doc_id AS BIGINT) AS media_id,
-                   CAST(((greatest(strlen(text) // 64, 1) - 1) // 10) + 1 AS BIGINT) AS n_frames
-            FROM documents
-        """,
         "text_token_count": f"""
             SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens,
-                   CAST(length(text) AS INT) AS n_chars_m
-            FROM documents
-        """,
-        "text_punct_stopword": f"""
-            SELECT doc_id,
-                   round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-                         / greatest(length(text), 1), 4) AS punct_ratio,
-                   round(CAST(len(list_filter({_TOKENS}, t -> list_contains({_SW_EN}, t))) AS DOUBLE)
-                         / greatest(len({_TOKENS}), 1), 4) AS stopword_ratio_en
-            FROM documents
-        """,
-        "text_bpe_tokens": """
-            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars_m,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "text_profile": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKENS} AS toks,
+                     round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1), 4) AS punct_ratio,
+                     round(CAST(len(list_filter({_TOKENS}, x -> list_contains({_SW_EN}, x))) AS DOUBLE)
+                           / greatest(len({_TOKENS}), 1), 4) AS stopword_ratio_en
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, punct_ratio, stopword_ratio_en,
+                     len(toks) AS n,
+                     CAST(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') AS DOUBLE)
+                       / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_len,
+                     len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','nicht','mit','von','zu'], t))) AS de,
+                     len(list_filter(toks, t -> list_contains({_SW_EN}, t))) AS en,
+                     len(list_filter(toks, t -> list_contains(['el','la','los','las','y','es','un','una','en','que'], t))) AS es,
+                     len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], t))) AS fr
+              FROM t
+            )
+            SELECT doc_id, punct_ratio, stopword_ratio_en,
+                   floor((
+                       (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN n >= 10 THEN 1.0 ELSE CAST(n AS DOUBLE) / 10.0 END)
+                     + (CASE WHEN punct_ratio <= 0.1 THEN 1.0
+                             ELSE greatest(0.0, 1.0 - (punct_ratio - 0.1) * 5) END)
+                     + least(stopword_ratio_en * 5.0, 1.0)
+                     ) / 4.0 * 10000) / 10000 AS quality,
+                   CASE
+                     WHEN fr > de AND fr > en AND fr > es THEN 'fr'
+                     WHEN es > de AND es > en THEN 'es'
+                     WHEN en > de THEN 'en'
+                     WHEN de > 0 THEN 'de'
+                     ELSE 'und' END AS pred_lang,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM m
         """,
         "text_kgram_fp": """
             WITH g AS (
@@ -1176,26 +1201,6 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             )
             WHERE md5(substr(norm, i, 8)) LIKE '0%'
-        """,
-        "text_langid": f"""
-            WITH scored AS (
-              SELECT doc_id, {_TOKENS} AS toks FROM documents
-            ), s2 AS (
-              SELECT doc_id,
-                len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','nicht','mit','von','zu'], t))) AS de,
-                len(list_filter(toks, t -> list_contains({_SW_EN}, t))) AS en,
-                len(list_filter(toks, t -> list_contains(['el','la','los','las','y','es','un','una','en','que'], t))) AS es,
-                len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], t))) AS fr
-              FROM scored
-            )
-            SELECT doc_id,
-              CASE
-                WHEN fr > de AND fr > en AND fr > es THEN 'fr'
-                WHEN es > de AND es > en THEN 'es'
-                WHEN en > de THEN 'en'
-                WHEN de > 0 THEN 'de'
-                ELSE 'und' END AS pred_lang
-            FROM s2
         """,
         "text_scrub_pii": """
             SELECT doc_id,
@@ -1212,28 +1217,6 @@ def oracle_sql() -> dict[str, str]:
                 '\\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\\b', '<CARD>', 'g')
               AS clean
             FROM documents
-        """,
-        "text_quality": f"""
-            WITH t AS (
-              SELECT doc_id, {_TOKENS} AS toks,
-                     round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-                           / greatest(length(text), 1), 4) AS p,
-                     round(CAST(len(list_filter({_TOKENS}, x -> list_contains({_SW_EN}, x))) AS DOUBLE)
-                           / greatest(len({_TOKENS}), 1), 4) AS swr
-              FROM documents
-            ), m AS (
-              SELECT doc_id, len(toks) AS n, p, swr,
-                     CAST(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') AS DOUBLE)
-                       / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_len
-              FROM t
-            )
-            SELECT doc_id, floor((
-                     (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1.0 ELSE 0.0 END)
-                   + (CASE WHEN n >= 10 THEN 1.0 ELSE CAST(n AS DOUBLE) / 10.0 END)
-                   + (CASE WHEN p <= 0.1 THEN 1.0 ELSE greatest(0.0, 1.0 - (p - 0.1) * 5) END)
-                   + least(swr * 5.0, 1.0)
-                   ) / 4.0 * 10000) / 10000 AS quality
-            FROM m
         """,
         "text_gopher": f"""
             WITH t AS (
@@ -1287,14 +1270,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(sum(value), 4) AS value_sum
             FROM events GROUP BY event_type
         """,
-        "text_fingerprint": """
-            SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-            FROM documents
-        """,
-        "mm_features": """
+        "mm_pipeline": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
-                   md5(text) AS digest
+                   md5(text) AS digest,
+                   CAST(((greatest(strlen(text) // 64, 1) - 1) // 10) + 1 AS BIGINT) AS n_frames
             FROM documents
         """,
         "events_window": """
@@ -1339,22 +1319,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM g GROUP BY user_id
         """,
-        "events_asof": """
-            SELECT p.event_id, p.user_id, c.click_id
-            FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') p
-            ASOF LEFT JOIN
-                 (SELECT event_id AS click_id, ts, user_id FROM events WHERE event_type = 'click') c
-            ON p.user_id = c.user_id AND p.ts >= c.ts
+        "events_temporal_join": """
+            WITH a AS (
+              SELECT p.event_id, p.user_id, c.click_id
+              FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') p
+              ASOF LEFT JOIN
+                   (SELECT event_id AS click_id, ts, user_id FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ), r AS (
+              SELECT p.event_id,
+                     CAST((SELECT count(*) FROM events c
+                           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                             AND epoch(c.ts) >= epoch(p.ts) - 600
+                             AND epoch(c.ts) <= epoch(p.ts) + 600) AS BIGINT) AS n_clicks_near
+              FROM events p WHERE p.event_type = 'purchase'
+            )
+            SELECT a.event_id, a.user_id, a.click_id, r.n_clicks_near
+            FROM a JOIN r USING (event_id)
         """,
-        "events_range_join": """
-            SELECT p.event_id,
-                   CAST((SELECT count(*) FROM events c
-                         WHERE c.event_type = 'click' AND c.user_id = p.user_id
-                           AND epoch(c.ts) >= epoch(p.ts) - 600
-                           AND epoch(c.ts) <= epoch(p.ts) + 600) AS BIGINT) AS n_clicks_near
-            FROM events p WHERE p.event_type = 'purchase'
-        """,
-        "rel_transitive_closure": """
+        "rel_graph_reach": """
             WITH RECURSIVE edges AS (
               SELECT 'customer:' || c_custkey AS src, 'nation:' || c_nationkey AS dst
               FROM customer
@@ -1364,28 +1347,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT src, dst FROM edges
               UNION
               SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
-            )
-            SELECT DISTINCT src, dst FROM closure
-        """,
-        "rel_reachable_from": """
-            WITH RECURSIVE edges AS (
-              SELECT 'customer:' || c_custkey AS src, 'nation:' || c_nationkey AS dst
-              FROM customer
-              UNION ALL
-              SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
             ), seeds(start) AS (VALUES ('customer:1'), ('customer:2'), ('nation:0')),
             reach AS (
               SELECT s.start, e.dst AS node FROM seeds s JOIN edges e ON e.src = s.start
               UNION
               SELECT r.start, e.dst FROM reach r JOIN edges e ON e.src = r.node
             )
-            SELECT DISTINCT start, node FROM reach
+            SELECT 'closure' AS kind, src AS a, dst AS b FROM (SELECT DISTINCT src, dst FROM closure)
+            UNION ALL
+            SELECT 'reach', start, node FROM (SELECT DISTINCT start, node FROM reach)
         """,
-        "rel_topn_per_group": """
-            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        "rel_window_funcs": """
+            SELECT o_custkey, o_orderkey, o_totalprice, run_total FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,
                      row_number() OVER (PARTITION BY o_custkey
-                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+                     round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
               FROM orders
             ) WHERE rn <= 3
         """,
@@ -1393,13 +1373,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
                    round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        """,
-        "rel_window_running": """
-            SELECT o_orderkey,
-                   round(sum(o_totalprice) OVER (
-                     PARTITION BY o_custkey
-                     ORDER BY o_orderdate ASC, o_orderkey ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
-            FROM orders
         """,
     }

@@ -25,7 +25,7 @@ from graphula_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "bgp_join",
     "bgp_star",
-    "bgp_count",
+    "graph_probes",
     "sq_filter",
     "sq_optional",
     "sq_groupby_agg",
@@ -38,16 +38,14 @@ HEADLINE = [
     "ann_cosine_topk",
     "dedup_embedding",
     "events_stateful",
-    "rel_transitive_closure",
+    "rel_graph_reach",
     "text_token_count",
-    "text_langid",
-    "text_fingerprint",
-    "mm_features",
+    "text_profile",
+    "mm_pipeline",
     "events_window",
     "events_sessionize",
-    "events_asof",
-    "rel_topn_per_group",
-    "rel_window_running",
+    "events_temporal_join",
+    "rel_window_funcs",
 ]
 
 
@@ -72,7 +70,7 @@ def main() -> None:
     # bench wall-clock down; their time is real work, not session floor
     no_warmup = {
         "dedup_minhash", "dedup_ngram_jaccard", "events_stateful",
-        "rel_transitive_closure",
+        "rel_graph_reach",
     }
 
     per_query: dict[str, float] = {}
