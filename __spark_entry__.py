@@ -444,6 +444,17 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    # transitive closure of the blocked-jaccard near-dup pairs via
+    # min-label connected components; one canonical doc per cluster
+    from graphula_spark.operators.cluster import dedup_clusters
+    from graphula_spark.operators.dedup import ngram_jaccard_blocked
+
+    docs = _docs(spark, sf)
+    pairs = ngram_jaccard_blocked(docs, "doc_id", "text", prefix_len=16, threshold=0.1)
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
 def q_dedup_simhash(spark, sf):
     # portable 60-bit simhash (md5-hex token hash): the oracle reproduces
     # fingerprints bit-for-bit; 4x15-bit blocks cover Hamming<=3 exactly
@@ -812,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_graph_reach": q_graph_reach,
         "rel_window_funcs": q_window_funcs,
         "rel_rollup": q_rollup,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1090,6 +1102,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                   / (len(a.shingles) + len(b.shingles)
                      - len(list_intersect(a.shingles, b.shingles))) >= 0.1
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     substr(lower(trim(text)), 1, 16) AS blk,
+                     {_SHINGLES_SQL} AS shingles
+              FROM documents
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                    / (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles))) >= 0.1
+            ),
+            e AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+            reach(node, lab) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT e.a, r.lab FROM e JOIN reach r ON e.b = r.node
+            ),
+            comp AS (SELECT node, MIN(lab) AS cluster FROM reach GROUP BY node),
+            assigned AS (
+              SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+            )
+            SELECT doc_id, cluster_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   doc_id = cluster_id AS keep
+            FROM assigned
         """,
         "dedup_minhash": f"""
             -- all-pairs exact truth: the LSH+verify pipeline finds

@@ -1,0 +1,127 @@
+"""Connected components + dedup clustering over near-duplicate pairs.
+
+A 100 TB dedup pipeline doesn't stop at emitting near-dup PAIRS (see
+operators/dedup.py): transitively-linked documents must collapse into
+one cluster, and exactly one representative per cluster survives.
+Pair-only dedup either over-deletes (drop both ends) or under-deletes
+(keep one end of every pair, so a chain A-B-C keeps A and C).
+
+Reference parity: the reference has no dedup at all — this family is a
+driver-mandated extension (BASELINE.json). The algorithm is min-label
+propagation with pointer-jumping, the DataFrame analogue of the
+MapReduce CC algorithms in Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SoCC'14).
+
+Scale notes:
+- Each round is two shuffle joins on the node id — no all-pairs stage,
+  no driver-side graph. Memory is bounded by |V| labels + |E| edges.
+- Plain propagation needs O(diameter) rounds; the pointer-jumping step
+  (label := label of label) halves the remaining diameter per round,
+  giving O(log d) convergence — near-dup graphs have tiny components,
+  so 2-4 rounds in practice.
+- Labels are the MIN node id reachable, so cluster ids are
+  deterministic and oracle-reproducible (a recursive CTE computes the
+  same min-reachable fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster) for every node incident to an edge; cluster is
+    the minimum node id in the component."""
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.persist()
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+
+    for _ in range(max_iter):
+        # propagate: candidate label = min over neighbours' labels
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer-jump: label := label's label (halves remaining depth)
+        lref = prop.select(
+            F.col("node").alias("ref_node"), F.col("label").alias("ref_label")
+        )
+        jumped = (
+            prop.join(lref, prop["label"] == lref["ref_node"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("ref_label"), F.col("label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Collapse near-dup pairs into clusters over the full corpus.
+
+    Returns one row per input document:
+      (id_col, cluster_id, cluster_size, keep)
+    cluster_id = min doc id in the component (singletons: own id);
+    keep = this doc is the cluster's canonical representative.
+    """
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    ids = df.select(F.col(id_col).cast("long").alias("doc"))
+    assigned = ids.join(comp, ids["doc"] == comp["node"], "left").select(
+        F.col("doc"),
+        F.coalesce(F.col("cluster"), F.col("doc")).alias("cluster_id"),
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        assigned.join(sizes, "cluster_id")
+        .select(
+            F.col("doc").alias(id_col),
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc") == F.col("cluster_id")).alias("keep"),
+        )
+    )

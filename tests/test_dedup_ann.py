@@ -206,3 +206,65 @@ def test_seed_ivf_matches_kmeans_shape_and_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"seed-IVF recall {recall:.2f}"
+
+
+# ---------------------------------------------------------------- cluster
+
+def _py_components(edges):
+    """Union-find ground truth: node -> min node id in its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from graphula_spark.operators.cluster import connected_components
+
+    # chain 1-2-3-4, island 10-11, singleton edge 20-20 is dropped
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["node"], r["cluster"])
+        for r in connected_components(df).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    from graphula_spark.operators.cluster import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [e for e in edges if e[0] != e[1]]
+    truth = _py_components(edges)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["cluster"] for r in connected_components(df).collect()}
+    assert got == truth
+
+
+def test_dedup_clusters_representatives(spark, planted_docs):
+    from graphula_spark.operators.cluster import dedup_clusters
+
+    # pairs: 1~2, 2~3 (transitive chain) -> cluster {1,2,3} repr 1
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = dedup_clusters(planted_docs, pairs, "doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 5
+    assert {by_id[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert by_id[1]["keep"] and not by_id[2]["keep"] and not by_id[3]["keep"]
+    assert by_id[1]["cluster_size"] == 3
+    assert by_id[4]["cluster_id"] == 4 and by_id[4]["keep"]
+    assert by_id[5]["cluster_size"] == 1
