@@ -168,9 +168,13 @@ class Graph:
         # bound-object scans hit this copy and prune via (p,o) row-group
         # stats instead of scanning the whole predicate partition.
         # Optional: workloads that never bind o can skip the write cost.
+        # Built from a READ-BACK of the just-written SPO copy: re-sorting
+        # compact parquet is one shuffle, vs recomputing the whole
+        # triple-ize/encode lineage (and at 100 TB, vs caching it).
         if include_ops:
             (
-                bucketed.repartition("p_bucket")
+                self.spark.read.parquet(f"{path}/triples")
+                .repartition("p_bucket")
                 .sortWithinPartitions("p", "o", "s")
                 .write.mode("overwrite")
                 .partitionBy("p_bucket")
