@@ -57,8 +57,18 @@ def main() -> None:
 
     queries = entry_mod.queries()
     t0 = time.time()
-    entry_mod._graph(spark, sf_dir)  # warm the shared graphs once
-    entry_mod._lineitem_graph(spark, sf_dir)
+    # the two shared graphs build CONCURRENTLY (thread-safe session;
+    # their shuffle stages interleave on idle cores) — same trick a
+    # multi-tenant cluster uses to hide independent ETL latencies
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(entry_mod._graph, spark, sf_dir),
+            pool.submit(entry_mod._lineitem_graph, spark, sf_dir),
+        ]
+        for f in futs:
+            f.result()
     graph_load = time.time() - t0
 
     # JMH-style warmup (the reference's suite uses JMH @Warmup

@@ -64,6 +64,7 @@ class Dictionary:
         df: DataFrame,
         bucketed_df: DataFrame | None = None,
         id_buckets: int | None = None,
+        exceptions: list[tuple[str, int]] | None = None,
     ):
         self.spark = spark
         self.df = df
@@ -78,6 +79,11 @@ class Dictionary:
         # Spark job per query (negative results cached as None)
         self._term_cache: dict[str, int | None] = {}
         self._nrows: int | None = None
+        # (value, id) pairs whose id is NOT the raw term hash — the
+        # collision re-salt exceptions (reference: Dictionary.scala's
+        # exception map, :187-211). None = unknown, computed lazily;
+        # False = pathologically many, encode falls back to join.
+        self._exceptions: list[tuple[str, int]] | None | bool = exceptions
 
     #: dictionaries below this row count get an explicit broadcast hint
     #: on decode joins — robust against conservative session-level
@@ -92,12 +98,12 @@ class Dictionary:
 
     @classmethod
     def empty(cls, spark: SparkSession) -> "Dictionary":
-        return cls(spark, spark.createDataFrame([], DICT_SCHEMA))
+        return cls(spark, spark.createDataFrame([], DICT_SCHEMA), exceptions=[])
 
     @staticmethod
     def _assign_ids(
         terms: DataFrame, existing: DataFrame | None, max_rounds: int = 12
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, bool]:
         """Assign a unique id to every term in `terms` (one 'value'
         column, distinct, non-null), disjoint from `existing` ids.
 
@@ -110,8 +116,21 @@ class Dictionary:
         the real 63-bit space, so the happy path is exactly one cheap
         emptiness probe over a count aggregate — the window only ever
         runs over the (tiny) collided subset.
+
+        Returns (df, clean): clean=True means NO term was re-salted —
+        every id is the raw term hash, so the caller can record an
+        empty collision-exception list without any extra scan.
         """
-        result = terms.withColumn("id", term_id_col(F.col("value")))
+        from pyspark import StorageLevel
+
+        result = terms.withColumn("id", term_id_col(F.col("value"))).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # the collision probe below materializes the full (id, value)
+        # set; persisting it means the store write / decode joins reuse
+        # that computation instead of re-scanning + re-shuffling the
+        # source terms — one pass over the data, not two (spills rather
+        # than recomputes at 100 TB)
         ex_ids = existing.select("id").distinct() if existing is not None else None
         for rnd in range(max_rounds):
             dup_ids = (
@@ -127,7 +146,7 @@ class Dictionary:
                 )
                 bad_ids = dup_ids.unionByName(clash_ids).distinct()
             if bad_ids.isEmpty():
-                return result.select("id", "value")
+                return result.select("id", "value"), rnd == 0
             bad = result.join(F.broadcast(bad_ids), "id", "left_semi")
             good = result.join(F.broadcast(bad_ids), "id", "left_anti")
             if ex_ids is not None:
@@ -160,7 +179,9 @@ class Dictionary:
             # Only reached when a collision actually exists (~2^-63 per
             # pair in production). Eagerly truncate lineage so repeated
             # rounds don't stack window+join stages into one deep plan.
+            prev = result
             result = good.select("id", "value").unionByName(resalted).localCheckpoint()
+            prev.unpersist()
         raise RuntimeError(
             f"dictionary id assignment did not converge in {max_rounds} rounds"
         )
@@ -179,7 +200,8 @@ class Dictionary:
             .where(F.col("value").isNotNull())
             .distinct()
         )
-        return cls(spark, cls._assign_ids(distinct, None))
+        assigned, clean = cls._assign_ids(distinct, None)
+        return cls(spark, assigned, exceptions=[] if clean else None)
 
     def union(self, other_terms: DataFrame) -> "Dictionary":
         """Extend with new terms (incremental load); existing ids stable.
@@ -194,21 +216,74 @@ class Dictionary:
             .distinct()
             .join(self.df, "value", "left_anti")
         )
-        fresh = Dictionary._assign_ids(new_terms, self.df)
-        return Dictionary(self.spark, self.df.unionByName(fresh))
+        fresh, clean = Dictionary._assign_ids(new_terms, self.df)
+        exc = None
+        if clean and isinstance(self._exceptions, list):
+            exc = list(self._exceptions)
+        return Dictionary(self.spark, self.df.unionByName(fresh), exceptions=exc)
 
     # -- encode ----------------------------------------------------------
-    def encode_col(self, df: DataFrame, col: str, out: str) -> DataFrame:
-        """Join-encode one string column to its id column.
+    #: collected-exception safety valve: past this many collision
+    #: re-salts (never happens with 63-bit hashing short of adversarial
+    #: input), encode falls back to the full dictionary join
+    EXC_MAX_ROWS = 1_000_000
 
-        Unknown terms encode to NULL (caller decides: loads must build
-        the dict first; queries treat NULL as 'unknown constant ⇒ empty
-        result', reference: GraphulaStageGenerator.scala:61-68).
+    def _get_exceptions(self) -> list[tuple[str, int]] | None:
+        """The (value, id) pairs whose id differs from the raw term hash
+        — the collision re-salts. ~0 entries by 63-bit hashing; None
+        signals a pathological count (encode then join-falls-back)."""
+        if self._exceptions is False:
+            return None
+        if self._exceptions is None:
+            rows = (
+                self.df.where(term_id_col(F.col("value")) != F.col("id"))
+                .limit(Dictionary.EXC_MAX_ROWS + 1)
+                .collect()
+            )
+            if len(rows) > Dictionary.EXC_MAX_ROWS:
+                self._exceptions = False
+                return None
+            self._exceptions = [(r["value"], r["id"]) for r in rows]
+        return self._exceptions
+
+    def encode_col(self, df: DataFrame, col: str, out: str) -> DataFrame:
+        """Encode one string column to its id column — a PURE MAP, not a
+        join: id = xxhash64(term) by construction, patched by a
+        broadcast of the (tiny, usually empty) collision-exception set.
+        This is the reference's hash-is-the-id contract
+        (Dictionary.scala:34-37 + exception map :187-211) and the reason
+        a 100 TB load never shuffles its triples against the dictionary.
+
+        Terms absent from the dictionary encode to their would-be hash
+        id, which matches nothing in the graph (2^-63 collision odds) —
+        same observable semantics as the former NULL encoding for the
+        delete/probe paths. Query constants resolve through
+        `lookup_terms` instead and still report missing terms exactly
+        (unknown constant ⇒ empty result,
+        reference: GraphulaStageGenerator.scala:61-68).
         """
-        d = self.df.select(
-            F.col("value").alias(col), F.col("id").alias(out)
+        exc = self._get_exceptions()
+        if exc is None:
+            # pathological collision volume: full join-encode fallback
+            d = self.df.select(F.col("value").alias(col), F.col("id").alias(out))
+            return df.join(d, col, "left")
+        raw = F.when(
+            F.col(col).isNull(), F.lit(None).cast(LongType())
+        ).otherwise(term_id_col(F.col(col)))
+        if not exc:
+            return df.withColumn(out, raw)
+        patch = F.broadcast(
+            self.spark.createDataFrame(
+                [(i, v) for (v, i) in exc], DICT_SCHEMA
+            ).select(
+                F.col("value").alias(col), F.col("id").alias(f"__exc_{out}")
+            )
         )
-        return df.join(d, col, "left")
+        return (
+            df.join(patch, col, "left")
+            .withColumn(out, F.coalesce(F.col(f"__exc_{out}"), raw))
+            .drop(f"__exc_{out}")
+        )
 
     def lookup_terms(self, terms: list[str]) -> dict[str, int]:
         """Driver-side lookup of a handful of constants (query planning).

@@ -64,10 +64,11 @@ class Graph:
         semantics (dropDuplicates) mirror the reference's idempotent
         MDB_NODUPDATA inserts (Index.scala:101-107).
         """
-        terms = (
-            striples.select(F.col("s").alias("value"))
-            .unionByName(striples.select(F.col("p").alias("value")))
-            .unionByName(striples.select(F.col("o").alias("value")))
+        # single-scan term extraction: explode beats a 3-way self-union,
+        # which would recompute the (possibly expensive) striples
+        # lineage once per position
+        terms = striples.select(
+            F.explode(F.array("s", "p", "o")).alias("value")
         )
         dictionary = Dictionary.build(spark, terms)
         enc = striples
@@ -99,10 +100,8 @@ class Graph:
         Returns a new immutable Graph (snapshot semantics replace LMDB
         transactions, SURVEY §1.6/§1.7).
         """
-        terms = (
-            striples.select(F.col("s").alias("value"))
-            .unionByName(striples.select(F.col("p").alias("value")))
-            .unionByName(striples.select(F.col("o").alias("value")))
+        terms = striples.select(
+            F.explode(F.array("s", "p", "o")).alias("value")
         )
         d2 = self.dictionary.union(terms)
         enc = striples
@@ -151,64 +150,105 @@ class Graph:
         (0,p,0) index key (Index.scala:61-78). Rows are sorted by
         (p, s, o) within partitions so parquet min/max row-group stats
         prune bound-subject scans too.
+
+        The store build is ONE pass over the encode lineage: the
+        dictionary and the bucket-shuffled encoded triples are persisted
+        (memory-and-disk — at 100 TB the cache spills rather than
+        recomputing a multi-PB lineage), materialized once, then the
+        SPO copy, the OPS copy and the dictionary are written as
+        CONCURRENT jobs from the cached partitions. The OPS copy
+        (reference 8-way permutation analogue, Index.scala:61-78 rows
+        (0,p,o)/(0,0,o)) needs no second shuffle — it shares the
+        p_bucket partitioning and only re-sorts within partitions.
+        Workloads that never bind o skip it via include_ops=False.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import StorageLevel
+
         p_buckets = p_buckets or Graph.P_BUCKETS
-        bucketed = self.triples.withColumn(
-            "p_bucket", F.pmod(F.col("p"), F.lit(p_buckets))
-        )
-        (
-            bucketed.repartition("p_bucket")
-            .sortWithinPartitions("p", "s", "o")
-            .write.mode("overwrite")
-            .partitionBy("p_bucket")
-            .parquet(f"{path}/triples")
-        )
-        # second copy clustered by object — the OPS permutations of the
-        # reference's 8-way index (Index.scala:61-78 rows (0,p,o)/(0,0,o)):
-        # bound-object scans hit this copy and prune via (p,o) row-group
-        # stats instead of scanning the whole predicate partition.
-        # Optional: workloads that never bind o can skip the write cost.
-        # Built from a READ-BACK of the just-written SPO copy: re-sorting
-        # compact parquet is one shuffle, vs recomputing the whole
-        # triple-ize/encode lineage (and at 100 TB, vs caching it).
-        if include_ops:
-            (
-                self.spark.read.parquet(f"{path}/triples")
-                .repartition("p_bucket")
-                .sortWithinPartitions("p", "o", "s")
-                .write.mode("overwrite")
-                .partitionBy("p_bucket")
-                .parquet(f"{path}/triples_ops")
+        dict_df = self.dictionary.df
+        dict_was_cached = dict_df.storageLevel != StorageLevel.NONE
+        if not dict_was_cached:
+            dict_df.persist(StorageLevel.MEMORY_AND_DISK)
+        bucketed = (
+            self.triples.withColumn(
+                "p_bucket", F.pmod(F.col("p"), F.lit(p_buckets))
             )
-        # dictionary partitioned by an id-hash bucket: decode joins on a
-        # loaded store include the partition column, so dynamic partition
-        # pruning reads only the buckets a result's ids hit — the decode
-        # path for dictionaries too big to broadcast (100 TB design)
-        (
-            self.dictionary.df.withColumn(
-                "id_bucket", F.pmod(F.col("id"), F.lit(Graph.DICT_BUCKETS))
-            )
-            .repartition("id_bucket")
-            .write.mode("overwrite")
-            .partitionBy("id_bucket")
-            .parquet(f"{path}/dict")
+            .repartition("p_bucket")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        try:
+            # force the single lineage computation (encode joins consume
+            # the now-persisted dictionary) before fanning out writers
+            bucketed.count()
+
+            def write_spo() -> None:
+                (
+                    bucketed.sortWithinPartitions("p", "s", "o")
+                    .write.mode("overwrite")
+                    .partitionBy("p_bucket")
+                    .parquet(f"{path}/triples")
+                )
+
+            def write_ops() -> None:
+                (
+                    bucketed.sortWithinPartitions("p", "o", "s")
+                    .write.mode("overwrite")
+                    .partitionBy("p_bucket")
+                    .parquet(f"{path}/triples_ops")
+                )
+
+            def write_dict() -> None:
+                # dictionary partitioned by an id-hash bucket: decode
+                # joins on a loaded store include the partition column,
+                # so dynamic partition pruning reads only the buckets a
+                # result's ids hit — the decode path for dictionaries
+                # too big to broadcast (100 TB design)
+                (
+                    dict_df.withColumn(
+                        "id_bucket",
+                        F.pmod(F.col("id"), F.lit(Graph.DICT_BUCKETS)),
+                    )
+                    .repartition("id_bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("id_bucket")
+                    .parquet(f"{path}/dict")
+                )
+
+            jobs = [write_spo, write_dict] + ([write_ops] if include_ops else [])
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                for fut in [pool.submit(j) for j in jobs]:
+                    fut.result()
+            # planner stats + collision exceptions computed while the
+            # triples/dict are still cached; both ride in _meta.json so
+            # a loaded graph plans and encodes with ZERO store scans
+            if self._stats is None:
+                self._stats = BgpStats.compute(bucketed)
+            exc = self.dictionary._get_exceptions()
+        finally:
+            bucketed.unpersist()
+            if not dict_was_cached:
+                dict_df.unpersist()
         # the bucket count is part of the layout contract: the pruning
         # filter must use the SAME modulus or bound-predicate scans
         # silently miss their partition
         import json
         import os
 
+        meta = {
+            "p_buckets": p_buckets,
+            "layout": "pmod(p)",
+            "dict_buckets": Graph.DICT_BUCKETS,
+        }
+        stats_obj = self._stats.to_obj()
+        if stats_obj is not None:
+            meta["stats"] = stats_obj
+        if exc is not None and len(exc) <= 10_000:
+            meta["dict_exceptions"] = [[v, i] for (v, i) in exc]
         os.makedirs(path, exist_ok=True)
         with open(f"{path}/_meta.json", "w") as fh:
-            json.dump(
-                {
-                    "p_buckets": p_buckets,
-                    "layout": "pmod(p)",
-                    "dict_buckets": Graph.DICT_BUCKETS,
-                },
-                fh,
-            )
+            json.dump(meta, fh)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Graph":
@@ -234,11 +274,18 @@ class Graph:
                 path = f"{path}/{m['base']}"
         p_buckets = Graph.P_BUCKETS
         dict_buckets = None
+        exceptions = None
+        stats = None
         if os.path.exists(f"{path}/_meta.json"):
             with open(f"{path}/_meta.json") as fh:
                 meta = json.load(fh)
             p_buckets = meta.get("p_buckets", Graph.P_BUCKETS)
             dict_buckets = meta.get("dict_buckets")
+            raw_exc = meta.get("dict_exceptions")
+            if raw_exc is not None:
+                exceptions = [(v, i) for v, i in raw_exc]
+            if "stats" in meta:
+                stats = BgpStats.from_obj(meta["stats"])
         triples = spark.read.parquet(f"{path}/triples").select(
             "s", "p", "o", "p_bucket"
         )
@@ -254,10 +301,15 @@ class Graph:
                 dict_raw.select("id", "value"),
                 bucketed_df=dict_raw.select("id", "value", "id_bucket"),
                 id_buckets=dict_buckets,
+                exceptions=exceptions,
             )
         else:
-            d = Dictionary(spark, dict_raw.select("id", "value"))
-        return cls(spark, triples, d, triples_ops=ops, p_buckets=p_buckets)
+            d = Dictionary(
+                spark, dict_raw.select("id", "value"), exceptions=exceptions
+            )
+        return cls(
+            spark, triples, d, stats=stats, triples_ops=ops, p_buckets=p_buckets
+        )
 
     # ------------------------------------------------------------------
     # stats (reference: Index.valueCount O6, cached cardinalities O11)

@@ -127,6 +127,30 @@ class BgpStats:
         po_top = {(r["p"], r["o"]): r["cnt"] for r in po_rows}
         return cls(by_pred, total, po_top)
 
+    # -- (de)serialization: stats ride in the store's _meta.json so a
+    # loaded graph plans immediately instead of re-scanning a (possibly
+    # 100 TB) store for cardinalities on every session start
+    #: skip persisting pathologically wide stat tables (graphs with
+    #: this many distinct predicates recompute stats on load instead)
+    META_MAX_PREDICATES = 10_000
+
+    def to_obj(self) -> dict | None:
+        if len(self.by_pred) > BgpStats.META_MAX_PREDICATES:
+            return None
+        return {
+            "by_pred": [[p, *v] for p, v in self.by_pred.items()],
+            "total": self.total,
+            "po_top": [[p, o, c] for (p, o), c in self.po_top.items()],
+        }
+
+    @classmethod
+    def from_obj(cls, obj: dict) -> "BgpStats":
+        return cls(
+            {p: (c, ns, no) for p, c, ns, no in obj["by_pred"]},
+            obj["total"],
+            {(p, o): c for p, o, c in obj["po_top"]},
+        )
+
     def estimate(
         self,
         s_bound: bool,

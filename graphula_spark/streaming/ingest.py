@@ -89,6 +89,7 @@ def load_versioned_graph(spark: SparkSession, store_dir: str) -> Graph:
         raise FileNotFoundError(f"no published snapshot in {store_dir}")
     g = Graph.load(spark, f"{store_dir}/{m['base']}")
     triples, ops, ddf = g.triples, g.triples_ops, g.dictionary.df
+    exc = g.dictionary._exceptions
     for name in m["deltas"]:
         dg = Graph.load(spark, f"{store_dir}/{name}")
         triples = triples.unionByName(dg.triples)
@@ -97,8 +98,13 @@ def load_versioned_graph(spark: SparkSession, store_dir: str) -> Graph:
         else:
             ops = None
         ddf = ddf.unionByName(dg.dictionary.df)
+        if isinstance(exc, list) and isinstance(dg.dictionary._exceptions, list):
+            exc = exc + dg.dictionary._exceptions
+        else:
+            exc = None
     return Graph(
-        spark, triples, Dictionary(spark, ddf),
+        spark, triples,
+        Dictionary(spark, ddf, exceptions=exc if isinstance(exc, list) else None),
         triples_ops=ops, p_buckets=g.p_buckets,
     )
 
@@ -156,16 +162,19 @@ def stream_ntriples_ingest(
 
         old = load_versioned_graph(spark, store_dir)
         terms = (
-            striples.select(F.col("s").alias("value"))
-            .unionByName(striples.select(F.col("p").alias("value")))
-            .unionByName(striples.select(F.col("o").alias("value")))
+            striples.select(F.explode(F.array("s", "p", "o")).alias("value"))
             .where(F.col("value").isNotNull())
             .distinct()
         )
         new_terms = terms.join(old.dictionary.df, "value", "left_anti")
-        fresh = Dictionary._assign_ids(new_terms, old.dictionary.df)
+        fresh, fresh_clean = Dictionary._assign_ids(new_terms, old.dictionary.df)
+        old_exc = old.dictionary._get_exceptions()
         full_dict = Dictionary(
-            spark, old.dictionary.df.unionByName(fresh)
+            spark,
+            old.dictionary.df.unionByName(fresh),
+            exceptions=(
+                list(old_exc) if fresh_clean and old_exc is not None else None
+            ),
         )
         enc = striples
         for c in ("s", "p", "o"):
@@ -180,7 +189,11 @@ def stream_ntriples_ingest(
             .join(old.triples.select("s", "p", "o"), ["s", "p", "o"], "left_anti")
         )
         delta_name = f"delta_{batch_id}"
-        delta_g = Graph(spark, new_triples, Dictionary(spark, fresh))
+        delta_g = Graph(
+            spark,
+            new_triples,
+            Dictionary(spark, fresh, exceptions=[] if fresh_clean else None),
+        )
         delta_g.save(f"{store_dir}/{delta_name}", p_buckets=old.p_buckets)
         deltas = [*cur["deltas"], delta_name]
         if len(deltas) >= compact_every:
