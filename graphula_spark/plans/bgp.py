@@ -251,6 +251,81 @@ class BgpPlanner:
         return ordered
 
 
+#: a join key value estimated to occur at least this often on the scan
+#: side of a BGP join triggers hot/cold skew splitting. Sized for the
+#: 100 TB design point (rdf:type-style classes with multi-million
+#: memberships); small graphs never trip it. Tests lower it.
+SKEW_HOT_THRESHOLD = 2_000_000
+#: salt fan-out for the hot-key partition split
+SKEW_SALT = 16
+#: estimated accumulated-result row count below which skew handling is
+#: skipped (Catalyst will broadcast the small side; no shuffle → no skew)
+SKEW_MIN_RESULT_EST = 2_000_000
+
+
+def _hot_join_values(
+    pat: TriplePattern,
+    join_vars: list[str],
+    const_ids: dict[str, int],
+    stats: BgpStats | None,
+) -> tuple[str, list[int]] | None:
+    """Heavy-hitter values of a join variable on a pattern scan.
+
+    Only object-position variables under a bound predicate are
+    considered — that is where RDF skew lives (rdf:type-shaped data),
+    and it is exactly what the stats' (p, o) heavy-hitter table tracks
+    (the reference reads the same per-key dup-counts from LMDB,
+    Index.valueCount, Index.scala:120-131).
+    """
+    if stats is None or isinstance(pat.p, Var) or not isinstance(pat.o, Var):
+        return None
+    v = pat.o.name
+    if v not in join_vars:
+        return None
+    pid = const_ids.get(pat.p)
+    if pid is None:
+        return None
+    hot = [
+        o
+        for (p, o), c in stats.po_top.items()
+        if p == pid and c >= SKEW_HOT_THRESHOLD
+    ]
+    return (v, hot) if hot else None
+
+
+def _skew_join(
+    left: DataFrame, right: DataFrame, keys: list[str], v: str, hot: list[int]
+) -> DataFrame:
+    """Hot/cold differential join for a skewed key column ``v``.
+
+    Cold keys join normally. Hot-key rows on the (stats-identified
+    skewed) scan side are SALTED by a deterministic row hash, spreading
+    each hot key over SKEW_SALT partitions; the accumulated-result side
+    replicates its (filtered, usually far smaller) hot subset across
+    the salt space. This is classic heavy-hitter salting driven by
+    planner stats — AQE's runtime skew-join remains on as the safety
+    net for skew the stats missed.
+    """
+    l_hot = left.where(F.col(v).isin(hot))
+    l_cold = left.where(~F.col(v).isin(hot))
+    r_hot = right.where(F.col(v).isin(hot))
+    r_cold = right.where(~F.col(v).isin(hot))
+    cold = l_cold.join(r_cold, on=keys, how="inner")
+    salted = r_hot.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in right.columns]), F.lit(SKEW_SALT)
+        ),
+    )
+    replicated = l_hot.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(SKEW_SALT)]))
+    )
+    hot_join = replicated.join(
+        salted, on=keys + ["__salt"], how="inner"
+    ).drop("__salt")
+    return cold.unionByName(hot_join)
+
+
 def execute_bgp(
     triples: DataFrame,
     patterns: list[TriplePattern],
@@ -288,12 +363,14 @@ def execute_bgp(
         return empty
 
     result: DataFrame | None = None
+    result_est = 0.0
     bound: set[str] = set()
-    for i, (pat, _card) in enumerate(ordered):
+    for i, (pat, card) in enumerate(ordered):
         scan = _pattern_scan(triples, pat, const_ids, i, triples_ops, p_buckets)
         pat_vars = {v for _, v in pat.vars()}
         if result is None:
             result = scan
+            result_est = card
         elif not pat_vars:
             # fully-bound pattern: existence probe (reference fast path
             # Graphula.scala:238-253) — broadcast 1-row cross join keeps
@@ -303,9 +380,19 @@ def execute_bgp(
         else:
             shared = sorted(pat_vars & bound)
             if shared:
-                result = result.join(scan, on=shared, how="inner")
+                hot = (
+                    _hot_join_values(pat, shared, const_ids, stats)
+                    if result_est >= SKEW_MIN_RESULT_EST
+                    else None
+                )
+                if hot is not None:
+                    result = _skew_join(result, scan, shared, *hot)
+                else:
+                    result = result.join(scan, on=shared, how="inner")
             else:
                 result = result.crossJoin(scan)
+            # coarse running upper bound, only used as the skew trigger
+            result_est = min(result_est * max(card, 1.0), 1e18)
         bound.update(pat_vars)
     return result.select(*all_vars) if all_vars else result
 

@@ -82,3 +82,54 @@ def test_heavy_hitter_exact_estimates():
     assert stats.estimate(False, 1, True, 88) == 90_000.0
     # unknown object falls back to the uniform estimate
     assert stats.estimate(False, 1, True, 999) == 100_000 / 10
+
+
+def test_skew_join_hot_cold_split(spark, monkeypatch):
+    """Stats-identified heavy-hitter join keys trigger the hot/cold
+    salted join: results identical to the plain join, and the executed
+    plan carries the salt column + union of the two branches."""
+    import graphula_spark.plans.bgp as B
+    from graphula_spark.graph import Graph
+
+    # skewed membership: 90% of entities belong to one hot group, so a
+    # self-join on the group variable explodes on that single key
+    rows = [
+        (f"e{i}", "memberOf", "BigGroup" if i < 90 else f"g{i % 5}")
+        for i in range(100
+        )
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"]), cache=False
+    )
+
+    pats = [
+        TriplePattern(X, "memberOf", Z),
+        TriplePattern(Y, "memberOf", Z),
+    ]
+    expected = {tuple(r) for r in g.execute_bgp(pats).collect()}
+    assert len(expected) == 90 * 90 + 2 * 2 * 5
+
+    monkeypatch.setattr(B, "SKEW_HOT_THRESHOLD", 50)
+    monkeypatch.setattr(B, "SKEW_MIN_RESULT_EST", 1)
+    df = g.execute_bgp(pats)
+    got = {tuple(r) for r in df.collect()}
+    assert got == expected
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "hot branch must be salted"
+    assert "Union" in plan, "plan must union hot + cold branches"
+
+
+def test_skew_threshold_not_tripped_on_small_graphs(spark):
+    """Default thresholds must leave small-graph plans salt-free."""
+    from graphula_spark.graph import Graph
+
+    rows = [(f"e{i}", "type", "T") for i in range(50)]
+    rows += [(f"e{i}", "linked", f"e{(i + 1) % 50}") for i in range(50)]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"]), cache=False
+    )
+    df = g.execute_bgp(
+        [TriplePattern(X, "linked", Y), TriplePattern(Y, "type", Z)]
+    )
+    assert "__salt" not in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 50
