@@ -314,13 +314,23 @@ def q_agg_minmax(spark, sf):
 
 
 def q_bind(spark, sf):
+    # includes an xsd:integer constructor cast (SPARQL §17.5; ARQ
+    # surface the reference inherits via Jena) — whole_bal truncates
+    # the account balance toward zero like CAST(... AS BIGINT)
     g = _graph(spark, sf)
     df = g.sparql(
-        """SELECT ?name ?bonus WHERE {
+        """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+           SELECT ?name ?bonus ?whole_bal WHERE {
              ?c <c_name> ?name . ?c <c_acctbal> ?bal .
-             BIND(?bal * 0.1 AS ?bonus) FILTER(?bal > 9000) }"""
+             BIND(?bal * 0.1 AS ?bonus)
+             BIND(xsd:integer(?bal) AS ?whole_bal)
+             FILTER(?bal > 9000) }"""
     )
-    return df.select("name", F.round(F.col("bonus"), 4).alias("bonus"))
+    return df.select(
+        "name",
+        F.round(F.col("bonus"), 4).alias("bonus"),
+        F.col("whole_bal").cast("long").alias("whole_bal"),
+    )
 
 
 def q_values_undef(spark, sf):
@@ -1070,7 +1080,8 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY c_mktsegment
         """,
         "sq_bind": """
-            SELECT c_name AS name, round(c_acctbal * 0.1, 4) AS bonus
+            SELECT c_name AS name, round(c_acctbal * 0.1, 4) AS bonus,
+                   CAST(trunc(c_acctbal) AS BIGINT) AS whole_bal
             FROM customer WHERE c_acctbal > 9000
         """,
         "sq_values": """

@@ -53,6 +53,36 @@ class Solution:
 _LEX_RE = r'^"((?:[^"\\]|\\.)*)"'
 
 
+#: XSD namespace for constructor casts (SPARQL §17.5)
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+#: XSD types treated as the integer cast family
+_XSD_INTEGER_TYPES = {
+    "integer", "int", "long", "short", "byte",
+    "nonNegativeInteger", "nonPositiveInteger",
+    "negativeInteger", "positiveInteger",
+    "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
+}
+
+#: custom SPARQL function registry: IRI -> callable(args: list[CE]) -> CE.
+#: The ARQ FunctionRegistry analogue (the reference inherits ARQ's via
+#: Jena, build.sbt:25-26); register with `register_function`.
+FUNCTION_REGISTRY: dict = {}
+
+
+def register_function(iri: str, fn) -> None:
+    """Register a custom function IRI usable in any SPARQL expression.
+
+    ``fn`` receives the compiled argument expressions (list[CE]) and
+    returns a CE — the Spark analogue of implementing ARQ's
+    ``Function`` interface.
+    """
+    FUNCTION_REGISTRY[iri] = fn
+
+
+def unregister_function(iri: str) -> None:
+    FUNCTION_REGISTRY.pop(iri, None)
+
+
 def rdf_value(term: Column) -> Column:
     """Lexical form of a term string (reference keeps terms verbatim,
     Transformations.scala:21-23; value extraction happens only inside
@@ -1006,7 +1036,66 @@ class Compiler:
         if f == "STRLANG":
             t = F.concat(F.lit('"'), args[0].val, F.lit('"@'), args[1].val)
             return sol, CE(args[0].val, None, t)
+        if f.startswith(_XSD):
+            return sol, self._xsd_cast(f[len(_XSD):], args)
+        if f in FUNCTION_REGISTRY:
+            return sol, FUNCTION_REGISTRY[f](args)
         raise NotImplementedError(f"function {f}")
+
+    def _xsd_cast(self, name: str, args: list[CE]) -> CE:
+        """XSD constructor casts (SPARQL §17.5 / XPath casting): the
+        constructor surface ARQ provides the reference through Jena
+        (sparql/.../Sparql.scala:41-52, build.sbt:25-26). Invalid
+        lexical forms yield NULL, which propagates as an expression
+        error (unbound BIND / filtered-out row) per spec."""
+        a = args[0]
+
+        def typed(lex: Column, dt: str) -> Column:
+            return F.concat(F.lit('"'), lex, F.lit(f'"^^<{_XSD}{dt}>'))
+
+        if name == "string":
+            return CE(a.val, None, typed(a.val, "string"))
+        if name in _XSD_INTEGER_TYPES:
+            if a.is_bool:
+                n = F.when(a.val, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            else:
+                # double-first parse truncates decimals toward zero
+                # (xsd:integer("4.7") = 4), matching XPath casting
+                n = a.numeric().cast("long")
+            lex = n.cast("string")
+            # numeric view stays integral so a BIND displays 15, not 15.0
+            return CE(lex, n, typed(lex, name))
+        if name in ("decimal", "double", "float"):
+            if a.is_bool:
+                n = F.when(a.val, F.lit(1.0)).otherwise(F.lit(0.0))
+            else:
+                n = a.numeric()
+            lex = n.cast("string")
+            return CE(lex, n, typed(lex, name))
+        if name == "boolean":
+            if a.is_bool:
+                b = a.val
+            else:
+                num = a.numeric()
+                b = (
+                    F.when(a.val.isin("true", "1"), F.lit(True))
+                    .when(a.val.isin("false", "0"), F.lit(False))
+                    .when(num.isNotNull(), num != 0.0)
+                    .otherwise(F.lit(None).cast("boolean"))
+                )
+            return CE(b, is_bool=True)
+        if name == "dateTime":
+            ts = F.try_to_timestamp(F.replace(a.val, F.lit("T"), F.lit(" ")))
+            lex = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+            return CE(lex, None, typed(lex, "dateTime"))
+        if name == "date":
+            d = F.try_to_timestamp(
+                F.substring(F.replace(a.val, F.lit("T"), F.lit(" ")), 1, 10),
+                F.lit("yyyy-MM-dd"),
+            )
+            lex = F.date_format(d, "yyyy-MM-dd")
+            return CE(lex, None, typed(lex, "date"))
+        raise NotImplementedError(f"xsd cast {name}")
 
     # ------------------------------------------------------------------
     # aggregation + projection

@@ -666,13 +666,13 @@ class Parser:
             return ELit(t.text[1:-1])
         if t.kind == "IRI":
             self.next()
-            return EIri(t.text[1:-1])
+            return self._iri_or_call(t.text[1:-1])
         if t.kind == "PNAME":
             self.next()
             pfx, local = t.text.split(":", 1)
             if pfx not in self.prefixes:
                 raise SyntaxError(f"unknown prefix {pfx!r}")
-            return EIri(self.prefixes[pfx] + local)
+            return self._iri_or_call(self.prefixes[pfx] + local)
         if t.kind == "KW":
             w = t.text.upper()
             if w in ("TRUE", "FALSE"):
@@ -698,6 +698,23 @@ class Parser:
                     self.expect_op(")")
                 return ECall(w, args)
         raise SyntaxError(f"unexpected expression token {t}")
+
+    def _iri_or_call(self, iri: str):
+        """An IRI in expression position followed by '(' is a function
+        call (SPARQL `iriOrFunction`): XSD constructor casts
+        (xsd:integer(?x), §17.5) and custom function IRIs — the surface
+        ARQ gives the reference via Jena (build.sbt:25-26)."""
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            args = []
+            if not self.eat_op(")"):
+                args.append(self.parse_expr())
+                while self.eat_op(","):
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+            return ECall(iri, args)
+        return EIri(iri)
 
     def parse_aggregate(self):
         func = self.next().text.upper()

@@ -682,3 +682,94 @@ def test_path_quantifiers(g):
     assert rows(g.sparql(
         "SELECT ?y WHERE { <alice> <knows>{0,1} ?y . }"
     )) == [("alice",), ("bob",)]
+
+
+# ---------------------------------------------------------------------
+# XSD constructor casts + custom function IRIs (SPARQL §17.5; the
+# reference gets both from ARQ via Jena, build.sbt:25-26)
+# ---------------------------------------------------------------------
+
+PFX = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+
+
+def test_xsd_integer_cast_truncates(g):
+    df = g.sparql(
+        PFX + """SELECT ?x ?i WHERE {
+            ?x <age> ?a . BIND(xsd:integer(?a / 2) AS ?i) }"""
+    )
+    got = {(r["x"], r["i"]) for r in df.collect()}
+    # bound vars carry the VALUE form; 25/2=12.5 -> 12 (truncation
+    # toward zero per XPath casting), and the numeric view stays
+    # integral (15, not 15.0)
+    assert got == {("alice", 15), ("bob", 12), ("carol", 17), ("dave", 4)}
+
+
+def test_xsd_double_cast_in_filter(g):
+    df = g.sparql(
+        PFX + "SELECT ?x WHERE { ?x <age> ?a . FILTER(xsd:double(?a) > 26.0) }"
+    )
+    assert {r["x"] for r in df.collect()} == {"alice", "carol"}
+
+
+def test_xsd_boolean_and_string_casts(g):
+    df = g.sparql(
+        PFX + """SELECT ?x WHERE {
+            ?x <age> ?a . FILTER(xsd:boolean(?a)) }"""
+    )
+    # every age is a nonzero number -> true
+    assert df.count() == 4
+    df2 = g.sparql(
+        PFX + """SELECT ?s WHERE {
+            ?x <age> ?a . BIND(xsd:string(?a) AS ?s)
+            FILTER(STRLEN(?s) = 2) }"""
+    )
+    # ages 30/25/35 are two chars; dave's "9" is one
+    assert df2.count() == 3
+
+
+def test_xsd_datetime_cast(spark):
+    gr = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [("ev1", "at", "2024-03-01T12:30:00"), ("ev2", "at", "bogus")],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    df = gr.sparql(
+        PFX + """SELECT ?x ?t WHERE {
+            ?x <at> ?w . BIND(xsd:dateTime(?w) AS ?t) }"""
+    )
+    got = dict((r["x"], r["t"]) for r in df.collect())
+    assert got["ev1"] == "2024-03-01T12:30:00"
+    # invalid lexical form -> expression error -> unbound
+    assert got["ev2"] is None
+
+
+def test_custom_function_registry(g):
+    from pyspark.sql import functions as F
+
+    from graphula_spark.sparql.compiler import (
+        CE,
+        register_function,
+        unregister_function,
+    )
+
+    iri = "http://example.org/fn#shout"
+    register_function(iri, lambda args: CE(F.upper(args[0].val)))
+    try:
+        df = g.sparql(
+            f"""SELECT ?u WHERE {{
+                ?x <likes> ?f . BIND(<{iri}>(?f) AS ?u) }}"""
+        )
+        assert {r["u"] for r in df.collect()} == {"PIZZA", "SUSHI"}
+    finally:
+        unregister_function(iri)
+
+
+def test_unregistered_function_iri_raises(g):
+    with pytest.raises(NotImplementedError):
+        g.sparql(
+            "SELECT ?u WHERE { ?x <likes> ?f . "
+            "BIND(<http://example.org/fn#nope>(?f) AS ?u) }"
+        ).collect()
