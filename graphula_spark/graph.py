@@ -50,6 +50,12 @@ class Graph:
         #: (None for in-memory graphs; read back from _meta on load)
         self.p_buckets = p_buckets
 
+    #: zero-length property-path domain: False (default) = nodes
+    #: incident to the sub-path's edges (pragmatic at scale); True =
+    #: all graph nodes, the strict SPARQL 1.1 domain. Set per instance:
+    #: ``g.strict_zero_length_paths = True``.
+    strict_zero_length_paths = False
+
     # ------------------------------------------------------------------
     # construction / load (reference: Sparql.loadNtriples, O1-O3)
     # ------------------------------------------------------------------

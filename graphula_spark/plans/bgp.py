@@ -86,46 +86,85 @@ class BgpStats:
     #: heavy-hitter objects tracked per predicate (exact counts for the
     #: most frequent (p, o) pairs — rdf:type-like skew)
     TOP_OBJECTS = 32
+    #: driver-memory guard: collect per-predicate rows for at most this
+    #: many predicates (heaviest first). RDF-shaped graphs have
+    #: hundreds; a pathological million-predicate graph falls back to a
+    #: uniform residual estimate instead of bloating the driver.
+    MAX_PREDICATES = 100_000
+    #: (p, o) heavy hitters only tracked for this many heaviest
+    #: predicates (skew lives in heavy predicates by definition)
+    PO_PRED_CAP = 4_096
 
     def __init__(
         self,
         by_pred: dict[int, tuple[int, int, int]],
         total: int,
         po_top: dict[tuple[int, int], int] | None = None,
+        complete: bool = True,
+        residual_avg: float = 0.0,
     ):
         self.by_pred = by_pred  # p_id -> (count, n_distinct_s, n_distinct_o)
         self.total = total
         self.po_top = po_top or {}
+        #: False when by_pred was truncated at MAX_PREDICATES — a
+        #: missing predicate then means 'uncollected', NOT 'absent'
+        self.complete = complete
+        #: average triples per uncollected predicate (estimate fallback)
+        self.residual_avg = residual_avg
 
     @classmethod
     def compute(cls, triples: DataFrame) -> "BgpStats":
+        agg = triples.groupBy("p").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.approx_count_distinct("s").alias("ns"),
+            F.approx_count_distinct("o").alias("no"),
+        )
         rows = (
-            triples.groupBy("p")
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.approx_count_distinct("s").alias("ns"),
-                F.approx_count_distinct("o").alias("no"),
-            )
+            agg.orderBy(F.col("cnt").desc(), F.col("p").asc())
+            .limit(cls.MAX_PREDICATES + 1)
             .collect()
         )
+        complete = len(rows) <= cls.MAX_PREDICATES
+        if not complete:
+            rows = rows[: cls.MAX_PREDICATES]
         by_pred = {r["p"]: (r["cnt"], max(r["ns"], 1), max(r["no"], 1)) for r in rows}
-        total = sum(v[0] for v in by_pred.values())
-        # exact counts for each predicate's heaviest objects: one extra
-        # aggregate at stats time, O(1) plan-time lookups thereafter
+        collected_total = sum(v[0] for v in by_pred.values())
+        if complete:
+            total = collected_total
+            residual_avg = 0.0
+        else:
+            g = agg.agg(
+                F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("n_preds")
+            ).collect()[0]
+            total = g["t"]
+            residual_avg = max(
+                (total - collected_total) / max(g["n_preds"] - len(by_pred), 1),
+                1.0,
+            )
+        # exact counts for each heavy predicate's heaviest objects: one
+        # extra aggregate at stats time, O(1) plan-time lookups after
         # (reference reads exact per-key counts from LMDB instead,
-        # Index.valueCount, Index.scala:120-131)
+        # Index.valueCount, Index.scala:120-131). Bounded to
+        # PO_PRED_CAP × TOP_OBJECTS collected rows.
         from pyspark.sql.window import Window
 
+        po_src = triples
+        if len(by_pred) > cls.PO_PRED_CAP:
+            heavy = sorted(by_pred, key=lambda p: -by_pred[p][0])[: cls.PO_PRED_CAP]
+            heavy_df = triples.sparkSession.createDataFrame(
+                [(p,) for p in heavy], "p long"
+            )
+            po_src = triples.join(F.broadcast(heavy_df), "p", "left_semi")
         w = Window.partitionBy("p").orderBy(F.col("cnt").desc(), F.col("o").asc())
         po_rows = (
-            triples.groupBy("p", "o")
+            po_src.groupBy("p", "o")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= cls.TOP_OBJECTS)
             .collect()
         )
         po_top = {(r["p"], r["o"]): r["cnt"] for r in po_rows}
-        return cls(by_pred, total, po_top)
+        return cls(by_pred, total, po_top, complete, residual_avg)
 
     # -- (de)serialization: stats ride in the store's _meta.json so a
     # loaded graph plans immediately instead of re-scanning a (possibly
@@ -141,6 +180,8 @@ class BgpStats:
             "by_pred": [[p, *v] for p, v in self.by_pred.items()],
             "total": self.total,
             "po_top": [[p, o, c] for (p, o), c in self.po_top.items()],
+            "complete": self.complete,
+            "residual_avg": self.residual_avg,
         }
 
     @classmethod
@@ -149,6 +190,8 @@ class BgpStats:
             {p: (c, ns, no) for p, c, ns, no in obj["by_pred"]},
             obj["total"],
             {(p, o): c for p, o, c in obj["po_top"]},
+            obj.get("complete", True),
+            obj.get("residual_avg", 0.0),
         )
 
     def estimate(
@@ -165,7 +208,14 @@ class BgpStats:
         (Graphula.scala:144-167).
         """
         if p_id is not None and p_id not in self.by_pred:
-            return 0.0
+            if self.complete:
+                return 0.0
+            # truncated stats: an uncollected predicate is NOT absent —
+            # fall back to the residual average instead of fail-fasting
+            est = self.residual_avg
+            if s_bound or o_bound:
+                est = 1.0
+            return max(est, 0.001)
         if p_id is None:
             cnt, ns, no = self.total, None, None
             if s_bound or o_bound:

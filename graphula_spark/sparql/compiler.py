@@ -563,7 +563,7 @@ class Compiler:
             base = self._path_pairs(p.path)
             if p.mod == "+":
                 return transitive_closure(base, "src", "dst")
-            zero = self._incident_identity(base)
+            zero = self._zero_length_identity(base)
             if p.mod == "?":
                 return base.unionByName(zero).distinct()
             return (
@@ -620,7 +620,7 @@ class Compiler:
                 for pw in powers[1:]:
                     out = out.unionByName(pw)
             if lo == 0:
-                zero = self._incident_identity(base)
+                zero = self._zero_length_identity(base)
                 out = zero if out is None else out.unionByName(zero)
             return out.distinct()
         raise NotImplementedError(f"path node {type(p).__name__}")
@@ -635,16 +635,27 @@ class Compiler:
             .distinct()
         )
 
-    @staticmethod
-    def _incident_identity(base: DataFrame) -> DataFrame:
-        """Zero-length pairs: s=o over nodes incident to base's edges
-        (ARQ restricts to graph terms; incident nodes are the pragmatic
-        distributed equivalent — documented in ROADMAP.md)."""
-        nodes = (
-            base.select(F.col("src").alias("n"))
-            .unionByName(base.select(F.col("dst").alias("n")))
-            .distinct()
-        )
+    def _zero_length_identity(self, base: DataFrame) -> DataFrame:
+        """Zero-length pairs (s=o) for `*`/`?`/`{0,n}` paths.
+
+        Default domain: nodes incident to the sub-path's edge set — the
+        pragmatic distributed interpretation (documented deviation,
+        ROADMAP.md). Strict mode (`graph.strict_zero_length_paths =
+        True`) ranges over ALL graph nodes (every subject and object),
+        matching the SPARQL 1.1 / ARQ domain at the cost of a full
+        node scan."""
+        if getattr(self.graph, "strict_zero_length_paths", False):
+            nodes = (
+                self.graph.triples.select(F.col("s").alias("n"))
+                .unionByName(self.graph.triples.select(F.col("o").alias("n")))
+                .distinct()
+            )
+        else:
+            nodes = (
+                base.select(F.col("src").alias("n"))
+                .unionByName(base.select(F.col("dst").alias("n")))
+                .distinct()
+            )
         return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
 
     def compile_path(self, el: A.PathPattern) -> Solution:

@@ -77,10 +77,9 @@ def test_oracle_match(spark, ddb, name):
     assert sorted(spark_rows) == sorted(ddb_rows), f"{name}: value mismatch"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+def test_every_entry_has_an_oracle():
+    # every queries() entry carries a DuckDB oracle — no rows-only checks
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):

@@ -133,3 +133,37 @@ def test_skew_threshold_not_tripped_on_small_graphs(spark):
     )
     assert "__salt" not in df._jdf.queryExecution().executedPlan().toString()
     assert df.count() == 50
+
+
+def test_wide_predicate_stats_capped(spark, monkeypatch):
+    """A graph with more predicates than the collection cap must not
+    bloat the driver: stats truncate to the heaviest predicates, and an
+    uncollected predicate estimates via the residual average instead of
+    fail-fasting the whole BGP to empty."""
+    import graphula_spark.plans.bgp as B
+    from graphula_spark.graph import Graph
+
+    monkeypatch.setattr(B.BgpStats, "MAX_PREDICATES", 10)
+    monkeypatch.setattr(B.BgpStats, "PO_PRED_CAP", 5)
+    # 30 predicates; p0 is heavy (40 triples), the rest have 2 each
+    rows = [(f"s{i}", "p0", f"o{i % 4}") for i in range(40)]
+    for p in range(1, 30):
+        rows += [(f"s{i}", f"p{p}", f"o{i}") for i in range(2)]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"]), cache=False
+    )
+    stats = g.stats
+    assert len(stats.by_pred) == 10
+    assert not stats.complete
+    assert stats.total == 40 + 29 * 2
+    assert stats.residual_avg > 0
+    # po_top limited to the heaviest 5 predicates
+    assert len({p for (p, _o) in stats.po_top}) <= 5
+    # a query on an UNCOLLECTED predicate still returns its rows
+    # (p29 is among the lightest, certainly truncated)
+    res = g.execute_bgp([TriplePattern(X, "p29", Y)])
+    assert res.count() == 2
+    # serialization round-trips the truncation marker
+    obj = stats.to_obj()
+    rt = B.BgpStats.from_obj(obj)
+    assert rt.complete is False and rt.residual_avg == stats.residual_avg

@@ -773,3 +773,29 @@ def test_unregistered_function_iri_raises(g):
             "SELECT ?u WHERE { ?x <likes> ?f . "
             "BIND(<http://example.org/fn#nope>(?f) AS ?u) }"
         ).collect()
+
+
+def test_zero_length_path_strict_mode(spark):
+    """`<p>?` identity domain: incident nodes by default, ALL graph
+    nodes under strict mode (SPARQL 1.1 spec domain)."""
+    gr = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [
+                ("a", "p", "b"),
+                # c/d touch only predicate q — outside p's incident set
+                ("c", "q", "d"),
+            ],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    q = "SELECT ?x ?y WHERE { ?x <p>? ?y }"
+    default = {(r["x"], r["y"]) for r in gr.sparql(q).collect()}
+    assert default == {("a", "b"), ("a", "a"), ("b", "b")}
+
+    gr.strict_zero_length_paths = True
+    strict = {(r["x"], r["y"]) for r in gr.sparql(q).collect()}
+    assert strict == {
+        ("a", "b"), ("a", "a"), ("b", "b"), ("c", "c"), ("d", "d"),
+    }
