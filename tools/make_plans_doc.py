@@ -118,5 +118,67 @@ out.append(
     "bounded keys.\n"
 )
 
+# 8. hash-encode load path — no join against the dictionary
+from graphula_spark.graph import Graph
+
+enc_src = spark.createDataFrame(
+    [("s1", "p1", "o1"), ("s2", "p1", "o2")], ["s", "p", "o"]
+)
+g8 = Graph.from_string_triples(spark, enc_src, cache=False)
+p = plan_of(g8.triples)
+out.append("## 8. Dictionary encode is a pure map (round 3)\n")
+out.append(
+    "Triple load encodes ids as `xxhash64(term)` directly (the "
+    "reference's hash-is-the-id contract, Dictionary.scala:34-37) with "
+    "a broadcast patch only when collisions exist — the encoded-triples "
+    "plan contains NO join against the dictionary:\n"
+)
+out.append(
+    f"```\nxxhash64 present: {'xxhash64' in p}\n"
+    f"joins in encode plan: SortMergeJoin={p.count('SortMergeJoin')} "
+    f"BroadcastHashJoin={p.count('BroadcastHashJoin')} "
+    f"ShuffledHashJoin={p.count('ShuffledHashJoin')}\n```\n"
+)
+out.append(
+    "At 100 TB this removes three full-data shuffle joins from every "
+    "load; the dictionary is consulted only for decode and for the "
+    "(collected-once, ~always empty) collision exception set.\n"
+)
+
+# 9. stats-driven skew join (synthetic skewed graph, thresholds lowered)
+import graphula_spark.plans.bgp as B
+
+_t, _m = B.SKEW_HOT_THRESHOLD, B.SKEW_MIN_RESULT_EST
+B.SKEW_HOT_THRESHOLD, B.SKEW_MIN_RESULT_EST = 50, 1
+try:
+    rows = [
+        (f"e{i}", "memberOf", "BigGroup" if i < 90 else f"g{i % 5}")
+        for i in range(100)
+    ]
+    g9 = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"]), cache=False
+    )
+    df9 = g9.execute_bgp(
+        [TriplePattern(X, "memberOf", Var("Z")), TriplePattern(Y, "memberOf", Var("Z"))]
+    )
+    df9.count()
+    p = plan_of(df9)
+finally:
+    B.SKEW_HOT_THRESHOLD, B.SKEW_MIN_RESULT_EST = _t, _m
+out.append("## 9. Stats-driven skew join (round 3; thresholds lowered to force it)\n")
+out.append(
+    "Self-join on a variable whose top value holds 90% of the rows: the "
+    "planner splits hot keys (salted across partitions) from cold keys "
+    "(plain join) using the (p,o) heavy-hitter stats:\n"
+)
+out.append(
+    f"```\nsalt column in plan: {'__salt' in p}\n"
+    f"hot+cold Union present: {'Union' in p}\n```\n"
+)
+out.append(
+    "Production thresholds target multi-million-row hot keys; AQE "
+    "skew-join stays enabled as the runtime safety net.\n"
+)
+
 open("/root/repo/PLANS.md", "w").write("\n".join(out))
 print("written")
