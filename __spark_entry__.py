@@ -172,13 +172,14 @@ def q_decode_roundtrip(spark, sf):
 
 
 def q_graph_probes(spark, sf):
-    """Five core probe operators folded into one driver row (the driver
+    """Six core probe operators folded into one driver row (the driver
     records at most 50 CORRECTNESS rows, in queries() insertion order):
     COUNT-only BGP (O14, Graphula.scala:365-486), existence probe (O4,
     Index.scala:112-118), pattern cardinality (O6, Index.scala:120-131),
-    dictionary term count (O7, Dictionary.scala:144-161), and the decode
-    round-trip (O8, Dictionary.scala:103-119). Each sub-probe keeps its
-    own pytest coverage; this entry is the oracle-hashed evidence."""
+    dictionary term count (O7, Dictionary.scala:144-161), the decode
+    round-trip (O8, Dictionary.scala:103-119), and SPARQL ASK (the
+    reference throws on ASK, Sparql.scala:115-128). Each sub-probe keeps
+    its own pytest coverage; this entry is the oracle-hashed evidence."""
     parts = [
         q_bgp_count(spark, sf).select(
             F.lit("bgp_count").alias("probe"), F.col("n").cast("string").alias("v")
@@ -195,6 +196,10 @@ def q_graph_probes(spark, sf):
         ),
         q_decode_roundtrip(spark, sf).select(
             F.lit("decode").alias("probe"), F.col("c").alias("v")
+        ),
+        q_ask(spark, sf).select(
+            F.lit("sparql_ask").alias("probe"),
+            F.col("ask").cast("string").alias("v"),
         ),
     ]
     out = parts[0]
@@ -566,12 +571,21 @@ def q_approx_distinct(spark, sf):
     )
 
 
-def q_text_token_count(spark, sf):
-    """Whitespace token count, char count, and the BPE-ish regex token
-    count ([A-Za-z]+|[0-9]+|punct) in one per-doc row."""
+def q_text_profile(spark, sf):
+    """Per-document text-analysis profile in one row: whitespace/char/
+    BPE-ish token counts, punctuation and stopword ratios, composite
+    quality score, n-gram-heuristic language id, and the normalized md5
+    fingerprint — one pass over documents computing all profile columns
+    (the shape a 100 TB pipeline would use: a single scan, all-column
+    select, zero shuffles)."""
     from graphula_spark.operators.text import (
         bpe_ish_token_count,
         char_count,
+        fingerprint,
+        lang_id,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
         token_count,
     )
 
@@ -581,32 +595,33 @@ def q_text_token_count(spark, sf):
         token_count(F.col("text")).alias("n_tokens"),
         char_count(F.col("text")).alias("n_chars_m"),
         bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
-    )
-
-
-def q_text_profile(spark, sf):
-    """Per-document text-analysis profile in one row: punctuation and
-    stopword ratios, composite quality score, n-gram-heuristic language
-    id, and the normalized md5 fingerprint — one pass over documents
-    computing all profile columns (the shape a 100 TB pipeline would
-    use: a single scan, all-column select, zero shuffles)."""
-    from graphula_spark.operators.text import (
-        fingerprint,
-        lang_id,
-        punct_ratio,
-        quality_score,
-        stopword_ratio,
-    )
-
-    d = _docs(spark, sf)
-    return d.select(
-        "doc_id",
         punct_ratio(F.col("text")).alias("punct_ratio"),
         stopword_ratio(F.col("text"), "en").alias("stopword_ratio_en"),
         quality_score(F.col("text")).alias("quality"),
         lang_id(F.col("text")).alias("pred_lang"),
         fingerprint(F.col("text")).alias("fp"),
     )
+
+
+def q_text_tfidf(spark, sf):
+    """Top-3 TF-IDF keywords per document — distributed corpus
+    statistics (doc-term agg + vocabulary-sized doc-frequency table +
+    broadcast N + per-doc top-k window)."""
+    from graphula_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf), "doc_id", "text", k=3)
+
+
+def q_text_decontam(spark, sf):
+    """Benchmark decontamination: flag documents whose distinct word
+    8-gram overlap with a (deterministic, doc_id % 25 == 0) eval subset
+    exceeds 10% — eval-set n-gram collision checking, with the bench
+    gram set distinct-reduced and broadcast."""
+    from graphula_spark.operators.text import decontaminate
+
+    d = _docs(spark, sf)
+    bench = d.where(F.col("doc_id") % 25 == 0)
+    return decontaminate(d, bench, "doc_id", "text", n=8, threshold=0.1)
 
 
 def q_text_kgram_fp(spark, sf):
@@ -829,7 +844,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_agg_minmax": q_agg_minmax,
         "sq_bind": q_bind,
         "sq_values": q_values_undef,
-        "sq_ask": q_ask,
         "sq_select_expr": q_select_expr,
         "sq_term_fns": q_term_fns,
         "sq_datetime_parts": q_datetime_parts,
@@ -846,8 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "events_stateful": q_events_stateful,
         "approx_distinct": q_approx_distinct,
-        "text_token_count": q_text_token_count,
         "text_profile": q_text_profile,
+        "text_tfidf": q_text_tfidf,
+        "text_decontam": q_text_decontam,
         "text_kgram_fp": q_text_kgram_fp,
         "text_scrub_pii": q_text_scrub_pii,
         "text_gopher": q_text_gopher,
@@ -1030,6 +1045,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'customer:' || c_custkey AS c FROM customer
               WHERE c_mktsegment = 'FURNITURE' ORDER BY 1 LIMIT 5
             )
+            UNION ALL
+            SELECT 'sparql_ask',
+                   CAST(EXISTS(SELECT 1 FROM customer
+                               WHERE c_mktsegment = 'FURNITURE') AS VARCHAR)
         """,
         "values_scan": "SELECT DISTINCT 'customer:' || c_custkey AS subj FROM customer",
         "sq_filter": """
@@ -1093,7 +1112,6 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             WHERE n_name = 'NATION_2'
         """,
-        "sq_ask": "SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'FURNITURE') AS ask",
         "sq_select_expr": """
             SELECT c_name AS name, c_mktsegment || '!' AS tagged
             FROM customer WHERE regexp_matches(c_name, 'Customer#00000000[0-4]$')
@@ -1232,23 +1250,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY user_id
         """,
-        "text_token_count": f"""
-            SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens,
-                   CAST(length(text) AS INT) AS n_chars_m,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
-                     AS n_bpe_tokens
-            FROM documents
-        """,
         "text_profile": f"""
             WITH t AS (
               SELECT doc_id, text, {_TOKENS} AS toks,
+                     CAST(len({_TOKENS}) AS INT) AS n_tokens,
+                     CAST(length(text) AS INT) AS n_chars_m,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                       AS n_bpe_tokens,
                      round(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
                            / greatest(length(text), 1), 4) AS punct_ratio,
                      round(CAST(len(list_filter({_TOKENS}, x -> list_contains({_SW_EN}, x))) AS DOUBLE)
                            / greatest(len({_TOKENS}), 1), 4) AS stopword_ratio_en
               FROM documents
             ), m AS (
-              SELECT doc_id, text, punct_ratio, stopword_ratio_en,
+              SELECT doc_id, text, n_tokens, n_chars_m, n_bpe_tokens,
+                     punct_ratio, stopword_ratio_en,
                      len(toks) AS n,
                      CAST(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') AS DOUBLE)
                        / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_len,
@@ -1258,7 +1274,8 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], t))) AS fr
               FROM t
             )
-            SELECT doc_id, punct_ratio, stopword_ratio_en,
+            SELECT doc_id, n_tokens, n_chars_m, n_bpe_tokens,
+                   punct_ratio, stopword_ratio_en,
                    floor((
                        (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1.0 ELSE 0.0 END)
                      + (CASE WHEN n >= 10 THEN 1.0 ELSE CAST(n AS DOUBLE) / 10.0 END)
@@ -1274,6 +1291,52 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'und' END AS pred_lang,
                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
             FROM m
+        """,
+        "text_tfidf": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+            terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM terms GROUP BY doc_id, term),
+            dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     floor(CAST(tf.tf AS DOUBLE)
+                           * ln(CAST(n.n_docs AS DOUBLE) / dft.df_t)
+                           * 10000) / 10000 AS tfidf
+              FROM tf JOIN dft USING (term), n
+            ), ranked AS (
+              SELECT doc_id, term, tfidf,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+        """,
+        "text_decontam": f"""
+            WITH toks AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, tk,
+                           unnest(range(1, greatest(len(tk)-7, 0)+1)) AS i
+                    FROM toks)
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+            hit AS (SELECT g.doc_id, count(*) AS n_hits
+                    FROM g JOIN bench USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
+                   floor(CAST(coalesce(hit.n_hits, 0) AS DOUBLE)
+                         / greatest(coalesce(tot.n_grams, 0), 1)
+                         * 10000) / 10000 AS overlap,
+                   floor(CAST(coalesce(hit.n_hits, 0) AS DOUBLE)
+                         / greatest(coalesce(tot.n_grams, 0), 1)
+                         * 10000) / 10000 >= 0.1 AS contaminated
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
+            LEFT JOIN hit ON d.doc_id = hit.doc_id
         """,
         "text_kgram_fp": """
             WITH g AS (

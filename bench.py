@@ -39,7 +39,7 @@ HEADLINE = [
     "dedup_embedding",
     "events_stateful",
     "rel_graph_reach",
-    "text_token_count",
+    "text_tfidf",
     "text_profile",
     "mm_pipeline",
     "events_window",

@@ -260,3 +260,132 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(t).alias("pred_lang"),
         fingerprint(t).alias("fp"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the classic distributed
+    corpus-statistics operator a training-data pipeline uses for topic
+    tagging / quality filtering.
+
+    tf = term occurrences in the doc (whitespace tokens, lower-cased);
+    idf = ln(N / df_t) over the corpus; score floor-truncated to 4
+    decimals so any SQL engine reproduces it bit-for-bit. Ties broken
+    by term ascending (row_number, fully deterministic).
+
+    Scale shape: one (doc, term) hash-agg shuffle, one term-keyed
+    shuffle for document frequency, a single-row broadcast for N, and a
+    per-doc window for top-k — no global sort, no driver collect. At
+    100 TB the (doc, term) agg is map-side combinable and the df_t
+    table is vocabulary-sized (bounded), so every stage stays bounded.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            _floor4(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_t"))
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            "tfidf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined) of the whitespace tokens;
+    empty array when the doc has fewer than n tokens."""
+    tk = tokens(text)
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 8,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-gram overlap with an evaluation set exceeds `threshold` — the
+    standard pre-training hygiene pass (n-gram collision checking, as
+    published for GPT-3/PaLM-style dedup-vs-eval).
+
+    overlap = |distinct doc n-grams ∩ bench n-grams| / |distinct doc
+    n-grams|; docs shorter than n tokens have 0 grams and overlap 0.
+
+    Scale shape: the benchmark side (eval suites — MBs, not TBs) is
+    distinct-reduced and broadcast, so the probe is a map-side hash
+    join over the exploded doc-gram stream followed by one per-doc
+    hash-agg. Nothing all-pairs; corpus side streams once. If the
+    bench set ever outgrows broadcast, drop the hint and the same plan
+    becomes a bounded shuffle join on the gram key.
+    """
+    bcol = bench_text_col or text_col
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+            "gram"
+        ),
+    )
+    bench_grams = (
+        bench_df.select(
+            F.explode(word_ngrams(F.col(bcol), n)).alias("gram")
+        )
+        .distinct()
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = df.select(F.col(id_col)).distinct()
+    out = (
+        base.join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "overlap",
+            _floor4(
+                F.col("n_hits").cast("double")
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+            ),
+        )
+        .withColumn("contaminated", F.col("overlap") >= threshold)
+    )
+    return out

@@ -57,3 +57,67 @@ def test_gopher_signals_edge_cases(spark):
     assert r4["distinct_word_frac"] == 1.0
     assert r4["dup_2gram_frac"] == 0.0
     assert r4["n_words"] == 8
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry dates"),
+        ],
+        ["doc_id", "text"],
+    )
+    from graphula_spark.operators.text import tfidf_topk
+
+    out = {
+        (r["doc_id"], r["term"]): (r["tfidf"], r["rank"])
+        for r in tfidf_topk(df, "doc_id", "text", k=3).collect()
+    }
+
+    def f4(x):
+        return math.floor(x * 10000) / 10000
+
+    # N=3; df: apple 1, banana 2, cherry 2, dates 1
+    assert out[(1, "apple")] == (f4(2 * math.log(3 / 1)), 1)
+    assert out[(1, "banana")] == (f4(1 * math.log(3 / 2)), 2)
+    assert out[(2, "banana")][1] == 1 or out[(2, "cherry")][1] == 1
+    # doc 2 tie (both tf=1, df=2): term asc breaks it -> banana rank 1
+    assert out[(2, "banana")] == (f4(math.log(3 / 2)), 1)
+    assert out[(2, "cherry")] == (f4(math.log(3 / 2)), 2)
+    assert out[(3, "dates")][0] == f4(math.log(3 / 1))
+    # doc 3: cherry tf=2 but df=2 -> 2*ln(1.5)=0.81 < dates ln(3)=1.09
+    assert out[(3, "dates")][1] == 1
+
+
+def test_decontaminate_flags_overlap(spark):
+    from graphula_spark.operators.text import decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, base),                               # exact bench copy
+            (2, base + " extra words beyond bench"), # partial overlap
+            (3, "completely different text with no shared grams at all x"),
+            (4, "short doc"),                        # < n tokens: 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(
+            docs, bench, "doc_id", "text", n=8, threshold=0.5
+        ).collect()
+    }
+    # doc 1: 3 grams, all hit
+    assert out[1]["n_grams"] == 3 and out[1]["n_hits"] == 3
+    assert out[1]["overlap"] == 1.0 and out[1]["contaminated"]
+    # doc 2: 7 grams, the 3 bench grams hit -> 3/7 < 0.5
+    assert out[2]["n_grams"] == 7 and out[2]["n_hits"] == 3
+    assert not out[2]["contaminated"]
+    assert out[3]["n_hits"] == 0 and not out[3]["contaminated"]
+    assert out[4]["n_grams"] == 0 and out[4]["overlap"] == 0.0
+    assert not out[4]["contaminated"]
