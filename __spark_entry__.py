@@ -693,9 +693,30 @@ def q_mm_pipeline(spark, sf):
 
 
 def q_events_window(spark, sf):
-    from graphula_spark.streaming.windows import tumbling_window_agg
+    """Tumbling AND sliding windowed aggregations merged into one driver
+    row (wkind column) — the batch formulations of the streaming window
+    operators; `events_window_stream` runs the real micro-batch job."""
+    from graphula_spark.streaming.windows import (
+        sliding_window_agg,
+        tumbling_window_agg,
+    )
 
-    return tumbling_window_agg(_events(spark, sf), "1 hour")
+    ev = _events(spark, sf)
+    tumb = tumbling_window_agg(ev, "1 hour").select(
+        F.lit("tumbling").alias("wkind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    slide = sliding_window_agg(ev, "1 hour", "30 minutes").select(
+        F.lit("sliding").alias("wkind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumb.unionByName(slide)
 
 
 def q_events_window_stream(spark, sf):
@@ -709,10 +730,21 @@ def q_events_window_stream(spark, sf):
     )
 
 
-def q_events_window_sliding(spark, sf):
-    from graphula_spark.streaming.windows import sliding_window_agg
+def q_text_mix_sources(spark, sf):
+    """Deterministic corpus mixing: per-source keep-rates applied via a
+    portable hash — src0 kept at 25%, src1 at 50%, src2 at 75%, the
+    rest at 100%. Returns the kept (doc_id, source) rows so the oracle
+    hash-verifies the exact sampling decision set."""
+    from graphula_spark.operators.relational import sample_by_weight
 
-    return sliding_window_agg(_events(spark, sf), "1 hour", "30 minutes")
+    d = _docs(spark, sf).select("doc_id", "source")
+    return sample_by_weight(
+        d,
+        "source",
+        "doc_id",
+        {"src0": 0.25, "src1": 0.5, "src2": 0.75},
+        default_rate=1.0,
+    )
 
 
 def q_events_sessionize(spark, sf):
@@ -867,11 +899,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": q_text_scrub_pii,
         "text_gopher": q_text_gopher,
         "text_pack_shards": q_text_pack_shards,
+        "text_mix_sources": q_text_mix_sources,
         "rel_salted_agg": q_salted_agg,
         "mm_pipeline": q_mm_pipeline,
         "events_window": q_events_window,
         "events_window_stream": q_events_window_stream,
-        "events_window_sliding": q_events_window_sliding,
         "events_sessionize": q_events_sessionize,
         "events_temporal_join": q_events_temporal_join,
         "rel_graph_reach": q_graph_reach,
@@ -1428,10 +1460,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_window": """
-            SELECT date_trunc('hour', ts) AS window_start, event_type,
+            SELECT 'tumbling' AS wkind,
+                   date_trunc('hour', ts) AS window_start, event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 4) AS sum_value
-            FROM events GROUP BY 1, 2
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sliding', window_start, event_type, n_events,
+                   CAST(NULL AS DOUBLE)
+            FROM (
+              -- naive-TIMESTAMP arithmetic only (see former
+              -- events_window_sliding entry note)
+              WITH starts AS (
+                SELECT event_type,
+                       date_trunc('hour', ts)
+                         + CASE WHEN extract(minute FROM ts) >= 30
+                                THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS w0
+                FROM events
+              ), cand AS (
+                SELECT event_type, w0 AS window_start FROM starts
+                UNION ALL
+                SELECT event_type, w0 - INTERVAL 30 MINUTE FROM starts
+              )
+              SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+              FROM cand GROUP BY 1, 2
+            )
         """,
         "events_window_stream": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -1439,23 +1492,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        "events_window_sliding": """
-            -- naive-TIMESTAMP arithmetic only: DuckDB to_timestamp() would
-            -- yield TIMESTAMPTZ and break the schema compare vs Spark's
-            -- naive window bounds (round-1 red row)
-            WITH starts AS (
-              SELECT event_type,
-                     date_trunc('hour', ts)
-                       + CASE WHEN extract(minute FROM ts) >= 30
-                              THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS w0
-              FROM events
-            ), cand AS (
-              SELECT event_type, w0 AS window_start FROM starts
-              UNION ALL
-              SELECT event_type, w0 - INTERVAL 30 MINUTE FROM starts
-            )
-            SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
-            FROM cand GROUP BY 1, 2
+        "text_mix_sources": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 1000000
+                  < CAST((CASE source WHEN 'src0' THEN 0.25
+                                      WHEN 'src1' THEN 0.5
+                                      WHEN 'src2' THEN 0.75
+                                      ELSE 1.0 END) * 1000000 AS BIGINT)
         """,
         "events_sessionize": """
             WITH g AS (

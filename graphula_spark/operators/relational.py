@@ -193,3 +193,39 @@ def range_join_count(
         joined.groupBy(*[F.col(c) for c in left.columns])
         .agg(F.count("__rt").alias(count_name))
     )
+
+
+def sample_by_weight(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source downsampling for corpus mixing — the
+    "source weights" step of training-data assembly (e.g. keep 50% of
+    web, 100% of books). A row is kept iff
+    hash60(seed || id) % 1e6 < rate(key) * 1e6, so the decision is a
+    pure map-side filter: reproducible across runs and engines (the
+    md5-derived `hash60` is SQL-portable), no shuffle, no sampling
+    state, and scale-independent — the same doc is kept at every scale
+    factor. Rates outside the dict fall back to `default_rate`.
+    """
+    from graphula_spark.operators.dedup import hash60
+
+    rate = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(key_col) == k
+        rate = F.when(cond, F.lit(float(v))) if rate is None else rate.when(
+            cond, F.lit(float(v))
+        )
+    rate = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    u = hash60(
+        F.concat(F.lit(seed), F.col(id_col).cast("string"))
+    ) % F.lit(1000000)
+    return df.where(u < (rate * 1000000).cast("long"))

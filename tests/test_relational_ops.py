@@ -87,3 +87,29 @@ def test_range_join_count(spark):
     )
     out = range_join_count(left, right, "ts", "ts", "user", 600, 600)
     assert out.collect()[0]["n_in_range"] == 2
+
+
+def test_sample_by_weight_deterministic(spark):
+    from graphula_spark.operators.relational import sample_by_weight
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sample_by_weight(
+        df, "source", "doc_id", {"a": 0.25}, default_rate=1.0
+    )
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+    # default-rate sources are kept in full
+    assert all((i, "b") in got for i in range(1, 2000, 2))
+    # rate 0.25 keeps roughly a quarter (hash-uniform; wide tolerance)
+    n_a = sum(1 for d, s in got if s == "a")
+    assert 150 < n_a < 350
+    # decision is per-id deterministic: rerun yields the identical set
+    got2 = {(r["doc_id"], r["source"]) for r in out.collect()}
+    assert got == got2
+    # subsetting the corpus does not change any kept/dropped decision
+    sub = sample_by_weight(
+        df.where("doc_id < 1000"), "source", "doc_id",
+        {"a": 0.25}, default_rate=1.0,
+    )
+    got_sub = {(r["doc_id"], r["source"]) for r in sub.collect()}
+    assert got_sub == {(d, s) for d, s in got if d < 1000}
