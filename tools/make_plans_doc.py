@@ -180,5 +180,51 @@ out.append(
     "skew-join stays enabled as the runtime safety net.\n"
 )
 
+# 10. tf-idf — bounded-key aggs + single-row broadcast for N
+df10 = E.q_text_tfidf(spark, sf)
+df10.count()
+p = plan_of(df10)
+out.append("## 10. TF-IDF top-k (round 3)\n")
+out.append(
+    f"```\nHashAggregate stages: {p.count('HashAggregate')} "
+    f"((doc,term) tf, term df — both map-side combinable)\n"
+    f"corpus size N joined via broadcast: "
+    f"{'BroadcastNestedLoopJoin' in p or 'BroadcastExchange' in p}\n"
+    f"Exchange SinglePartition stages: {p.count('SinglePartition')} "
+    f"(the one-row N aggregate only)\n```\n"
+)
+out.append(
+    "Per-doc top-k is a window over doc_id (hash-distributed); the df_t "
+    "side is vocabulary-sized, so no stage scales with corpus size "
+    "except the linear scans.\n"
+)
+
+# 11. decontamination — broadcast bench-gram probe
+df11 = E.q_text_decontam(spark, sf)
+df11.count()
+p = plan_of(df11)
+out.append("## 11. Benchmark decontamination (round 3)\n")
+out.append(
+    f"```\nBroadcastHashJoin: {p.count('BroadcastHashJoin')} "
+    f"(bench gram set broadcast to the doc-gram stream)\n"
+    f"SortMergeJoin: {p.count('SortMergeJoin')}\n```\n"
+)
+out.append(
+    "The eval set is distinct-reduced then broadcast; the corpus side "
+    "streams through a map-side hash probe + per-doc agg — nothing "
+    "all-pairs, corpus scanned once.\n"
+)
+
+# 12. corpus mixing — pure map-side filter
+df12 = E.q_text_mix_sources(spark, sf)
+df12.count()
+p = plan_of(df12)
+out.append("## 12. Corpus mixing / weighted sampling (round 3)\n")
+out.append(
+    f"```\nExchanges: {p.count('Exchange')}   joins: "
+    f"{p.count('Join')}   (hash-threshold filter evaluated per-row "
+    f"in the scan stage)\n```\n"
+)
+
 open("/root/repo/PLANS.md", "w").write("\n".join(out))
 print("written")
