@@ -156,7 +156,16 @@ def verify_jaccard(
     shingle_n: int,
     threshold: float,
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs via shingle-set joins."""
+    """Exact Jaccard for candidate pairs.
+
+    Shingle sets ride as array columns: two id-keyed joins attach each
+    side's (distinct) shingle array, then `array_intersect` computes
+    the overlap per-row — O(|A|+|B|) hash-set intersection inside
+    whole-stage codegen. Versus the explode-and-count formulation this
+    removes the (pair, shingle) blow-up, one aggregation shuffle, and
+    two size-table joins; only candidate pairs (LSH-bounded, not
+    all-pairs) ever carry arrays.
+    """
     touched = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
@@ -171,29 +180,30 @@ def verify_jaccard(
         )
         .join(touched, "id", "left_semi")  # only docs in candidate pairs
     )
+    # consumed by both sides of the pair join — persist so the corpus
+    # scan + shingling runs once
     sh = sh.persist()
-    sizes = sh.select("id", F.size("sh").alias("n"))
-    exploded = sh.select("id", F.explode("sh").alias("s"))
-    a = exploded.select(F.col("id").alias("id_a"), F.col("s"))
-    b = exploded.select(F.col("id").alias("id_b"), F.col("s"))
-    inter = (
-        pairs.join(a, "id_a").join(b, ["id_b", "s"]).groupBy("id_a", "id_b").agg(
-            F.count(F.lit(1)).alias("n_inter")
-        )
+    a = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(na, "id_a")
-        .join(nb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            / (
+                F.size("sh_a") + F.size("sh_b") - F.col("n_inter")
+            ).cast("double"),
         )
         .where(F.col("jaccard") >= F.lit(threshold))
+        .drop("sh_a", "sh_b", "n_inter")
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
