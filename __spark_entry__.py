@@ -674,22 +674,31 @@ def q_salted_agg(spark, sf):
 
 def q_mm_pipeline(spark, sf):
     """Multimodal pipeline in one row: binary+metadata media schema,
-    Arrow-batched feature extraction (mapInPandas), and frame sampling —
-    features joined with per-media frame counts."""
+    Arrow-batched feature extraction (mapInPandas), frame sampling, AND
+    a REAL encode→decode round-trip — deterministic PNG/WAV payloads
+    are synthesized per doc (operators/codecs.py, stdlib zlib/struct
+    codecs), decoded back by magic-byte routing, and every decoded
+    feature (dimensions, mean pixel, sample counts, zero crossings) is
+    a closed-form function of doc_id the oracle reproduces without a
+    codec."""
     from graphula_spark.operators.multimodal import (
         documents_as_media,
         extract_features,
+        extract_real_features,
         sample_frames,
+        synthesize_real_media,
     )
 
-    media = documents_as_media(_docs(spark, sf))
+    d = _docs(spark, sf)
+    media = documents_as_media(d)
     feats = extract_features(media, fake=True).select("media_id", "n_bytes", "digest")
     frames = (
         sample_frames(media, every_n=10)
         .groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
-    return feats.join(frames, "media_id")
+    real = extract_real_features(synthesize_real_media(d))
+    return feats.join(frames, "media_id").join(real, "media_id")
 
 
 def q_events_window(spark, sf):
@@ -1456,7 +1465,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS digest,
-                   CAST(((greatest(strlen(text) // 64, 1) - 1) // 10) + 1 AS BIGINT) AS n_frames
+                   CAST(((greatest(strlen(text) // 64, 1) - 1) // 10) + 1 AS BIGINT) AS n_frames,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS detected,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 64 + 1 AS INT) END AS width,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 48 + 1 AS INT) END AS height,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_pixel,
+                   CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+                   CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 500 + 100 AS INT) END AS n_samples,
+                   CASE WHEN doc_id % 2 = 1 THEN CAST(1000 AS INT) END AS max_amp,
+                   CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id % 500 + 99) // 4 AS INT) END AS n_zero_cross
             FROM documents
         """,
         "events_window": """

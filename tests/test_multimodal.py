@@ -78,3 +78,127 @@ def test_delete_triples(spark):
         for r in g2.execute_bgp_decoded([TriplePattern(X, "p", Y)]).collect()
     }
     assert got == {("a", "b"), ("c", "d")}
+
+
+def test_png_codec_roundtrip_all_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from graphula_spark.operators.codecs import decode_png, encode_png
+
+    # encoder→decoder round-trip, gray and RGB
+    px = np.arange(7 * 5, dtype=np.uint8).reshape(5, 7)
+    w, h, c, out = decode_png(encode_png(px))
+    assert (w, h, c) == (7, 5, 1) and (out == px).all()
+    rgb = (np.arange(4 * 3 * 3) % 256).astype(np.uint8).reshape(3, 4, 3)
+    w, h, c, out = decode_png(encode_png(rgb))
+    assert (w, h, c) == (4, 3, 3) and (out == rgb.reshape(3, 12)).all()
+
+    # decoder handles every PNG row filter (1=Sub 2=Up 3=Average 4=Paeth),
+    # not just the filter-0 rows our encoder writes
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+    pix = (np.arange(5 * 6) * 37 % 256).astype(np.uint8).reshape(5, 6)
+    rows, prev = [], np.zeros(6, np.int32)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        cur = pix[y].astype(np.int32)
+        enc = np.zeros(6, np.int32)
+        for x in range(6):
+            left = cur[x - 1] if x >= 1 else 0
+            ul = prev[x - 1] if x >= 1 else 0
+            pred = [0, left, prev[x], (left + prev[x]) // 2,
+                    paeth(int(left), int(prev[x]), int(ul))][ft]
+            enc[x] = (cur[x] - pred) & 0xFF
+        rows.append(bytes([ft]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+    w, h, c, out = decode_png(blob)
+    assert (out == pix).all()
+
+
+def test_wav_codec_and_features():
+    import io
+    import wave
+
+    import numpy as np
+
+    from graphula_spark.operators.codecs import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    t = np.arange(800)
+    sq = np.where((t // 4) % 2 == 0, 1000, -1000).astype(np.int16)
+    payload = encode_wav_pcm16(sq, 8000)
+    assert audio_features(payload) == {
+        "sample_rate": 8000, "n_channels": 1, "n_samples": 800,
+        "max_amp": 1000, "n_zero_cross": (800 - 1) // 4,
+    }
+    # cross-check container format against the stdlib wave reader
+    wf = wave.open(io.BytesIO(payload))
+    assert wf.getframerate() == 8000 and wf.getnframes() == 800
+
+
+def test_resize_nearest():
+    import numpy as np
+
+    from graphula_spark.operators.codecs import resize_nearest
+
+    img = np.arange(4 * 6, dtype=np.uint8).reshape(4, 6)
+    out = resize_nearest(img, 1, 3, 2)
+    assert out.shape == (2, 3)
+    assert out[0, 0] == img[0, 0] and out[1, 2] == img[2, 4]
+
+
+def test_real_media_roundtrip_in_spark(spark):
+    from graphula_spark.operators.multimodal import (
+        extract_real_features,
+        synthesize_real_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10)], ["doc_id", "source"]
+    )
+    rows = {
+        r["media_id"]: r.asDict()
+        for r in extract_real_features(synthesize_real_media(docs)).collect()
+    }
+    for mid, r in rows.items():
+        if mid % 2 == 0:
+            assert r["detected"] == "png"
+            assert (r["width"], r["height"]) == (mid % 64 + 1, mid % 48 + 1)
+            assert r["mean_pixel"] == float(mid % 256)
+        else:
+            n = mid % 500 + 100
+            assert r["detected"] == "wav" and r["n_samples"] == n
+            assert r["n_zero_cross"] == (n - 1) // 4
+
+
+def test_corrupt_payload_does_not_fail_batch(spark):
+    from graphula_spark.operators.multimodal import extract_real_features
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x89PNG\r\n\x1a\x08garbage")),  # bad signature
+            (2, bytearray(b"\x89PNG\r\n\x1a\n\x00\x00")),   # truncated
+            (3, bytearray(b"RIFFxxxxWAVE")),                # no fmt/data
+            (4, None),
+            (5, bytearray(b"plain text")),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["detected"] for r in extract_real_features(df).collect()}
+    assert got == {1: "unknown", 2: "corrupt", 3: "corrupt", 4: "empty", 5: "unknown"}
