@@ -665,11 +665,25 @@ def q_text_pack_shards(spark, sf):
 
 
 def q_salted_agg(spark, sf):
+    """Salted two-phase aggregation PLUS semi-structured extraction in
+    one row: the JSON `props` column is parsed JVM-side
+    (get_json_object, no Python) and aggregated alongside `value` under
+    the same salted group-by."""
     from graphula_spark.operators.relational import salted_aggregate
 
-    ev = _events(spark, sf).select("event_type", "value")
-    out = salted_aggregate(ev, ["event_type"], {"value": "sum"}, salt=16)
-    return out.select("event_type", F.round("value_sum", 4).alias("value_sum"))
+    ev = _events(spark, sf).select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("props_k"),
+    )
+    out = salted_aggregate(
+        ev, ["event_type"], {"value": "sum", "props_k": "sum"}, salt=16
+    )
+    return out.select(
+        "event_type",
+        F.round("value_sum", 4).alias("value_sum"),
+        F.col("props_k_sum").cast("long").alias("props_k_sum"),
+    )
 
 
 def q_mm_pipeline(spark, sf):
@@ -1458,7 +1472,9 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "rel_salted_agg": """
-            SELECT event_type, round(sum(value), 4) AS value_sum
+            SELECT event_type, round(sum(value), 4) AS value_sum,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS props_k_sum
             FROM events GROUP BY event_type
         """,
         "mm_pipeline": """

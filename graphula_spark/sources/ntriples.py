@@ -53,3 +53,45 @@ def read_ntriples(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         norm("p_raw").alias("p"),
         norm("o_raw").alias("o"),
     )
+
+
+# N-Quads: same terms plus an optional graph label (IRI or blank node)
+# before the terminating dot. NxParser (the reference's parser,
+# Sparql.scala:78-113) accepts both syntaxes; so do we.
+_GRAPH = r"(<[^>]*>|_:\S+)?"
+_QLINE = rf"^\s*{_SUBJ}\s+{_PRED}\s+{_OBJ}(?:\s+{_GRAPH})?\s*\.\s*$"
+
+
+def read_nquads(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Parse N-Quads file(s) -> DataFrame(s, p, o, g: string).
+
+    `g` is null for triple-syntax lines (the default graph), so a plain
+    .nt file parses identically to `read_ntriples` plus a null graph
+    column. The store itself is triple-shaped (the reference has no
+    named-graph support either); callers that want a union-of-graphs
+    view feed `df.select("s","p","o")` to Graph construction, and the
+    graph label stays available for per-graph filtering before load.
+    """
+    text = spark.read.text(paths)
+    parsed = text.select(
+        F.regexp_extract("value", _QLINE, 1).alias("s_raw"),
+        F.regexp_extract("value", _QLINE, 2).alias("p_raw"),
+        F.regexp_extract("value", _QLINE, 3).alias("o_raw"),
+        F.regexp_extract("value", _QLINE, 4).alias("g_raw"),
+    ).where((F.col("s_raw") != "") & (F.col("p_raw") != "") & (F.col("o_raw") != ""))
+
+    def norm(c: str):
+        col = F.col(c)
+        return F.when(
+            col.startswith("<"),
+            F.expr(f"substring({c}, 2, length({c}) - 2)"),
+        ).otherwise(col)
+
+    return parsed.select(
+        norm("s_raw").alias("s"),
+        norm("p_raw").alias("p"),
+        norm("o_raw").alias("o"),
+        F.when(F.col("g_raw") == "", F.lit(None).cast("string"))
+        .otherwise(norm("g_raw"))
+        .alias("g"),
+    )

@@ -81,3 +81,37 @@ def test_sparql_over_typed_literals(spark, tmp_path_factory):
     assert {r["dt"] for r in df2.collect()} == {
         "http://www.w3.org/2001/XMLSchema#integer"
     }
+
+
+def test_read_nquads(spark, tmp_path):
+    from graphula_spark.sources.ntriples import read_nquads
+
+    f = tmp_path / "data.nq"
+    f.write_text(
+        '<http://ex/s1> <http://ex/p> "lit" <http://ex/g1> .\n'
+        "<http://ex/s2> <http://ex/p> <http://ex/o> _:gb .\n"
+        "<http://ex/s3> <http://ex/p> <http://ex/o> .\n"  # triple syntax
+        "# comment\n"
+        "malformed line\n"
+    )
+    rows = {r["s"]: r.asDict() for r in read_nquads(spark, str(f)).collect()}
+    assert set(rows) == {"http://ex/s1", "http://ex/s2", "http://ex/s3"}
+    assert rows["http://ex/s1"]["g"] == "http://ex/g1"
+    assert rows["http://ex/s1"]["o"] == '"lit"'
+    assert rows["http://ex/s2"]["g"] == "_:gb"
+    assert rows["http://ex/s3"]["g"] is None
+
+
+def test_nquads_reads_plain_ntriples_identically(spark):
+    import glob
+
+    from graphula_spark.sources.ntriples import read_nquads, read_ntriples
+
+    path = sorted(
+        glob.glob("/root/reference/benchmarks/data/university0_*.nt")
+    )[0]
+    nt = read_ntriples(spark, path)
+    nq = read_nquads(spark, path)
+    assert nq.where("g IS NOT NULL").count() == 0
+    assert nt.count() == nq.count()
+    assert nt.exceptAll(nq.select("s", "p", "o")).count() == 0
