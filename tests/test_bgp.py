@@ -147,3 +147,34 @@ def test_sql_views_interop(spark):
            GROUP BY d.value ORDER BY subj"""
     ).collect()
     assert [r["subj"] for r in m] == ["a", "b"]
+
+
+def test_basic_graph_patterns_cube_parity(spark):
+    """Mirror of the reference's BasicGraphPatterns JMH benchmark
+    (benchmarks/.../BasicGraphPatterns.scala:12-54): a dense
+    20x20x20 cube with the 3-pattern chain
+    (?a <1> ?b)(?b <2> ?c)(?c <3> <4>). Every node value 1..20 appears
+    as both subject and object, so the chain cardinality is exactly
+    20^3 = 8000 (the final pattern's o=4 constraint always holds)."""
+    from graphula_spark.graph import Graph
+    from graphula_spark.plans.bgp import TriplePattern, Var
+
+    n = 20
+    rows = [
+        (f"n{s}", f"e{p}", f"n{o}")
+        for s in range(1, n + 1)
+        for p in range(1, n + 1)
+        for o in range(1, n + 1)
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"]), cache=False
+    )
+    A, B, C = Var("a"), Var("b"), Var("c")
+    res = g.execute_bgp(
+        [
+            TriplePattern(A, "e1", B),
+            TriplePattern(B, "e2", C),
+            TriplePattern(C, "e3", "n4"),
+        ]
+    )
+    assert res.count() == n * n * n
