@@ -95,3 +95,42 @@ def read_nquads(spark: SparkSession, paths: str | list[str]) -> DataFrame:
         .otherwise(norm("g_raw"))
         .alias("g"),
     )
+
+
+def format_ntriples(df: DataFrame) -> DataFrame:
+    """Serialize a (s, p, o) string DataFrame back to N-Triples lines —
+    the export sink matching `read_ntriples`'s verbatim-term policy:
+    IRIs get re-wrapped in angle brackets, blank nodes (`_:...`) and
+    literals (leading `"`) are already in N-Triples syntax. Returns a
+    single-column (`value`) DataFrame ready for `write.text` — a
+    distributed text sink, one file per partition.
+    """
+
+    def term(c: str, subject_position: bool = False):
+        col = F.col(c)
+        keep = col.startswith("_:") if subject_position else (
+            col.startswith("_:") | col.startswith('"')
+        )
+        return F.when(keep, col).otherwise(F.concat(F.lit("<"), col, F.lit(">")))
+
+    return df.select(
+        F.concat(
+            term("s", subject_position=True),
+            F.lit(" "),
+            F.concat(F.lit("<"), F.col("p"), F.lit(">")),
+            F.lit(" "),
+            term("o"),
+            F.lit(" ."),
+        ).alias("value")
+    )
+
+
+def write_ntriples(graph, path: str) -> None:
+    """Export a Graph's triples as N-Triples text files (decoded via
+    the late-materialization path, then serialized distributed). The
+    reference has no export path at all; round-trips through
+    `read_ntriples` exactly."""
+    decoded = graph.decode(graph.triples, ["s", "p", "o"])
+    format_ntriples(decoded.select("s", "p", "o")).write.mode(
+        "overwrite"
+    ).text(path)

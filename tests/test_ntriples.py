@@ -115,3 +115,22 @@ def test_nquads_reads_plain_ntriples_identically(spark):
     assert nq.where("g IS NOT NULL").count() == 0
     assert nt.count() == nq.count()
     assert nt.exceptAll(nq.select("s", "p", "o")).count() == 0
+
+
+def test_ntriples_export_roundtrip(spark, tmp_path):
+    import glob
+
+    from graphula_spark.graph import Graph
+    from graphula_spark.sources.ntriples import read_ntriples, write_ntriples
+
+    src = sorted(glob.glob("/root/reference/benchmarks/data/university0_*.nt"))[0]
+    g = Graph.from_ntriples(spark, [src])
+    out_dir = str(tmp_path / "export")
+    write_ntriples(g, out_dir)
+
+    orig = read_ntriples(spark, src)
+    back = read_ntriples(spark, out_dir + "/*.txt")
+    # set semantics: the store deduplicates, so compare distinct sets
+    assert back.count() == orig.distinct().count()
+    assert orig.distinct().exceptAll(back).count() == 0
+    assert back.exceptAll(orig.distinct()).count() == 0
