@@ -1,0 +1,140 @@
+"""RDF dataset: a default graph plus named graphs (SPARQL 1.1 §13).
+
+Extension beyond the reference, whose store is triples-only with no
+dataset support (core/.../Index.scala keys are (s,p,o) permutations).
+Spark-first design: ONE encoded quad table `(s, p, o, g)` — `g` null
+for default-graph triples — sharing ONE dictionary. Because encoding
+is the hash-is-the-id pure map (Dictionary.scala:34-37 contract), all
+graphs live in the same id space, so a named-graph view is just a
+filter on `g`: no per-graph dictionaries, no decode/re-encode at graph
+boundaries, and cross-graph joins stay id-to-id.
+
+GRAPH ?g enumerates the dataset's named graphs (SPARQL semantics); the
+graph list is collected once — bounded by the number of *named graphs*
+(not triples), which is a catalog-sized quantity even at 100 TB. The
+per-graph branches are lazy DataFrame views unioned into one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphula_spark.dictionary import Dictionary
+from graphula_spark.graph import Graph
+from graphula_spark.sources.ntriples import read_nquads
+
+
+class Dataset:
+    def __init__(
+        self, spark: SparkSession, quads: DataFrame, dictionary: Dictionary
+    ):
+        self.spark = spark
+        #: encoded (s, p, o, g) — g null = default graph
+        self.quads = quads
+        self.dictionary = dictionary
+        self._default: Graph | None = None
+        self._names: list[tuple[str, int]] | None = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_string_quads(
+        cls, spark: SparkSession, squads: DataFrame, cache: bool = True
+    ) -> "Dataset":
+        """Build from a (s, p, o, g) term-string DataFrame (g nullable).
+        One dictionary over every term incl. graph names; quads encoded
+        by the same pure-map hash encode as triples."""
+        terms = squads.select(
+            F.explode(
+                F.filter(
+                    F.array("s", "p", "o", "g"), lambda t: t.isNotNull()
+                )
+            ).alias("value")
+        )
+        dictionary = Dictionary.build(spark, terms)
+        enc = squads
+        for c in ("s", "p", "o", "g"):
+            enc = dictionary.encode_col(enc, c, f"{c}_id")
+        quads = enc.select(
+            F.col("s_id").alias("s"),
+            F.col("p_id").alias("p"),
+            F.col("o_id").alias("o"),
+            F.col("g_id").alias("g"),
+        ).dropDuplicates(["s", "p", "o", "g"])
+        if cache:
+            dictionary.df.cache()
+            quads = quads.cache()
+        return cls(spark, quads, dictionary)
+
+    @classmethod
+    def from_nquads(
+        cls, spark: SparkSession, paths: str | list[str], cache: bool = True
+    ) -> "Dataset":
+        return cls.from_string_quads(spark, read_nquads(spark, paths), cache=cache)
+
+    # ------------------------------------------------------------------
+    @property
+    def default_graph(self) -> Graph:
+        """Triples with no graph label — the dataset's default graph."""
+        if self._default is None:
+            self._default = Graph(
+                self.spark,
+                self.quads.where(F.col("g").isNull()).select("s", "p", "o"),
+                self.dictionary,
+            )
+        return self._default
+
+    def graph(self, name: str) -> Graph:
+        """Named-graph view: same dictionary, triples filtered on the
+        graph id — a Catalyst filter, not a copy."""
+        ids = self.dictionary.lookup_terms([name])
+        gid = ids.get(name)
+        if gid is None:
+            # unknown graph name ⇒ empty graph (SPARQL: empty solution)
+            triples = self.quads.where(F.lit(False)).select("s", "p", "o")
+        else:
+            triples = self.quads.where(F.col("g") == gid).select("s", "p", "o")
+        return Graph(self.spark, triples, self.dictionary)
+
+    def graph_names(self) -> list[tuple[str, int]]:
+        """(name, id) of every named graph — collected once; bounded by
+        the dataset's graph count, a catalog-sized list."""
+        if self._names is None:
+            gids = [
+                r["g"]
+                for r in self.quads.select("g")
+                .where(F.col("g").isNotNull())
+                .distinct()
+                .collect()
+            ]
+            rows = (
+                self.dictionary.df.where(F.col("id").isin(gids))
+                .select("id", "value")
+                .collect()
+            )
+            m = {r["id"]: r["value"] for r in rows}
+            self._names = sorted((m.get(i, f"_:{i}"), i) for i in gids)
+        return self._names
+
+    def graph_by_id(self, gid: int) -> Graph:
+        return Graph(
+            self.spark,
+            self.quads.where(F.col("g") == gid).select("s", "p", "o"),
+            self.dictionary,
+        )
+
+    def union_graph(self) -> Graph:
+        """All graphs merged (the common 'union default graph' serving
+        mode) — dedup because the same triple may appear in several
+        graphs."""
+        return Graph(
+            self.spark,
+            self.quads.select("s", "p", "o").dropDuplicates(["s", "p", "o"]),
+            self.dictionary,
+        )
+
+    # ------------------------------------------------------------------
+    def sparql(self, query: str) -> DataFrame:
+        from graphula_spark.sparql.engine import execute_sparql
+
+        return execute_sparql(self.default_graph, query, dataset=self)

@@ -131,6 +131,16 @@ class Minus:
 
 
 @dataclass
+class GraphGraphPattern:
+    """GRAPH <iri> { ... } / GRAPH ?g { ... } — SPARQL 1.1 §13.3.
+    `term` is a Var (graph variable) or a str IRI. Extension beyond the
+    reference (triples-only store, no dataset support)."""
+
+    term: object  # Var | str
+    group: "GroupGraphPattern"
+
+
+@dataclass
 class Union:
     groups: list["GroupGraphPattern"]
 

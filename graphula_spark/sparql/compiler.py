@@ -109,9 +109,12 @@ class CE:
 
 
 class Compiler:
-    def __init__(self, graph):
+    def __init__(self, graph, dataset=None):
         self.graph = graph
         self.spark = graph.spark
+        #: optional Dataset for GRAPH clauses (named graphs); None for
+        #: plain triple stores — GRAPH then raises a helpful error
+        self.dataset = dataset
         self._tmp = 0
 
     # ------------------------------------------------------------------
@@ -171,6 +174,9 @@ class Compiler:
             elif isinstance(el, A.Minus):
                 right = self.compile_group(el.group)
                 sol = self.minus(sol, right)
+            elif isinstance(el, A.GraphGraphPattern):
+                g_sol = self.compile_graph_pattern(el)
+                sol = self.join(sol, g_sol) if sol is not None else g_sol
             elif isinstance(el, A.Filter):
                 deferred_filters.append(el.expr)
             elif isinstance(el, A.Bind):
@@ -196,6 +202,46 @@ class Compiler:
     def compile_bgp(self, patterns: list[TriplePattern]) -> Solution:
         df = self.graph.execute_bgp(patterns)
         return Solution(df, id_vars=set(df.columns))
+
+    def compile_graph_pattern(self, el: A.GraphGraphPattern) -> Solution:
+        """GRAPH <iri> / GRAPH ?g (SPARQL 1.1 §13.3) — extension; the
+        reference's store is triples-only. The named-graph view shares
+        the dataset's single hash-id dictionary, so the inner group
+        compiles unchanged against a g-filtered quad scan. GRAPH ?g
+        unions one lazy branch per named graph (the graph list is
+        catalog-sized) with ?g bound to the graph's id — decoded only
+        at the late-materialization boundary like every other var."""
+        if self.dataset is None:
+            raise NotImplementedError(
+                "GRAPH requires a quad dataset (Dataset.from_nquads / "
+                "from_string_quads); this store is triples-only"
+            )
+        saved = self.graph
+        try:
+            if isinstance(el.term, Var):
+                gvar = el.term.name
+                branches = []
+                for _name, gid in self.dataset.graph_names():
+                    self.graph = self.dataset.graph_by_id(gid)
+                    sub = self.compile_group(el.group)
+                    branches.append(
+                        Solution(
+                            sub.df.withColumn(gvar, F.lit(gid)),
+                            sub.id_vars | {gvar},
+                            sub.val_vars,
+                            sub.maybe_unbound,
+                        )
+                    )
+                if not branches:
+                    empty = self.spark.range(0).select(
+                        F.col("id").cast("long").alias(gvar)
+                    )
+                    return Solution(empty, id_vars={gvar})
+                return self.union_all(branches)
+            self.graph = self.dataset.graph(el.term)
+            return self.compile_group(el.group)
+        finally:
+            self.graph = saved
 
     # -- solution combinators ------------------------------------------
     def _align_for_join(

@@ -19,9 +19,9 @@ from graphula_spark.sparql.compiler import CE, Compiler, Solution, has_aggregate
 from graphula_spark.sparql.parser import parse_sparql
 
 
-def execute_sparql(graph, query: str) -> DataFrame:
+def execute_sparql(graph, query: str, dataset=None) -> DataFrame:
     q = parse_sparql(query)
-    c = Compiler(graph)
+    c = Compiler(graph, dataset=dataset)
     if isinstance(q, A.AskQuery):
         sol = c.compile_group(q.where)
         exists = sol.df.limit(1).count() > 0

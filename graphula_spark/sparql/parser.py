@@ -318,6 +318,14 @@ class Parser:
             elif w == "MINUS":
                 self.next()
                 g.elements.append(Minus(self.parse_group()))
+            elif w == "GRAPH":
+                from graphula_spark.sparql.algebra import GraphGraphPattern
+
+                self.next()
+                term = self.parse_term()
+                if isinstance(term, str) and term.startswith('"'):
+                    raise SyntaxError("GRAPH name must be an IRI or variable")
+                g.elements.append(GraphGraphPattern(term, self.parse_group()))
             elif w == "BIND":
                 self.next()
                 self.expect_op("(")

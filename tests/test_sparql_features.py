@@ -799,3 +799,103 @@ def test_zero_length_path_strict_mode(spark):
     assert strict == {
         ("a", "b"), ("a", "a"), ("b", "b"), ("c", "c"), ("d", "d"),
     }
+
+
+class TestNamedGraphs:
+    """GRAPH clause over a quad Dataset (SPARQL 1.1 §13.3) — extension;
+    the reference's store is triples-only."""
+
+    @staticmethod
+    def _dataset(spark):
+        from graphula_spark.dataset import Dataset
+
+        rows = [
+            ("http://ex/a", "http://ex/knows", "http://ex/b", "http://ex/g1"),
+            ("http://ex/b", "http://ex/knows", "http://ex/c", "http://ex/g1"),
+            ("http://ex/a", "http://ex/knows", "http://ex/d", "http://ex/g2"),
+            ("http://ex/x", "http://ex/type", '"lit"', None),
+        ]
+        return Dataset.from_string_quads(
+            spark, spark.createDataFrame(rows, ["s", "p", "o", "g"])
+        )
+
+    def test_default_graph_excludes_named(self, spark):
+        ds = self._dataset(spark)
+        r = ds.sparql("SELECT ?s ?o WHERE { ?s ?p ?o }").collect()
+        assert sorted((x["s"], x["o"]) for x in r) == [
+            ("http://ex/x", '"lit"')
+        ]
+
+    def test_graph_iri_scopes_patterns(self, spark):
+        ds = self._dataset(spark)
+        r = ds.sparql(
+            "SELECT ?s ?o WHERE { GRAPH <http://ex/g1> "
+            "{ ?s <http://ex/knows> ?o } }"
+        ).collect()
+        assert sorted((x["s"], x["o"]) for x in r) == [
+            ("http://ex/a", "http://ex/b"),
+            ("http://ex/b", "http://ex/c"),
+        ]
+
+    def test_graph_var_enumerates_and_binds(self, spark):
+        ds = self._dataset(spark)
+        r = ds.sparql(
+            "SELECT ?g ?s WHERE { GRAPH ?g { ?s <http://ex/knows> ?o } }"
+        ).collect()
+        assert sorted((x["g"], x["s"]) for x in r) == [
+            ("http://ex/g1", "http://ex/a"),
+            ("http://ex/g1", "http://ex/b"),
+            ("http://ex/g2", "http://ex/a"),
+        ]
+
+    def test_cross_graph_join(self, spark):
+        ds = self._dataset(spark)
+        r = ds.sparql(
+            """SELECT ?s ?o2 WHERE {
+                 GRAPH <http://ex/g1> { ?s <http://ex/knows> ?o }
+                 GRAPH <http://ex/g2> { ?s <http://ex/knows> ?o2 } }"""
+        ).collect()
+        assert [(x["s"], x["o2"]) for x in r] == [
+            ("http://ex/a", "http://ex/d")
+        ]
+
+    def test_unknown_graph_is_empty(self, spark):
+        ds = self._dataset(spark)
+        assert (
+            ds.sparql(
+                "SELECT ?s WHERE { GRAPH <http://ex/nope> { ?s ?p ?o } }"
+            ).count()
+            == 0
+        )
+
+    def test_union_graph_merges_all(self, spark):
+        ds = self._dataset(spark)
+        assert ds.union_graph().triples.count() == 4
+
+    def test_graph_on_plain_store_raises(self, spark):
+        import pytest
+
+        from graphula_spark.graph import Graph
+
+        g = Graph.from_string_triples(
+            spark,
+            spark.createDataFrame([("s", "p", "o")], ["s", "p", "o"]),
+            cache=False,
+        )
+        with pytest.raises(NotImplementedError, match="quad dataset"):
+            g.sparql("SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o } }").collect()
+
+    def test_nquads_file_roundtrip(self, spark, tmp_path):
+        from graphula_spark.dataset import Dataset
+
+        f = tmp_path / "d.nq"
+        f.write_text(
+            "<http://ex/s> <http://ex/p> <http://ex/o> <http://ex/g> .\n"
+            '<http://ex/s> <http://ex/p> "v" .\n'
+        )
+        ds = Dataset.from_nquads(spark, str(f))
+        assert ds.graph_names() == [
+            ("http://ex/g", ds.graph_names()[0][1])
+        ]
+        assert ds.default_graph.triples.count() == 1
+        assert ds.graph("http://ex/g").triples.count() == 1
