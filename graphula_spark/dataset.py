@@ -35,6 +35,8 @@ class Dataset:
         self.dictionary = dictionary
         self._default: Graph | None = None
         self._names: list[tuple[str, int]] | None = None
+        #: FROM NAMED restriction: None = all named graphs visible
+        self._allowed: set[str] | None = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -89,6 +91,8 @@ class Dataset:
         graph id — a Catalyst filter, not a copy."""
         ids = self.dictionary.lookup_terms([name])
         gid = ids.get(name)
+        if self._allowed is not None and name not in self._allowed:
+            gid = None  # outside the FROM NAMED scope ⇒ empty graph
         if gid is None:
             # unknown graph name ⇒ empty graph (SPARQL: empty solution)
             triples = self.quads.where(F.lit(False)).select("s", "p", "o")
@@ -132,6 +136,38 @@ class Dataset:
             self.quads.select("s", "p", "o").dropDuplicates(["s", "p", "o"]),
             self.dictionary,
         )
+
+    def merged_graph(self, names: list[str]) -> Graph:
+        """RDF merge of the listed named graphs (the FROM default
+        graph, SPARQL 1.1 §13.2.1): union of their triples, dedup
+        because a triple may occur in several graphs."""
+        ids = self.dictionary.lookup_terms(names)
+        gids = [ids[n] for n in names if n in ids]
+        if not gids:
+            triples = self.quads.where(F.lit(False)).select("s", "p", "o")
+        else:
+            triples = (
+                self.quads.where(F.col("g").isin(gids))
+                .select("s", "p", "o")
+                .dropDuplicates(["s", "p", "o"])
+            )
+        return Graph(self.spark, triples, self.dictionary)
+
+    def scoped(
+        self, from_graphs: list[str] | None, from_named: list[str] | None
+    ) -> tuple[Graph, "Dataset"]:
+        """The query dataset a FROM/FROM NAMED clause describes: default
+        graph = merge of FROM graphs (empty if only FROM NAMED given),
+        named graphs = exactly the FROM NAMED list. Returns
+        (default_graph, dataset_view) — the view shares quads and
+        dictionary; restriction is membership filtering."""
+        default = self.merged_graph(from_graphs or [])
+        view = Dataset(self.spark, self.quads, self.dictionary)
+        view._allowed = set(from_named or [])
+        view._names = [
+            (n, i) for (n, i) in self.graph_names() if n in view._allowed
+        ]
+        return default, view
 
     # ------------------------------------------------------------------
     def sparql(self, query: str) -> DataFrame:

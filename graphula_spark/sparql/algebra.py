@@ -186,11 +186,17 @@ class SelectQuery:
     limit: int | None = None
     offset: int | None = None
     select_star: bool = False
+    #: FROM / FROM NAMED dataset clauses (SPARQL 1.1 §13.2); None =
+    #: no dataset clause, use the store's own dataset
+    from_graphs: list | None = None
+    from_named: list | None = None
 
 
 @dataclass
 class AskQuery:
     where: GroupGraphPattern
+    from_graphs: list | None = None
+    from_named: list | None = None
 
 
 @dataclass

@@ -21,6 +21,16 @@ from graphula_spark.sparql.parser import parse_sparql
 
 def execute_sparql(graph, query: str, dataset=None) -> DataFrame:
     q = parse_sparql(query)
+    fg = getattr(q, "from_graphs", None)
+    fn = getattr(q, "from_named", None)
+    if fg is not None or fn is not None:
+        # FROM / FROM NAMED replace the store's dataset (SPARQL §13.2)
+        if dataset is None:
+            raise NotImplementedError(
+                "FROM/FROM NAMED require a quad dataset "
+                "(Dataset.from_nquads / from_string_quads)"
+            )
+        graph, dataset = dataset.scoped(fg, fn)
     c = Compiler(graph, dataset=dataset)
     if isinstance(q, A.AskQuery):
         sol = c.compile_group(q.where)

@@ -149,8 +149,9 @@ class Parser:
             return self.parse_select()
         if w == "ASK":
             self.next()
+            fg, fn = self.parse_dataset_clauses()
             self.eat_kw("WHERE")
-            return AskQuery(self.parse_group())
+            return AskQuery(self.parse_group(), from_graphs=fg, from_named=fn)
         if w == "CONSTRUCT":
             from graphula_spark.sparql.algebra import ConstructQuery
 
@@ -229,6 +230,7 @@ class Parser:
                     variables.append((v.text[1:], expr))
                 else:
                     break
+        from_graphs, from_named = self.parse_dataset_clauses()
         self.eat_kw("WHERE")
         where = self.parse_group()
         group_by = having = order_by = None
@@ -289,8 +291,25 @@ class Parser:
             else:
                 break
         return SelectQuery(
-            variables, where, distinct, group_by, having, order_by, limit, offset, star
+            variables, where, distinct, group_by, having, order_by, limit, offset, star,
+            from_graphs=from_graphs, from_named=from_named,
         )
+
+    def parse_dataset_clauses(self) -> tuple[list | None, list | None]:
+        """FROM <g> / FROM NAMED <g> (SPARQL 1.1 §13.2). Returns
+        (None, None) when absent so the engine can distinguish 'no
+        dataset clause' from 'empty dataset'."""
+        fg: list | None = None
+        fn: list | None = None
+        while self.kw() == "FROM":
+            self.next()
+            if self.eat_kw("NAMED"):
+                fn = (fn or [])
+                fn.append(self.parse_term())
+            else:
+                fg = (fg or [])
+                fg.append(self.parse_term())
+        return fg, fn
 
     # -- group graph pattern -------------------------------------------
     def parse_group(self) -> GroupGraphPattern:

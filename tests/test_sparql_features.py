@@ -899,3 +899,77 @@ class TestNamedGraphs:
         ]
         assert ds.default_graph.triples.count() == 1
         assert ds.graph("http://ex/g").triples.count() == 1
+
+
+class TestDatasetClauses:
+    """FROM / FROM NAMED (SPARQL 1.1 §13.2) over a quad Dataset."""
+
+    @staticmethod
+    def _dataset(spark):
+        from graphula_spark.dataset import Dataset
+
+        rows = [
+            ("http://ex/a", "http://ex/p", "http://ex/b", "http://ex/g1"),
+            ("http://ex/c", "http://ex/p", "http://ex/d", "http://ex/g2"),
+            # same triple in both graphs: FROM merge must dedup
+            ("http://ex/a", "http://ex/p", "http://ex/b", "http://ex/g2"),
+            ("http://ex/x", "http://ex/p", "http://ex/y", None),
+        ]
+        return Dataset.from_string_quads(
+            spark, spark.createDataFrame(rows, ["s", "p", "o", "g"])
+        )
+
+    def test_from_merges_named_graphs(self, spark):
+        ds = self._dataset(spark)
+        r = ds.sparql(
+            "SELECT ?s ?o FROM <http://ex/g1> FROM <http://ex/g2> "
+            "WHERE { ?s <http://ex/p> ?o }"
+        ).collect()
+        assert sorted((x["s"], x["o"]) for x in r) == [
+            ("http://ex/a", "http://ex/b"),
+            ("http://ex/c", "http://ex/d"),
+        ]
+
+    def test_from_replaces_store_default_graph(self, spark):
+        ds = self._dataset(spark)
+        r = ds.sparql(
+            "SELECT ?s FROM <http://ex/g1> WHERE { ?s <http://ex/p> ?o }"
+        ).collect()
+        assert [x["s"] for x in r] == ["http://ex/a"]
+
+    def test_from_named_restricts_graph_var(self, spark):
+        ds = self._dataset(spark)
+        r = ds.sparql(
+            "SELECT ?g ?s FROM NAMED <http://ex/g2> "
+            "WHERE { GRAPH ?g { ?s <http://ex/p> ?o } }"
+        ).collect()
+        assert sorted((x["g"], x["s"]) for x in r) == [
+            ("http://ex/g2", "http://ex/a"),
+            ("http://ex/g2", "http://ex/c"),
+        ]
+
+    def test_from_named_hides_unlisted_graph_iri(self, spark):
+        ds = self._dataset(spark)
+        assert (
+            ds.sparql(
+                "SELECT ?s FROM NAMED <http://ex/g2> "
+                "WHERE { GRAPH <http://ex/g1> { ?s ?p ?o } }"
+            ).count()
+            == 0
+        )
+
+    def test_from_without_named_empties_graph_enumeration(self, spark):
+        ds = self._dataset(spark)
+        assert (
+            ds.sparql(
+                "SELECT ?g FROM <http://ex/g1> WHERE { GRAPH ?g { ?s ?p ?o } }"
+            ).count()
+            == 0
+        )
+
+    def test_ask_with_from(self, spark):
+        ds = self._dataset(spark)
+        r = ds.sparql(
+            "ASK FROM <http://ex/g2> { <http://ex/c> <http://ex/p> ?o }"
+        ).collect()
+        assert r[0]["ask"] is True
