@@ -170,6 +170,36 @@ class Dataset:
         return default, view
 
     # ------------------------------------------------------------------
+    def save(self, path: str, include_ops: bool = False) -> None:
+        """Persist the dataset: the union graph goes through Graph.save
+        (predicate-bucketed triples + id-bucketed dictionary + meta —
+        the union view is the common serving mode, so materializing it
+        is the read-optimized copy, not waste), and the graph-scoped
+        source of truth is a `quads/` table with the same p_bucket
+        partitioning so per-graph pattern scans prune identically."""
+        union = self.union_graph()
+        union.save(path, include_ops=include_ops)
+        (
+            self.quads.withColumn(
+                "p_bucket", F.pmod(F.col("p"), F.lit(Graph.P_BUCKETS))
+            )
+            .repartition("p_bucket")
+            .sortWithinPartitions("p", "s", "o")
+            .write.mode("overwrite")
+            .partitionBy("p_bucket")
+            .parquet(f"{path}/quads")
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Dataset":
+        """Load a persisted dataset: the dictionary (store-backed,
+        DPP-prunable decode) comes from Graph.load; quads read with
+        their partition column intact."""
+        g = Graph.load(spark, path)
+        quads = spark.read.parquet(f"{path}/quads").select("s", "p", "o", "g")
+        return cls(spark, quads, g.dictionary)
+
+    # ------------------------------------------------------------------
     def sparql(self, query: str) -> DataFrame:
         from graphula_spark.sparql.engine import execute_sparql
 

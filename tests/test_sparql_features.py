@@ -973,3 +973,34 @@ class TestDatasetClauses:
             "ASK FROM <http://ex/g2> { <http://ex/c> <http://ex/p> ?o }"
         ).collect()
         assert r[0]["ask"] is True
+
+
+def test_dataset_save_load_roundtrip(spark, tmp_path):
+    from graphula_spark.dataset import Dataset
+
+    rows = [
+        ("http://ex/a", "http://ex/p", "http://ex/b", "http://ex/g1"),
+        ("http://ex/c", "http://ex/p", "http://ex/d", "http://ex/g2"),
+        ("http://ex/x", "http://ex/p", "http://ex/y", None),
+    ]
+    ds = Dataset.from_string_quads(
+        spark, spark.createDataFrame(rows, ["s", "p", "o", "g"])
+    )
+    path = str(tmp_path / "dsstore")
+    ds.save(path)
+    back = Dataset.load(spark, path)
+    assert sorted(n for n, _ in back.graph_names()) == [
+        "http://ex/g1", "http://ex/g2",
+    ]
+    r = back.sparql(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <http://ex/p> ?o } }"
+    ).collect()
+    assert sorted((x["g"], x["s"]) for x in r) == [
+        ("http://ex/g1", "http://ex/a"),
+        ("http://ex/g2", "http://ex/c"),
+    ]
+    assert back.default_graph.triples.count() == 1
+    # the persisted union graph is loadable as a plain triple store too
+    from graphula_spark.graph import Graph
+
+    assert Graph.load(spark, path).triples.count() == 3
