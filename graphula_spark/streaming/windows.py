@@ -108,3 +108,18 @@ def run_stream_over_parquet(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: drop rows whose key was already seen
+    within the watermark horizon — the streaming formulation of exact
+    dedup for a continuously-ingesting pipeline (e.g. event replays,
+    at-least-once sources). State is bounded by the watermark: keys
+    older than the horizon are evicted, so state size tracks the
+    arrival rate × horizon, not the stream's full history."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)

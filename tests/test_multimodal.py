@@ -202,3 +202,55 @@ def test_corrupt_payload_does_not_fail_batch(spark):
     )
     got = {r["media_id"]: r["detected"] for r in extract_real_features(df).collect()}
     assert got == {1: "unknown", 2: "corrupt", 3: "corrupt", 4: "empty", 5: "unknown"}
+
+
+def test_png_roundtrip_property():
+    """Property: encode→decode is identity for random images across
+    shapes and channel counts."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graphula_spark.operators.codecs import decode_png, encode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, ch, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        if ch == 1:
+            px = px[:, :, 0]
+        dw, dh, dc, out = decode_png(encode_png(px))
+        assert (dw, dh, dc) == (w, h, ch)
+        flat = px.reshape(h, w * ch)
+        assert (out == flat).all()
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from graphula_spark.operators.codecs import decode_wav, encode_wav_pcm16
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 2000),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        r, ch, back = decode_wav(encode_wav_pcm16(samples, rate))
+        assert (r, ch) == (rate, 1)
+        assert (back == samples).all()
+
+    check()

@@ -210,3 +210,38 @@ def test_streaming_ingest_compaction(spark, tmp_path):
     # GC bounded: only dirs referenced by current or previous manifest remain
     dirs = {d for d in os.listdir(store) if os.path.isdir(f"{store}/{d}")}
     assert "base_2" in dirs and len(dirs) <= 4
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    """streaming_dedup over a replayed event feed: duplicates of the
+    same event_id survive exactly once; batch dropDuplicates agrees on
+    the surviving key set."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from graphula_spark.sources.events import open_event_stream
+    from graphula_spark.streaming.windows import streaming_dedup
+
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(20):
+        ts = base + datetime.timedelta(minutes=i)
+        rows.append((i % 8, ts, 1.0 * i))  # ids 0..7 replayed 2-3x
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    path = str(tmp_path / "replays.parquet")
+    df.write.parquet(path)
+
+    stream = open_event_stream(spark, path)
+    out = streaming_dedup(stream, ["event_id"], "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream").select("event_id")
+    assert got.count() == 8
+    assert {r["event_id"] for r in got.collect()} == set(range(8))
