@@ -200,7 +200,179 @@ class Dataset:
         return cls(spark, quads, g.dictionary)
 
     # ------------------------------------------------------------------
+    # updates (SPARQL 1.1 Update §3.1-3.2 graph forms) — immutable
+    # snapshot semantics like Graph: every op returns a NEW Dataset
+    # ------------------------------------------------------------------
+    def add_string_quads(self, squads: DataFrame) -> "Dataset":
+        """Insert (s, p, o, g) term-string rows: unseen terms extend the
+        dictionary (hash-encode — a pure map), quads union + dedup."""
+        terms = squads.select(
+            F.explode(
+                F.filter(F.array("s", "p", "o", "g"), lambda t: t.isNotNull())
+            ).alias("value")
+        )
+        d2 = self.dictionary.union(terms)
+        enc = squads
+        for c in ("s", "p", "o", "g"):
+            enc = d2.encode_col(enc, c, f"{c}_id")
+        new = enc.select(
+            F.col("s_id").alias("s"),
+            F.col("p_id").alias("p"),
+            F.col("o_id").alias("o"),
+            F.col("g_id").alias("g"),
+        )
+        quads = self.quads.unionByName(new).dropDuplicates(["s", "p", "o", "g"])
+        return Dataset(self.spark, quads, d2)
+
+    def delete_string_quads(self, squads: DataFrame) -> "Dataset":
+        """Delete exact (s, p, o, g) rows (g null = default graph) via a
+        null-safe anti-join; dictionary entries are retained (ids are
+        content hashes — orphans are harmless, decode stays stable)."""
+        enc = squads
+        for c in ("s", "p", "o", "g"):
+            enc = self.dictionary.encode_col(enc, c, f"{c}_id")
+        d = enc.select(
+            F.col("s_id").alias("ds"),
+            F.col("p_id").alias("dp"),
+            F.col("o_id").alias("do"),
+            F.col("g_id").alias("dg"),
+        )
+        cond = (
+            (F.col("s") == F.col("ds"))
+            & (F.col("p") == F.col("dp"))
+            & (F.col("o") == F.col("do"))
+            & F.col("g").eqNullSafe(F.col("dg"))
+        )
+        return Dataset(
+            self.spark,
+            self.quads.join(F.broadcast(d), cond, "left_anti"),
+            self.dictionary,
+        )
+
+    def _filtered(self, keep) -> "Dataset":
+        return Dataset(self.spark, self.quads.where(keep), self.dictionary)
+
+    def update(self, update_str: str) -> "Dataset":
+        """Quad-aware SPARQL 1.1 Update: INSERT DATA / DELETE DATA with
+        GRAPH blocks, CLEAR (GRAPH <g> | DEFAULT | NAMED | ALL), DROP
+        (same semantics here — graphs need no existence registry), and
+        ADD / COPY / MOVE between graphs (§3.2.3-3.2.5)."""
+        from graphula_spark.sparql.parser import Parser
+
+        p = Parser(update_str)
+        p.parse_prologue()
+        word = p.kw()
+        if word in ("INSERT", "DELETE"):
+            p.next()
+            p.expect_kw("DATA")
+            rows = _parse_quad_data(p)
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            schema = StructType(
+                [StructField(c, StringType(), True) for c in ("s", "p", "o", "g")]
+            )
+            df = self.spark.createDataFrame(rows, schema)
+            if word == "INSERT":
+                return self.add_string_quads(df)
+            return self.delete_string_quads(df)
+        if word in ("CLEAR", "DROP"):
+            p.next()
+            if p.kw() == "SILENT":
+                p.next()
+            w = p.kw()
+            if w == "DEFAULT":
+                p.next()
+                return self._filtered(F.col("g").isNotNull())
+            if w == "NAMED":
+                p.next()
+                return self._filtered(F.col("g").isNull())
+            if w == "ALL":
+                p.next()
+                return self._filtered(F.lit(False))
+            p.expect_kw("GRAPH")
+            name = p.parse_term()
+            gid = self.dictionary.lookup_terms([name]).get(name)
+            if gid is None:
+                return self
+            return self._filtered(F.col("g").isNull() | (F.col("g") != gid))
+        if word in ("ADD", "COPY", "MOVE"):
+            p.next()
+            if p.kw() == "SILENT":
+                p.next()
+            src = _parse_graph_or_default(p)
+            p.expect_kw("TO")
+            dst = _parse_graph_or_default(p)
+            if src == dst:
+                return self
+            out = self
+            if word in ("COPY", "MOVE"):
+                out = out.update(
+                    "CLEAR DEFAULT" if dst is None else f"CLEAR GRAPH <{dst}>"
+                )
+            src_triples = (
+                self.quads.where(
+                    F.col("g").isNull()
+                    if src is None
+                    else F.col("g")
+                    == self.dictionary.lookup_terms([src]).get(src, -1)
+                )
+                .select("s", "p", "o")
+            )
+            if dst is None:
+                moved = src_triples.withColumn("g", F.lit(None).cast("long"))
+                d2 = out.dictionary
+            else:
+                d2 = out.dictionary.union(
+                    self.spark.createDataFrame([(dst,)], "value string")
+                )
+                gid = d2.lookup_terms([dst])[dst]
+                moved = src_triples.withColumn("g", F.lit(gid))
+            quads = (
+                out.quads.unionByName(moved)
+                .dropDuplicates(["s", "p", "o", "g"])
+            )
+            out = Dataset(self.spark, quads, d2)
+            if word == "MOVE":
+                out = out.update(
+                    "CLEAR DEFAULT" if src is None else f"CLEAR GRAPH <{src}>"
+                )
+            return out
+        raise NotImplementedError(f"dataset update form {word!r}")
+
+    # ------------------------------------------------------------------
     def sparql(self, query: str) -> DataFrame:
         from graphula_spark.sparql.engine import execute_sparql
 
         return execute_sparql(self.default_graph, query, dataset=self)
+
+
+def _parse_quad_data(p) -> list[tuple]:
+    """{ triples... GRAPH <g> { triples... } ... } → (s,p,o,g) rows."""
+    p.expect_op("{")
+    out: list[tuple] = []
+    while not p.eat_op("}"):
+        if p.kw() == "GRAPH":
+            p.next()
+            gname = p.parse_term()
+            if not isinstance(gname, str) or gname.startswith('"'):
+                raise SyntaxError("GRAPH name must be an IRI")
+            p.expect_op("{")
+            while not p.eat_op("}"):
+                s, pr, o = p.parse_term(), p.parse_term(), p.parse_term()
+                out.append((s, pr, o, gname))
+                p.eat_op(".")
+        else:
+            s, pr, o = p.parse_term(), p.parse_term(), p.parse_term()
+            out.append((s, pr, o, None))
+            p.eat_op(".")
+    return out
+
+
+def _parse_graph_or_default(p):
+    """GraphOrDefault ::= 'DEFAULT' | 'GRAPH'? iri → None | iri str."""
+    if p.kw() == "DEFAULT":
+        p.next()
+        return None
+    if p.kw() == "GRAPH":
+        p.next()
+    return p.parse_term()

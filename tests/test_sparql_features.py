@@ -1004,3 +1004,65 @@ def test_dataset_save_load_roundtrip(spark, tmp_path):
     from graphula_spark.graph import Graph
 
     assert Graph.load(spark, path).triples.count() == 3
+
+
+class TestDatasetUpdate:
+    """Quad-aware SPARQL Update: GRAPH blocks in INSERT/DELETE DATA,
+    CLEAR forms, ADD/COPY/MOVE (SPARQL 1.1 Update §3.1-3.2)."""
+
+    @staticmethod
+    def _dataset(spark):
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        from graphula_spark.dataset import Dataset
+
+        sch = StructType(
+            [StructField(c, StringType(), True) for c in ("s", "p", "o", "g")]
+        )
+        return Dataset.from_string_quads(
+            spark,
+            spark.createDataFrame(
+                [("http://ex/s", "http://ex/p", "http://ex/o", None)], sch
+            ),
+        )
+
+    def test_insert_delete_with_graph_blocks(self, spark):
+        ds = self._dataset(spark)
+        ds2 = ds.update(
+            """INSERT DATA {
+                 <http://ex/d1> <http://ex/p> "v" .
+                 GRAPH <http://ex/g1> {
+                   <http://ex/a> <http://ex/p> <http://ex/b> .
+                   <http://ex/b> <http://ex/p> <http://ex/c> . } }"""
+        )
+        assert ds2.default_graph.triples.count() == 2
+        assert ds2.graph("http://ex/g1").triples.count() == 2
+        ds3 = ds2.update(
+            "DELETE DATA { GRAPH <http://ex/g1> "
+            "{ <http://ex/b> <http://ex/p> <http://ex/c> . } }"
+        )
+        assert ds3.graph("http://ex/g1").triples.count() == 1
+        # default graph untouched by the graph-scoped delete
+        assert ds3.default_graph.triples.count() == 2
+
+    def test_add_copy_move_clear(self, spark):
+        ds = self._dataset(spark).update(
+            """INSERT DATA {
+                 GRAPH <http://ex/g1> {
+                   <http://ex/a> <http://ex/p> <http://ex/b> . }
+                 GRAPH <http://ex/g2> {
+                   <http://ex/a> <http://ex/p> <http://ex/z> . } }"""
+        )
+        added = ds.update("ADD GRAPH <http://ex/g1> TO GRAPH <http://ex/g2>")
+        assert added.graph("http://ex/g2").triples.count() == 2
+        # COPY clears the destination first (spec §3.2.4)
+        copied = added.update("COPY GRAPH <http://ex/g1> TO GRAPH <http://ex/g2>")
+        assert copied.graph("http://ex/g2").triples.count() == 1
+        # MOVE clears destination AND source (spec §3.2.5)
+        moved = added.update("MOVE GRAPH <http://ex/g2> TO DEFAULT")
+        assert moved.default_graph.triples.count() == 2
+        assert moved.graph("http://ex/g2").triples.count() == 0
+        cleared = moved.update("CLEAR NAMED")
+        assert cleared.graph_names() == []
+        assert cleared.default_graph.triples.count() == 2
+        assert moved.update("CLEAR ALL").quads.count() == 0
