@@ -134,3 +134,47 @@ def test_ntriples_export_roundtrip(spark, tmp_path):
     assert back.count() == orig.distinct().count()
     assert orig.distinct().exceptAll(back).count() == 0
     assert back.exceptAll(orig.distinct()).count() == 0
+
+
+def test_read_turtle(spark, tmp_path):
+    from graphula_spark.graph import Graph
+    from graphula_spark.sources.turtle import read_turtle
+
+    (tmp_path / "a.ttl").write_text(
+        "@prefix ex: <http://ex/> .\n"
+        "@prefix foaf: <http://xmlns.com/foaf/0.1/> .\n"
+        "ex:alice a foaf:Person ;\n"
+        '    foaf:name "Alice"@en ;\n'
+        "    foaf:knows ex:bob, ex:carol .\n"
+    )
+    (tmp_path / "b.ttl").write_text(
+        "@prefix ex: <http://ex/> .\n"
+        'ex:bob ex:age "42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        "_:b1 ex:p ex:alice .\n"
+    )
+    df = read_turtle(spark, [str(tmp_path / "a.ttl"), str(tmp_path / "b.ttl")])
+    rows = {(r["s"], r["p"], r["o"]) for r in df.collect()}
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert ("http://ex/alice", rdf_type, "http://xmlns.com/foaf/0.1/Person") in rows
+    assert ("http://ex/alice", "http://xmlns.com/foaf/0.1/name", '"Alice"@en') in rows
+    assert ("http://ex/alice", "http://xmlns.com/foaf/0.1/knows", "http://ex/bob") in rows
+    assert ("http://ex/alice", "http://xmlns.com/foaf/0.1/knows", "http://ex/carol") in rows
+    assert ("_:b1", "http://ex/p", "http://ex/alice") in rows
+    assert len(rows) == 6
+
+    # loads into a graph and queries like any other source
+    g = Graph.from_string_triples(spark, df, cache=False)
+    got = g.sparql(
+        "SELECT ?n WHERE { <http://ex/alice> "
+        "<http://xmlns.com/foaf/0.1/name> ?n }"
+    ).collect()
+    assert [r["n"] for r in got] == ['"Alice"@en']
+
+
+def test_read_turtle_rejects_unsupported(spark, tmp_path):
+    import pytest
+
+    from graphula_spark.sources.turtle import _parse_turtle_text
+
+    with pytest.raises(NotImplementedError, match="Turtle subset"):
+        _parse_turtle_text("@prefix ex: <http://ex/> .\n[] ex:p ex:o .\n")
