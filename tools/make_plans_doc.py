@@ -215,6 +215,36 @@ out.append(
     "all-pairs, corpus scanned once.\n"
 )
 
+# 12b. named-graph view — the g filter rides into the quad scan
+from graphula_spark.dataset import Dataset
+
+quad_rows = [
+    ("http://ex/a", "http://ex/p", "http://ex/b", "http://ex/g1"),
+    ("http://ex/c", "http://ex/p", "http://ex/d", "http://ex/g2"),
+    ("http://ex/x", "http://ex/p", "http://ex/y", None),
+]
+from pyspark.sql.types import StringType, StructField, StructType
+
+sch = StructType([StructField(c, StringType(), True) for c in ("s", "p", "o", "g")])
+ds = Dataset.from_string_quads(spark, spark.createDataFrame(quad_rows, sch), cache=False)
+import tempfile
+
+dsp = tempfile.mkdtemp(prefix="plans_ds_")
+ds.save(dsp)
+ds_loaded = Dataset.load(spark, dsp)
+view = ds_loaded.graph("http://ex/g1")
+pv = plan_of(view.triples)
+out.append("## 12b. Named-graph view (round 3)\n")
+out.append(
+    "A `GRAPH <iri>` view over a persisted quad dataset is a filter on "
+    "the encoded g id — pushed into the parquet scan, never a copy:\n"
+)
+gfilter = "PushedFilters" in pv and "g" in pv
+out.append(
+    f"```\ng filter present in scan stage: {gfilter}\n"
+    f"joins to build the view: {pv.count('Join')}\n```\n"
+)
+
 # 12. corpus mixing — pure map-side filter
 df12 = E.q_text_mix_sources(spark, sf)
 df12.count()
