@@ -18,18 +18,30 @@ This package re-expresses the same capabilities Spark-first:
   compiled to DataFrame operations.
 """
 
+from graphula_spark.dataset import Dataset
 from graphula_spark.dictionary import Dictionary, HASH_MASK
 from graphula_spark.graph import Graph
 from graphula_spark.plans.bgp import Var, TriplePattern
 from graphula_spark.session import get_spark
+from graphula_spark.sources.ntriples import (
+    read_nquads,
+    read_ntriples,
+    write_ntriples,
+)
+from graphula_spark.sources.turtle import read_turtle
 
 __all__ = [
+    "Dataset",
     "Dictionary",
     "Graph",
     "Var",
     "TriplePattern",
     "get_spark",
     "HASH_MASK",
+    "read_nquads",
+    "read_ntriples",
+    "read_turtle",
+    "write_ntriples",
 ]
 
 __version__ = "0.1.0"

@@ -10,16 +10,19 @@ noted. Import as:
 
 from graphula_spark.operators.ann import _dot as dot_product
 from graphula_spark.operators.ann import _norm as l2_norm
-from graphula_spark.operators.dedup import word_shingles
+from graphula_spark.operators.dedup import hash60, word_shingles
 from graphula_spark.operators.text import (
+    bpe_ish_token_count,
     char_count,
     fingerprint,
     lang_id,
     punct_ratio,
     quality_score,
+    scrub_pii,
     stopword_ratio,
     token_count,
     tokens,
+    word_ngrams,
 )
 from graphula_spark.sparql.compiler import rdf_value
 
