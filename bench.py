@@ -40,6 +40,8 @@ HEADLINE = [
     "events_stateful",
     "rel_graph_reach",
     "text_tfidf",
+    "text_decontam",
+    "text_mix_sources",
     "text_profile",
     "mm_pipeline",
     "events_window",

@@ -1066,3 +1066,54 @@ class TestDatasetUpdate:
         assert cleared.graph_names() == []
         assert cleared.default_graph.triples.count() == 2
         assert moved.update("CLEAR ALL").quads.count() == 0
+
+
+def test_sparql_results_serialization(spark):
+    import json
+
+    from graphula_spark.graph import Graph
+    from graphula_spark.sparql.results import (
+        ask_to_json,
+        to_sparql_csv,
+        to_sparql_json,
+    )
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [
+                ("http://ex/a", "http://ex/name", '"Ann"@en'),
+                ("http://ex/a", "http://ex/age",
+                 '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+                ("_:b0", "http://ex/name", '"Bee"'),
+            ],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    df = g.sparql(
+        "SELECT ?s ?v WHERE { ?s <http://ex/name> ?v } ORDER BY ?v"
+    )
+    doc = json.loads(to_sparql_json(df))
+    assert doc["head"]["vars"] == ["s", "v"]
+    bindings = doc["results"]["bindings"]
+    assert bindings[0]["s"] == {"type": "uri", "value": "http://ex/a"}
+    assert bindings[0]["v"] == {
+        "type": "literal", "value": "Ann", "xml:lang": "en",
+    }
+    assert bindings[1]["s"]["type"] == "bnode"
+    assert bindings[1]["v"] == {"type": "literal", "value": "Bee"}
+
+    df2 = g.sparql("SELECT ?v WHERE { <http://ex/a> <http://ex/age> ?v }")
+    doc2 = json.loads(to_sparql_json(df2))
+    assert doc2["results"]["bindings"][0]["v"] == {
+        "type": "literal", "value": "42",
+        "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+    }
+
+    csv_text = to_sparql_csv(df)
+    lines = csv_text.strip().split("\r\n")
+    assert lines[0] == "s,v"
+    assert lines[1] == "http://ex/a,Ann"
+
+    assert json.loads(ask_to_json(True)) == {"head": {}, "boolean": True}
