@@ -28,7 +28,7 @@ from graphula_spark.sources.ntriples import (
     read_ntriples,
     write_ntriples,
 )
-from graphula_spark.sources.turtle import read_turtle
+from graphula_spark.sources.turtle import read_trig, read_turtle
 
 __all__ = [
     "Dataset",
@@ -40,6 +40,7 @@ __all__ = [
     "HASH_MASK",
     "read_nquads",
     "read_ntriples",
+    "read_trig",
     "read_turtle",
     "write_ntriples",
 ]

@@ -178,3 +178,23 @@ def test_read_turtle_rejects_unsupported(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="Turtle subset"):
         _parse_turtle_text("@prefix ex: <http://ex/> .\n[] ex:p ex:o .\n")
+
+
+def test_read_trig_into_dataset(spark, tmp_path):
+    from graphula_spark.dataset import Dataset
+    from graphula_spark.sources.turtle import read_trig
+
+    (tmp_path / "d.trig").write_text(
+        "@prefix ex: <http://ex/> .\n"
+        "ex:x ex:p ex:y .\n"
+        "ex:g1 { ex:a a ex:T ; ex:p ex:b, ex:c . }\n"
+        'GRAPH ex:g2 { ex:d ex:p "lit" . }\n'
+    )
+    df = read_trig(spark, str(tmp_path / "d.trig"))
+    ds = Dataset.from_string_quads(spark, df)
+    assert ds.default_graph.triples.count() == 1
+    assert ds.graph("http://ex/g1").triples.count() == 3
+    r = ds.sparql(
+        "SELECT ?o WHERE { GRAPH <http://ex/g2> { ?s <http://ex/p> ?o } }"
+    ).collect()
+    assert [x["o"] for x in r] == ['"lit"']
