@@ -190,6 +190,9 @@ class SelectQuery:
     #: no dataset clause, use the store's own dataset
     from_graphs: list | None = None
     from_named: list | None = None
+    #: trailing VALUES clause (§18.2.4.2: joined after HAVING, before
+    #: projection) — InlineValues or None
+    values_clause: Any | None = None
 
 
 @dataclass

@@ -251,6 +251,7 @@ def _execute_describe(graph, c: Compiler, q: A.DescribeQuery) -> DataFrame:
 
 def _execute_select(graph, c: Compiler, q: A.SelectQuery) -> DataFrame:
     sol = c.compile_group(q.where)
+    values_clause = getattr(q, "values_clause", None)
 
     if q.select_star:
         proj_vars = sorted(sol.vars)
@@ -270,6 +271,11 @@ def _execute_select(graph, c: Compiler, q: A.SelectQuery) -> DataFrame:
             (name, A.EVar(name) if isinstance(e, A.EAggregate) else e)
             for name, e in variables
         ]
+
+    if values_clause is not None:
+        # trailing VALUES joins after grouping/HAVING, before projection
+        # (SPARQL 1.1 §18.2.4.2)
+        sol = c.join(sol, c.compile_values(values_clause))
 
     # compute any non-trivial projection expressions as extra columns
     out_cols: list[str] = []

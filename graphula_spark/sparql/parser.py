@@ -235,6 +235,7 @@ class Parser:
         where = self.parse_group()
         group_by = having = order_by = None
         limit = offset = None
+        values_clause = None
         while True:
             w = self.kw()
             if w == "GROUP":
@@ -288,11 +289,16 @@ class Parser:
             elif w == "OFFSET":
                 self.next()
                 offset = int(self.next().text)
+            elif w == "VALUES":
+                # trailing VALUES (§18.2.4.2) — joined by the engine
+                self.next()
+                values_clause = self.parse_values()
             else:
                 break
         return SelectQuery(
             variables, where, distinct, group_by, having, order_by, limit, offset, star,
             from_graphs=from_graphs, from_named=from_named,
+            values_clause=values_clause,
         )
 
     def parse_dataset_clauses(self) -> tuple[list | None, list | None]:

@@ -1117,3 +1117,29 @@ def test_sparql_results_serialization(spark):
     assert lines[1] == "http://ex/a,Ann"
 
     assert json.loads(ask_to_json(True)) == {"head": {}, "boolean": True}
+
+
+def test_trailing_values_clause(spark):
+    """Trailing VALUES (SPARQL 1.1 §18.2.4.2) joins the query solutions
+    — previously parsed but silently ignored."""
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [("a", "p", "1"), ("b", "p", "2"), ("c", "p", "3")],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    r = g.sparql(
+        "SELECT ?s WHERE { ?s <p> ?o } VALUES ?s { <a> <b> }"
+    ).collect()
+    assert sorted(x["s"] for x in r) == ["a", "b"]
+    # joins AFTER aggregation per spec: the group for c is computed then
+    # filtered out by the join, not excluded from grouping
+    r2 = g.sparql(
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o } "
+        "GROUP BY ?s VALUES ?s { <a> }"
+    ).collect()
+    assert [(x["s"], x["n"]) for x in r2] == [("a", 1)]
