@@ -143,6 +143,15 @@ class Parser:
 
     # -- entry ----------------------------------------------------------
     def parse(self):
+        q = self._parse_query_form()
+        t = self.peek()
+        if t.kind != "EOF":
+            raise SyntaxError(
+                f"unexpected trailing input after query: {t.text!r}"
+            )
+        return q
+
+    def _parse_query_form(self):
         self.parse_prologue()
         w = self.kw()
         if w == "SELECT":
@@ -258,10 +267,19 @@ class Parser:
                     else:
                         break
             elif w == "HAVING":
+                # HavingClause ::= 'HAVING' HavingCondition+ — multiple
+                # constraints conjoin (all must hold)
                 self.next()
-                self.expect_op("(")
-                having = self.parse_expr()
-                self.expect_op(")")
+                having = None
+                while self.peek().kind == "OP" and self.peek().text == "(":
+                    self.next()
+                    cond = self.parse_expr()
+                    self.expect_op(")")
+                    having = (
+                        cond if having is None else ECall("&&", [having, cond])
+                    )
+                if having is None:
+                    raise SyntaxError("HAVING requires at least one condition")
             elif w == "ORDER":
                 self.next()
                 self.expect_kw("BY")

@@ -1143,3 +1143,32 @@ def test_trailing_values_clause(spark):
         "GROUP BY ?s VALUES ?s { <a> }"
     ).collect()
     assert [(x["s"], x["n"]) for x in r2] == [("a", 1)]
+
+
+def test_parser_rejects_trailing_garbage(spark):
+    import pytest
+
+    from graphula_spark.sparql.parser import parse_sparql
+
+    with pytest.raises(SyntaxError, match="trailing input"):
+        parse_sparql("SELECT ?s WHERE { ?s <p> ?o } THEN SOME GARBAGE")
+
+
+def test_multiple_having_conditions(spark):
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [("a", "p", "1"), ("a", "p", "2"), ("b", "p", "3"),
+             ("c", "p", "4"), ("c", "p", "5"), ("c", "p", "6")],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    # a has 2, b has 1, c has 3 → only a satisfies (n > 1) AND (n < 3)
+    r = g.sparql(
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o } "
+        "GROUP BY ?s HAVING (?n > 1) (?n < 3)"
+    ).collect()
+    assert [(x["s"], x["n"]) for x in r] == [("a", 2)]
