@@ -206,9 +206,13 @@ class AskQuery:
 class ConstructQuery:
     template: list  # list[TriplePattern] (vars + constant terms)
     where: GroupGraphPattern
+    limit: int | None = None
+    offset: int | None = None
 
 
 @dataclass
 class DescribeQuery:
     terms: list  # list[str | Var-name] — IRIs or projected vars
     where: GroupGraphPattern | None
+    limit: int | None = None
+    offset: int | None = None

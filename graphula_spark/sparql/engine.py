@@ -217,7 +217,20 @@ def _execute_construct(graph, c: Compiler, q: A.ConstructQuery) -> DataFrame:
     skipped (SPARQL semantics).
     """
     sol = c.compile_group(q.where)
-    return _instantiate_template(graph, c, sol, q.template)
+    return _slice(_instantiate_template(graph, c, sol, q.template), q)
+
+
+def _slice(df: DataFrame, q) -> DataFrame:
+    """LIMIT/OFFSET on CONSTRUCT/DESCRIBE results (over the distinct
+    triple set; SPARQL imposes no inherent order, same as any engine's
+    unordered slice)."""
+    offset = getattr(q, "offset", None)
+    limit = getattr(q, "limit", None)
+    if offset:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
 
 
 def _execute_describe(graph, c: Compiler, q: A.DescribeQuery) -> DataFrame:
@@ -246,7 +259,7 @@ def _execute_describe(graph, c: Compiler, q: A.DescribeQuery) -> DataFrame:
     triples = graph.triples.join(
         subjects.distinct(), "s", "left_semi"
     ).select("s", "p", "o")
-    return graph.decode(triples, ["s", "p", "o"])
+    return _slice(graph.decode(triples, ["s", "p", "o"]), q)
 
 
 def _execute_select(graph, c: Compiler, q: A.SelectQuery) -> DataFrame:

@@ -172,7 +172,9 @@ class Parser:
             self.eat_op(".")
             self.expect_op("}")
             self.eat_kw("WHERE")
-            return ConstructQuery(template, self.parse_group())
+            grp = self.parse_group()
+            limit, offset = self.parse_limit_offset()
+            return ConstructQuery(template, grp, limit=limit, offset=offset)
         if w == "DESCRIBE":
             from graphula_spark.sparql.algebra import DescribeQuery
 
@@ -192,7 +194,8 @@ class Parser:
             ):
                 self.eat_kw("WHERE")
                 where = self.parse_group()
-            return DescribeQuery(terms, where)
+            limit, offset = self.parse_limit_offset()
+            return DescribeQuery(terms, where, limit=limit, offset=offset)
         raise SyntaxError(
             f"only SELECT/ASK/CONSTRUCT/DESCRIBE supported, got {self.peek()}"
         )
@@ -318,6 +321,16 @@ class Parser:
             from_graphs=from_graphs, from_named=from_named,
             values_clause=values_clause,
         )
+
+    def parse_limit_offset(self) -> tuple[int | None, int | None]:
+        limit = offset = None
+        while True:
+            if self.eat_kw("LIMIT"):
+                limit = int(self.next().text)
+            elif self.eat_kw("OFFSET"):
+                offset = int(self.next().text)
+            else:
+                return limit, offset
 
     def parse_dataset_clauses(self) -> tuple[list | None, list | None]:
         """FROM <g> / FROM NAMED <g> (SPARQL 1.1 §13.2). Returns

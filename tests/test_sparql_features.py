@@ -1172,3 +1172,22 @@ def test_multiple_having_conditions(spark):
         "GROUP BY ?s HAVING (?n > 1) (?n < 3)"
     ).collect()
     assert [(x["s"], x["n"]) for x in r] == [("a", 2)]
+
+
+def test_construct_describe_limit(spark):
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [("a", "p", str(i)) for i in range(10)], ["s", "p", "o"]
+        ),
+        cache=False,
+    )
+    assert (
+        g.sparql(
+            "CONSTRUCT { ?s <q> ?o } WHERE { ?s <p> ?o } LIMIT 3"
+        ).count()
+        == 3
+    )
+    assert g.sparql("DESCRIBE <a> LIMIT 4").count() == 4
