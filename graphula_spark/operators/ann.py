@@ -485,3 +485,81 @@ def cosine_topk_quantized(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    eps: float = 0.9,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): KMeans-cluster the embedding space, call two
+    items semantic duplicates when their cosine similarity within a
+    cluster reaches `eps`, and keep ONE representative per duplicate
+    group. Groups are connected components of the within-cell dup
+    graph, so chains (A~B~C with A!~C) collapse to a single survivor
+    instead of over/under-deleting pair-by-pair; the deterministic
+    representative is the minimum id (the paper keeps the item farthest
+    from the centroid — swap the keep rule if that policy is wanted).
+
+    Returns (id, cell, dup_group, keep): `dup_group` is null for items
+    with no duplicate; `keep` marks the survivors (callers filter on it).
+
+    Scale shape: KMeans bounds all pair scoring to within-cell
+    (n_probe=1 IVF blocking — nothing all-pairs), the pair join
+    shuffles on the bounded cell key, and the component pass is
+    min-label propagation at O(log diameter) rounds over edges that
+    exist only between near-duplicates (sparse by construction).
+    """
+    from graphula_spark.operators.cluster import connected_components
+
+    idx = IvfIndex.build(
+        vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+    )
+    v = (
+        idx.assigned.select(
+            F.col("neighbor_id").alias("id"), F.col("cell"), F.col("nv")
+        )
+        .withColumn("n", _norm(F.col("nv")))
+        .withColumn(
+            "nv",
+            F.when(
+                F.col("n") > 0,
+                F.transform(F.col("nv"), lambda x: x / F.col("n")),
+            ).otherwise(F.col("nv")),
+        )
+        .drop("n")
+        .persist()
+    )
+    a = v.select(F.col("id").alias("id_a"), "cell", F.col("nv").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), "cell", F.col("nv").alias("vb"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_dot(F.col("va"), F.col("vb")) >= F.lit(eps))
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = (
+        v.select("id", "cell")
+        .join(
+            comp.select(
+                F.col("node").alias("id"), F.col("cluster").alias("dup_group")
+            ),
+            "id",
+            "left",
+        )
+        .withColumn(
+            "keep",
+            F.col("dup_group").isNull() | (F.col("dup_group") == F.col("id")),
+        )
+    )
+    return out.select(
+        F.col("id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("dup_group").cast("long").alias("dup_group"),
+        "keep",
+    )

@@ -389,3 +389,117 @@ def decontaminate(
         .withColumn("contaminated", F.col("overlap") >= threshold)
     )
     return out
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet/RefinedWeb hygiene
+    pass): drop every line whose normalized form (lower+trim) appears in
+    `min_dup_docs` or more distinct documents — boilerplate headers,
+    nav bars, cookie banners — then reassemble each document with its
+    surviving lines in original order.
+
+    Returns (id, text, n_lines, n_removed); documents whose lines are
+    all boilerplate come back with empty text (caller filters).
+
+    Scale shape: one posexplode stream over the corpus, one
+    line-key hash-agg to find heavy lines (power-law: the heavy set is
+    tiny relative to the corpus, so it broadcasts), a broadcast
+    left-anti join to drop them, and one per-doc agg to reassemble —
+    no self-join, no global sort. If the boilerplate set ever outgrows
+    broadcast, the same plan degrades gracefully to a shuffle anti-join
+    on the line hash.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    heavy = (
+        lines.where(F.length("norm") > 0)
+        .groupBy("norm")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_dup_docs)
+        .select("norm")
+    )
+    tagged = lines.join(
+        F.broadcast(heavy.withColumn("__dup", F.lit(True))), "norm", "left"
+    )
+    # array_sort on (pos, line) structs orders by pos — original order
+    return tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__dup").isNull(),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            F.when(F.col("__dup").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_removed"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-token-budget training sequences with
+    optional overlap — the chunking step that feeds a tokenizer/packer.
+
+    Chunks are windows of `chunk_size` whitespace tokens advancing by
+    `chunk_size - overlap`; the final window may be shorter but always
+    contains at least one token past the previous window's end (no
+    fully-redundant tail chunk). Empty documents yield zero chunks.
+
+    Returns (id, chunk_id, chunk_text, n_tokens). Fully per-row (array
+    ops + posexplode): embarrassingly parallel, zero shuffles — at
+    100 TB this runs at scan speed.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    tk = tokens(F.col(text_col))
+    n = F.size(tk)
+    # max(1, ceil((n - chunk_size) / stride) + 1) windows cover n tokens
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                (n - F.lit(chunk_size) + F.lit(stride - 1)) / F.lit(stride)
+            ).cast("int")
+            + F.lit(1),
+        )
+    ).cast("int")
+    # guard: sequence(0, -1) would produce a DESCENDING [0, -1] array
+    chunks = F.when(
+        n_chunks <= 0, F.array().cast("array<array<string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.slice(tk, i * stride + 1, chunk_size),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "ctk"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(F.col("ctk"), " ").alias("chunk_text"),
+            F.size(F.col("ctk")).cast("int").alias("n_tokens"),
+        )
+    )

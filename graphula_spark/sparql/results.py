@@ -88,3 +88,89 @@ def to_sparql_csv(df: DataFrame, limit: int | None = None) -> str:
 
 def ask_to_json(result: bool) -> str:
     return json.dumps({"head": {}, "boolean": bool(result)})
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _term_to_xml(term) -> str | None:
+    """One `<binding>` child element in the XML results vocabulary."""
+    t = _term_to_json(term)
+    if t is None:
+        return None
+    if t["type"] == "uri":
+        return f"<uri>{_xml_escape(t['value'])}</uri>"
+    if t["type"] == "bnode":
+        return f"<bnode>{_xml_escape(t['value'])}</bnode>"
+    lex = _xml_escape(t["value"])
+    if "xml:lang" in t:
+        return f'<literal xml:lang="{_xml_escape(t["xml:lang"])}">{lex}</literal>'
+    if "datatype" in t:
+        return f'<literal datatype="{_xml_escape(t["datatype"])}">{lex}</literal>'
+    return f"<literal>{lex}</literal>"
+
+
+def to_sparql_xml(df: DataFrame, limit: int | None = None) -> str:
+    """Serialize a SELECT result to the SPARQL Query Results XML Format
+    (`application/sparql-results+xml`)."""
+    rows = df.limit(limit).collect() if limit is not None else df.collect()
+    cols = df.columns
+    out = ['<?xml version="1.0"?>']
+    out.append('<sparql xmlns="http://www.w3.org/2005/sparql-results#">')
+    out.append("<head>")
+    for c in cols:
+        out.append(f'<variable name="{_xml_escape(c)}"/>')
+    out.append("</head>")
+    out.append("<results>")
+    for r in rows:
+        out.append("<result>")
+        for c in cols:
+            x = _term_to_xml(r[c])
+            if x is not None:
+                out.append(f'<binding name="{_xml_escape(c)}">{x}</binding>')
+        out.append("</result>")
+    out.append("</results>")
+    out.append("</sparql>")
+    return "".join(out)
+
+
+def ask_to_xml(result: bool) -> str:
+    return (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        "<head/>"
+        f"<boolean>{'true' if result else 'false'}</boolean>"
+        "</sparql>"
+    )
+
+
+def _term_to_tsv(term) -> str:
+    """TSV cells keep full SPARQL/Turtle term syntax (unlike CSV, which
+    strips to lexical forms): IRIs in angle brackets, literals quoted
+    with tags, blanks as `_:label`; unbound is empty."""
+    if term is None:
+        return ""
+    s = str(term)
+    if s.startswith("_:") or s.startswith('"'):
+        out = s
+    else:
+        out = f"<{s}>"
+    return out.replace("\\", "\\\\").replace("\t", "\\t").replace(
+        "\n", "\\n"
+    ).replace("\r", "\\r")
+
+
+def to_sparql_tsv(df: DataFrame, limit: int | None = None) -> str:
+    """Serialize a SELECT result to the SPARQL 1.1 TSV results format
+    (`text/tab-separated-values`): header of `?var` names, one term per
+    cell in full Turtle syntax."""
+    rows = df.limit(limit).collect() if limit is not None else df.collect()
+    cols = df.columns
+    lines = ["\t".join("?" + c for c in cols)]
+    for r in rows:
+        lines.append("\t".join(_term_to_tsv(r[c]) for c in cols))
+    return "\n".join(lines) + "\n"

@@ -298,3 +298,83 @@ def test_quantized_cosine_recall(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.95, recall
+
+
+def test_semantic_dedup_synthetic(spark):
+    """Three near-dup families + one singleton, checked exactly."""
+    import math
+
+    from graphula_spark.operators.ann import semantic_dedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        # family A: ids 1,2,3 pairwise cos >= .999
+        (1, unit(0.00)), (2, unit(0.01)), (3, unit(0.02)),
+        # family B: ids 10,11 (orthogonal direction to A)
+        (10, [0.0, 0.0, 1.0, 0.0]), (11, [0.0, 0.0, 0.999, 0.04]),
+        # singleton far from both
+        (20, [0.0, 0.0, 0.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r.asDict() for r in
+           semantic_dedup(df, n_cells=2, eps=0.99).collect()}
+
+    assert set(out) == {1, 2, 3, 10, 11, 20}
+    # one survivor per family: the min id
+    assert out[1]["keep"] and not out[2]["keep"] and not out[3]["keep"]
+    assert out[1]["dup_group"] == out[2]["dup_group"] == 1
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[20]["keep"] and out[20]["dup_group"] is None
+
+
+def test_semantic_dedup_invariants_on_corpus(spark):
+    """On the real embeddings table: (1) every dropped item has an
+    exact-cosine neighbor above eps; (2) no two kept items in the same
+    cell are above eps (maximal within-cell dedup)."""
+    from graphula_spark.operators.ann import _dot, _norm, semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # the synthetic embeddings have no true near-dups; 0.42 yields a
+    # few dozen "duplicate" pairs to exercise the policy end-to-end
+    eps = 0.42
+    out = semantic_dedup(emb, n_cells=4, eps=eps, seed=7).persist()
+
+    norm = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("n", _norm(F.col("v")))
+        .withColumn("v", F.transform(F.col("v"), lambda x: x / F.col("n")))
+        .drop("n")
+    )
+    a = norm.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = norm.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    exact_pairs = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_dot(F.col("va"), F.col("vb")) >= eps)
+        .select("id_a", "id_b")
+        .persist()
+    )
+
+    dropped = out.where(~F.col("keep")).select(F.col("id"))
+    incident = (
+        exact_pairs.select(F.col("id_a").alias("id"))
+        .union(exact_pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    assert dropped.join(incident, "id", "left_anti").count() == 0
+
+    kept = out.where(F.col("keep")).select("id", "cell")
+    ka = kept.select(F.col("id").alias("id_a"), "cell")
+    kb = kept.select(F.col("id").alias("id_b"), "cell")
+    kept_pairs_same_cell = (
+        ka.join(kb, "cell").where(F.col("id_a") < F.col("id_b"))
+        .join(exact_pairs, ["id_a", "id_b"], "left_semi")
+    )
+    assert kept_pairs_same_cell.count() == 0
+    # and something was actually deduplicated at this threshold
+    assert dropped.count() > 0

@@ -1118,6 +1118,45 @@ def test_sparql_results_serialization(spark):
 
     assert json.loads(ask_to_json(True)) == {"head": {}, "boolean": True}
 
+    # XML results format round-trips through a real XML parser
+    import xml.etree.ElementTree as ET
+
+    from graphula_spark.sparql.results import (
+        ask_to_xml,
+        to_sparql_tsv,
+        to_sparql_xml,
+    )
+
+    ns = {"sr": "http://www.w3.org/2005/sparql-results#"}
+    root = ET.fromstring(to_sparql_xml(df))
+    names = [v.get("name") for v in root.findall("sr:head/sr:variable", ns)]
+    assert names == ["s", "v"]
+    results = root.findall("sr:results/sr:result", ns)
+    assert len(results) == 2
+    b0 = {b.get("name"): b for b in results[0].findall("sr:binding", ns)}
+    assert b0["s"].find("sr:uri", ns).text == "http://ex/a"
+    lit = b0["v"].find("sr:literal", ns)
+    assert lit.text == "Ann"
+    assert lit.get("{http://www.w3.org/XML/1998/namespace}lang") == "en"
+    b1 = {b.get("name"): b for b in results[1].findall("sr:binding", ns)}
+    assert b1["s"].find("sr:bnode", ns) is not None
+    xml2 = to_sparql_xml(df2)
+    lit2 = ET.fromstring(xml2).find(
+        "sr:results/sr:result/sr:binding/sr:literal", ns
+    )
+    assert lit2.text == "42"
+    assert lit2.get("datatype").endswith("#integer")
+    ask_root = ET.fromstring(ask_to_xml(True))
+    assert ask_root.find("sr:boolean", ns).text == "true"
+
+    # TSV keeps full Turtle term syntax (unlike CSV's bare lexical forms)
+    tsv = to_sparql_tsv(df).split("\n")
+    assert tsv[0] == "?s\t?v"
+    assert tsv[1] == '<http://ex/a>\t"Ann"@en'
+    assert tsv[2].startswith("_:")
+    tsv2 = to_sparql_tsv(df2).split("\n")
+    assert tsv2[1] == '"42"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
 
 def test_trailing_values_clause(spark):
     """Trailing VALUES (SPARQL 1.1 §18.2.4.2) joins the query solutions

@@ -121,3 +121,97 @@ def test_decontaminate_flags_overlap(spark):
     assert out[3]["n_hits"] == 0 and not out[3]["contaminated"]
     assert out[4]["n_grams"] == 0 and out[4]["overlap"] == 0.0
     assert not out[4]["contaminated"]
+
+
+def test_line_dedup(spark):
+    from graphula_spark.operators.text import line_dedup
+
+    banner = "Cookie notice: we use cookies"
+    df = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique alpha\nshared line\nunique beta"),
+            (2, f"{banner}\nSHARED LINE\nonly in two"),
+            (3, "totally unique document\n\nwith a blank line"),
+            (4, banner),  # all-boilerplate doc -> empty text survives
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           line_dedup(df, "doc_id", "text", min_dup_docs=2).collect()}
+
+    # banner (3 docs) and "shared line"/"SHARED LINE" (normalized, 2
+    # docs) are dropped; order of the survivors is preserved
+    assert out[1]["text"] == "unique alpha\nunique beta"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
+    assert out[2]["text"] == "only in two"
+    # blank lines never count as duplicates
+    assert out[3]["text"] == "totally unique document\n\nwith a blank line"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 1
+    # every input doc comes back exactly once
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_line_dedup_matches_python_reference(spark):
+    """Corpus run vs a plain-Python reference implementation."""
+    import collections
+
+    from graphula_spark.operators.text import line_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = [(r["doc_id"], r["text"]) for r in
+            docs.select("doc_id", "text").collect()]
+    freq = collections.Counter()
+    for _, text in rows:
+        for norm in {l.strip().lower() for l in text.split("\n")}:
+            if norm:
+                freq[norm] += 1
+    expected = {}
+    for doc_id, text in rows:
+        kept = [l for l in text.split("\n")
+                if not (l.strip().lower() and freq[l.strip().lower()] >= 2)]
+        removed = text.count("\n") + 1 - len(kept)
+        expected[doc_id] = ("\n".join(kept), removed)
+
+    got = {r["doc_id"]: (r["text"], r["n_removed"]) for r in
+           line_dedup(docs, "doc_id", "text", min_dup_docs=2).collect()}
+    assert got == expected
+
+
+def test_chunk_documents(spark):
+    from graphula_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "x y"),             # shorter than one chunk
+            (3, "   "),             # empty -> no chunks
+        ],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_size=3).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+           for r in out}
+    assert got == {
+        (1, 0): ("a b c", 3),
+        (1, 1): ("d e f", 3),
+        (1, 2): ("g", 1),
+        (2, 0): ("x y", 2),
+    }
+
+    # overlap: windows advance by chunk_size - overlap
+    out2 = chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=2)
+    got2 = {(r["doc_id"], r["chunk_id"]): r["chunk_text"]
+            for r in out2.collect()}
+    assert got2 == {
+        (1, 0): "a b c d",
+        (1, 1): "c d e f",
+        (1, 2): "e f g",
+        (2, 0): "x y",
+    }
+
+    # every token of every doc is covered, in order, by the chunk grid
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=4)
