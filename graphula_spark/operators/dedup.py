@@ -70,15 +70,33 @@ def minhash_signatures(
     # small single-file inputs still repartition to use all cores; at
     # scale maxPartitionBytes already splits the scan
     par = df.sparkSession.sparkContext.defaultParallelism
-    based = df.repartition(par, id_col).select(
-        F.col(id_col).alias("id"),
+    # min() is duplicate-invariant, so signatures skip word_shingles'
+    # array_distinct pass; b2 re-hashes the 8-byte b1 longs JVM-side
+    # instead of hashing a prefixed copy of every shingle string
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = shingle_n
+    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    shingles = F.when(
+        F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))
+    ).otherwise(
         F.transform(
-            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
-        ).alias("b1"),
-        F.transform(
-            word_shingles(F.col(text_col), shingle_n),
-            lambda s: F.xxhash64(F.concat(F.lit("\x02"), s)),
-        ).alias("b2"),
+            F.sequence(F.lit(0), k - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + j) for j in range(1, n + 1)]
+            ),
+        )
+    )
+    based = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("id"), shingles.alias("sh"))
+        .select(
+            "id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("b1")
+        )
+        .select(
+            "id",
+            "b1",
+            F.transform(F.col("b1"), lambda h: F.xxhash64(h)).alias("b2"),
+        )
     )
 
     def rotl(c, i):
