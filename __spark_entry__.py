@@ -577,7 +577,12 @@ def q_text_profile(spark, sf):
     quality score, n-gram-heuristic language id, and the normalized md5
     fingerprint — one pass over documents computing all profile columns
     (the shape a 100 TB pipeline would use: a single scan, all-column
-    select, zero shuffles)."""
+    select, zero shuffles). Round 3 merges two more per-doc families
+    into the row: corpus line-level dedup (banner/footer boilerplate
+    built deterministically around each doc; removal + ordered
+    reassembly hash-verified via dd_fp) and fixed-token-window chunking
+    (64-token windows, 2-token overlap; boundary + overlap semantics
+    pinned by the ordered chunk-content fingerprint chunk_fp)."""
     from graphula_spark.operators.text import (
         bpe_ish_token_count,
         char_count,
@@ -589,8 +594,10 @@ def q_text_profile(spark, sf):
         token_count,
     )
 
+    from graphula_spark.operators.text import chunk_documents, line_dedup
+
     d = _docs(spark, sf)
-    return d.select(
+    base = d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         char_count(F.col("text")).alias("n_chars_m"),
@@ -600,6 +607,53 @@ def q_text_profile(spark, sf):
         quality_score(F.col("text")).alias("quality"),
         lang_id(F.col("text")).alias("pred_lang"),
         fingerprint(F.col("text")).alias("fp"),
+    )
+    # line-level dedup row: the synthetic docs are single-line, so wrap
+    # each in a shared banner + a (doc_id % 7) footer — the banner and
+    # footers repeat across docs and MUST be removed, the payload line
+    # must survive reassembly (hash-verified by the oracle)
+    synth = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("== boilerplate banner =="),
+            F.col("text"),
+            F.concat(F.lit("footer "), (F.col("doc_id") % 7).cast("string")),
+        ).alias("text"),
+    )
+    ld = line_dedup(synth, "doc_id", "text", min_dup_docs=2).select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_removed").cast("int").alias("n_boiler"),
+        F.md5(F.col("text")).alias("dd_fp"),
+    )
+    # chunking row: 64-token windows with 2-token overlap; the ordered
+    # chunk-content fingerprint pins window boundaries AND overlap
+    ch = (
+        chunk_documents(d, "doc_id", "text", chunk_size=64, overlap=2)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_id", "chunk_text"))
+                        ),
+                        lambda s: s["chunk_text"],
+                    ),
+                    "\x1e",
+                )
+            ).alias("chunk_fp"),
+        )
+    )
+    return (
+        base.join(ld, "doc_id")
+        .join(ch, "doc_id", "left")
+        .withColumn("n_chunks", F.coalesce(F.col("n_chunks"), F.lit(0)))
+        .withColumn(
+            "chunk_fp", F.coalesce(F.col("chunk_fp"), F.md5(F.lit("")))
+        )
     )
 
 
@@ -1328,8 +1382,46 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(toks, t -> list_contains(['el','la','los','las','y','es','un','una','en','que'], t))) AS es,
                      len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], t))) AS fr
               FROM t
+            ), ls AS (
+              SELECT doc_id,
+                     string_split(concat('== boilerplate banner ==', chr(10),
+                                         text, chr(10),
+                                         'footer ', CAST(doc_id % 7 AS VARCHAR)),
+                                  chr(10)) AS arr
+              FROM documents
+            ), ln AS (
+              SELECT doc_id, u.pos, u.line, lower(trim(u.line)) AS norm
+              FROM ls,
+                   UNNEST(list_transform(arr, (x, i) -> struct_pack(line := x, pos := i))) AS tt(u)
+            ), heavy AS (
+              SELECT norm FROM ln WHERE norm <> ''
+              GROUP BY norm HAVING count(DISTINCT doc_id) >= 2
+            ), tagged AS (
+              SELECT ln.doc_id, ln.pos, ln.line, (h.norm IS NOT NULL) AS dup
+              FROM ln LEFT JOIN heavy h ON ln.norm = h.norm
+            ), dd AS (
+              SELECT doc_id,
+                     CAST(count(*) AS INT) AS n_lines,
+                     CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS INT) AS n_boiler,
+                     md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END,
+                                             chr(10) ORDER BY pos), '')) AS dd_fp
+              FROM tagged GROUP BY doc_id
+            ), ck AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) <= 0 THEN 0
+                          ELSE greatest(1, CAST(ceil((len(toks) - 64) / 62.0) AS INT) + 1)
+                     END AS n_chunks,
+                     toks
+              FROM t
+            ), ch AS (
+              SELECT doc_id, n_chunks,
+                     md5(array_to_string(
+                         list_transform(generate_series(0, n_chunks - 1),
+                                        i -> array_to_string(list_slice(toks, i*62 + 1, i*62 + 64), ' ')),
+                         chr(30))) AS chunk_fp
+              FROM ck
             )
-            SELECT doc_id, n_tokens, n_chars_m, n_bpe_tokens,
+            SELECT m.doc_id, n_tokens, n_chars_m, n_bpe_tokens,
                    punct_ratio, stopword_ratio_en,
                    floor((
                        (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1.0 ELSE 0.0 END)
@@ -1344,8 +1436,11 @@ def oracle_sql() -> dict[str, str]:
                      WHEN en > de THEN 'en'
                      WHEN de > 0 THEN 'de'
                      ELSE 'und' END AS pred_lang,
-                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-            FROM m
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+                   dd.n_lines, dd.n_boiler, dd.dd_fp,
+                   ch.n_chunks, ch.chunk_fp
+            FROM m JOIN dd ON m.doc_id = dd.doc_id
+                   JOIN ch ON m.doc_id = ch.doc_id
         """,
         "text_tfidf": f"""
             WITH toks AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
