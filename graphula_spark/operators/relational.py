@@ -229,3 +229,21 @@ def sample_by_weight(
         F.concat(F.lit(seed), F.col(id_col).cast("string"))
     ) % F.lit(1000000)
     return df.where(u < (rate * 1000000).cast("long"))
+
+
+def shuffle_deterministic(
+    df: DataFrame, id_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic pseudorandom global shuffle — the "shuffle the
+    corpus before training" step, reproducible across runs and resumable
+    mid-epoch (the order is a pure function of (seed, id), not of
+    partitioning or cluster size).
+
+    Sort key = xxhash64(seed, id). Spark's orderBy compiles to a range
+    exchange (sampled range boundaries) + per-partition sort: no single
+    point of serialization, so the plan holds at 100 TB; changing the
+    seed reshuffles every epoch without rewriting data. Ties (64-bit
+    hash collisions) are broken by id so the order is total.
+    """
+    h = F.xxhash64(F.lit(seed).cast("long"), F.col(id_col))
+    return df.orderBy(h.asc(), F.col(id_col).asc())

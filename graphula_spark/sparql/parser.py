@@ -382,6 +382,16 @@ class Parser:
                 if isinstance(term, str) and term.startswith('"'):
                     raise SyntaxError("GRAPH name must be an IRI or variable")
                 g.elements.append(GraphGraphPattern(term, self.parse_group()))
+            elif w == "SERVICE":
+                # SPARQL 1.1 Federated Query: out of scope by design —
+                # a distributed engine federates at the storage layer
+                # (register the remote data as a table/graph) rather
+                # than per-query HTTP round-trips
+                raise NotImplementedError(
+                    "SERVICE (federated query) is not supported; load the "
+                    "remote graph into the store (Graph.from_ntriples / "
+                    "Dataset) and query it locally instead"
+                )
             elif w == "BIND":
                 self.next()
                 self.expect_op("(")

@@ -113,3 +113,36 @@ def test_sample_by_weight_deterministic(spark):
     )
     got_sub = {(r["doc_id"], r["source"]) for r in sub.collect()}
     assert got_sub == {(d, s) for d, s in got if d < 1000}
+
+
+def test_shuffle_deterministic(spark):
+    from graphula_spark.operators.relational import shuffle_deterministic
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    o1 = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=1).collect()]
+    o2 = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=1).collect()]
+    o3 = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=2).collect()]
+    assert o1 == o2                      # reproducible
+    assert o1 != o3                      # seed changes the epoch order
+    assert o1 != sorted(o1)              # actually shuffled
+    assert sorted(o1) == list(range(1000))  # a permutation, nothing lost
+    # order is independent of input partitioning
+    o4 = [r["doc_id"] for r in
+          shuffle_deterministic(df.repartition(7), "doc_id", seed=1).collect()]
+    assert o4 == o1
+
+
+def test_service_clear_error(spark):
+    import pytest
+
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame([("a", "b", "c")], ["s", "p", "o"]),
+        cache=False,
+    )
+    with pytest.raises(NotImplementedError, match="SERVICE"):
+        g.sparql(
+            "SELECT ?s WHERE { SERVICE <http://r/sparql> { ?s ?p ?o } }"
+        )
