@@ -28,6 +28,7 @@ from graphula_spark.sources.ntriples import (
     read_ntriples,
     write_ntriples,
 )
+from graphula_spark.sources.rdfxml import read_rdfxml
 from graphula_spark.sources.turtle import read_trig, read_turtle
 
 __all__ = [
@@ -40,6 +41,7 @@ __all__ = [
     "HASH_MASK",
     "read_nquads",
     "read_ntriples",
+    "read_rdfxml",
     "read_trig",
     "read_turtle",
     "write_ntriples",

@@ -198,3 +198,99 @@ def test_read_trig_into_dataset(spark, tmp_path):
         "SELECT ?o WHERE { GRAPH <http://ex/g2> { ?s <http://ex/p> ?o } }"
     ).collect()
     assert [x["o"] for x in r] == ['"lit"']
+
+
+class TestRdfXml:
+    def test_parse_constructs(self):
+        from graphula_spark.sources.rdfxml import parse_rdfxml_text
+
+        doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex/v#" xml:base="http://ex/base/doc">
+  <ex:Person rdf:about="http://ex/alice" ex:nick="Al">
+    <ex:name xml:lang="en">Alice</ex:name>
+    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">42</ex:age>
+    <ex:knows rdf:resource="http://ex/bob"/>
+    <ex:address rdf:parseType="Resource">
+      <ex:city>Springfield</ex:city>
+    </ex:address>
+    <ex:pet rdf:nodeID="fido"/>
+    <ex:employer>
+      <rdf:Description rdf:about="http://ex/acme">
+        <ex:name>Acme "quoted" &amp; Co</ex:name>
+      </rdf:Description>
+    </ex:employer>
+  </ex:Person>
+  <rdf:Description rdf:ID="frag">
+    <ex:label>fragment subject</ex:label>
+  </rdf:Description>
+  <rdf:Description rdf:about="http://ex/seq">
+    <rdf:li rdf:resource="http://ex/one"/>
+    <rdf:li rdf:resource="http://ex/two"/>
+  </rdf:Description>
+</rdf:RDF>"""
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        triples = set(parse_rdfxml_text(doc, blank_prefix="t"))
+        assert ("http://ex/alice", rdf + "type", "http://ex/v#Person") in triples
+        assert ("http://ex/alice", "http://ex/v#nick", '"Al"') in triples
+        assert ("http://ex/alice", "http://ex/v#name", '"Alice"@en') in triples
+        assert (
+            "http://ex/alice", "http://ex/v#age",
+            '"42"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        ) in triples
+        assert ("http://ex/alice", "http://ex/v#knows", "http://ex/bob") in triples
+        # parseType=Resource generated a blank with the city literal
+        addr = [o for s, p, o in triples
+                if p == "http://ex/v#address"][0]
+        assert addr.startswith("_:t")
+        assert (addr, "http://ex/v#city", '"Springfield"') in triples
+        assert ("http://ex/alice", "http://ex/v#pet", "_:tfido") in triples
+        # nested node element
+        assert ("http://ex/alice", "http://ex/v#employer", "http://ex/acme") in triples
+        assert (
+            "http://ex/acme", "http://ex/v#name", '"Acme \\"quoted\\" & Co"'
+        ) in triples
+        # rdf:ID resolves against xml:base
+        assert ("http://ex/base/doc#frag", "http://ex/v#label",
+                '"fragment subject"') in triples
+        # containers
+        assert ("http://ex/seq", rdf + "_1", "http://ex/one") in triples
+        assert ("http://ex/seq", rdf + "_2", "http://ex/two") in triples
+
+    def test_unsupported_parsetype(self):
+        import pytest
+
+        from graphula_spark.sources.rdfxml import parse_rdfxml_text
+
+        doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                  xmlns:ex="http://ex/">
+          <rdf:Description rdf:about="http://ex/s">
+            <ex:list rdf:parseType="Collection"/>
+          </rdf:Description></rdf:RDF>"""
+        with pytest.raises(NotImplementedError, match="Collection"):
+            parse_rdfxml_text(doc)
+
+    def test_read_rdfxml_and_query(self, spark, tmp_path):
+        from graphula_spark.graph import Graph
+        from graphula_spark.sources.rdfxml import read_rdfxml
+
+        for i in range(2):
+            (tmp_path / f"f{i}.rdf").write_text(
+                f"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                     xmlns:ex="http://ex/">
+               <ex:Doc rdf:about="http://ex/d{i}">
+                 <ex:title>doc {i}</ex:title>
+                 <ex:part><rdf:Description><ex:n>inner</ex:n></rdf:Description></ex:part>
+               </ex:Doc></rdf:RDF>"""
+            )
+        df = read_rdfxml(spark, str(tmp_path) + "/*.rdf")
+        g = Graph.from_string_triples(spark, df, cache=False)
+        rows = g.sparql(
+            "SELECT ?s ?t WHERE { ?s <http://ex/title> ?t } ORDER BY ?s"
+        ).collect()
+        assert [(r["s"], r["t"]) for r in rows] == [
+            ("http://ex/d0", '"doc 0"'), ("http://ex/d1", '"doc 1"'),
+        ]
+        # per-file blank prefixes: the two generated inner blanks differ
+        blanks = {r["o"] for r in df.where("p = 'http://ex/part'").collect()}
+        assert len(blanks) == 2

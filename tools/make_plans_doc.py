@@ -256,5 +256,54 @@ out.append(
     f"in the scan stage)\n```\n"
 )
 
+# 13. line-level dedup — heavy-line set broadcast, no self-join
+from graphula_spark.operators.text import chunk_documents, line_dedup
+from graphula_spark.operators.relational import shuffle_deterministic
+
+docs = spark.read.parquet(f"{sf}/documents.parquet")
+df13 = line_dedup(docs, "doc_id", "text")
+df13.count()
+p = plan_of(df13)
+out.append("## 13. Corpus line-level dedup (round 3)\n")
+out.append(
+    f"```\nBroadcastHashJoin: {p.count('BroadcastHashJoin')} "
+    f"(heavy-line set broadcast as an anti-join probe)\n"
+    f"SortMergeJoin: {p.count('SortMergeJoin')}   "
+    f"CartesianProduct: {p.count('Cartesian')}\n```\n"
+)
+out.append(
+    "The boilerplate-line set is power-law tiny, so dropping heavy "
+    "lines is a map-side broadcast anti-join over the exploded line "
+    "stream; reassembly is one per-doc hash-agg. No self-join, no "
+    "global sort.\n"
+)
+
+# 14. chunking — zero shuffles, scan-speed
+df14 = chunk_documents(docs, "doc_id", "text", chunk_size=64, overlap=2)
+df14.count()
+p = plan_of(df14)
+out.append("## 14. Token-window chunking (round 3)\n")
+out.append(
+    f"```\nExchanges: {p.count('Exchange')}   joins: {p.count('Join')} "
+    f"(per-row array ops + posexplode only)\n```\n"
+)
+
+# 15. deterministic epoch shuffle — range exchange, no single partition
+df15 = shuffle_deterministic(docs, "doc_id", seed=3)
+df15.count()
+p = plan_of(df15)
+has_range = "rangepartitioning" in p.lower()
+has_single = "SinglePartition" in p
+out.append("## 15. Deterministic epoch shuffle (round 3)\n")
+out.append(
+    f"```\nrange partitioning: {has_range}   "
+    f"SinglePartition stages: {has_single}\n```\n"
+)
+out.append(
+    "orderBy(xxhash64(seed, id)) compiles to sampled range boundaries "
+    "+ per-partition sort — a distributed total order, reseedable per "
+    "epoch, no serialization point.\n"
+)
+
 open("/root/repo/PLANS.md", "w").write("\n".join(out))
 print("written")
