@@ -2,11 +2,11 @@
 
 The reference loads N-Triples only (NxParser, Sparql.scala:78-113);
 Turtle is the format real RDF corpora actually ship in, so this is a
-usability extension. Supported subset: @prefix/@base (and SPARQL-style
+usability extension. Supported: @prefix/@base (and SPARQL-style
 PREFIX/BASE), `a`, predicate lists `;`, object lists `,`, IRIs,
-prefixed names, blank-node labels, and literals with language tags or
-datatypes. Not supported (raise): anonymous blank nodes `[]`,
-collections `( ... )` — the constructs that need fresh-node allocation.
+prefixed names, blank-node labels, literals with language tags or
+datatypes, anonymous blank nodes `[ ... ]` (fresh file-scoped ids),
+and collections `( ... )` (expanded to rdf:first/rdf:rest chains).
 
 Distribution model: one Python parse task per FILE
 (`wholeTextFiles`-style binaryFiles scan). Turtle is stateful
@@ -17,13 +17,20 @@ convert to N-Triples/N-Quads (line-parallel formats) instead.
 
 Terms are canonicalized to the same verbatim policy as
 `sources/ntriples.py`: IRIs bare, literals in N-Triples lexical form,
-blank labels as `_:label`.
+blank labels as `_:label`. Generated anonymous-node labels are
+prefixed with a hash of the file path so multi-file loads never
+collide.
 """
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 _SPO_SCHEMA = StructType(
     [
@@ -33,15 +40,19 @@ _SPO_SCHEMA = StructType(
     ]
 )
 
+_QUAD_SCHEMA = StructType(
+    [
+        StructField("s", StringType(), False),
+        StructField("p", StringType(), False),
+        StructField("o", StringType(), False),
+        StructField("g", StringType(), True),
+    ]
+)
 
-def _parse_turtle_text(text: str) -> list[tuple[str, str, str]]:
-    """Parse one Turtle document to (s, p, o) term tuples, reusing the
-    SPARQL tokenizer/term grammar (Turtle's term syntax is a subset)."""
-    from graphula_spark.sparql.parser import Parser, Var
 
-    # normalize Turtle-only directive spellings to the SPARQL forms the
-    # tokenizer knows: "@prefix p: <iri> ." -> "PREFIX p: <iri>"
-    import re
+def _normalize_directives(text: str) -> str:
+    """Rewrite Turtle-only directive spellings to the SPARQL forms the
+    shared tokenizer knows: "@prefix p: <iri> ." -> "PREFIX p: <iri>"."""
 
     def _directive(m: "re.Match[str]") -> str:
         body = m.group(2).rstrip()
@@ -49,46 +60,119 @@ def _parse_turtle_text(text: str) -> list[tuple[str, str, str]]:
             body = body[:-1]
         return ("PREFIX " if m.group(1).lower() == "prefix" else "BASE ") + body
 
-    text = re.sub(
+    return re.sub(
         r"@(prefix|base)\s+([^\n]*)", _directive, text, flags=re.IGNORECASE
     )
-    p = Parser(text)
-    p.parse_prologue()
-    out: list[tuple[str, str, str]] = []
 
-    def term_str(t) -> str:
+
+class _TurtleStatements:
+    """Statement parser shared by the Turtle and TriG readers, built on
+    the SPARQL tokenizer (Turtle's term grammar is a subset). Emits
+    (s, p, o, g) tuples via `self.emit`."""
+
+    def __init__(self, parser, blank_prefix: str = ""):
+        self.p = parser
+        self.blank_prefix = blank_prefix
+        self.genid = 0
+        self.out: list[tuple[str, str, str, str | None]] = []
+
+    def fresh_blank(self) -> str:
+        self.genid += 1
+        return f"_:{self.blank_prefix}anon{self.genid}"
+
+    def term_str(self, t) -> str:
+        from graphula_spark.sparql.parser import Var
+
         if isinstance(t, Var):
-            raise SyntaxError("variables are not valid in Turtle data")
+            raise SyntaxError("variables are not valid in Turtle/TriG data")
         return t
 
+    def parse_predicate(self) -> str:
+        nxt = self.p.peek()
+        if nxt.kind == "KW" and nxt.text == "a":
+            self.p.next()
+            return RDF_NS + "type"
+        return self.term_str(self.p.parse_term())
+
+    def parse_object(self, g: str | None) -> str:
+        t = self.p.peek()
+        if t.kind == "OP" and t.text == "[":
+            self.p.next()
+            node = self.fresh_blank()
+            if not (self.p.peek().kind == "OP" and self.p.peek().text == "]"):
+                self.predicate_object_list(node, g)
+            self.p.expect_op("]")
+            return node
+        if t.kind == "OP" and t.text == "(":
+            self.p.next()
+            items = []
+            while not (self.p.peek().kind == "OP" and self.p.peek().text == ")"):
+                items.append(self.parse_object(g))
+            self.p.next()  # ')'
+            if not items:
+                return RDF_NS + "nil"
+            head = self.fresh_blank()
+            node = head
+            for i, item in enumerate(items):
+                self.out.append((node, RDF_NS + "first", item, g))
+                if i == len(items) - 1:
+                    self.out.append((node, RDF_NS + "rest", RDF_NS + "nil", g))
+                else:
+                    nxt = self.fresh_blank()
+                    self.out.append((node, RDF_NS + "rest", nxt, g))
+                    node = nxt
+            return head
+        return self.term_str(self.p.parse_term())
+
+    def predicate_object_list(self, subj: str, g: str | None) -> None:
+        while True:
+            pred = self.parse_predicate()
+            while True:
+                self.out.append((subj, pred, self.parse_object(g), g))
+                if not self.p.eat_op(","):
+                    break
+            if not self.p.eat_op(";"):
+                break
+            # allow trailing ';' before '.' / '}' / ']'
+            nxt = self.p.peek()
+            if nxt.kind == "OP" and nxt.text in (".", "}", "]"):
+                break
+            if nxt.kind == "EOF":
+                break
+
+    def parse_subject(self, g: str | None) -> str:
+        t = self.p.peek()
+        if t.kind == "OP" and t.text == "[":
+            # anonymous subject: '[ ... ] pred obj .' or '[] pred obj .'
+            return self.parse_object(g)
+        if t.kind == "OP" and t.text == "(":
+            return self.parse_object(g)
+        return self.term_str(self.p.parse_term())
+
+    def statement(self, g: str | None) -> None:
+        subj = self.parse_subject(g)
+        # '[ p o ] .' is a legal statement all by itself
+        if self.p.peek().kind == "OP" and self.p.peek().text == ".":
+            return
+        self.predicate_object_list(subj, g)
+
+
+def _parse_turtle_text(
+    text: str, blank_prefix: str = ""
+) -> list[tuple[str, str, str]]:
+    """Parse one Turtle document to (s, p, o) term tuples."""
+    from graphula_spark.sparql.parser import Parser
+
+    p = Parser(_normalize_directives(text))
+    p.parse_prologue()
+    st = _TurtleStatements(p, blank_prefix)
     while p.peek().kind != "EOF":
         if p.kw() in ("PREFIX", "BASE"):  # mid-document directive
             p.parse_prologue()
             continue
-        if p.peek().kind == "OP" and p.peek().text in ("[", "("):
-            raise NotImplementedError(
-                "anonymous blank nodes / collections are outside the "
-                "supported Turtle subset — expand them or use N-Triples"
-            )
-        subj = term_str(p.parse_term())
-        while True:
-            nxt = p.peek()
-            if nxt.kind == "KW" and nxt.text == "a":
-                p.next()
-                pred = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-            else:
-                pred = term_str(p.parse_term())
-            while True:
-                out.append((subj, pred, term_str(p.parse_term())))
-                if not p.eat_op(","):
-                    break
-            if not p.eat_op(";"):
-                break
-            # allow trailing ';' before '.'
-            if p.peek().kind == "OP" and p.peek().text == ".":
-                break
+        st.statement(None)
         p.expect_op(".")
-    return out
+    return [(s, pr, o) for s, pr, o, _ in st.out]
 
 
 def read_turtle(spark: SparkSession, paths: str | list[str]) -> DataFrame:
@@ -99,71 +183,37 @@ def read_turtle(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     files = spark.sparkContext.binaryFiles(",".join(paths))
 
     def parse_file(kv):
-        _, content = kv
-        return _parse_turtle_text(bytes(content).decode("utf-8"))
+        path, content = kv
+        prefix = hashlib.md5(path.encode()).hexdigest()[:8]
+        return _parse_turtle_text(
+            bytes(content).decode("utf-8"), blank_prefix=prefix
+        )
 
     rows = files.flatMap(parse_file)
     return spark.createDataFrame(rows, _SPO_SCHEMA)
 
 
-def _parse_trig_text(text: str) -> list[tuple[str, str, str, str | None]]:
+def _parse_trig_text(
+    text: str, blank_prefix: str = ""
+) -> list[tuple[str, str, str, str | None]]:
     """Parse one TriG document to (s, p, o, g) tuples: Turtle statements
     at the top level land in the default graph (g=None); `<g> { ... }`
-    / `GRAPH <g> { ... }` blocks carry their graph IRI. Same supported
-    subset as `_parse_turtle_text` inside blocks."""
-    import re
+    / `GRAPH <g> { ... }` blocks carry their graph IRI."""
+    from graphula_spark.sparql.parser import Parser
 
-    from graphula_spark.sparql.parser import Parser, Var
-
-    def _directive(m: "re.Match[str]") -> str:
-        body = m.group(2).rstrip()
-        if body.endswith("."):
-            body = body[:-1]
-        return ("PREFIX " if m.group(1).lower() == "prefix" else "BASE ") + body
-
-    text = re.sub(
-        r"@(prefix|base)\s+([^\n]*)", _directive, text, flags=re.IGNORECASE
-    )
-    p = Parser(text)
+    p = Parser(_normalize_directives(text))
     p.parse_prologue()
-    out: list[tuple[str, str, str, str | None]] = []
+    st = _TurtleStatements(p, blank_prefix)
 
-    def term_str(t) -> str:
-        if isinstance(t, Var):
-            raise SyntaxError("variables are not valid in TriG data")
-        return t
-
-    def statements(graph_name: str | None, end_op: str | None) -> None:
+    def block(graph_name: str | None) -> None:
         while True:
             t = p.peek()
             if t.kind == "EOF":
-                if end_op is not None:
-                    raise SyntaxError("unterminated graph block")
-                return
-            if end_op is not None and t.kind == "OP" and t.text == end_op:
+                raise SyntaxError("unterminated graph block")
+            if t.kind == "OP" and t.text == "}":
                 p.next()
                 return
-            if t.kind == "OP" and t.text in ("[", "("):
-                raise NotImplementedError(
-                    "anonymous blank nodes / collections are outside the "
-                    "supported TriG subset"
-                )
-            subj = term_str(p.parse_term())
-            while True:
-                nxt = p.peek()
-                if nxt.kind == "KW" and nxt.text == "a":
-                    p.next()
-                    pred = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-                else:
-                    pred = term_str(p.parse_term())
-                while True:
-                    out.append((subj, pred, term_str(p.parse_term()), graph_name))
-                    if not p.eat_op(","):
-                        break
-                if not p.eat_op(";"):
-                    break
-                if p.peek().kind == "OP" and p.peek().text == ".":
-                    break
+            st.statement(graph_name)
             p.eat_op(".")
 
     while p.peek().kind != "EOF":
@@ -172,70 +222,45 @@ def _parse_trig_text(text: str) -> list[tuple[str, str, str, str | None]]:
             continue
         if p.kw() == "GRAPH":
             p.next()
-            gname = term_str(p.parse_term())
+            gname = st.term_str(p.parse_term())
             p.expect_op("{")
-            statements(gname, "}")
+            block(gname)
             p.eat_op(".")
             continue
         # `<g> { ... }` block or a plain default-graph statement: decide
         # by the token after the first term
-        if p.peek().kind in ("IRI", "PNAME") and p.peek(1).kind == "OP" and p.peek(1).text == "{":
-            gname = term_str(p.parse_term())
+        if (
+            p.peek().kind in ("IRI", "PNAME")
+            and p.peek(1).kind == "OP"
+            and p.peek(1).text == "{"
+        ):
+            gname = st.term_str(p.parse_term())
             p.expect_op("{")
-            statements(gname, "}")
+            block(gname)
             p.eat_op(".")
             continue
         if p.peek().kind == "OP" and p.peek().text == "{":
             p.next()  # anonymous default-graph block
-            statements(None, "}")
+            block(None)
             p.eat_op(".")
             continue
-        # single default-graph statement: reuse the block parser for one
-        # subject by parsing until its terminating '.'
-        if p.peek().kind == "OP" and p.peek().text in ("[", "("):
-            raise NotImplementedError(
-                "anonymous blank nodes / collections are outside the "
-                "supported TriG subset"
-            )
-        subj = term_str(p.parse_term())
-        while True:
-            nxt = p.peek()
-            if nxt.kind == "KW" and nxt.text == "a":
-                p.next()
-                pred = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-            else:
-                pred = term_str(p.parse_term())
-            while True:
-                out.append((subj, pred, term_str(p.parse_term()), None))
-                if not p.eat_op(","):
-                    break
-            if not p.eat_op(";"):
-                break
-            if p.peek().kind == "OP" and p.peek().text == ".":
-                break
+        st.statement(None)
         p.expect_op(".")
-    return out
+    return st.out
 
 
 def read_trig(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """Parse TriG file(s) -> DataFrame(s, p, o, g) — one parse task per
     file; feed the result to `Dataset.from_string_quads`."""
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    schema = StructType(
-        [
-            StructField("s", StringType(), False),
-            StructField("p", StringType(), False),
-            StructField("o", StringType(), False),
-            StructField("g", StringType(), True),
-        ]
-    )
     if isinstance(paths, str):
         paths = [paths]
     files = spark.sparkContext.binaryFiles(",".join(paths))
 
     def parse_file(kv):
-        _, content = kv
-        return _parse_trig_text(bytes(content).decode("utf-8"))
+        path, content = kv
+        prefix = hashlib.md5(path.encode()).hexdigest()[:8]
+        return _parse_trig_text(
+            bytes(content).decode("utf-8"), blank_prefix=prefix
+        )
 
-    return spark.createDataFrame(files.flatMap(parse_file), schema)
+    return spark.createDataFrame(files.flatMap(parse_file), _QUAD_SCHEMA)

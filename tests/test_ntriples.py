@@ -171,13 +171,41 @@ def test_read_turtle(spark, tmp_path):
     assert [r["n"] for r in got] == ['"Alice"@en']
 
 
-def test_read_turtle_rejects_unsupported(spark, tmp_path):
-    import pytest
-
+def test_turtle_anonymous_blanks_and_collections():
     from graphula_spark.sources.turtle import _parse_turtle_text
 
-    with pytest.raises(NotImplementedError, match="Turtle subset"):
-        _parse_turtle_text("@prefix ex: <http://ex/> .\n[] ex:p ex:o .\n")
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    triples = set(
+        _parse_turtle_text(
+            "@prefix ex: <http://ex/> .\n"
+            'ex:alice ex:address [ ex:city "Springfield" ; ex:zip "123" ] .\n'
+            "[] ex:p ex:o .\n"
+            "[ ex:q ex:r ] .\n"
+            "ex:s ex:list ( ex:a ex:b ) .\n"
+            "ex:s ex:empty () .\n",
+            blank_prefix="t",
+        )
+    )
+    # anonymous object node carries its nested properties
+    addr = next(o for s, p, o in triples if p == "http://ex/address")
+    assert addr.startswith("_:tanon")
+    assert (addr, "http://ex/city", '"Springfield"') in triples
+    assert (addr, "http://ex/zip", '"123"') in triples
+    # anonymous subjects
+    assert any(
+        s.startswith("_:tanon") and p == "http://ex/p" for s, p, o in triples
+    )
+    assert any(
+        s.startswith("_:tanon") and p == "http://ex/q" for s, p, o in triples
+    )
+    # collection expands to a first/rest chain ending in rdf:nil
+    head = next(o for s, p, o in triples if p == "http://ex/list")
+    assert (head, rdf + "first", "http://ex/a") in triples
+    rest = next(o for s, p, o in triples if s == head and p == rdf + "rest")
+    assert (rest, rdf + "first", "http://ex/b") in triples
+    assert (rest, rdf + "rest", rdf + "nil") in triples
+    # empty collection is rdf:nil itself
+    assert ("http://ex/s", "http://ex/empty", rdf + "nil") in triples
 
 
 def test_read_trig_into_dataset(spark, tmp_path):
