@@ -245,3 +245,53 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     got = spark.table("dedup_stream").select("event_id")
     assert got.count() == 8
     assert {r["event_id"] for r in got.collect()} == set(range(8))
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermark-bounded stream-stream join equals the batch run of the
+    same interval join (view -> purchase attribution within 30 min)."""
+    from graphula_spark.streaming.joins import (
+        interval_join,
+        run_interval_join_stream,
+    )
+
+    rows = [
+        # user 7: view at 10:00, purchases at 10:10 (in) and 11:00 (out)
+        (1, ts("2024-01-01T10:00:00"), 7, "view", 1.0, "{}"),
+        (2, ts("2024-01-01T10:10:00"), 7, "purchase", 9.0, "{}"),
+        (3, ts("2024-01-01T11:00:00"), 7, "purchase", 5.0, "{}"),
+        # user 8: purchase BEFORE the view — must not match
+        (4, ts("2024-01-01T09:50:00"), 8, "purchase", 2.0, "{}"),
+        (5, ts("2024-01-01T10:00:00"), 8, "view", 1.0, "{}"),
+        # user 9: two views, one purchase in both windows -> two matches
+        (6, ts("2024-01-01T10:00:00"), 9, "view", 1.0, "{}"),
+        (7, ts("2024-01-01T10:05:00"), 9, "view", 1.0, "{}"),
+        (8, ts("2024-01-01T10:20:00"), 9, "purchase", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    path = str(tmp_path / "ssj_events")
+    df.write.parquet(path)
+
+    got = run_interval_join_stream(
+        spark, path, "view", "purchase", query_name="ssj_test"
+    )
+    pairs = sorted(
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in got.collect()
+    )
+    assert pairs == [(7, 1, 2), (9, 6, 8), (9, 7, 8)]
+
+    # batch run of the identical operator matches the streaming result
+    ev = spark.read.parquet(path)
+    batch = interval_join(
+        ev.where("event_type = 'view'"),
+        ev.where("event_type = 'purchase'"),
+        "user_id",
+    )
+    bpairs = sorted(
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in batch.collect()
+    )
+    assert bpairs == pairs
