@@ -494,6 +494,7 @@ def semantic_dedup(
     n_cells: int = 16,
     eps: float = 0.9,
     seed: int = 42,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): KMeans-cluster the embedding space, call two
@@ -513,8 +514,54 @@ def semantic_dedup(
     shuffles on the bounded cell key, and the component pass is
     min-label propagation at O(log diameter) rounds over edges that
     exist only between near-duplicates (sparse by construction).
+
+    `collapse_exact` (default on) pre-merges byte-identical vectors —
+    one hash-agg shuffle — and runs the quadratic-in-clique-size
+    semantic pass on unique vectors only, fanning the verdicts back
+    out afterwards. Web-scale corpora repeat embeddings heavily (exact
+    doc dups, boilerplate), and a k-member exact clique otherwise
+    contributes k(k-1)/2 within-cell pairs for zero information.
     """
     from graphula_spark.operators.cluster import connected_components
+
+    if collapse_exact:
+        m = vectors.select(
+            F.col(id_col).alias("__oid"), F.col(vec_col).alias("__ov")
+        )
+        grp = Window.partitionBy("__ov")
+        m = (
+            m.withColumn("__rep", F.min("__oid").over(grp))
+            .withColumn("__cnt", F.count("*").over(grp))
+            .persist()
+        )
+        reps = m.where(F.col("__oid") == F.col("__rep")).select(
+            F.col("__oid").alias(id_col), F.col("__ov").alias(vec_col)
+        )
+        rep_out = semantic_dedup(
+            reps, id_col, vec_col, n_cells, eps, seed, collapse_exact=False
+        )
+        # merged component label = semantic group of the representative,
+        # else the representative itself when the exact clique has >1
+        # member; min-of-exact-clique == rep and min-of-semantic-group
+        # <= any rep in it, so the label is the true component minimum
+        joined = m.join(
+            rep_out.select(
+                F.col("id").alias("__rep"),
+                "cell",
+                F.col("dup_group").alias("__g"),
+            ),
+            "__rep",
+        )
+        merged = F.coalesce(
+            F.col("__g"),
+            F.when(F.col("__cnt") > 1, F.col("__rep")),
+        )
+        return joined.select(
+            F.col("__oid").alias("id"),
+            F.col("cell").cast("int").alias("cell"),
+            merged.cast("long").alias("dup_group"),
+            (merged.isNull() | (merged == F.col("__oid"))).alias("keep"),
+        )
 
     idx = IvfIndex.build(
         vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
@@ -536,11 +583,16 @@ def semantic_dedup(
     )
     a = v.select(F.col("id").alias("id_a"), "cell", F.col("nv").alias("va"))
     b = v.select(F.col("id").alias("id_b"), "cell", F.col("nv").alias("vb"))
+    # localCheckpoint the (sparse) pair set: it is consumed repeatedly
+    # downstream (symmetrization union, CC rounds, final join) and its
+    # logical plan — KMeans transform + window + self-join with
+    # aggregate HOFs — is expensive for Catalyst to re-analyze per use
     pairs = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .where(_dot(F.col("va"), F.col("vb")) >= F.lit(eps))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(pairs, "id_a", "id_b")
     out = (

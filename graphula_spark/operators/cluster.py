@@ -42,15 +42,18 @@ def connected_components(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).where(F.col("a") != F.col("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.persist()
+    # localCheckpoint (not persist): an iterative loop must TRUNCATE the
+    # logical plan each round, or Catalyst re-analyzes a tree that grows
+    # with every iteration times the (possibly huge) upstream lineage —
+    # caching alone only short-circuits execution, not analysis
+    sym = sym.localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
 
     for _ in range(max_iter):
         # propagate: candidate label = min over neighbours' labels
@@ -78,7 +81,7 @@ def connected_components(
                 "node",
                 F.coalesce(F.col("ref_label"), F.col("label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             jumped.alias("n")
@@ -87,11 +90,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = jumped
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select("node", F.col("label").alias("cluster"))
 
 

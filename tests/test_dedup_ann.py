@@ -378,3 +378,32 @@ def test_semantic_dedup_invariants_on_corpus(spark):
     assert kept_pairs_same_cell.count() == 0
     # and something was actually deduplicated at this threshold
     assert dropped.count() > 0
+
+
+def test_semantic_dedup_exact_collapse(spark):
+    """Byte-identical vectors pre-merge: exact clique + semantic
+    neighbor end up one component with the min id kept."""
+    import math
+
+    from graphula_spark.operators.ann import semantic_dedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (1, unit(0.0)), (2, unit(0.0)), (5, unit(0.0)),  # exact clique
+        (3, unit(0.01)),                                  # semantic dup of it
+        (9, [0.0, 0.0, 1.0, 0.0]),                        # unrelated
+        (10, [0.0, 0.0, 1.0, 0.0]),                       # exact dup of 9
+        (20, [0.0, 0.0, 0.0, 1.0]),                       # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r.asDict() for r in
+           semantic_dedup(df, n_cells=2, eps=0.99).collect()}
+    assert set(out) == {1, 2, 3, 5, 9, 10, 20}
+    for i in (1, 2, 3, 5):
+        assert out[i]["dup_group"] == 1
+        assert out[i]["keep"] == (i == 1)
+    assert out[9]["dup_group"] == 9 and out[9]["keep"]
+    assert out[10]["dup_group"] == 9 and not out[10]["keep"]
+    assert out[20]["dup_group"] is None and out[20]["keep"]
