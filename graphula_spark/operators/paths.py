@@ -26,9 +26,12 @@ def transitive_closure(
     max_iter: int = 25,
 ) -> DataFrame:
     """All pairs (src, dst) connected by a path of >= 1 edges."""
-    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    base = base.persist()
-    base.count()
+    # localCheckpoint (not persist) per round: the semi-naive loop's
+    # logical plan otherwise grows with every iteration and Catalyst
+    # re-analyzes the whole history each round (see cluster.py)
+    base = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
     paths = base
     frontier = base
     for _ in range(max_iter):
@@ -38,19 +41,20 @@ def transitive_closure(
             .select(F.col("f.src").alias("src"), F.col("b.dst").alias("dst"))
             .distinct()
         )
-        new = grown.join(paths, ["src", "dst"], "left_anti").persist()
-        empty = new.limit(1).count() == 0
-        old_frontier = frontier
-        if empty:
-            new.unpersist()
+        new = grown.join(paths, ["src", "dst"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new.limit(1).count() == 0:
             break
+        # union accumulators use persist, not localCheckpoint: Spark's
+        # Union constraint-rewrite chokes on unions of checkpointed
+        # frames (key-not-found on remapped attribute ids); the lineage
+        # stays shallow because every union INPUT is checkpointed flat
         old = paths
         paths = paths.unionByName(new).persist()
-        paths.count()  # materialize before unpersisting inputs
+        paths.count()
         if old is not base:
             old.unpersist()
-        if old_frontier is not base:
-            old_frontier.unpersist()
         frontier = new
     return paths
 
@@ -64,13 +68,15 @@ def reachable_from(
 ) -> DataFrame:
     """BFS from a seed set: distinct nodes reachable in >= 1 hops.
     Returns (start, node)."""
-    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    base = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
     seeds = sources.select(F.col(sources.columns[0]).alias("start"))
     frontier = (
         seeds.join(base, seeds["start"] == base["src"])
         .select("start", F.col("dst").alias("node"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     seen = frontier
     for _ in range(max_iter):
@@ -80,11 +86,14 @@ def reachable_from(
             .select(F.col("f.start").alias("start"), F.col("b.dst").alias("node"))
             .distinct()
         )
-        new = grown.join(seen, ["start", "node"], "left_anti").persist()
+        new = grown.join(seen, ["start", "node"], "left_anti").localCheckpoint(
+            eager=True
+        )
         if new.limit(1).count() == 0:
-            new.unpersist()
             break
+        old = seen
         seen = seen.unionByName(new).persist()
         seen.count()
+        old.unpersist()
         frontier = new
     return seen
