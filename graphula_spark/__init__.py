@@ -26,6 +26,7 @@ from graphula_spark.session import get_spark
 from graphula_spark.sources.ntriples import (
     read_nquads,
     read_ntriples,
+    write_nquads,
     write_ntriples,
 )
 from graphula_spark.sources.rdfxml import read_rdfxml
@@ -44,6 +45,7 @@ __all__ = [
     "read_rdfxml",
     "read_trig",
     "read_turtle",
+    "write_nquads",
     "write_ntriples",
 ]
 

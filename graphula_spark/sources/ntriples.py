@@ -134,3 +134,41 @@ def write_ntriples(graph, path: str) -> None:
     format_ntriples(decoded.select("s", "p", "o")).write.mode(
         "overwrite"
     ).text(path)
+
+
+def write_nquads(dataset, path: str) -> None:
+    """Export a Dataset's quads as N-Quads text files: default-graph
+    rows serialize as plain triples (valid N-Quads), named-graph rows
+    carry their graph IRI as the fourth term. Round-trips through
+    `read_nquads` exactly."""
+    d = dataset.dictionary
+    decoded = dataset.quads
+    for c in ("s", "p", "o"):
+        decoded = d.decode_col(decoded, c)
+    # g is nullable (default graph) — decode only bound ids
+    named = d.decode_col(decoded.where(F.col("g").isNotNull()), "g")
+    dflt = decoded.where(F.col("g").isNull()).select("s", "p", "o")
+
+    def term(c: str, subject_position: bool = False):
+        col = F.col(c)
+        keep = col.startswith("_:") if subject_position else (
+            col.startswith("_:") | col.startswith('"')
+        )
+        return F.when(keep, col).otherwise(
+            F.concat(F.lit("<"), col, F.lit(">"))
+        )
+
+    named_lines = named.select(
+        F.concat(
+            term("s", subject_position=True),
+            F.lit(" "),
+            F.concat(F.lit("<"), F.col("p"), F.lit(">")),
+            F.lit(" "),
+            term("o"),
+            F.lit(" "),
+            F.concat(F.lit("<"), F.col("g"), F.lit(">")),
+            F.lit(" ."),
+        ).alias("value")
+    )
+    dflt_lines = format_ntriples(dflt)
+    named_lines.unionByName(dflt_lines).write.mode("overwrite").text(path)

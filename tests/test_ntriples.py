@@ -322,3 +322,26 @@ class TestRdfXml:
         # per-file blank prefixes: the two generated inner blanks differ
         blanks = {r["o"] for r in df.where("p = 'http://ex/part'").collect()}
         assert len(blanks) == 2
+
+
+def test_write_nquads_round_trip(spark, tmp_path):
+    from graphula_spark.dataset import Dataset
+    from graphula_spark.sources.ntriples import read_nquads, write_nquads
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    sch = StructType(
+        [StructField(c, StringType(), True) for c in ("s", "p", "o", "g")]
+    )
+    rows = [
+        ("http://ex/a", "http://ex/p", '"lit"@en', "http://ex/g1"),
+        ("http://ex/b", "http://ex/p", "http://ex/c", None),
+        ("_:b0", "http://ex/q", '"42"^^<http://www.w3.org/2001/XMLSchema#integer>', "http://ex/g2"),
+    ]
+    ds = Dataset.from_string_quads(
+        spark, spark.createDataFrame(rows, sch), cache=False
+    )
+    out = str(tmp_path / "out_nq")
+    write_nquads(ds, out)
+    back = read_nquads(spark, out + "/*.txt")
+    got = {(r["s"], r["p"], r["o"], r["g"]) for r in back.collect()}
+    assert got == set(rows)
