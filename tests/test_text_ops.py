@@ -215,3 +215,46 @@ def test_chunk_documents(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=4)
+
+
+def test_quality_classifier(spark):
+    """Train on synthetic good/bad docs, verify separation on held-out
+    docs of each kind."""
+    from graphula_spark.operators.quality import (
+        score_quality,
+        train_quality_model,
+    )
+
+    good = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "she walked to the market and bought fresh bread with her savings",
+        "a long journey begins with a single step through the old forest",
+        "the committee agreed that the proposal would benefit the village",
+        "he read the letter twice before answering with a careful reply",
+        "many travelers visit the coast during the warm summer months",
+    ]
+    bad = [
+        "buy buy buy buy buy buy buy buy buy buy buy buy",
+        "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( ))) ___ +++",
+        "aaaaaaa bbbbbbb aaaaaaa bbbbbbb aaaaaaa bbbbbbb aaaaaaa",
+        "x",
+        "click here click here click here click here click here",
+        "zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz zzz",
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(good)] + [
+        (100 + i, t, 0) for i, t in enumerate(bad)
+    ]
+    train = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    model = train_quality_model(train, "doc_id", "text")
+
+    test = spark.createDataFrame(
+        [
+            (1, "the children played in the garden until the sun went down"),
+            (2, "win win win win win win win win win win win win win"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           score_quality(model, test, "doc_id", "text").collect()}
+    assert got[1]["quality_prob"] > got[2]["quality_prob"]
+    assert got[1]["quality_pass"] and not got[2]["quality_pass"]
