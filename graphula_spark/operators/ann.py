@@ -556,12 +556,17 @@ def semantic_dedup(
             F.col("__g"),
             F.when(F.col("__cnt") > 1, F.col("__rep")),
         )
-        return joined.select(
+        out = joined.select(
             F.col("__oid").alias("id"),
             F.col("cell").cast("int").alias("cell"),
             merged.cast("long").alias("dup_group"),
             (merged.isNull() | (merged == F.col("__oid"))).alias("keep"),
-        )
+        ).localCheckpoint(eager=True)
+        # the verdict table is small (4 columns); materializing it lets
+        # the cached intermediates be released instead of leaking for
+        # the session lifetime
+        m.unpersist()
+        return out
 
     idx = IvfIndex.build(
         vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
@@ -608,10 +613,13 @@ def semantic_dedup(
             "keep",
             F.col("dup_group").isNull() | (F.col("dup_group") == F.col("id")),
         )
+        .select(
+            F.col("id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("dup_group").cast("long").alias("dup_group"),
+            "keep",
+        )
+        .localCheckpoint(eager=True)
     )
-    return out.select(
-        F.col("id"),
-        F.col("cell").cast("int").alias("cell"),
-        F.col("dup_group").cast("long").alias("dup_group"),
-        "keep",
-    )
+    v.unpersist()
+    return out

@@ -45,7 +45,12 @@ def connected_components(
     # localCheckpoint (not persist): an iterative loop must TRUNCATE the
     # logical plan each round, or Catalyst re-analyzes a tree that grows
     # with every iteration times the (possibly huge) upstream lineage —
-    # caching alone only short-circuits execution, not analysis
+    # caching alone only short-circuits execution, not analysis.
+    # Trade-off: checkpointed blocks are not recomputable, so executor
+    # loss mid-job fails the query instead of recomputing; on a cluster
+    # with preemptible executors set spark.checkpoint.dir and swap in
+    # reliable .checkpoint() here. Superseded rounds' blocks are freed
+    # by the ContextCleaner once unreferenced.
     sym = sym.localCheckpoint(eager=True)
 
     labels = (

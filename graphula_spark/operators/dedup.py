@@ -30,26 +30,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text_col, n: int = 3):
-    """n-word shingles as an array<string> column (distinct)."""
+def word_shingles(text_col, n: int = 3, distinct: bool = True):
+    """n-word shingles as an array<string> column (distinct by default;
+    pass distinct=False where duplicates don't matter — e.g. MinHash,
+    whose min is duplicate-invariant — to skip the hash-set pass)."""
     tokens = F.split(F.trim(F.lower(text_col)), r"\s+")
     k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), k - F.lit(1))
+    raw = F.transform(
+        idx,
+        # element_at is O(1); slice() would copy O(n) per shingle
+        # making shingling O(n^2) per document
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(1, n + 1)]
+        ),
+    )
     return F.when(
         F.size(tokens) < n,
         F.array(F.concat_ws(" ", tokens)),
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                idx,
-                # element_at is O(1); slice() would copy O(n) per shingle
-                # making shingling O(n^2) per document
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tokens, i + k) for k in range(1, n + 1)]
-                ),
-            )
-        )
-    )
+    ).otherwise(F.array_distinct(raw) if distinct else raw)
 
 
 def minhash_signatures(
@@ -73,19 +72,7 @@ def minhash_signatures(
     # min() is duplicate-invariant, so signatures skip word_shingles'
     # array_distinct pass; b2 re-hashes the 8-byte b1 longs JVM-side
     # instead of hashing a prefixed copy of every shingle string
-    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    n = shingle_n
-    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    shingles = F.when(
-        F.size(tokens) < n, F.array(F.concat_ws(" ", tokens))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), k - F.lit(1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, i + j) for j in range(1, n + 1)]
-            ),
-        )
-    )
+    shingles = word_shingles(F.col(text_col), shingle_n, distinct=False)
     based = (
         df.repartition(par, id_col)
         .select(F.col(id_col).alias("id"), shingles.alias("sh"))

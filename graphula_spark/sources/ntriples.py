@@ -97,6 +97,18 @@ def read_nquads(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     )
 
 
+def _nt_term(c: str, subject_position: bool = False):
+    """Column expression serializing a verbatim term back to N-Triples/
+    N-Quads syntax: blanks and literals pass through, IRIs get angle
+    brackets. Shared by the .nt and .nq sinks so the policy cannot
+    diverge."""
+    col = F.col(c)
+    keep = col.startswith("_:") if subject_position else (
+        col.startswith("_:") | col.startswith('"')
+    )
+    return F.when(keep, col).otherwise(F.concat(F.lit("<"), col, F.lit(">")))
+
+
 def format_ntriples(df: DataFrame) -> DataFrame:
     """Serialize a (s, p, o) string DataFrame back to N-Triples lines —
     the export sink matching `read_ntriples`'s verbatim-term policy:
@@ -105,14 +117,7 @@ def format_ntriples(df: DataFrame) -> DataFrame:
     single-column (`value`) DataFrame ready for `write.text` — a
     distributed text sink, one file per partition.
     """
-
-    def term(c: str, subject_position: bool = False):
-        col = F.col(c)
-        keep = col.startswith("_:") if subject_position else (
-            col.startswith("_:") | col.startswith('"')
-        )
-        return F.when(keep, col).otherwise(F.concat(F.lit("<"), col, F.lit(">")))
-
+    term = _nt_term
     return df.select(
         F.concat(
             term("s", subject_position=True),
@@ -149,24 +154,16 @@ def write_nquads(dataset, path: str) -> None:
     named = d.decode_col(decoded.where(F.col("g").isNotNull()), "g")
     dflt = decoded.where(F.col("g").isNull()).select("s", "p", "o")
 
-    def term(c: str, subject_position: bool = False):
-        col = F.col(c)
-        keep = col.startswith("_:") if subject_position else (
-            col.startswith("_:") | col.startswith('"')
-        )
-        return F.when(keep, col).otherwise(
-            F.concat(F.lit("<"), col, F.lit(">"))
-        )
-
     named_lines = named.select(
         F.concat(
-            term("s", subject_position=True),
+            _nt_term("s", subject_position=True),
             F.lit(" "),
             F.concat(F.lit("<"), F.col("p"), F.lit(">")),
             F.lit(" "),
-            term("o"),
+            _nt_term("o"),
             F.lit(" "),
-            F.concat(F.lit("<"), F.col("g"), F.lit(">")),
+            # graph labels may be blank nodes (read_nquads accepts them)
+            _nt_term("g", subject_position=True),
             F.lit(" ."),
         ).alias("value")
     )

@@ -99,7 +99,12 @@ class _DocParser:
         return f"_:{self.blank_prefix}g{self.genid}"
 
     def resolve(self, iri: str, base: str | None) -> str:
-        if "://" in iri or iri.startswith(("urn:", "mailto:")):
+        # RFC 3986: a relative reference cannot start with scheme ':',
+        # so any leading scheme marks the IRI absolute (covers urn:,
+        # tag:, doi:, data:, tel:, ... — not just '://' forms)
+        import re as _re
+
+        if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
             return iri
         b = base or self.base
         if b is None:

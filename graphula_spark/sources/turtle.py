@@ -140,19 +140,26 @@ class _TurtleStatements:
             if nxt.kind == "EOF":
                 break
 
-    def parse_subject(self, g: str | None) -> str:
+    def parse_subject(self, g: str | None) -> tuple[str, bool]:
+        """Returns (subject, was_anon): only an anonymous '[ ... ]'
+        subject may legally stand alone without a predicate list."""
         t = self.p.peek()
         if t.kind == "OP" and t.text == "[":
-            # anonymous subject: '[ ... ] pred obj .' or '[] pred obj .'
-            return self.parse_object(g)
+            # anonymous subject: '[ ... ] pred obj .' or '[ p o ] .'
+            return self.parse_object(g), True
         if t.kind == "OP" and t.text == "(":
-            return self.parse_object(g)
-        return self.term_str(self.p.parse_term())
+            return self.parse_object(g), False
+        return self.term_str(self.p.parse_term()), False
 
     def statement(self, g: str | None) -> None:
-        subj = self.parse_subject(g)
-        # '[ p o ] .' is a legal statement all by itself
-        if self.p.peek().kind == "OP" and self.p.peek().text == ".":
+        subj, was_anon = self.parse_subject(g)
+        # '[ p o ] .' is a legal statement all by itself — but a bare
+        # 'ex:s .' (no predicate list) is invalid Turtle and must raise
+        if (
+            was_anon
+            and self.p.peek().kind == "OP"
+            and self.p.peek().text == "."
+        ):
             return
         self.predicate_object_list(subj, g)
 

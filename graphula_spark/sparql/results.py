@@ -151,17 +151,16 @@ def ask_to_xml(result: bool) -> str:
 def _term_to_tsv(term) -> str:
     """TSV cells keep full SPARQL/Turtle term syntax (unlike CSV, which
     strips to lexical forms): IRIs in angle brackets, literals quoted
-    with tags, blanks as `_:label`; unbound is empty."""
+    with tags, blanks as `_:label`; unbound is empty. Literals are
+    stored in N-Triples lexical form already — escapes (\\", \\n, \\\\)
+    are present in the stored string, so the cell is emitted verbatim;
+    re-escaping would corrupt every literal containing one."""
     if term is None:
         return ""
     s = str(term)
     if s.startswith("_:") or s.startswith('"'):
-        out = s
-    else:
-        out = f"<{s}>"
-    return out.replace("\\", "\\\\").replace("\t", "\\t").replace(
-        "\n", "\\n"
-    ).replace("\r", "\\r")
+        return s
+    return f"<{s}>"
 
 
 def to_sparql_tsv(df: DataFrame, limit: int | None = None) -> str:

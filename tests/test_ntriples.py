@@ -345,3 +345,45 @@ def test_write_nquads_round_trip(spark, tmp_path):
     back = read_nquads(spark, out + "/*.txt")
     got = {(r["s"], r["p"], r["o"], r["g"]) for r in back.collect()}
     assert got == set(rows)
+
+
+def test_turtle_rejects_bare_subject_statement():
+    import pytest
+
+    from graphula_spark.sources.turtle import _parse_turtle_text
+
+    with pytest.raises(SyntaxError):
+        _parse_turtle_text("@prefix ex: <http://ex/> .\nex:s .\n")
+
+
+def test_rdfxml_other_scheme_iris_not_resolved():
+    from graphula_spark.sources.rdfxml import parse_rdfxml_text
+
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+              xmlns:ex="http://ex/" xml:base="http://ex/base/doc">
+      <rdf:Description rdf:about="tag:example.org,2024:x">
+        <ex:ref rdf:resource="doi:10.1000/182"/>
+        <ex:rel rdf:resource="other"/>
+      </rdf:Description></rdf:RDF>"""
+    triples = set(parse_rdfxml_text(doc))
+    assert ("tag:example.org,2024:x", "http://ex/ref", "doi:10.1000/182") in triples
+    # genuinely relative references still resolve against xml:base
+    assert ("tag:example.org,2024:x", "http://ex/rel", "http://ex/base/other") in triples
+
+
+def test_write_nquads_blank_graph_label(spark, tmp_path):
+    from graphula_spark.dataset import Dataset
+    from graphula_spark.sources.ntriples import read_nquads, write_nquads
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    sch = StructType(
+        [StructField(c, StringType(), True) for c in ("s", "p", "o", "g")]
+    )
+    rows = [("http://ex/a", "http://ex/p", "http://ex/b", "_:gb")]
+    ds = Dataset.from_string_quads(
+        spark, spark.createDataFrame(rows, sch), cache=False
+    )
+    out = str(tmp_path / "bg_nq")
+    write_nquads(ds, out)
+    back = read_nquads(spark, out + "/*.txt")
+    assert [(r["s"], r["g"]) for r in back.collect()] == [("http://ex/a", "_:gb")]
