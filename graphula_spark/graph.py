@@ -318,6 +318,56 @@ class Graph:
         )
 
     # ------------------------------------------------------------------
+    # bucketed-table layout (big-big subject joins without shuffles)
+    # ------------------------------------------------------------------
+    def save_bucketed_table(
+        self, table: str, location: str, s_buckets: int = 64
+    ) -> None:
+        """Persist the triples as a Spark BUCKETED table clustered by
+        subject (`bucketBy(s)` + in-bucket sort), alongside a plain
+        `<table>_dict` table.
+
+        The predicate-partitioned parquet store (save/load) serves
+        bound-predicate scans; this layout serves the other 100 TB
+        regime: star joins where BOTH pattern scans are too large to
+        broadcast (unselective predicates). Bucketing makes every
+        s = s self-join co-partitioned — SortMergeJoin with ZERO
+        shuffle exchanges, because each bucket pair joins in place.
+        The reference's analogue is the (s,0,0)/(s,p,0) LMDB key family
+        (Index.scala:61-78): subject-clustered physical order.
+
+        Bucket metadata lives in the session catalog; production
+        deployments back it with a shared metastore so every session
+        sees the bucketing (plain parquet files at `location` remain
+        readable either way).
+        """
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}_dict")
+        (
+            self.triples.select("s", "p", "o")
+            .write.mode("overwrite")
+            .bucketBy(s_buckets, "s")
+            .sortBy("s", "p")
+            .option("path", f"{location}/triples_s")
+            .saveAsTable(table)
+        )
+        (
+            self.dictionary.df.select("id", "value")
+            .write.mode("overwrite")
+            .option("path", f"{location}/dict")
+            .saveAsTable(f"{table}_dict")
+        )
+
+    @classmethod
+    def from_bucketed_table(cls, spark: SparkSession, table: str) -> "Graph":
+        """Open a graph over a subject-bucketed table written by
+        `save_bucketed_table` (the catalog supplies the bucketing spec,
+        so s = s joins plan shuffle-free)."""
+        triples = spark.table(table)
+        d = Dictionary(spark, spark.table(f"{table}_dict"))
+        return cls(spark, triples, d)
+
+    # ------------------------------------------------------------------
     # stats (reference: Index.valueCount O6, cached cardinalities O11)
     # ------------------------------------------------------------------
     @property

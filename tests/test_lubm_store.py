@@ -48,3 +48,44 @@ def test_lubm_store_query(lubm_store, n):
     got = sorted(tuple(lex(v) for v in r) for r in df.collect())
     assert len(got) == EXPECTED_ROWS[n], f"Q{n}: {len(got)} rows"
     assert got == expected, f"Q{n} row mismatch on persisted store"
+
+
+def test_bucketed_table_star_join_no_shuffle(spark, tmp_path):
+    """The s-bucketed table layout: a star self-join on subject plans
+    as a SortMergeJoin with ZERO shuffle exchanges even when neither
+    side broadcasts — the big-big join regime at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from graphula_spark.graph import Graph
+
+    rows = [
+        (f"http://ex/s{i}", p, f"http://ex/o{i}_{p[-1]}")
+        for i in range(200)
+        for p in ("http://ex/p1", "http://ex/p2")
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"]), cache=False
+    )
+    loc = str(tmp_path / "bucketed")
+    g.save_bucketed_table("t_bucketed_test", loc, s_buckets=8)
+    gb = Graph.from_bucketed_table(spark, "t_bucketed_test")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = gb.triples
+        p1 = gb.dictionary.lookup_terms(["http://ex/p1"])["http://ex/p1"]
+        p2 = gb.dictionary.lookup_terms(["http://ex/p2"])["http://ex/p2"]
+        a = t.where(F.col("p") == p1).alias("a")
+        b = t.where(F.col("p") == p2).alias("b")
+        joined = a.join(b, F.col("a.s") == F.col("b.s")).select(
+            F.col("a.s"), F.col("a.o").alias("o1"), F.col("b.o").alias("o2")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-partitioned by bucketing
+        assert joined.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_test_dict")
