@@ -113,3 +113,55 @@ def score_quality(
         F.round(prob, 6).alias("quality_prob"),
         (prob >= F.lit(threshold)).alias("quality_pass"),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_df: DataFrame | None = None,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document cross-entropy under a unigram language model — the
+    CCNet-style "perplexity filter" reduced to its distributable core
+    (CCNet scores against a KenLM 5-gram; the unigram variant keeps the
+    same pipeline shape with no external model artifact).
+
+    The model is `model_df` (term, cnt) — typically counted over a
+    trusted reference corpus — or, when omitted, the scored corpus
+    itself. Unseen terms get an additive-smoothing probability
+    `smoothing / (total + smoothing * (vocab + 1))`.
+
+    Returns (id, n_tokens, avg_neg_logprob): lower = more like the
+    reference corpus; filter on a quantile of avg_neg_logprob.
+
+    Scale shape: one (doc, term) explode + hash-agg, one join against
+    the vocabulary-sized model table (broadcast when it fits), one
+    per-doc agg. The model total/vocab ride in a one-row broadcast.
+    """
+    from graphula_spark.operators.text import tokens
+
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    if model_df is None:
+        model_df = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    model_df = model_df.select("term", F.col("cnt").cast("double").alias("cnt"))
+    totals = model_df.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
+    )
+    scored = (
+        terms.join(model_df, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "logp",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0.0)) + F.lit(smoothing))
+                / (F.col("total") + F.lit(smoothing) * (F.col("vocab") + 1))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(-F.avg("logp"), 6).alias("avg_neg_logprob"),
+    )

@@ -258,3 +258,35 @@ def test_quality_classifier(spark):
            score_quality(model, test, "doc_id", "text").collect()}
     assert got[1]["quality_prob"] > got[2]["quality_prob"]
     assert got[1]["quality_pass"] and not got[2]["quality_pass"]
+
+
+def test_unigram_logprob_score(spark):
+    import math
+
+    from graphula_spark.operators.quality import unigram_logprob_score
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat")], ["doc_id", "text"]
+    )
+    # self-model: counts the=2, cat=1, dog=1, sat=2 -> total 6, vocab 4
+    out = {r["doc_id"]: r.asDict() for r in
+           unigram_logprob_score(ref, "doc_id", "text").collect()}
+
+    def p(cnt):
+        return (cnt + 0.5) / (6 + 0.5 * 5)
+
+    exp1 = -(math.log(p(2)) + math.log(p(1)) + math.log(p(2))) / 3
+    assert abs(out[1]["avg_neg_logprob"] - round(exp1, 6)) < 1e-6
+    assert out[1]["n_tokens"] == 3
+
+    # scoring a new corpus against the reference model: common words
+    # score better than unseen gibberish
+    model = spark.createDataFrame(
+        [("the", 100), ("cat", 50), ("sat", 50)], ["term", "cnt"]
+    )
+    test = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zorp blick quux")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["avg_neg_logprob"] for r in
+           unigram_logprob_score(test, "doc_id", "text", model).collect()}
+    assert got[10] < got[11]
