@@ -290,3 +290,59 @@ def test_unigram_logprob_score(spark):
     got = {r["doc_id"]: r["avg_neg_logprob"] for r in
            unigram_logprob_score(test, "doc_id", "text", model).collect()}
     assert got[10] < got[11]
+
+
+def test_chunk_documents_coverage_property(spark):
+    """Property: for any doc and chunk geometry, de-overlapped chunk
+    concatenation reproduces the token stream exactly (no token lost,
+    none duplicated beyond the declared overlap)."""
+    import random
+
+    from graphula_spark.operators.text import chunk_documents
+
+    rng = random.Random(7)
+    docs, geoms = [], {}
+    for i in range(40):
+        n = rng.randint(0, 50)
+        docs.append((i, " ".join(f"t{i}_{j}" for j in range(n))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for chunk_size, overlap in [(8, 0), (8, 3), (5, 4), (64, 2), (1, 0)]:
+        out = chunk_documents(df, "doc_id", "text", chunk_size, overlap)
+        rows = sorted(
+            ((r["doc_id"], r["chunk_id"]), r["chunk_text"])
+            for r in out.collect()
+        )
+        per_doc = {}
+        for (d, c), t in rows:
+            per_doc.setdefault(d, []).append(t.split(" ") if t else [])
+        for doc_id, text in docs:
+            want = text.split(" ") if text else []
+            chunks = per_doc.get(doc_id, [])
+            if not want:
+                assert chunks == []
+                continue
+            stride = chunk_size - overlap
+            rebuilt = []
+            for k, ch in enumerate(chunks):
+                rebuilt.extend(ch if k == 0 else ch[overlap:])
+                if k > 0:  # declared overlap really is the previous tail
+                    assert chunks[k - 1][-overlap:] == ch[:overlap] or overlap == 0
+                if k < len(chunks) - 1:  # all but the last are full
+                    assert len(ch) == chunk_size
+            assert rebuilt == want, (doc_id, chunk_size, overlap)
+
+
+def test_line_dedup_identity_when_no_duplicates(spark):
+    """Property: with min_dup_docs above any real multiplicity, every
+    document round-trips byte-identical."""
+    from graphula_spark.operators.text import line_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = line_dedup(docs, "doc_id", "text", min_dup_docs=10**6)
+    diff = (
+        out.alias("a")
+        .join(docs.alias("b"), "doc_id")
+        .where("a.text <> b.text OR a.n_removed <> 0")
+        .count()
+    )
+    assert diff == 0
