@@ -38,6 +38,7 @@ class Graph:
         stats: BgpStats | None = None,
         triples_ops: DataFrame | None = None,
         p_buckets: int | None = None,
+        triples_s: DataFrame | None = None,
     ):
         self.spark = spark
         self.triples = triples
@@ -46,6 +47,10 @@ class Graph:
         #: optional o-clustered copy (OPS permutation analogue) used for
         #: bound-object pattern scans
         self.triples_ops = triples_ops
+        #: optional subject-BUCKETED table copy (save_bucketed_table):
+        #: the planner reroutes big scans joining on their subject here
+        #: so star joins co-partition instead of shuffling
+        self.triples_s = triples_s
         #: bucket count of the persisted predicate-partitioned layout
         #: (None for in-memory graphs; read back from _meta on load)
         self.p_buckets = p_buckets
@@ -365,7 +370,7 @@ class Graph:
         so s = s joins plan shuffle-free)."""
         triples = spark.table(table)
         d = Dictionary(spark, spark.table(f"{table}_dict"))
-        return cls(spark, triples, d)
+        return cls(spark, triples, d, triples_s=triples)
 
     # ------------------------------------------------------------------
     # stats (reference: Index.valueCount O6, cached cardinalities O11)
@@ -412,6 +417,7 @@ class Graph:
             self.stats,
             triples_ops=self.triples_ops,
             p_buckets=self.p_buckets,
+            triples_s=self.triples_s,
         )
 
     def execute_bgp_decoded(self, patterns: list[TriplePattern]) -> DataFrame:

@@ -312,6 +312,13 @@ SKEW_SALT = 16
 #: skipped (Catalyst will broadcast the small side; no shuffle → no skew)
 SKEW_MIN_RESULT_EST = 2_000_000
 
+#: a pattern scan estimated at least this large, joining on its subject
+#: variable, reads the s-bucketed table copy when the graph has one —
+#: big-big star joins then co-partition (SMJ, zero exchanges) instead
+#: of shuffling both sides. Sized so only scans past any plausible
+#: broadcast threshold reroute; tests lower it.
+BUCKETED_SCAN_MIN_EST = 4_000_000
+
 
 def _hot_join_values(
     pat: TriplePattern,
@@ -383,6 +390,7 @@ def execute_bgp(
     stats: BgpStats | None = None,
     triples_ops: DataFrame | None = None,
     p_buckets: int | None = None,
+    triples_s: DataFrame | None = None,
 ) -> DataFrame:
     """Execute a BGP; returns a DataFrame with one long id column per var.
 
@@ -412,11 +420,35 @@ def execute_bgp(
     if stats is not None and any(card == 0.0 for _, card in ordered):
         return empty
 
+    # subject variables shared by >= 2 patterns: candidates for routing
+    # to the s-bucketed layout (only joins keyed on s co-partition there)
+    s_join_vars: set[str] = set()
+    if triples_s is not None:
+        var_use: dict[str, int] = {}
+        for pat in patterns:
+            for _, v in pat.vars():
+                var_use[v] = var_use.get(v, 0) + 1
+        s_join_vars = {
+            pat.s.name
+            for pat in patterns
+            if isinstance(pat.s, Var) and var_use.get(pat.s.name, 0) >= 2
+        }
+
     result: DataFrame | None = None
     result_est = 0.0
     bound: set[str] = set()
     for i, (pat, card) in enumerate(ordered):
-        scan = _pattern_scan(triples, pat, const_ids, i, triples_ops, p_buckets)
+        src = triples
+        if (
+            triples_s is not None
+            and isinstance(pat.s, Var)
+            and pat.s.name in s_join_vars
+            and card >= BUCKETED_SCAN_MIN_EST
+        ):
+            # big scan joining on its subject: read the s-bucketed copy
+            # so the join side arrives pre-partitioned (no exchange)
+            src = triples_s
+        scan = _pattern_scan(src, pat, const_ids, i, triples_ops, p_buckets)
         pat_vars = {v for _, v in pat.vars()}
         if result is None:
             result = scan

@@ -89,3 +89,50 @@ def test_bucketed_table_star_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_test_dict")
+
+
+def test_planner_routes_star_join_to_bucketed_layout(spark, tmp_path):
+    """With a bucketed copy attached and the routing threshold lowered,
+    a subject-star BGP executes over the s-bucketed table with zero
+    shuffle exchanges — and returns exactly the default path's rows."""
+    from pyspark.sql import functions as F
+
+    import graphula_spark.plans.bgp as bgp_mod
+    from graphula_spark.graph import Graph
+    from graphula_spark.plans.bgp import TriplePattern, Var
+
+    rows = [
+        (f"http://ex/s{i}", p, f"http://ex/o{i}_{p[-1]}")
+        for i in range(300)
+        for p in ("http://ex/p1", "http://ex/p2", "http://ex/p3")
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"]), cache=False
+    )
+    loc = str(tmp_path / "routed")
+    g.save_bucketed_table("t_routed_test", loc, s_buckets=8)
+    gb = Graph.from_bucketed_table(spark, "t_routed_test")
+
+    pats = [
+        TriplePattern(Var("x"), "http://ex/p1", Var("a")),
+        TriplePattern(Var("x"), "http://ex/p2", Var("b")),
+        TriplePattern(Var("x"), "http://ex/p3", Var("c")),
+    ]
+    expected = sorted(map(tuple, g.execute_bgp(pats).collect()))
+
+    old_thresh = bgp_mod.BUCKETED_SCAN_MIN_EST
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        bgp_mod.BUCKETED_SCAN_MIN_EST = 0
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got_df = gb.execute_bgp(pats)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert sorted(map(tuple, got_df.collect())) == expected
+        assert len(expected) == 300
+    finally:
+        bgp_mod.BUCKETED_SCAN_MIN_EST = old_thresh
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.sql("DROP TABLE IF EXISTS t_routed_test")
+        spark.sql("DROP TABLE IF EXISTS t_routed_test_dict")
