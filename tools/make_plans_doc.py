@@ -305,5 +305,52 @@ out.append(
     "epoch, no serialization point.\n"
 )
 
+# 16. bucketed-layout star join — planner-routed, zero exchanges
+import graphula_spark.plans.bgp as bgp_mod
+from graphula_spark.graph import Graph as _G
+from graphula_spark.plans.bgp import TriplePattern as _TP, Var as _V
+
+_rows = [
+    (f"http://ex/s{i}", p, f"http://ex/o{i}_{p[-1]}")
+    for i in range(500)
+    for p in ("http://ex/p1", "http://ex/p2")
+]
+_g16 = _G.from_string_triples(
+    spark, spark.createDataFrame(_rows, ["s", "p", "o"]), cache=False
+)
+_loc16 = tempfile.mkdtemp(prefix="plans_bkt_")
+_g16.save_bucketed_table("plans_bucketed_t", _loc16, s_buckets=8)
+_gb16 = _G.from_bucketed_table(spark, "plans_bucketed_t")
+_old_thresh = bgp_mod.BUCKETED_SCAN_MIN_EST
+_old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+try:
+    bgp_mod.BUCKETED_SCAN_MIN_EST = 0  # force the big-big regime locally
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    _df16 = _gb16.execute_bgp(
+        [_TP(_V("x"), "http://ex/p1", _V("a")), _TP(_V("x"), "http://ex/p2", _V("b"))]
+    )
+    _df16.count()
+    p = plan_of(_df16)
+    out.append("## 16. Subject-bucketed star join (round 3)\n")
+    out.append(
+        "Both pattern scans forced past the broadcast threshold; the "
+        "planner reads the s-bucketed table copy, so the s = s join "
+        "co-partitions:\n"
+    )
+    out.append(
+        f"```\nSortMergeJoin: {p.count('SortMergeJoin')}   "
+        f"shuffle Exchanges: {p.count('Exchange')}\n```\n"
+    )
+    out.append(
+        "At 100 TB this is the regime where broadcast is impossible and "
+        "a plain join would shuffle both multi-TB sides; bucketing "
+        "moves that cost to write time, once.\n"
+    )
+finally:
+    bgp_mod.BUCKETED_SCAN_MIN_EST = _old_thresh
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _old_bcast)
+    spark.sql("DROP TABLE IF EXISTS plans_bucketed_t")
+    spark.sql("DROP TABLE IF EXISTS plans_bucketed_t_dict")
+
 open("/root/repo/PLANS.md", "w").write("\n".join(out))
 print("written")
