@@ -346,6 +346,9 @@ class Graph:
         sees the bucketing (plain parquet files at `location` remain
         readable either way).
         """
+        import json
+        import os
+
         self.spark.sql(f"DROP TABLE IF EXISTS {table}")
         self.spark.sql(f"DROP TABLE IF EXISTS {table}_dict")
         (
@@ -362,6 +365,12 @@ class Graph:
             .option("path", f"{location}/dict")
             .saveAsTable(f"{table}_dict")
         )
+        # the bucketing spec lives in the catalog, which (without a
+        # shared metastore) dies with the session — record it beside
+        # the files so from_bucketed_path can re-register anywhere
+        os.makedirs(location, exist_ok=True)
+        with open(f"{location}/_bucket_meta.json", "w") as fh:
+            json.dump({"s_buckets": s_buckets}, fh)
 
     @classmethod
     def from_bucketed_table(cls, spark: SparkSession, table: str) -> "Graph":
@@ -371,6 +380,32 @@ class Graph:
         triples = spark.table(table)
         d = Dictionary(spark, spark.table(f"{table}_dict"))
         return cls(spark, triples, d, triples_s=triples)
+
+    @classmethod
+    def from_bucketed_path(
+        cls, spark: SparkSession, location: str, table: str
+    ) -> "Graph":
+        """Reopen a bucketed store from its FILES in a fresh session:
+        re-registers the catalog entry (`CREATE TABLE ... CLUSTERED BY
+        (s) ... LOCATION`) from the `_bucket_meta.json` written at save
+        time, so the bucketing spec — and the shuffle-free join plans —
+        survive without a shared metastore."""
+        import json
+
+        with open(f"{location}/_bucket_meta.json") as fh:
+            s_buckets = json.load(fh)["s_buckets"]
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_dict")
+        spark.sql(
+            f"CREATE TABLE {table} (s BIGINT, p BIGINT, o BIGINT) "
+            f"USING parquet CLUSTERED BY (s) SORTED BY (s, p) "
+            f"INTO {s_buckets} BUCKETS LOCATION '{location}/triples_s'"
+        )
+        spark.sql(
+            f"CREATE TABLE {table}_dict (id BIGINT, value STRING) "
+            f"USING parquet LOCATION '{location}/dict'"
+        )
+        return cls.from_bucketed_table(spark, table)
 
     # ------------------------------------------------------------------
     # stats (reference: Index.valueCount O6, cached cardinalities O11)

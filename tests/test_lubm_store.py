@@ -136,3 +136,43 @@ def test_planner_routes_star_join_to_bucketed_layout(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
         spark.sql("DROP TABLE IF EXISTS t_routed_test")
         spark.sql("DROP TABLE IF EXISTS t_routed_test_dict")
+
+
+def test_bucketed_store_reopens_from_path(spark, tmp_path):
+    """Dropping the catalog entry (= a fresh session without a shared
+    metastore) and re-registering from the files keeps the bucketing
+    spec: the star join still plans with zero exchanges."""
+    from pyspark.sql import functions as F
+
+    from graphula_spark.graph import Graph
+
+    rows = [
+        (f"http://ex/s{i}", p, f"http://ex/o{i}_{p[-1]}")
+        for i in range(100)
+        for p in ("http://ex/p1", "http://ex/p2")
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"]), cache=False
+    )
+    loc = str(tmp_path / "reopen")
+    g.save_bucketed_table("t_reopen_a", loc, s_buckets=4)
+    # simulate a fresh session: the catalog entries are gone
+    spark.sql("DROP TABLE t_reopen_a")
+    spark.sql("DROP TABLE t_reopen_a_dict")
+
+    gb = Graph.from_bucketed_path(spark, loc, "t_reopen_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = gb.triples
+        a = t.alias("a")
+        b = t.alias("b")
+        j = a.join(b, F.col("a.s") == F.col("b.s"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() == 400  # 2x2 per subject
+        assert gb.triples.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_reopen_b")
+        spark.sql("DROP TABLE IF EXISTS t_reopen_b_dict")
