@@ -530,6 +530,17 @@ class Graph:
 
         return execute_sparql(self, query)
 
+    def explain_sparql(self, query: str, mode: str = "formatted") -> str:
+        """Compile a SPARQL query and return Spark's physical-plan
+        explanation (`mode` as in DataFrame.explain: 'simple',
+        'extended', 'codegen', 'cost', 'formatted') — the audit hook
+        behind PLANS.md: check pushed filters, partition pruning, and
+        join strategies without running the query."""
+        df = self.sparql(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     def create_views(self, prefix: str = "graphula") -> None:
         """Register temp views for raw ``spark.sql`` interop:
         ``<prefix>_triples(s,p,o)``, ``<prefix>_dict(id,value)`` and a

@@ -503,3 +503,43 @@ def chunk_documents(
             F.size(F.col("ctk")).cast("int").alias("n_tokens"),
         )
     )
+
+
+def corpus_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-call corpus summary — the "what is this dataset" first look
+    a pipeline runs before configuring its cleaning stages.
+
+    Returns a single row: doc count, exact-duplicate count, token-count
+    percentiles (p10/p50/p90/p99), mean quality score, and the language
+    distribution as a `lang:count` map. Everything is one scan + one
+    hash-agg; percentiles use approx_percentile (t-digest — bounded
+    memory at any corpus size).
+    """
+    t = F.col(text_col)
+    per_doc = df.select(
+        F.col(id_col),
+        F.xxhash64(t).alias("__h"),
+        token_count(t).alias("__nt"),
+        quality_score(t).alias("__q"),
+        lang_id(t).alias("__lang"),
+    )
+    summary = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.count("*") - F.count_distinct("__h")).cast("long").alias(
+            "n_exact_dups"
+        ),
+        F.expr(
+            "percentile_approx(__nt, array(0.1, 0.5, 0.9, 0.99))"
+        ).alias("token_percentiles"),
+        F.round(F.avg("__q"), 4).alias("mean_quality"),
+    )
+    langs = (
+        per_doc.groupBy("__lang")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__lang", "n")))
+            ).alias("lang_counts")
+        )
+    )
+    return summary.join(langs, how="cross")

@@ -346,3 +346,35 @@ def test_line_dedup_identity_when_no_duplicates(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_corpus_report(spark):
+    from graphula_spark.operators.text import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was good that day"),
+            (2, "the cat sat on the mat and it was good that day"),  # dup
+            (3, "der hund und die katze und das haus und der baum"),
+            (4, "x"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = corpus_report(df, "doc_id", "text").collect()[0].asDict()
+    assert r["n_docs"] == 4
+    assert r["n_exact_dups"] == 1
+    assert r["lang_counts"]["en"] == 2 and r["lang_counts"]["de"] == 1
+    assert r["token_percentiles"][1] in (10, 11)  # median token count
+    assert 0.0 < r["mean_quality"] <= 1.0
+
+
+def test_explain_sparql(spark):
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame([("a", "p", "b")], ["s", "p", "o"]),
+        cache=False,
+    )
+    plan = g.explain_sparql("SELECT ?s WHERE { ?s <p> ?o }")
+    assert "Physical Plan" in plan
