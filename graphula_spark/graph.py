@@ -51,6 +51,10 @@ class Graph:
         #: the planner reroutes big scans joining on their subject here
         #: so star joins co-partition instead of shuffling
         self.triples_s = triples_s
+        #: optional object-bucketed twin (include_o=True): big scans
+        #: joining on their OBJECT variable read this copy, so chain
+        #: joins (one side's o = the other's s) co-partition too
+        self.triples_o: DataFrame | None = None
         #: bucket count of the persisted predicate-partitioned layout
         #: (None for in-memory graphs; read back from _meta on load)
         self.p_buckets = p_buckets
@@ -326,7 +330,11 @@ class Graph:
     # bucketed-table layout (big-big subject joins without shuffles)
     # ------------------------------------------------------------------
     def save_bucketed_table(
-        self, table: str, location: str, s_buckets: int = 64
+        self,
+        table: str,
+        location: str,
+        s_buckets: int = 64,
+        include_o: bool = False,
     ) -> None:
         """Persist the triples as a Spark BUCKETED table clustered by
         subject (`bucketBy(s)` + in-bucket sort), alongside a plain
@@ -365,12 +373,26 @@ class Graph:
             .option("path", f"{location}/dict")
             .saveAsTable(f"{table}_dict")
         )
+        if include_o:
+            # o-clustered twin with the SAME bucket count: chains
+            # (?x p ?y . ?y q ?z) join one side's o against the other's
+            # s — with both sides bucketed on their join column Spark
+            # co-partitions the join without shuffling either
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}_o")
+            (
+                self.triples.select("s", "p", "o")
+                .write.mode("overwrite")
+                .bucketBy(s_buckets, "o")
+                .sortBy("o", "p")
+                .option("path", f"{location}/triples_o")
+                .saveAsTable(f"{table}_o")
+            )
         # the bucketing spec lives in the catalog, which (without a
         # shared metastore) dies with the session — record it beside
         # the files so from_bucketed_path can re-register anywhere
         os.makedirs(location, exist_ok=True)
         with open(f"{location}/_bucket_meta.json", "w") as fh:
-            json.dump({"s_buckets": s_buckets}, fh)
+            json.dump({"s_buckets": s_buckets, "include_o": include_o}, fh)
 
     @classmethod
     def from_bucketed_table(cls, spark: SparkSession, table: str) -> "Graph":
@@ -379,7 +401,10 @@ class Graph:
         so s = s joins plan shuffle-free)."""
         triples = spark.table(table)
         d = Dictionary(spark, spark.table(f"{table}_dict"))
-        return cls(spark, triples, d, triples_s=triples)
+        g = cls(spark, triples, d, triples_s=triples)
+        if spark.catalog.tableExists(f"{table}_o"):
+            g.triples_o = spark.table(f"{table}_o")
+        return g
 
     @classmethod
     def from_bucketed_path(
@@ -393,7 +418,8 @@ class Graph:
         import json
 
         with open(f"{location}/_bucket_meta.json") as fh:
-            s_buckets = json.load(fh)["s_buckets"]
+            meta = json.load(fh)
+        s_buckets = meta["s_buckets"]
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_dict")
         spark.sql(
@@ -405,6 +431,13 @@ class Graph:
             f"CREATE TABLE {table}_dict (id BIGINT, value STRING) "
             f"USING parquet LOCATION '{location}/dict'"
         )
+        if meta.get("include_o"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}_o")
+            spark.sql(
+                f"CREATE TABLE {table}_o (s BIGINT, p BIGINT, o BIGINT) "
+                f"USING parquet CLUSTERED BY (o) SORTED BY (o, p) "
+                f"INTO {s_buckets} BUCKETS LOCATION '{location}/triples_o'"
+            )
         return cls.from_bucketed_table(spark, table)
 
     # ------------------------------------------------------------------
@@ -453,6 +486,7 @@ class Graph:
             triples_ops=self.triples_ops,
             p_buckets=self.p_buckets,
             triples_s=self.triples_s,
+            triples_o=self.triples_o,
         )
 
     def execute_bgp_decoded(self, patterns: list[TriplePattern]) -> DataFrame:

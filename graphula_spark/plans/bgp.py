@@ -391,6 +391,7 @@ def execute_bgp(
     triples_ops: DataFrame | None = None,
     p_buckets: int | None = None,
     triples_s: DataFrame | None = None,
+    triples_o: DataFrame | None = None,
 ) -> DataFrame:
     """Execute a BGP; returns a DataFrame with one long id column per var.
 
@@ -420,34 +421,37 @@ def execute_bgp(
     if stats is not None and any(card == 0.0 for _, card in ordered):
         return empty
 
-    # subject variables shared by >= 2 patterns: candidates for routing
-    # to the s-bucketed layout (only joins keyed on s co-partition there)
-    s_join_vars: set[str] = set()
-    if triples_s is not None:
+    # variables shared by >= 2 patterns: candidates for routing a big
+    # scan to a bucketed layout (a join keyed on the scan's bucketed
+    # column arrives pre-partitioned — no exchange). Subject joins use
+    # the s-bucketed copy; object joins the o-bucketed twin, so chains
+    # (?x p ?y . ?y q ?z) co-partition on BOTH sides.
+    join_vars: set[str] = set()
+    if triples_s is not None or triples_o is not None:
         var_use: dict[str, int] = {}
         for pat in patterns:
             for _, v in pat.vars():
                 var_use[v] = var_use.get(v, 0) + 1
-        s_join_vars = {
-            pat.s.name
-            for pat in patterns
-            if isinstance(pat.s, Var) and var_use.get(pat.s.name, 0) >= 2
-        }
+        join_vars = {v for v, n in var_use.items() if n >= 2}
 
     result: DataFrame | None = None
     result_est = 0.0
     bound: set[str] = set()
     for i, (pat, card) in enumerate(ordered):
         src = triples
-        if (
-            triples_s is not None
-            and isinstance(pat.s, Var)
-            and pat.s.name in s_join_vars
-            and card >= BUCKETED_SCAN_MIN_EST
-        ):
-            # big scan joining on its subject: read the s-bucketed copy
-            # so the join side arrives pre-partitioned (no exchange)
-            src = triples_s
+        if card >= BUCKETED_SCAN_MIN_EST:
+            if (
+                triples_s is not None
+                and isinstance(pat.s, Var)
+                and pat.s.name in join_vars
+            ):
+                src = triples_s
+            elif (
+                triples_o is not None
+                and isinstance(pat.o, Var)
+                and pat.o.name in join_vars
+            ):
+                src = triples_o
         scan = _pattern_scan(src, pat, const_ids, i, triples_ops, p_buckets)
         pat_vars = {v for _, v in pat.vars()}
         if result is None:

@@ -176,3 +176,47 @@ def test_bucketed_store_reopens_from_path(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_reopen_b")
         spark.sql("DROP TABLE IF EXISTS t_reopen_b_dict")
+
+
+def test_planner_routes_chain_join_to_bucketed_layouts(spark, tmp_path):
+    """Chain BGP (?x p1 ?y . ?y p2 ?z): the o-side scan reads the
+    o-bucketed twin and the s-side the s-bucketed copy — the y join
+    co-partitions with zero exchanges."""
+    import graphula_spark.plans.bgp as bgp_mod
+    from graphula_spark.graph import Graph
+    from graphula_spark.plans.bgp import TriplePattern, Var
+
+    rows = [("http://ex/a%d" % i, "http://ex/p1", "http://ex/b%d" % i)
+            for i in range(250)]
+    rows += [("http://ex/b%d" % i, "http://ex/p2", "http://ex/c%d" % i)
+             for i in range(250)]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"]), cache=False
+    )
+    loc = str(tmp_path / "chain")
+    g.save_bucketed_table("t_chain_test", loc, s_buckets=8, include_o=True)
+    gb = Graph.from_bucketed_table(spark, "t_chain_test")
+    assert gb.triples_o is not None
+
+    pats = [
+        TriplePattern(Var("x"), "http://ex/p1", Var("y")),
+        TriplePattern(Var("y"), "http://ex/p2", Var("z")),
+    ]
+    expected = sorted(map(tuple, g.execute_bgp(pats).collect()))
+
+    old_thresh = bgp_mod.BUCKETED_SCAN_MIN_EST
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        bgp_mod.BUCKETED_SCAN_MIN_EST = 0
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got_df = gb.execute_bgp(pats)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert sorted(map(tuple, got_df.collect())) == expected
+        assert len(expected) == 250
+    finally:
+        bgp_mod.BUCKETED_SCAN_MIN_EST = old_thresh
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        for t in ("t_chain_test", "t_chain_test_dict", "t_chain_test_o"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
