@@ -1,0 +1,147 @@
+"""Graph analytics over the triple store's edge view.
+
+The reference sketches exactly this direction: a fully written but
+commented-out `randomWalk` operator (core/.../Graphula.scala:509-658
+in the reference — dead code, never shipped). This module implements
+that operator for real, plus PageRank, both as iterative DataFrame
+programs (joins + aggregations, localCheckpoint-truncated lineage —
+see cluster.py for why).
+
+Edges are any (src, dst) DataFrame — `Graph.triples.select("s", "o")`
+(optionally filtered to one predicate) is the natural feed.
+
+Scale shape: each step/iteration is one join keyed on the frontier
+node id plus a bounded aggregation; nothing is ever collected to the
+driver, and walks/ranks advance for all sources simultaneously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_steps: int = 3,
+    seed: int = 42,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic seeded random walk from every start node (default:
+    every distinct source), one walk per start.
+
+    At each step the walker at node v picks outgoing edge number
+    `xxhash64(seed, walk_id, step, v) mod out_degree(v)` — a pure
+    function of (seed, walk, step, position), so walks are reproducible
+    across runs and cluster shapes (the reference's sketch used
+    ThreadLocalRandom — not reproducible). Walks that reach a sink
+    (no outgoing edge) stop early.
+
+    Returns (walk_id, step, node): step 0 is the start node.
+    """
+    e = edges.select(F.col(src).alias("v"), F.col(dst).alias("w"))
+    # number each node's outgoing edges 0..deg-1 (deterministic order)
+    from pyspark.sql.window import Window
+
+    numbered = e.withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("v").orderBy("w")) - 1,
+    )
+    degrees = e.groupBy("v").agg(F.count("*").alias("deg"))
+    numbered = numbered.join(degrees, "v").localCheckpoint(eager=True)
+
+    if starts is None:
+        starts = e.select(F.col("v")).distinct()
+    frontier = starts.select(
+        F.col(starts.columns[0]).alias("walk_id"),
+        F.col(starts.columns[0]).alias("node"),
+    )
+    out = frontier.withColumn("step", F.lit(0))
+    for step in range(1, n_steps + 1):
+        pick = (
+            frontier.join(degrees, frontier["node"] == degrees["v"])
+            .withColumn(
+                "idx",
+                F.pmod(
+                    F.xxhash64(
+                        F.lit(seed).cast("long"),
+                        F.col("walk_id"),
+                        F.lit(step).cast("long"),
+                        F.col("node"),
+                    ),
+                    F.col("deg"),
+                ),
+            )
+            .select("walk_id", "node", "idx")
+        )
+        stepped = (
+            pick.join(
+                numbered.select("v", "w", "idx"),
+                (pick["node"] == numbered["v"]) & (pick["idx"] == numbered["idx"]),
+            )
+            .select("walk_id", F.col("w").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(stepped.withColumn("step", F.lit(step)))
+        frontier = stepped
+    return out.select("walk_id", "step", "node")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank by power iteration: rank_{t+1}(v) = (1-d)/N +
+    d * (sum of rank_t(u)/deg(u) over in-neighbors u + dangling mass
+    redistributed uniformly).
+
+    Each iteration is one join (edge list × current ranks) + one
+    aggregation keyed on the destination, with the dangling-node mass
+    folded in via a one-row broadcast — the standard distributed
+    formulation. Returns (node, rank); ranks sum to ~1.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+    out_edges = e.join(deg, "u").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            out_edges.join(ranks, out_edges["u"] == ranks["node"])
+            .select("v", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling nodes (no out-edges) spread their rank uniformly
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["u"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["v"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

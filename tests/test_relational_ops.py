@@ -146,3 +146,62 @@ def test_service_clear_error(spark):
         g.sparql(
             "SELECT ?s WHERE { SERVICE <http://r/sparql> { ?s ?p ?o } }"
         )
+
+
+def test_random_walks_deterministic(spark):
+    from graphula_spark.operators.graph_analytics import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 1)],
+        ["src", "dst"],
+    )
+    w1 = sorted(map(tuple, random_walks(edges, n_steps=4, seed=9).collect()))
+    w2 = sorted(map(tuple, random_walks(edges, n_steps=4, seed=9).collect()))
+    w3 = sorted(map(tuple, random_walks(edges, n_steps=4, seed=10).collect()))
+    assert w1 == w2              # reproducible
+    assert w1 != w3              # seed matters
+    by_walk = {}
+    for walk_id, step, node in w1:
+        by_walk.setdefault(walk_id, {})[step] = node
+    edge_set = {(s, d) for s, d in [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 1)]}
+    for walk_id, steps in by_walk.items():
+        assert steps[0] == walk_id  # starts at the start node
+        for k in range(1, max(steps) + 1):
+            assert (steps[k - 1], steps[k]) in edge_set  # follows real edges
+        assert max(steps) == 4  # this graph has no sinks reachable
+
+
+def test_random_walk_stops_at_sink(spark):
+    from graphula_spark.operators.graph_analytics import random_walks
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    got = sorted(map(tuple, random_walks(edges, n_steps=5, seed=1).collect()))
+    # one start (node 1), walk reaches sink 2 at step 1 and stops
+    assert got == [(1, 0, 1), (1, 1, 2)]
+
+
+def test_pagerank_matches_reference_implementation(spark):
+    from graphula_spark.operators.graph_analytics import pagerank
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    # plain-python power iteration, identical formulation
+    nodes = sorted({n for e in edge_list for n in e})
+    n = len(nodes)
+    deg = {}
+    for s, d in edge_list:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d in edge_list:
+            inflow[d] += ranks[s] / deg[s]
+        dm = sum(r for v, r in ranks.items() if v not in deg)
+        ranks = {
+            v: 0.15 / n + 0.85 * (inflow[v] + dm / n) for v in nodes
+        }
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=10).collect()}
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-6, (v, got[v], ranks[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-3
