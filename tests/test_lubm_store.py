@@ -220,3 +220,34 @@ def test_planner_routes_chain_join_to_bucketed_layouts(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
         for t in ("t_chain_test", "t_chain_test_dict", "t_chain_test_o"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lubm_over_bucketed_store(spark, tmp_path):
+    """Real-data end-to-end guard for the bucketed routing: a sample of
+    LUBM queries answered over a subject-bucketed store, with routing
+    forced on, must match the committed golden cardinalities."""
+    import glob
+
+    import graphula_spark.plans.bgp as bgp_mod
+    from graphula_spark.graph import Graph
+    from graphula_spark.lubm import EXPECTED_ROWS, PREFIXES, QUERIES
+
+    files = sorted(
+        glob.glob("/root/reference/benchmarks/data/university0_*.nt")
+    )
+    g = Graph.from_ntriples(spark, files)
+    loc = str(tmp_path / "lubm_bucketed")
+    g.save_bucketed_table("t_lubm_bkt", loc, s_buckets=16, include_o=True)
+    gb = Graph.from_bucketed_table(spark, "t_lubm_bkt")
+
+    old_thresh = bgp_mod.BUCKETED_SCAN_MIN_EST
+    try:
+        bgp_mod.BUCKETED_SCAN_MIN_EST = 0  # route every eligible scan
+        # q2/q9 are the 6-pattern joins; q4 star; q14 single-pattern
+        for n in (1, 2, 4, 8, 9, 14):
+            got = gb.sparql(PREFIXES + QUERIES[n]).count()
+            assert got == EXPECTED_ROWS[n], (n, got)
+    finally:
+        bgp_mod.BUCKETED_SCAN_MIN_EST = old_thresh
+        for t in ("t_lubm_bkt", "t_lubm_bkt_dict", "t_lubm_bkt_o"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
