@@ -200,6 +200,13 @@ class Parser:
             f"only SELECT/ASK/CONSTRUCT/DESCRIBE supported, got {self.peek()}"
         )
 
+
+    def _prefix(self, pfx: str) -> str:
+        try:
+            return self.prefixes[pfx]
+        except KeyError:
+            raise SyntaxError(f"undeclared prefix '{pfx}:'") from None
+
     def parse_prologue(self):
         while True:
             if self.eat_kw("PREFIX"):
@@ -544,7 +551,7 @@ class Parser:
             pfx, local = t.text.split(":", 1)
             if pfx not in self.prefixes:
                 raise SyntaxError(f"unknown prefix {pfx!r}")
-            return self.prefixes[pfx] + local
+            return self._prefix(pfx) + local
         raise SyntaxError(f"bad path primary {t}")
 
     def parse_path_elt(self):
@@ -616,7 +623,7 @@ class Parser:
                 return t.text
             if pfx not in self.prefixes:
                 raise SyntaxError(f"unknown prefix {pfx!r}")
-            return self.prefixes[pfx] + local
+            return self._prefix(pfx) + local
         if t.kind == "STRING":
             lex = t.text[1:-1]
             base = f'"{lex}"'
@@ -631,7 +638,7 @@ class Parser:
                     return f"{base}^^{dt.text}"
                 if dt.kind == "PNAME":
                     pfx, local = dt.text.split(":", 1)
-                    return f"{base}^^<{self.prefixes[pfx]}{local}>"
+                    return f"{base}^^<{self._prefix(pfx)}{local}>"
                 raise SyntaxError(f"bad datatype {dt}")
             return base
         if t.kind == "NUM":
@@ -746,7 +753,7 @@ class Parser:
             pfx, local = t.text.split(":", 1)
             if pfx not in self.prefixes:
                 raise SyntaxError(f"unknown prefix {pfx!r}")
-            return self._iri_or_call(self.prefixes[pfx] + local)
+            return self._iri_or_call(self._prefix(pfx) + local)
         if t.kind == "KW":
             w = t.text.upper()
             if w in ("TRUE", "FALSE"):

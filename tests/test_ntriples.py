@@ -387,3 +387,48 @@ def test_write_nquads_blank_graph_label(spark, tmp_path):
     write_nquads(ds, out)
     back = read_nquads(spark, out + "/*.txt")
     assert [(r["s"], r["g"]) for r in back.collect()] == [("http://ex/a", "_:gb")]
+
+
+def test_parsers_fail_cleanly_on_garbage():
+    """Malformed Turtle/TriG/RDF-XML documents raise parse errors —
+    never crash with internal exceptions, never silently return
+    wrong/partial triples."""
+    import random
+
+    from graphula_spark.sources.rdfxml import parse_rdfxml_text
+    from graphula_spark.sources.turtle import (
+        _parse_trig_text,
+        _parse_turtle_text,
+    )
+
+    rng = random.Random(11)
+    corpus = (
+        "@prefix ex: <http://ex/> . ex:a ex:p ex:b ; ex:q \"lit\"@en . "
+        "GRAPH ex:g { ex:c ex:p ( ex:d [ ex:r ex:e ] ) . } <zzz> {} [ ] ;"
+    )
+    ok_exc = (SyntaxError, NotImplementedError, ValueError, KeyError)
+    for _ in range(300):
+        # random slices and shuffles of valid token soup
+        n = rng.randint(1, len(corpus))
+        start = rng.randint(0, len(corpus) - n)
+        s = corpus[start : start + n]
+        if rng.random() < 0.5:
+            chars = list(s)
+            rng.shuffle(chars)
+            s = "".join(chars)
+        for parser in (_parse_turtle_text, _parse_trig_text):
+            try:
+                parser(s)
+            except ok_exc:
+                pass  # clean parse error is the contract
+    for _ in range(100):
+        n = rng.randint(1, 80)
+        s = "".join(rng.choice("<>{}()[]\"@.;,:ex abpq\n") for _ in range(n))
+        try:
+            parse_rdfxml_text(f"<rdf:RDF xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#'>{s}</rdf:RDF>")
+        except ok_exc:
+            pass
+        except Exception as exc:  # XML-level errors are also fine
+            import xml.etree.ElementTree as ET
+
+            assert isinstance(exc, ET.ParseError), exc
