@@ -1,0 +1,187 @@
+"""Byte-pair-encoding tokenizer: distributed training + batched encode.
+
+The text operators estimate token budgets with a BPE-ish regex
+(`text.bpe_ish_token_count`); this module is the real thing — train an
+actual merge table on the corpus and encode with it, so budget
+packing / chunking can run on true token counts.
+
+Training is the textbook BPE algorithm (Sennrich et al. 2016,
+arXiv:1508.07909) with the pair-counting step distributed: every
+iteration counts adjacent-symbol pairs across the whole corpus with
+one explode + hash-agg (map-side combinable), takes the argmax on the
+driver (a single row), and applies the merge corpus-wide with a JVM
+array fold. n_merges iterations = n_merges bounded Spark jobs — the
+same shape production tokenizer training uses at scale.
+
+Encoding applies the learned merge list per document inside
+`mapInPandas` (Arrow-batched; the merge loop is inherently sequential
+per word, so this is the sanctioned pandas-UDF case).
+
+Words are whitespace tokens of the lower-cased text with an
+end-of-word marker appended to the last character, so merges never
+cross word boundaries (standard BPE-on-words formulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EOW = "▁"  # end-of-word marker (visually distinct, rare in text)
+
+
+def _word_symbols_col(text_col):
+    """array<array<string>>: per word, its character symbols with the
+    marker folded into the final character."""
+    words = F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    return F.transform(
+        words,
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.when(
+                i == F.length(w), F.concat(F.substring(w, -1, 1), F.lit(EOW))
+            ).otherwise(w.substr(i, F.lit(1))),
+        ),
+    )
+
+
+def train_bpe(
+    df: DataFrame, text_col: str, n_merges: int = 50
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from the corpus. Returns the ordered
+    merge list [(left, right), ...] — the tokenizer artifact.
+
+    Deterministic: ties on pair count break lexicographically.
+    """
+    # distinct words with counts: BPE statistics only need the word
+    # histogram, which is vocabulary-sized — dramatically smaller than
+    # the corpus (the standard preprocessing step)
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda w: F.length(w) > 0,
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    syms = words.select(
+        "wc",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.when(
+                i == F.length("word"),
+                F.concat(F.substring("word", -1, 1), F.lit(EOW)),
+            ).otherwise(F.col("word").substr(i, F.lit(1))),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = syms.select(
+            "wc",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.get("syms", i).alias("a"),
+                            F.get("syms", i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("pr"),
+        )
+        top = (
+            pairs.groupBy("pr")
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pr.a"), F.asc("pr.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b = top[0]["pr"]["a"], top[0]["pr"]["b"]
+        merges.append((a, b))
+        merged = a + b
+        # apply the merge corpus-wide: left-to-right fold over symbols
+        syms = syms.select(
+            "wc",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def encode_bpe(
+    df: DataFrame, id_col: str, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) — encode each document with
+    the learned merge list (Arrow-batched `mapInPandas`; the per-word
+    merge loop is sequential by nature)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType, True),
+            StructField("tokens", ArrayType(StringType()), True),
+            StructField("n_tokens", IntegerType(), True),
+        ]
+    )
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word[:-1]) + [word[-1] + EOW]
+        while len(syms) >= 2:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            syms[best : best + 2] = [syms[best] + syms[best + 1]]
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, out_toks = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for w in (text or "").lower().split():
+                    toks.extend(encode_word(w))
+                out_ids.append(rid)
+                out_toks.append(toks)
+            yield pd.DataFrame(
+                {
+                    "id": out_ids,
+                    "tokens": out_toks,
+                    "n_tokens": [len(t) for t in out_toks],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -378,3 +378,69 @@ def test_explain_sparql(spark):
     )
     plan = g.explain_sparql("SELECT ?s WHERE { ?s <p> ?o }")
     assert "Physical Plan" in plan
+
+
+def _py_bpe_train(texts, n_merges):
+    """Plain-Python reference BPE (word-histogram formulation)."""
+    from collections import Counter
+
+    EOW = "▁"
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            words[w] += 1
+    syms = {w: tuple(list(w[:-1]) + [w[-1] + EOW]) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, wc in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += wc
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        for w in syms:
+            s = list(syms[w])
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = tuple(out)
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from graphula_spark.operators.bpe import encode_bpe, train_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest",
+        "low newer wide lowest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = train_bpe(df, "text", n_merges=12)
+    assert merges == _py_bpe_train(texts, 12)
+    assert len(merges) >= 8  # corpus supports many merges
+
+    enc = {r["id"]: (r["tokens"], r["n_tokens"]) for r in
+           encode_bpe(df, "doc_id", "text", merges).collect()}
+    # round-trip: concatenating tokens reproduces each word sequence
+    EOW = "▁"
+    for i, t in enumerate(texts):
+        toks, n = enc[i]
+        assert n == len(toks)
+        rebuilt = "".join(toks).replace(EOW, " ").strip()
+        assert rebuilt == " ".join(t.lower().split())
+    # a frequent word compresses to fewer symbols than characters
+    low_doc = enc[0][0]
+    assert any(len(tok.rstrip(EOW)) >= 3 for tok in low_doc)
