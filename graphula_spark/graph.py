@@ -359,6 +359,10 @@ class Graph:
 
         self.spark.sql(f"DROP TABLE IF EXISTS {table}")
         self.spark.sql(f"DROP TABLE IF EXISTS {table}_dict")
+        # unconditionally: a stale o-twin from an earlier save would
+        # otherwise be silently attached by from_bucketed_table and
+        # serve another graph's triples under this graph's dictionary
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}_o")
         (
             self.triples.select("s", "p", "o")
             .write.mode("overwrite")
@@ -378,7 +382,6 @@ class Graph:
             # (?x p ?y . ?y q ?z) join one side's o against the other's
             # s — with both sides bucketed on their join column Spark
             # co-partitions the join without shuffling either
-            self.spark.sql(f"DROP TABLE IF EXISTS {table}_o")
             (
                 self.triples.select("s", "p", "o")
                 .write.mode("overwrite")
@@ -431,8 +434,8 @@ class Graph:
             f"CREATE TABLE {table}_dict (id BIGINT, value STRING) "
             f"USING parquet LOCATION '{location}/dict'"
         )
+        spark.sql(f"DROP TABLE IF EXISTS {table}_o")
         if meta.get("include_o"):
-            spark.sql(f"DROP TABLE IF EXISTS {table}_o")
             spark.sql(
                 f"CREATE TABLE {table}_o (s BIGINT, p BIGINT, o BIGINT) "
                 f"USING parquet CLUSTERED BY (o) SORTED BY (o, p) "

@@ -30,23 +30,6 @@ from pyspark.sql import functions as F
 EOW = "▁"  # end-of-word marker (visually distinct, rare in text)
 
 
-def _word_symbols_col(text_col):
-    """array<array<string>>: per word, its character symbols with the
-    marker folded into the final character."""
-    words = F.filter(
-        F.split(F.lower(text_col), r"\s+"), lambda w: F.length(w) > 0
-    )
-    return F.transform(
-        words,
-        lambda w: F.transform(
-            F.sequence(F.lit(1), F.length(w)),
-            lambda i: F.when(
-                i == F.length(w), F.concat(F.substring(w, -1, 1), F.lit(EOW))
-            ).otherwise(w.substr(i, F.lit(1))),
-        ),
-    )
-
-
 def train_bpe(
     df: DataFrame, text_col: str, n_merges: int = 50
 ) -> list[tuple[str, str]]:
@@ -109,6 +92,13 @@ def train_bpe(
             break
         a, b = top[0]["pr"]["a"], top[0]["pr"]["b"]
         merges.append((a, b))
+        if len(merges) % 64 == 0:
+            # superseded checkpointed frames free via driver GC ->
+            # ContextCleaner; nudge it so long trainings don't pile up
+            # dead vocabulary copies in block-manager storage
+            import gc
+
+            gc.collect()
         merged = a + b
         # apply the merge corpus-wide: left-to-right fold over symbols
         syms = syms.select(

@@ -132,8 +132,10 @@ def unigram_logprob_score(
     itself. Unseen terms get an additive-smoothing probability
     `smoothing / (total + smoothing * (vocab + 1))`.
 
-    Returns (id, n_tokens, avg_neg_logprob): lower = more like the
-    reference corpus; filter on a quantile of avg_neg_logprob.
+    Returns (id, n_tokens, avg_neg_logprob) for EVERY input document
+    (zero-token docs come back with n_tokens=0 and score 0.0): lower =
+    more like the reference corpus; filter on a quantile of
+    avg_neg_logprob.
 
     Scale shape: one (doc, term) explode + hash-agg, one join against
     the vocabulary-sized model table (broadcast when it fits), one
@@ -161,7 +163,22 @@ def unigram_logprob_score(
             ),
         )
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.round(-F.avg("logp"), 6).alias("avg_neg_logprob"),
+    )
+    # explode drops empty-token docs; restore them with a left join so
+    # the output has one row per input document (like score_quality)
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("avg_neg_logprob"), F.lit(0.0)).alias(
+                "avg_neg_logprob"
+            ),
+        )
     )

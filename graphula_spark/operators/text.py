@@ -511,9 +511,10 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Returns a single row: doc count, exact-duplicate count, token-count
     percentiles (p10/p50/p90/p99), mean quality score, and the language
-    distribution as a `lang:count` map. Everything is one scan + one
-    hash-agg; percentiles use approx_percentile (t-digest — bounded
-    memory at any corpus size).
+    distribution as a `lang:count` map. The per-doc projection is
+    cached and feeds two bounded aggregations (global summary + the
+    language histogram); percentiles use approx_percentile (t-digest —
+    bounded memory at any corpus size).
     """
     t = F.col(text_col)
     per_doc = df.select(
@@ -522,7 +523,7 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         token_count(t).alias("__nt"),
         quality_score(t).alias("__q"),
         lang_id(t).alias("__lang"),
-    )
+    ).persist()
     summary = per_doc.agg(
         F.count("*").cast("long").alias("n_docs"),
         (F.count("*") - F.count_distinct("__h")).cast("long").alias(

@@ -439,20 +439,25 @@ def execute_bgp(
     bound: set[str] = set()
     for i, (pat, card) in enumerate(ordered):
         src = triples
+        routed = False
         if card >= BUCKETED_SCAN_MIN_EST:
             if (
                 triples_s is not None
                 and isinstance(pat.s, Var)
                 and pat.s.name in join_vars
             ):
-                src = triples_s
+                src, routed = triples_s, True
             elif (
                 triples_o is not None
                 and isinstance(pat.o, Var)
                 and pat.o.name in join_vars
             ):
-                src = triples_o
-        scan = _pattern_scan(src, pat, const_ids, i, triples_ops, p_buckets)
+                src, routed = triples_o, True
+        # a routing decision must not be overridden by the bound-object
+        # OPS rewrite inside _pattern_scan (a graph can carry both)
+        scan = _pattern_scan(
+            src, pat, const_ids, i, None if routed else triples_ops, p_buckets
+        )
         pat_vars = {v for _, v in pat.vars()}
         if result is None:
             result = scan

@@ -549,8 +549,6 @@ class Parser:
             return t.text[1:-1]
         if t.kind == "PNAME":
             pfx, local = t.text.split(":", 1)
-            if pfx not in self.prefixes:
-                raise SyntaxError(f"unknown prefix {pfx!r}")
             return self._prefix(pfx) + local
         raise SyntaxError(f"bad path primary {t}")
 
@@ -621,8 +619,6 @@ class Parser:
             pfx, local = t.text.split(":", 1)
             if pfx == "_":  # blank node label
                 return t.text
-            if pfx not in self.prefixes:
-                raise SyntaxError(f"unknown prefix {pfx!r}")
             return self._prefix(pfx) + local
         if t.kind == "STRING":
             lex = t.text[1:-1]
@@ -751,8 +747,6 @@ class Parser:
         if t.kind == "PNAME":
             self.next()
             pfx, local = t.text.split(":", 1)
-            if pfx not in self.prefixes:
-                raise SyntaxError(f"unknown prefix {pfx!r}")
             return self._iri_or_call(self._prefix(pfx) + local)
         if t.kind == "KW":
             w = t.text.upper()

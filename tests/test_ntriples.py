@@ -406,7 +406,7 @@ def test_parsers_fail_cleanly_on_garbage():
         "@prefix ex: <http://ex/> . ex:a ex:p ex:b ; ex:q \"lit\"@en . "
         "GRAPH ex:g { ex:c ex:p ( ex:d [ ex:r ex:e ] ) . } <zzz> {} [ ] ;"
     )
-    ok_exc = (SyntaxError, NotImplementedError, ValueError, KeyError)
+    ok_exc = (SyntaxError, NotImplementedError, ValueError)
     for _ in range(300):
         # random slices and shuffles of valid token soup
         n = rng.randint(1, len(corpus))
