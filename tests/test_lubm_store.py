@@ -251,3 +251,31 @@ def test_lubm_over_bucketed_store(spark, tmp_path):
         bgp_mod.BUCKETED_SCAN_MIN_EST = old_thresh
         for t in ("t_lubm_bkt", "t_lubm_bkt_dict", "t_lubm_bkt_o"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stale_o_twin_not_attached(spark, tmp_path):
+    """Re-saving a table name WITHOUT include_o must drop a previous
+    save's o-twin — a stale twin would serve another graph's triples
+    under the new dictionary."""
+    from graphula_spark.graph import Graph
+
+    g1 = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame([("a", "p", "b")], ["s", "p", "o"]),
+        cache=False,
+    )
+    g1.save_bucketed_table("t_stale_o", str(tmp_path / "v1"), s_buckets=2,
+                           include_o=True)
+    assert spark.catalog.tableExists("t_stale_o_o")
+
+    g2 = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame([("x", "q", "y")], ["s", "p", "o"]),
+        cache=False,
+    )
+    g2.save_bucketed_table("t_stale_o", str(tmp_path / "v2"), s_buckets=2)
+    assert not spark.catalog.tableExists("t_stale_o_o")
+    gb = Graph.from_bucketed_table(spark, "t_stale_o")
+    assert gb.triples_o is None
+    for t in ("t_stale_o", "t_stale_o_dict", "t_stale_o_o"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
