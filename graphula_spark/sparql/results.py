@@ -173,3 +173,26 @@ def to_sparql_tsv(df: DataFrame, limit: int | None = None) -> str:
     for r in rows:
         lines.append("\t".join(_term_to_tsv(r[c]) for c in cols))
     return "\n".join(lines) + "\n"
+
+
+#: MIME type -> serializer, the content-negotiation surface a SPARQL
+#: endpoint fronts with
+FORMATS = {
+    "json": to_sparql_json,
+    "xml": to_sparql_xml,
+    "csv": to_sparql_csv,
+    "tsv": to_sparql_tsv,
+}
+
+
+def serialize_results(
+    df: DataFrame, fmt: str = "json", limit: int | None = None
+) -> str:
+    """Serialize a SELECT result in any W3C results format
+    ('json' | 'xml' | 'csv' | 'tsv')."""
+    try:
+        return FORMATS[fmt](df, limit=limit)
+    except KeyError:
+        raise ValueError(
+            f"unknown results format {fmt!r}; choose one of {sorted(FORMATS)}"
+        ) from None

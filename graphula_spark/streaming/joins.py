@@ -28,11 +28,17 @@ def interval_join(
     max_delay: str = "30 minutes",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join rows sharing `key_col` where the right event lands in
+    """Join rows sharing `key_col` where the right event lands in
     `[left.ts, left.ts + max_delay]`. Works identically on batch and
     streaming inputs (streams need both watermarks for state eviction —
     Spark rejects an unbounded stream-stream join, by design).
+
+    `how="left_outer"` keeps unmatched left events with null right
+    columns — attribution's "views that never converted" rows; Spark
+    emits them once the watermark passes the join window, so the
+    streaming result converges to the batch result.
 
     Columns come back prefixed (`l_ts`, `r_ts`, ...) with the shared
     key unprefixed.
@@ -61,7 +67,7 @@ def interval_join(
         & (F.col(rt) >= F.col(lt))
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {max_delay}"))
     )
-    return lsel.join(rsel, cond, "inner").drop("__rk")
+    return lsel.join(rsel, cond, how).drop("__rk")
 
 
 def run_interval_join_stream(

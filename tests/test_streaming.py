@@ -295,3 +295,25 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in batch.collect()
     )
     assert bpairs == pairs
+
+
+def test_interval_join_left_outer(spark, tmp_path):
+    from graphula_spark.streaming.joins import interval_join
+
+    rows = [
+        (1, ts("2024-01-01T10:00:00"), 7, "view", 1.0, "{}"),
+        (2, ts("2024-01-01T10:10:00"), 7, "purchase", 9.0, "{}"),
+        (3, ts("2024-01-01T10:00:00"), 8, "view", 1.0, "{}"),  # no purchase
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = interval_join(
+        ev.where("event_type = 'view'"),
+        ev.where("event_type = 'purchase'"),
+        "user_id",
+        how="left_outer",
+    )
+    got = sorted((r["user_id"], r["l_event_id"], r["r_event_id"])
+                 for r in out.collect())
+    assert got == [(7, 1, 2), (8, 3, None)]
