@@ -279,6 +279,30 @@ def _execute_select(graph, c: Compiler, q: A.SelectQuery) -> DataFrame:
                 q.variables, q.where, q.distinct, [], q.having,
                 q.order_by, q.limit, q.offset, q.select_star,
             )
+        # ORDER BY may contain aggregates (ORDER BY DESC(COUNT(?o))):
+        # hoist each into a hidden aggregate column — same rewrite
+        # compile_aggregate_query applies to HAVING — and sort on the
+        # hidden variable instead (hidden columns are never projected;
+        # `variables` was captured above)
+        if q.order_by:
+            extra_specs: list[tuple[str, A.EAggregate]] = []
+
+            def hoist(e):
+                if isinstance(e, A.EAggregate):
+                    nm = c.fresh("ordagg")
+                    extra_specs.append((nm, e))
+                    return A.EVar(nm)
+                if isinstance(e, A.ECall):
+                    return A.ECall(e.func, [hoist(a) for a in e.args])
+                return e
+
+            new_order = [(hoist(e), asc) for e, asc in q.order_by]
+            if extra_specs:
+                q = A.SelectQuery(
+                    list(q.variables) + extra_specs, q.where, q.distinct,
+                    q.group_by, q.having, new_order, q.limit, q.offset,
+                    q.select_star,
+                )
         sol = c.compile_aggregate_query(q, sol)
         variables = [
             (name, A.EVar(name) if isinstance(e, A.EAggregate) else e)

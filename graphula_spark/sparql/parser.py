@@ -422,6 +422,13 @@ class Parser:
                 sub = self.parse_select()
                 self.expect_op("}")
                 g.elements.append(SubSelect(sub))
+            elif w == "SELECT":
+                # SPARQL 1.1 grammar: GroupGraphPattern ::=
+                # '{' ( SubSelect | GroupGraphPatternSub ) '}' — the
+                # subquery may sit directly inside the braces
+                from graphula_spark.sparql.algebra import SubSelect
+
+                g.elements.append(SubSelect(self.parse_select()))
             elif t.kind == "OP" and t.text == "{":
                 first = self.parse_group()
                 groups = [first]

@@ -1230,3 +1230,38 @@ def test_construct_describe_limit(spark):
         == 3
     )
     assert g.sparql("DESCRIBE <a> LIMIT 4").count() == 4
+
+
+def test_order_by_aggregate_and_bare_subselect(spark):
+    """ARQ-parity corners: aggregate expressions in ORDER BY (hoisted
+    to hidden agg columns) and a SubSelect directly inside WHERE's
+    braces (GroupGraphPattern ::= '{' SubSelect '}')."""
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [("a", "p", "x"), ("a", "p", "y"), ("b", "p", "x"),
+             ("c", "q", "z")],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    rows = g.sparql(
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o } "
+        "GROUP BY ?s ORDER BY DESC(COUNT(?o)) ?s"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", 2), ("b", 1)]
+
+    # ORDER BY aggregate that is NOT in the projection
+    rows = g.sparql(
+        "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s ORDER BY DESC(COUNT(*)) ?s"
+    ).collect()
+    assert [r["s"] for r in rows] == ["a", "b", "c"]
+
+    # bare subselect inside WHERE + outer aggregate over it
+    rows = g.sparql(
+        "SELECT (AVG(?n) AS ?avg_n) WHERE "
+        "{ SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s }"
+    ).collect()
+    assert abs(rows[0]["avg_n"] - 4 / 3) < 1e-9
