@@ -172,14 +172,17 @@ def q_decode_roundtrip(spark, sf):
 
 
 def q_graph_probes(spark, sf):
-    """Six core probe operators folded into one driver row (the driver
+    """Eight core probe operators folded into one driver row (the driver
     records at most 50 CORRECTNESS rows, in queries() insertion order):
     COUNT-only BGP (O14, Graphula.scala:365-486), existence probe (O4,
     Index.scala:112-118), pattern cardinality (O6, Index.scala:120-131),
     dictionary term count (O7, Dictionary.scala:144-161), the decode
-    round-trip (O8, Dictionary.scala:103-119), and SPARQL ASK (the
-    reference throws on ASK, Sparql.scala:115-128). Each sub-probe keeps
-    its own pytest coverage; this entry is the oracle-hashed evidence."""
+    round-trip (O8, Dictionary.scala:103-119), SPARQL ASK (the
+    reference throws on ASK, Sparql.scala:115-128), the prefix
+    values scan (O5, Index.scala key (0,p,0) -> all subjects; was its
+    own entry through round 3), and SPARQL DISTINCT (was `sq_distinct`).
+    Each sub-probe keeps its own pytest coverage; this entry is the
+    oracle-hashed evidence."""
     parts = [
         q_bgp_count(spark, sf).select(
             F.lit("bgp_count").alias("probe"), F.col("n").cast("string").alias("v")
@@ -200,6 +203,12 @@ def q_graph_probes(spark, sf):
         q_ask(spark, sf).select(
             F.lit("sparql_ask").alias("probe"),
             F.col("ask").cast("string").alias("v"),
+        ),
+        q_values_scan(spark, sf).select(
+            F.lit("values_scan").alias("probe"), F.col("subj").alias("v")
+        ),
+        q_distinct(spark, sf).select(
+            F.lit("distinct_seg").alias("probe"), F.col("seg").alias("v")
         ),
     ]
     out = parts[0]
@@ -440,6 +449,25 @@ def q_dedup_exact(spark, sf):
         docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
     return exact_dedup(doubled, "text", "doc_id").select("doc_id")
+
+
+def q_dedup_substr(spark, sf):
+    """Cross-document substring (span) dedup, the ExactSubstr
+    discipline of Lee et al. 2022 — any 5-token span occurring more
+    than once corpus-wide is removed from all but its globally first
+    occurrence. Returns the cleaned corpus with per-doc removal stats;
+    the oracle replays the identical window/gaps-and-islands program
+    in DuckDB."""
+    from graphula_spark.operators.dedup import substring_dedup
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    return substring_dedup(docs, "doc_id", "text", min_len=5).select(
+        "doc_id",
+        "clean_text",
+        F.col("n_dup_positions").cast("long").alias("n_dup_positions"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_tokens_kept").cast("long").alias("n_tokens_kept"),
+    )
 
 
 def q_dedup_minhash(spark, sf):
@@ -939,14 +967,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_join": q_bgp_join,
         "bgp_star": q_bgp_star,
         "graph_probes": q_graph_probes,
-        "values_scan": q_values_scan,
         "sq_filter": q_filter,
         "sq_optional": q_optional,
         "sq_path_seq": q_sq_path_seq,
         "sq_union": q_union,
         "sq_minus": q_minus,
         "sq_exists": q_exists_filter,
-        "sq_distinct": q_distinct,
         "sq_order_limit": q_order_limit,
         "sq_groupby_agg": q_groupby_agg,
         "sq_having": q_having,
@@ -960,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_subquery": q_subquery,
         # extensions
         "dedup_exact": q_dedup_exact,
+        "dedup_substr": q_dedup_substr,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -1158,8 +1185,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'sparql_ask',
                    CAST(EXISTS(SELECT 1 FROM customer
                                WHERE c_mktsegment = 'FURNITURE') AS VARCHAR)
+            UNION ALL
+            SELECT 'values_scan', subj FROM (
+              SELECT DISTINCT 'customer:' || c_custkey AS subj FROM customer
+            )
+            UNION ALL
+            SELECT 'distinct_seg', seg FROM (
+              SELECT DISTINCT c_mktsegment AS seg FROM customer
+            )
         """,
-        "values_scan": "SELECT DISTINCT 'customer:' || c_custkey AS subj FROM customer",
         "sq_filter": """
             SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
             FROM customer WHERE c_acctbal > 5000
@@ -1185,7 +1219,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_name AS name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
-        "sq_distinct": "SELECT DISTINCT c_mktsegment AS seg FROM customer",
         "sq_order_limit": """
             SELECT c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
             FROM customer ORDER BY c_acctbal DESC, c_name LIMIT 10
@@ -1257,6 +1290,79 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + 1000000, text FROM documents
             ) GROUP BY text
+        """,
+        "dedup_substr": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ),
+            occ0 AS (
+              SELECT doc_id,
+                     unnest(range(0, greatest(len(t) - 4, 0))) AS pos, t
+              FROM toks
+            ),
+            occ AS (
+              SELECT doc_id, pos,
+                     array_to_string(t[pos+1 : pos+5], ' ') AS kg
+              FROM occ0
+            ),
+            marked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY kg) AS cnt,
+                     row_number() OVER (PARTITION BY kg
+                                        ORDER BY doc_id, pos) AS rn
+              FROM occ
+            ),
+            dups AS (
+              SELECT doc_id, pos AS s, pos + 4 AS e
+              FROM marked WHERE cnt > 1 AND rn > 1
+            ),
+            isl AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(
+                            max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -2) + 1
+                          THEN 1 ELSE 0 END AS brk
+              FROM dups
+            ),
+            isl2 AS (
+              SELECT doc_id, s, e,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island
+              FROM isl
+            ),
+            spans AS (
+              SELECT doc_id, island, min(s) AS s, max(e) AS e,
+                     count(*) AS npos
+              FROM isl2 GROUP BY doc_id, island
+            ),
+            perdoc AS (
+              SELECT doc_id, sum(npos) AS n_dup, count(*) AS n_spans
+              FROM spans GROUP BY doc_id
+            ),
+            tokpos AS (
+              SELECT doc_id, unnest(range(0, len(t))) AS i, t FROM toks
+            ),
+            kept AS (
+              SELECT p.doc_id, p.i, p.t[p.i+1] AS tok FROM tokpos p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = p.doc_id AND p.i BETWEEN sp.s AND sp.e)
+            ),
+            clean AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct,
+                     count(*) AS nk
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.ct, '') AS clean_text,
+                   CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup_positions,
+                   CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(c.nk, 0) AS BIGINT) AS n_tokens_kept
+            FROM documents d
+            LEFT JOIN perdoc pd USING (doc_id)
+            LEFT JOIN clean c USING (doc_id)
         """,
         "dedup_ngram_jaccard": f"""
             WITH sh AS (

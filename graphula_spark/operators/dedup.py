@@ -388,3 +388,111 @@ def simhash_near_pairs(
     threshold."""
     fp = simhash64(df, id_col, text_col)
     return _hamming_blocked_pairs(fp, max_hamming, bits=64)
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 8,
+) -> DataFrame:
+    """Cross-document exact-substring (span) deduplication.
+
+    The ExactSubstr discipline from "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022), re-expressed as a
+    distributed DataFrame program instead of a suffix array: any token
+    span of length >= min_len that occurs more than once across the
+    corpus is removed from every occurrence EXCEPT the globally first
+    one (min (id, pos)). Where the reference engine has no such
+    operator, LLM data pipelines rely on it heavily — and the suffix
+    array the paper uses is single-node; this formulation shuffles on
+    bounded keys only.
+
+    Plan shape (all JVM-side, no Python UDFs):
+      1. one explode to (id, pos, k-gram) occurrence rows,
+      2. one window over (xxhash64(kgram), kgram) marking duplicate
+         occurrences (the hash keeps the shuffle partitioner cheap; the
+         kgram itself rides in the key so 64-bit collisions cannot
+         merge distinct spans — same trick as exact_dedup),
+      3. gaps-and-islands span merge per document (window on id),
+      4. one equi-join of merged spans back to documents; cleaned text
+         rebuilt with array higher-order functions.
+
+    Spans overlapping or adjacent after marking merge into one removal
+    interval, so removing k-gram STARTS of length min_len removes
+    exactly the maximal duplicated substrings of length >= min_len.
+
+    Returns (id, clean_text, n_dup_positions, n_spans, n_tokens_kept).
+    Text is whitespace-normalized (tokens re-joined with single
+    spaces) — by-product of token-level processing, applied uniformly
+    to untouched documents too so output is comparable.
+    """
+    k = min_len
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.repartition(par, id_col)
+        .select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .persist()
+    )
+    # occurrence rows: one per k-gram start position (docs shorter than
+    # k contribute none and pass through untouched)
+    n_pos = F.size("toks") - F.lit(k - 1)
+    occ = (
+        base.where(n_pos > 0)
+        .select("id", F.explode(F.sequence(F.lit(0), n_pos - 1)).alias("pos"), "toks")
+        .select(
+            "id",
+            "pos",
+            F.concat_ws(" ", F.slice("toks", F.col("pos") + 1, k)).alias("kg"),
+        )
+    )
+    wk = Window.partitionBy(F.xxhash64("kg"), "kg")
+    marked = occ.select(
+        "id",
+        "pos",
+        F.count(F.lit(1)).over(wk).alias("cnt"),
+        F.row_number().over(wk.orderBy("id", "pos")).alias("rn"),
+    )
+    dups = marked.where((F.col("cnt") > 1) & (F.col("rn") > 1)).select(
+        "id", F.col("pos").alias("s"), (F.col("pos") + F.lit(k - 1)).alias("e")
+    )
+    # gaps-and-islands: a dup start opens a new island iff it begins
+    # past the running max end + 1 (adjacent intervals merge)
+    wd = Window.partitionBy("id").orderBy("s")
+    run_end = F.max("e").over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dups.select(
+        "id",
+        "s",
+        "e",
+        F.when(run_end.isNull() | (F.col("s") > run_end + 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    ).select("id", "s", "e", F.sum("brk").over(wd).alias("island"))
+    spans = isl.groupBy("id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e"), F.count(F.lit(1)).alias("npos")
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+        F.sum("npos").alias("n_dup_positions"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    joined = base.join(per_doc, "id", "left")
+    idx = F.sequence(F.lit(0), F.size("toks") - 1)
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+    )
+    kept = F.when(F.col("spans").isNull(), idx).otherwise(
+        F.filter(idx, lambda i: ~in_span(i))
+    )
+    out = joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(
+            " ", F.transform(kept, lambda i: F.element_at("toks", i + 1))
+        ).alias("clean_text"),
+        F.coalesce(F.col("n_dup_positions"), F.lit(0)).alias("n_dup_positions"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+        F.size(kept).alias("n_tokens_kept"),
+    )
+    return out

@@ -1,0 +1,112 @@
+"""Cross-document substring (span) dedup — ExactSubstr discipline.
+
+Verified against a plain-Python reference implementation on handcrafted
+corpora and randomized ones (the same verification style the reference
+uses for its dictionary property tests, DictionarySpec.scala).
+"""
+
+import random
+import re
+from collections import defaultdict
+
+import pytest
+
+from graphula_spark.operators.dedup import substring_dedup
+
+
+def ref_substring_dedup(docs, k):
+    """Plain-Python oracle: remove every non-first occurrence of any
+    duplicated k-token span, merging overlapping/adjacent removals."""
+    toks = {i: re.split(r"\s+", t.strip()) if t.strip() else [""] for i, t in docs}
+    groups = defaultdict(list)
+    for i, ts in sorted(toks.items()):
+        for p in range(len(ts) - k + 1):
+            groups[" ".join(ts[p : p + k])].append((i, p))
+    dup = defaultdict(list)
+    for occs in groups.values():
+        if len(occs) > 1:
+            for i, p in sorted(occs)[1:]:
+                dup[i].append(p)
+    out = {}
+    for i, ts in toks.items():
+        spans = []
+        for s in sorted(dup.get(i, [])):
+            e = s + k - 1
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        remove = set()
+        n_dup = len(dup.get(i, []))
+        for s, e in spans:
+            remove.update(range(s, e + 1))
+        kept = [t for j, t in enumerate(ts) if j not in remove]
+        out[i] = (" ".join(kept), n_dup, len(spans), len(kept))
+    return out
+
+
+def run_both(spark, docs, k):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["n_dup_positions"],
+            r["n_spans"],
+            r["n_tokens_kept"],
+        )
+        for r in substring_dedup(df, "doc_id", "text", min_len=k).collect()
+    }
+    want = ref_substring_dedup(docs, k)
+    assert got == want
+
+
+def test_shared_span_removed_from_second_doc(spark):
+    shared = "alpha beta gamma delta"
+    docs = [
+        (1, f"intro one {shared} tail one"),
+        (2, f"other words {shared} closing bits"),
+        (3, "totally unrelated text with no duplicate content"),
+    ]
+    run_both(spark, docs, 4)
+    # explicit semantics check: doc 1 (globally first) keeps the span
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r["clean_text"]
+        for r in substring_dedup(df, "doc_id", "text", min_len=4).collect()
+    }
+    assert shared in rows[1]
+    assert shared not in rows[2]
+    assert rows[3] == docs[2][1]
+
+
+def test_within_document_repeat(spark):
+    span = "one two three four"
+    docs = [(7, f"{span} middle part {span} end")]
+    run_both(spark, docs, 4)
+
+
+def test_overlapping_spans_merge(spark):
+    # two duplicated 3-grams overlapping by one token in the copy
+    docs = [
+        (1, "a b c d e suffix1"),
+        (2, "prefix2 a b c d e"),
+    ]
+    # k=3: duplicated starts in doc2 at the positions of a,b,c → one
+    # merged island covering "a b c d e"
+    run_both(spark, docs, 3)
+
+
+def test_short_and_empty_docs_pass_through(spark):
+    docs = [(1, "tiny"), (2, ""), (3, "   "), (4, "one two")]
+    run_both(spark, docs, 4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_randomized_against_python_reference(spark, seed):
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(30)
+    ]
+    run_both(spark, docs, 3)
