@@ -479,6 +479,36 @@ def q_dedup_minhash(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental dedup against a PERSISTED MinHash index: the corpus
+    (doc_id % 5 != 0) is indexed once (bands + shingles parquet,
+    band-partitioned); the ingest batch (doc_id % 5 == 0) probes it
+    with a broadcast join — zero corpus shuffle — then exact-verifies
+    candidates. The oracle is the exact all-cross-pairs truth, valid
+    for the same reason as dedup_minhash (min true-pair Jaccard on
+    this corpus is 0.9; banded-miss probability there is ~2e-4 with
+    deterministic hashes)."""
+    import os
+
+    from graphula_spark.operators.dedup import MinHashIndex
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    tag = sf.strip("/").replace("/", "_")
+    path = f"/tmp/graphula_minhash_idx/{tag}"
+    if not os.path.exists(f"{path}/_meta.json"):
+        idx = MinHashIndex.build(corpus, "doc_id", "text", path)
+    else:
+        idx = MinHashIndex.load(spark, path)
+    pairs = idx.query(batch, "doc_id", "text", jaccard_threshold=0.3)
+    return pairs.select(
+        F.col("id_new").cast("long").alias("id_new"),
+        F.col("id_corpus").cast("long").alias("id_corpus"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     from graphula_spark.operators.dedup import ngram_jaccard_blocked
 
@@ -988,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_substr": q_dedup_substr,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine,
@@ -1424,6 +1455,22 @@ def oracle_sql() -> dict[str, str]:
                          / (len(a.shingles) + len(b.shingles)
                             - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.3
+        """,
+        "dedup_incremental": f"""
+            -- exact cross-pairs truth (batch = doc_id%5==0 vs corpus):
+            -- recall argument identical to dedup_minhash above
+            WITH sh AS (
+              SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents
+            )
+            SELECT a.doc_id AS id_new, b.doc_id AS id_corpus,
+                   round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / (len(a.shingles) + len(b.shingles)
+                            - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
             WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                   / (len(a.shingles) + len(b.shingles)
                      - len(list_intersect(a.shingles, b.shingles))) >= 0.3

@@ -106,6 +106,24 @@ def minhash_signatures(
     )
 
 
+def band_hashes(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh) LSH band hashes from a (id, h0..h{k-1}) signature
+    table: each band hashes its rows_per_band signature slots into one
+    64-bit bucket key. Shared by the self-join dedup and the persisted
+    incremental index so both sides of an index query bucket
+    identically."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -121,21 +139,12 @@ def minhash_lsh_pairs(
     candidates → exact shingle-set Jaccard on candidates only. Returns
     (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    rows_per_band = num_hashes // bands
     # the banded self-join consumes the signature subtree twice; persist
     # so the explode+hash work runs once (materialized eagerly — the
     # signature table is k longs per doc, tiny relative to the corpus)
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     sig.count()
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
-        )
-    banded = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = band_hashes(sig, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -496,3 +505,157 @@ def substring_dedup(
         F.size(kept).alias("n_tokens_kept"),
     )
     return out
+
+
+class MinHashIndex:
+    """Persisted MinHash+LSH corpus index for INCREMENTAL dedup.
+
+    At 100 TB the corpus signature/band computation is the expensive
+    pass; recomputing it for every ingest batch (as the self-join
+    `minhash_lsh_pairs` would) multiplies that cost by the number of
+    batches. This index materializes the corpus side once:
+
+      <path>/bands/     (id, bh) parquet, partitioned by band — an
+                        incoming batch's band hashes join here; the
+                        band partition column prunes each probe to
+                        1/bands of the index, and only bucket-colliding
+                        index rows survive the join,
+      <path>/shingles/  (id, sh array<string>) — exact-verify side;
+                        only candidate ids are ever read (semi-join
+                        pushes into the scan),
+      <path>/_meta.json hash/band/shingle parameters, pinned so every
+                        future batch buckets identically.
+
+    `query(batch)` broadcasts the BATCH side (an ingest batch is small
+    relative to the corpus by definition) so the corpus index is only
+    ever scanned, never shuffled. `add(batch)` appends the batch's
+    bands/shingles, keeping the index current as the corpus grows —
+    together they make dedup-on-ingest O(batch) instead of O(corpus).
+    """
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.num_hashes = int(meta["num_hashes"])
+        self.bands = int(meta["bands"])
+        self.shingle_n = int(meta["shingle_n"])
+
+    # -- construction -------------------------------------------------
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        id_col: str,
+        text_col: str,
+        path: str,
+        num_hashes: int = 32,
+        bands: int = 8,
+        shingle_n: int = 3,
+    ) -> "MinHashIndex":
+        import json
+        import os
+
+        spark = df.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+        band_hashes(sig, num_hashes, bands).write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(f"{path}/bands")
+        (
+            df.repartition(par, id_col)
+            .select(
+                F.col(id_col).alias("id"),
+                word_shingles(F.col(text_col), shingle_n).alias("sh"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/shingles")
+        )
+        meta = {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/_meta.json", "w") as fh:
+            json.dump(meta, fh)
+        return MinHashIndex(spark, path, meta)
+
+    @staticmethod
+    def load(spark, path: str) -> "MinHashIndex":
+        import json
+
+        with open(f"{path}/_meta.json") as fh:
+            return MinHashIndex(spark, path, json.load(fh))
+
+    # -- incremental operations ---------------------------------------
+
+    def query(
+        self,
+        batch: DataFrame,
+        id_col: str,
+        text_col: str,
+        jaccard_threshold: float = 0.5,
+    ) -> DataFrame:
+        """Near-dup pairs between an ingest batch and the indexed
+        corpus: (id_new, id_corpus, jaccard), exact-verified.
+
+        The batch side is broadcast, so the plan is a corpus-index scan
+        with a broadcast hash join probe — zero corpus shuffle — then
+        an exact verify that touches only candidate corpus ids."""
+        sig = minhash_signatures(
+            batch, id_col, text_col, self.num_hashes, self.shingle_n
+        )
+        new_bands = band_hashes(sig, self.num_hashes, self.bands)
+        idx_bands = self.spark.read.parquet(f"{self.path}/bands")
+        candidates = (
+            idx_bands.alias("c")
+            .join(
+                F.broadcast(new_bands).alias("n"),
+                (F.col("c.band") == F.col("n.band"))
+                & (F.col("c.bh") == F.col("n.bh")),
+            )
+            .select(
+                F.col("n.id").alias("id_new"), F.col("c.id").alias("id_corpus")
+            )
+            .distinct()
+        )
+        new_sh = batch.select(
+            F.col(id_col).alias("id_new"),
+            word_shingles(F.col(text_col), self.shingle_n).alias("sh_new"),
+        )
+        corpus_sh = (
+            self.spark.read.parquet(f"{self.path}/shingles")
+            .select(F.col("id").alias("id_corpus"), F.col("sh").alias("sh_corpus"))
+            .join(
+                candidates.select("id_corpus").distinct(), "id_corpus", "left_semi"
+            )
+        )
+        inter = F.size(F.array_intersect("sh_new", "sh_corpus"))
+        union = F.size("sh_new") + F.size("sh_corpus") - inter
+        return (
+            candidates.join(F.broadcast(new_sh), "id_new")
+            .join(corpus_sh, "id_corpus")
+            .withColumn(
+                "jaccard", inter.cast("double") / union.cast("double")
+            )
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("id_new", "id_corpus", "jaccard")
+        )
+
+    def add(self, batch: DataFrame, id_col: str, text_col: str) -> None:
+        """Append a batch to the index (bands + shingles) so later
+        queries see it as part of the corpus."""
+        sig = minhash_signatures(
+            batch, id_col, text_col, self.num_hashes, self.shingle_n
+        )
+        band_hashes(sig, self.num_hashes, self.bands).write.mode(
+            "append"
+        ).partitionBy("band").parquet(f"{self.path}/bands")
+        (
+            batch.select(
+                F.col(id_col).alias("id"),
+                word_shingles(F.col(text_col), self.shingle_n).alias("sh"),
+            )
+            .write.mode("append")
+            .parquet(f"{self.path}/shingles")
+        )

@@ -110,3 +110,68 @@ def test_randomized_against_python_reference(spark, seed):
         for i in range(30)
     ]
     run_both(spark, docs, 3)
+
+
+class TestMinHashIndex:
+    """Persisted incremental MinHash index: query parity with the
+    one-shot self-join pipeline, and add() growing the corpus."""
+
+    def docs(self, spark):
+        base = [
+            (i, f"unique document number {i} with some distinct words {i*7}")
+            for i in range(20)
+        ]
+        # near-dup pairs across the batch boundary: 5 divides id_new
+        base.append((25, "the quick brown fox jumps over the lazy dog today"))
+        base.append((31, "the quick brown fox jumps over the lazy dog tonight"))
+        return spark.createDataFrame(base, ["doc_id", "text"])
+
+    def test_query_matches_self_join_cross_pairs(self, spark, tmp_path):
+        from graphula_spark.operators.dedup import MinHashIndex, minhash_lsh_pairs
+
+        import pyspark.sql.functions as F
+
+        docs = self.docs(spark)
+        corpus = docs.where(F.col("doc_id") % 5 != 0)
+        batch = docs.where(F.col("doc_id") % 5 == 0)
+        idx = MinHashIndex.build(corpus, "doc_id", "text", str(tmp_path / "idx"))
+        got = {
+            (r["id_new"], r["id_corpus"], round(r["jaccard"], 4))
+            for r in idx.query(batch, "doc_id", "text", 0.3).collect()
+        }
+        # one-shot pipeline over the full corpus, filtered to cross pairs
+        full = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.3)
+        want = set()
+        for r in full.collect():
+            a, b = r["id_a"], r["id_b"]
+            j = round(r["jaccard"], 4)
+            if a % 5 == 0 and b % 5 != 0:
+                want.add((a, b, j))
+            elif b % 5 == 0 and a % 5 != 0:
+                want.add((b, a, j))
+        assert got == want
+        assert got  # the fox pair (25, 31) must be found
+        assert any(p[:2] == (25, 31) for p in got)
+
+    def test_add_extends_corpus_and_load_roundtrip(self, spark, tmp_path):
+        from graphula_spark.operators.dedup import MinHashIndex
+
+        docs = self.docs(spark)
+        import pyspark.sql.functions as F
+
+        corpus = docs.where(F.col("doc_id") % 5 != 0)
+        batch = docs.where(F.col("doc_id") % 5 == 0)
+        path = str(tmp_path / "idx2")
+        MinHashIndex.build(corpus, "doc_id", "text", path)
+        idx = MinHashIndex.load(spark, path)
+        extra = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog today")],
+            ["doc_id", "text"],
+        )
+        idx.add(extra, "doc_id", "text")
+        got = {
+            (r["id_new"], r["id_corpus"])
+            for r in idx.query(batch, "doc_id", "text", 0.3).collect()
+        }
+        assert (25, 100) in got  # newly added corpus doc is probed
+        assert (25, 31) in got
