@@ -103,6 +103,20 @@ def main() -> None:
 
     per_query["graph_load"] = round(graph_load, 3)
 
+    # relational-analytics counterpart: the TPC-H-style join suite over
+    # the native parquet tables (DuckDB-parity-tested in tests/test_tpch.py)
+    from graphula_spark import tpch
+
+    for name, fn in sorted(tpch.QUERIES.items()):
+        for _ in range(warmup):
+            fn(spark, sf_dir).count()
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
     # LUBM — the reference's own benchmark: its FULL 14-query suite
     # (benchmarks/.../lubm/LubmGraphula.scala:48-131) over the committed
     # LUBM(1) dataset, with golden-cardinality verification per query.
