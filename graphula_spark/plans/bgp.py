@@ -244,46 +244,72 @@ class BgpStats:
         return max(est, 0.001)
 
 
-class BgpPlanner:
-    """Greedy selectivity + connectivity ordering of triple patterns.
+#: patterns beyond this count fall back to the greedy ordering (the DP
+#: explores 2^n subsets; 2^10 x 10 transitions is sub-millisecond,
+#: larger BGPs are rare and greedy-ordered like the reference)
+DP_MAX_PATTERNS = 10
 
-    Reference: ``optimize`` moves the pattern with the max score
-    ``coOccurrences + numberOfLeadingZeros(cardinality)`` to the head
-    at every step (Graphula.scala:120-190; co-occurrence
-    BgpArray.scala:84-108). We run the same greedy loop once, statically,
-    and additionally insist on join-graph connectivity to avoid
-    Cartesian products — AQE re-optimizes the rest at runtime.
+
+class BgpPlanner:
+    """Join-order planning for triple patterns.
+
+    Two strategies share one cost model (`BgpStats.estimate`):
+
+    - **Selinger-style left-deep DP** (default for 3..DP_MAX_PATTERNS
+      patterns when stats exist): minimizes the SUM of estimated
+      intermediate result sizes over all connected left-deep orders.
+      Greedy's failure mode is picking the locally smallest pattern
+      even when a slightly larger one binds the variable that
+      collapses every later join — the DP sees the whole chain.
+    - **Greedy selectivity + connectivity** (fallback): the
+      reference's loop — ``optimize`` moves the pattern with the max
+      score ``coOccurrences + numberOfLeadingZeros(cardinality)`` to
+      the head at every step (Graphula.scala:120-190; co-occurrence
+      BgpArray.scala:84-108) — run once, statically.
+
+    Both insist on join-graph connectivity to avoid Cartesian products
+    (the DP prices a forced cross join as a multiplication, so it only
+    appears when the pattern graph is genuinely disconnected); AQE
+    re-optimizes the physical side at runtime.
     """
 
     def __init__(self, stats: BgpStats | None):
         self.stats = stats
 
+    def _est(
+        self, pat: TriplePattern, bound: set[str], const_ids: dict[str, int]
+    ) -> float:
+        if self.stats is None:
+            # no stats: prefer more-constant patterns
+            n_const = len(pat.consts())
+            return float(10 ** (3 - n_const))
+        s_b = not isinstance(pat.s, Var) or pat.s.name in bound
+        o_b = not isinstance(pat.o, Var) or pat.o.name in bound
+        p_id = None
+        if not isinstance(pat.p, Var):
+            p_id = const_ids.get(pat.p, -1)
+            if p_id == -1:
+                return 0.0
+        o_id = None
+        if not isinstance(pat.o, Var):
+            o_id = const_ids.get(pat.o, -1)
+            if o_id == -1:
+                return 0.0
+        return self.stats.estimate(s_b, p_id, o_b, o_id)
+
     def order(
+        self, patterns: list[TriplePattern], const_ids: dict[str, int]
+    ) -> list[tuple[TriplePattern, float]]:
+        if self.stats is not None and 3 <= len(patterns) <= DP_MAX_PATTERNS:
+            return self._order_dp(patterns, const_ids)
+        return self._order_greedy(patterns, const_ids)
+
+    def _order_greedy(
         self, patterns: list[TriplePattern], const_ids: dict[str, int]
     ) -> list[tuple[TriplePattern, float]]:
         remaining = list(patterns)
         ordered: list[tuple[TriplePattern, float]] = []
         bound_vars: set[str] = set()
-
-        def est(pat: TriplePattern, bound: set[str]) -> float:
-            if self.stats is None:
-                # no stats: prefer more-constant patterns
-                n_const = len(pat.consts())
-                return float(10 ** (3 - n_const))
-            s_b = not isinstance(pat.s, Var) or pat.s.name in bound
-            o_b = not isinstance(pat.o, Var) or pat.o.name in bound
-            p_id = None
-            if not isinstance(pat.p, Var):
-                p_id = const_ids.get(pat.p, -1)
-                if p_id == -1:
-                    return 0.0
-            o_id = None
-            if not isinstance(pat.o, Var):
-                o_id = const_ids.get(pat.o, -1)
-                if o_id == -1:
-                    return 0.0
-            return self.stats.estimate(s_b, p_id, o_b, o_id)
-
         while remaining:
             connected = [
                 pat
@@ -293,12 +319,58 @@ class BgpPlanner:
                 or not pat.vars()
             ]
             pool = connected or remaining  # fall back to cartesian if disconnected
-            best = min(pool, key=lambda pat: est(pat, bound_vars))
-            card = est(best, bound_vars)
+            best = min(pool, key=lambda pat: self._est(pat, bound_vars, const_ids))
+            card = self._est(best, bound_vars, const_ids)
             ordered.append((best, card))
             remaining.remove(best)
             bound_vars.update(v for _, v in best.vars())
         return ordered
+
+    def _order_dp(
+        self, patterns: list[TriplePattern], const_ids: dict[str, int]
+    ) -> list[tuple[TriplePattern, float]]:
+        """Left-deep DP over pattern subsets.
+
+        State per subset: (cost = sum of intermediate sizes, rows =
+        estimated size after joining the subset, order). Transition
+        multiplies rows by the candidate's matches-per-binding estimate
+        (`estimate` with shared vars marked bound) — the standard
+        independence approximation. Connected expansions are preferred;
+        a cross join is only priced when the subset has no connected
+        candidate (disconnected pattern graph).
+        """
+        n = len(patterns)
+        pat_vars = [frozenset(v for _, v in p.vars()) for p in patterns]
+        # per-subset best: mask -> (cost, rows, order_tuple)
+        best: dict[int, tuple[float, float, tuple[tuple[int, float], ...]]] = {}
+        for i, p in enumerate(patterns):
+            rows = self._est(p, set(), const_ids)
+            best[1 << i] = (rows, rows, ((i, rows),))
+        # a strict subset is always numerically smaller than its
+        # superset mask, so ascending order visits states before use
+        for mask in range(1, 1 << n):
+            if mask not in best:
+                continue
+            cost, rows, order = best[mask]
+            bound = set().union(*(pat_vars[i] for i, _ in order))
+            candidates = [
+                j
+                for j in range(n)
+                if not (mask >> j) & 1
+                and (pat_vars[j] & bound or not pat_vars[j])
+            ]
+            if not candidates:
+                candidates = [j for j in range(n) if not (mask >> j) & 1]
+            for j in candidates:
+                per = self._est(patterns[j], bound, const_ids)
+                new_rows = min(rows * max(per, 0.001), 1e30)
+                new_cost = cost + new_rows
+                new_mask = mask | (1 << j)
+                prev = best.get(new_mask)
+                if prev is None or new_cost < prev[0]:
+                    best[new_mask] = (new_cost, new_rows, order + ((j, per),))
+        full = best[(1 << n) - 1]
+        return [(patterns[i], card) for i, card in full[2]]
 
 
 #: a join key value estimated to occur at least this often on the scan

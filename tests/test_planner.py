@@ -167,3 +167,87 @@ def test_wide_predicate_stats_capped(spark, monkeypatch):
     obj = stats.to_obj()
     rt = B.BgpStats.from_obj(obj)
     assert rt.complete is False and rt.residual_avg == stats.residual_avg
+
+
+class TestDpJoinOrder:
+    """Selinger-style DP vs greedy: the DP must see through the chain."""
+
+    # A: (?x pa ca) standalone 10 — greedy's favorite first pick — but
+    # ?x fans out 1000x through pb; C: (?y pc cc) standalone 20, and
+    # pb collapses to 1 row per bound object. Optimal order starts with
+    # the LARGER standalone pattern C.
+    STATS = BgpStats(
+        by_pred={
+            11: (1_000, 1_000, 100),  # pa
+            12: (1_000_000, 1_000, 1_000_000),  # pb: 1000/subject, 1/object
+            13: (2_000, 2_000, 100),  # pc
+        },
+        total=1_003_000,
+        po_top={(11, 201): 10, (13, 202): 20},
+    )
+    IDS = {"pa": 11, "pb": 12, "pc": 13, "ca": 201, "cc": 202}
+
+    def pats(self):
+        return [
+            TriplePattern(X, "pa", "ca"),
+            TriplePattern(X, "pb", Y),
+            TriplePattern(Y, "pc", "cc"),
+        ]
+
+    def test_dp_starts_with_chain_collapser(self):
+        ordered = BgpPlanner(self.STATS).order(self.pats(), self.IDS)
+        assert [p.p for p, _ in ordered] == ["pc", "pb", "pa"]
+
+    def test_greedy_would_pick_locally_smallest(self):
+        ordered = BgpPlanner(self.STATS)._order_greedy(self.pats(), self.IDS)
+        assert ordered[0][0].p == "pa"  # the local trap the DP avoids
+
+    def test_dp_cost_not_worse_than_greedy(self):
+        # modeled cost of the DP order must be <= greedy's on its own
+        # cost model, for a pile of shapes
+        planner = BgpPlanner(self.STATS)
+
+        def modeled_cost(order):
+            bound, rows, cost = set(), None, 0.0
+            for pat, _ in order:
+                per = planner._est(pat, bound, self.IDS)
+                rows = per if rows is None else rows * max(per, 0.001)
+                cost += rows
+                bound |= {v for _, v in pat.vars()}
+            return cost
+
+        shapes = [
+            self.pats(),
+            [
+                TriplePattern(X, "pa", "ca"),
+                TriplePattern(X, "pb", Y),
+                TriplePattern(Y, "pb", Z),
+                TriplePattern(Z, "pc", "cc"),
+            ],
+            [
+                TriplePattern(X, "pb", Y),
+                TriplePattern(X, "pa", Y),
+                TriplePattern(Y, "pc", "cc"),
+            ],
+        ]
+        for pats in shapes:
+            dp = planner._order_dp(pats, self.IDS)
+            greedy = planner._order_greedy(pats, self.IDS)
+            assert modeled_cost(dp) <= modeled_cost(greedy) + 1e-9
+
+    def test_two_patterns_stay_greedy(self):
+        pats = [
+            TriplePattern(X, "pa", "ca"),
+            TriplePattern(X, "pb", Y),
+        ]
+        ordered = BgpPlanner(self.STATS).order(pats, self.IDS)
+        assert ordered[0][0].p == "pa"
+
+    def test_disconnected_graph_still_completes(self):
+        pats = [
+            TriplePattern(X, "pa", "ca"),
+            TriplePattern(Y, "pc", "cc"),
+            TriplePattern(Z, "pb", Var("W")),
+        ]
+        ordered = BgpPlanner(self.STATS).order(pats, self.IDS)
+        assert len(ordered) == 3
