@@ -123,3 +123,69 @@ def streaming_dedup(
     older than the horizon are evicted, so state size tracks the
     arrival rate × horizon, not the stream's full history."""
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def stream_near_dedup_ingest(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    checkpoint: str | None = None,
+):
+    """Streaming NEAR-dup dedup-on-ingest against a persisted MinHash
+    index: each micro-batch (1) probes the index for near-duplicates of
+    its documents (broadcast batch join — zero corpus shuffle),
+    (2) appends only the surviving (non-duplicate) documents to the
+    index so later batches dedup against them too.
+
+    foreachBatch is the right tool (not a stateful operator): the
+    corpus state is far too large for the streaming state store, and it
+    already lives in the index's band-partitioned parquet. Exactly the
+    incremental discipline a 100 TB ingest pipeline needs — cost per
+    batch is O(batch), not O(corpus).
+
+    Batches also self-dedup (minhash_lsh_pairs within the batch,
+    min-id survivor) so two near-identical docs arriving together
+    cannot both enter the index.
+
+    Returns the StreamingQuery; surviving docs are appended as parquet
+    to `<index_path>/accepted/`.
+    """
+    from graphula_spark.operators.dedup import MinHashIndex, minhash_lsh_pairs
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        idx = MinHashIndex.load(spark, index_path)
+        dup_vs_corpus = (
+            idx.query(batch_df, id_col, text_col, jaccard_threshold)
+            .select(F.col("id_new").alias(id_col))
+            .distinct()
+        )
+        # within-batch: keep the min-id member of each near-dup pair
+        intra = minhash_lsh_pairs(
+            batch_df, id_col, text_col, jaccard_threshold=jaccard_threshold
+        ).select(F.greatest("id_a", "id_b").alias(id_col)).distinct()
+        survivors = batch_df.join(
+            dup_vs_corpus.unionByName(intra).distinct(), id_col, "left_anti"
+        ).persist()
+        # ORDER MATTERS: materialize + publish the survivors BEFORE
+        # growing the index — add() puts the survivors' own bands into
+        # the very parquet the lazy query plan scans, so a later
+        # re-evaluation would match every survivor against itself and
+        # reject the whole batch
+        survivors.count()
+        survivors.write.mode("append").parquet(f"{index_path}/accepted")
+        idx.add(survivors, id_col, text_col)
+        survivors.unpersist()
+        batch_df.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -45,9 +45,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
     )
+    # the accumulated (customer x orders) side is the designated build
+    # side: without the hint, Catalyst's optimistic filter-selectivity
+    # estimate can put the FACT table under the broadcast threshold and
+    # build a multi-million-row hashed relation (observed at the 10x
+    # probe) — a guaranteed OOM at real scale. shuffle_hash keeps the
+    # lineitem side streaming; AQE may still upgrade the small side to
+    # broadcast at runtime from ACTUAL sizes, which is the safe direction.
+    co = c.join(o, F.col("c_custkey") == F.col("o_custkey")).hint("shuffle_hash")
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(line, F.col("o_orderkey") == F.col("l_orderkey"))
+        co.join(line, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
         .where(F.col("revenue") > 1000.0)
@@ -71,11 +78,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     line = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    return (
+    rnco = (
         r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
         .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("o_custkey") == F.col("c_custkey"))
-        .join(line, F.col("l_orderkey") == F.col("o_orderkey"))
+        .hint("shuffle_hash")  # fact-side protection, see q3
+    )
+    return (
+        rnco.join(line, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             s,
             (F.col("s_suppkey") == F.col("l_suppkey"))
@@ -97,9 +107,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
     line = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    # same fact-side protection as q3: never let lineitem broadcast
+    co = c.join(o, F.col("o_custkey") == F.col("c_custkey")).hint("shuffle_hash")
     return (
-        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
-        .join(line, F.col("l_orderkey") == F.col("o_orderkey"))
+        co.join(line, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))

@@ -175,3 +175,70 @@ class TestMinHashIndex:
         }
         assert (25, 100) in got  # newly added corpus doc is probed
         assert (25, 31) in got
+
+
+class TestStreamNearDedupIngest:
+    def test_stream_ingest_filters_and_grows_index(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from graphula_spark.operators.dedup import MinHashIndex
+        from graphula_spark.streaming.windows import stream_near_dedup_ingest
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely different corpus content about spark engines"),
+            ],
+            ["doc_id", "text"],
+        )
+        idx_path = str(tmp_path / "idx")
+        MinHashIndex.build(corpus, "doc_id", "text", idx_path)
+
+        batch = spark.createDataFrame(
+            [
+                # near-dup of corpus doc 1 -> rejected
+                (10, "the quick brown fox jumps over the lazy dog tonight"),
+                # unique -> accepted
+                (11, "entirely novel text with nothing shared at all here"),
+                # intra-batch near-dup pair -> min id 12 survives
+                (12, "twin paragraphs arriving together in the same batch now"),
+                (13, "twin paragraphs arriving together in the same batch here"),
+            ],
+            ["doc_id", "text"],
+        )
+        in_dir = str(tmp_path / "incoming")
+        batch.write.parquet(in_dir)
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = stream_near_dedup_ingest(
+            spark,
+            stream,
+            idx_path,
+            jaccard_threshold=0.3,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+        accepted = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{idx_path}/accepted").collect()
+        }
+        assert accepted == {11, 12}
+
+        # the index grew: a later near-dup of accepted doc 11 is caught
+        later = spark.createDataFrame(
+            [(20, "entirely novel text with nothing shared at all there")],
+            ["doc_id", "text"],
+        )
+        idx = MinHashIndex.load(spark, idx_path)
+        hits = {
+            (r["id_new"], r["id_corpus"])
+            for r in idx.query(later, "doc_id", "text", 0.3).collect()
+        }
+        assert (20, 11) in hits

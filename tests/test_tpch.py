@@ -50,3 +50,19 @@ def test_q5_broadcasts_dims_and_pushes_filters(spark):
     assert "BroadcastHashJoin" in plan
     # the region filter must reach the parquet scan
     assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_q3_never_broadcasts_the_fact_table(spark):
+    # the hinted shuffle_hash join keeps lineitem streaming: a
+    # broadcast of the (filter-estimate-shrunken) fact side OOMs at
+    # cluster scale (caught live at the 10x probe, see ROADMAP)
+    plan = (
+        tpch.q3_shipping_priority(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin [o_orderkey" in plan
+    lineitem_scan_prefix = plan.split("lineitem.parquet")[0]
+    last_scan_block = lineitem_scan_prefix.rsplit("FileScan", 1)[-1]
+    assert "BroadcastExchange" not in last_scan_block
