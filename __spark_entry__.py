@@ -1730,14 +1730,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS digest,
                    CAST(((greatest(strlen(text) // 64, 1) - 1) // 10) + 1 AS BIGINT) AS n_frames,
-                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS detected,
-                   CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 64 + 1 AS INT) END AS width,
-                   CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 48 + 1 AS INT) END AS height,
-                   CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) END AS mean_pixel,
-                   CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
-                   CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 500 + 100 AS INT) END AS n_samples,
-                   CASE WHEN doc_id % 2 = 1 THEN CAST(1000 AS INT) END AS max_amp,
-                   CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id % 500 + 99) // 4 AS INT) END AS n_zero_cross
+                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                        ELSE 'jpeg' END AS detected,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INT)
+                        WHEN doc_id % 3 = 2 THEN CAST(doc_id % 40 + 1 AS INT)
+                   END AS width,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 1 AS INT)
+                        WHEN doc_id % 3 = 2 THEN CAST(doc_id % 32 + 1 AS INT)
+                   END AS height,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
+                        WHEN doc_id % 3 = 2 THEN
+                          -- flat 8x8 JPEG blocks carry only the DC term:
+                          -- quality-90 luma DC quantizer is 3, and the
+                          -- codec rounds half-up, so the decoded value is
+                          -- clip(floor(floor(8(v-128)/3 + .5)*3/8 + 128.5))
+                          least(255.0, greatest(0.0, floor(
+                            floor(8 * (doc_id % 256 - 128) / 3.0 + 0.5)
+                              * 3.0 / 8.0 + 128.5)))
+                   END AS mean_pixel,
+                   CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+                   CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 500 + 100 AS INT) END AS n_samples,
+                   CASE WHEN doc_id % 3 = 1 THEN CAST(1000 AS INT) END AS max_amp,
+                   CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 500 + 99) // 4 AS INT) END AS n_zero_cross
             FROM documents
         """,
         "events_window": """

@@ -3,9 +3,10 @@
 PIL/ffmpeg are not installable here, but PNG and PCM WAV are fully
 decodable with stdlib `zlib` + `struct` + numpy — so the multimodal
 decode step can be REAL for these formats (parse → decompress →
-unfilter → pixel/sample arrays), not a digest-derived stub. Formats
-beyond these (JPEG, H.264, ...) still raise NotImplementedError until
-real codec libraries are present; `operators/multimodal.py` routes by
+unfilter → pixel/sample arrays), not a digest-derived stub. Baseline
+JPEG is implemented from the spec in `operators/jpeg.py`; formats
+beyond these (H.264, ...) still raise NotImplementedError until real
+codec libraries are present; `operators/multimodal.py` routes by
 magic bytes.
 
 Everything here is per-payload Python intended to run inside

@@ -1,0 +1,599 @@
+"""Baseline JPEG (ITU-T.81 sequential DCT) codec in stdlib + numpy.
+
+No PIL/libjpeg in this environment, so the multimodal pipeline's JPEG
+route is implemented from the spec: real marker parsing, real Huffman
+entropy coding, real DCT/quantization. Scope (the baseline common
+case, explicit errors otherwise):
+
+- encoder: 8-bit grayscale or RGB (written as YCbCr 4:4:4), quality-
+  scaled quantization tables, per-image OPTIMAL Huffman tables built
+  with package-merge and transmitted in DHT (what `cjpeg -optimize`
+  does — so no reliance on transcribing Annex K's 162-entry AC tables);
+- decoder: baseline sequential, grayscale or any non-subsampled
+  (1x1 sampling) component layout, restart markers honored; progressive
+  mode and chroma subsampling raise NotImplementedError.
+
+Like the PNG/WAV codecs this is per-payload Python meant for
+Arrow-batched `mapInPandas` workers: bytes in, arrays out.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------
+# shared constants / helpers
+# ---------------------------------------------------------------------
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis M: coefficients = M @ block @ M.T."""
+    k = np.arange(8)
+    m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m *= np.sqrt(2 / 8)
+    m[0, :] = np.sqrt(1 / 8)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _zigzag_order() -> np.ndarray:
+    """Positions (r, c) in zig-zag scan order, derived programmatically
+    (up-right / down-left diagonal walk) rather than transcribed."""
+    order = []
+    r = c = 0
+    for _ in range(64):
+        order.append((r, c))
+        if (r + c) % 2 == 0:  # moving up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:  # moving down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return np.array([r * 8 + c for r, c in order])
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex K reference quantization tables (quality 50 base). These ride
+# in DQT, so interoperability does not depend on them being canonical.
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _magnitude_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# ---------------------------------------------------------------------
+# Huffman: per-image optimal tables (package-merge, <=16 bits)
+# ---------------------------------------------------------------------
+
+
+def _package_merge_lengths(freqs: dict[int, int], max_len: int = 16) -> dict[int, int]:
+    """Code length per symbol, length-limited (Larmore-Hirschberg).
+
+    A sentinel symbol with frequency 1 is NOT added here — callers add
+    one so the all-ones code stays unused (JPEG forbids it)."""
+    syms = [(f, s) for s, f in freqs.items() if f > 0]
+    if not syms:
+        return {}
+    if len(syms) == 1:
+        return {syms[0][1]: 1}
+    coins = sorted((f, (s,)) for f, s in syms)
+    packages: list[tuple[int, tuple]] = []
+    for _ in range(max_len):
+        merged = sorted(packages + coins)
+        packages = [
+            (
+                merged[2 * i][0] + merged[2 * i + 1][0],
+                merged[2 * i][1] + merged[2 * i + 1][1],
+            )
+            for i in range(len(merged) // 2)
+        ]
+    lengths: dict[int, int] = {s: 0 for _, s in syms}
+    # standard package-merge accounting: after max_len rounds the first
+    # (2n - 2) items of the FINAL merged list, counted by symbol
+    # membership, give each symbol's code length
+    final = sorted(packages + coins)[: 2 * len(syms) - 2]
+    for _, bundle in final:
+        for s in bundle:
+            lengths[s] += 1
+    return lengths
+
+
+def _canonical_table(lengths: dict[int, int]):
+    """(bits[17], huffval, code_map) — canonical JPEG code assignment:
+    shorter codes first, ties by symbol value (the DHT convention)."""
+    bits = [0] * 17
+    ordered = sorted(lengths.items(), key=lambda kv: (kv[1], kv[0]))
+    huffval = [s for s, _ in ordered]
+    for _, ln in ordered:
+        bits[ln] += 1
+    code_map: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for s, ln in ordered:
+        code <<= ln - prev_len
+        code_map[s] = (code, ln)
+        code += 1
+        prev_len = ln
+    return bits, huffval, code_map
+
+
+def _build_table(freqs: dict[int, int]):
+    """Optimal JPEG Huffman table for observed symbol frequencies. The
+    reserved pseudo-symbol 256 (freq 1) guarantees the all-ones code is
+    never assigned to a real symbol (T.81 K.2 discipline)."""
+    f = dict(freqs)
+    f[256] = 1
+    lengths = _package_merge_lengths(f)
+    # package-merge breaks frequency ties arbitrarily; reassign the
+    # computed length MULTISET monotonically (rarer symbol -> longer
+    # code, pseudo-symbol strictly last) so 256 is guaranteed the
+    # longest code and can be dropped without shifting earlier codes
+    syms_sorted = sorted(f, key=lambda s: (s == 256, -f[s], s))
+    lens_sorted = sorted(lengths.values())
+    lengths = dict(zip(syms_sorted, lens_sorted))
+    bits, huffval, code_map = _canonical_table(lengths)
+    # drop the pseudo-symbol: it owns the lexicographically last code
+    if 256 in code_map:
+        ln = lengths[256]
+        bits[ln] -= 1
+        huffval = [v for v in huffval if v != 256]
+        del code_map[256]
+    return bits, huffval, code_map
+
+
+# ---------------------------------------------------------------------
+# bit IO with 0xFF byte stuffing
+# ---------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop partial byte and consume an expected RST marker."""
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF:
+            self.pos += 1
+        self.pos += 2  # FF Dn
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _receive_extend(r: _BitReader, size: int) -> int:
+    if size == 0:
+        return 0
+    v = r.read_bits(size)
+    if v < (1 << (size - 1)):  # negative branch (one's complement)
+        v -= (1 << size) - 1
+    return v
+
+
+# ---------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(n_blocks_v, n_blocks_h, 8, 8) view of an edge-replicated plane."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    H, W = plane.shape
+    return plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _forward_component(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Quantized zig-zag coefficients (n_blocks, 64) for one component."""
+    blocks = _blocks_of(plane.astype(np.float64) - 128.0)
+    coeffs = np.einsum("ij,abjk,lk->abil", _DCT, blocks, _DCT)
+    # floor(x + 0.5) (half-up) instead of np.round: banker's rounding
+    # is not expressible in portable SQL, and the mm oracle predicts
+    # flat-image decode output in closed form
+    quant = np.floor(coeffs / q + 0.5).astype(np.int32)
+    n = quant.shape[0] * quant.shape[1]
+    return quant.reshape(n, 64)[:, _ZIGZAG]
+
+
+def _component_symbols(zz: np.ndarray):
+    """Per-block (dc_symbol, dc_value, [(ac_symbol, ac_value), ...])
+    streams plus symbol frequency tallies."""
+    dc_freq: dict[int, int] = {}
+    ac_freq: dict[int, int] = {}
+    blocks = []
+    prev_dc = 0
+    for row in zz:
+        dc_diff = int(row[0]) - prev_dc
+        prev_dc = int(row[0])
+        dsize = _magnitude_category(dc_diff)
+        dc_freq[dsize] = dc_freq.get(dsize, 0) + 1
+        acs = []
+        run = 0
+        for k in range(1, 64):
+            v = int(row[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                acs.append((0xF0, 0))
+                ac_freq[0xF0] = ac_freq.get(0xF0, 0) + 1
+                run -= 16
+            size = _magnitude_category(v)
+            sym = (run << 4) | size
+            acs.append((sym, v))
+            ac_freq[sym] = ac_freq.get(sym, 0) + 1
+            run = 0
+        if run:
+            acs.append((0x00, 0))
+            ac_freq[0x00] = ac_freq.get(0x00, 0) + 1
+        blocks.append((dsize, dc_diff, acs))
+    return blocks, dc_freq, ac_freq
+
+
+def _dht_segment(cls: int, dest: int, bits, huffval) -> bytes:
+    body = bytes([(cls << 4) | dest]) + bytes(bits[1:17]) + bytes(huffval)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(dest: int, q: np.ndarray) -> bytes:
+    body = bytes([dest]) + bytes(int(v) for v in q.reshape(64)[_ZIGZAG])
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Baseline JPEG bytes for an 8-bit grayscale (h, w) or RGB
+    (h, w, 3) array. YCbCr 4:4:4, optimal Huffman tables in DHT."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        planes = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r = arr[..., 0].astype(np.float64)
+        g = arr[..., 1].astype(np.float64)
+        b = arr[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, np.clip(cb, 0, 255), np.clip(cr, 0, 255)]
+    else:
+        raise ValueError(f"unsupported pixel shape {arr.shape}")
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    q_tables = [_scaled_quant(_Q_LUMA, quality)]
+    if ncomp == 3:
+        q_tables.append(_scaled_quant(_Q_CHROMA, quality))
+
+    comp_zz = [
+        _forward_component(p, q_tables[min(i, len(q_tables) - 1)])
+        for i, p in enumerate(planes)
+    ]
+    streams, dc_freqs, ac_freqs = [], [{}, {}], [{}, {}]
+    for i, zz in enumerate(comp_zz):
+        t = min(i, 1)  # table 0 = luma, table 1 = both chromas
+        blocks, dcf, acf = _component_symbols(zz)
+        streams.append(blocks)
+        for s, n in dcf.items():
+            dc_freqs[t][s] = dc_freqs[t].get(s, 0) + n
+        for s, n in acf.items():
+            ac_freqs[t][s] = ac_freqs[t].get(s, 0) + n
+
+    ntab = 1 if ncomp == 1 else 2
+    dc_tabs = [_build_table(dc_freqs[t]) for t in range(ntab)]
+    ac_tabs = [_build_table(ac_freqs[t]) for t in range(ntab)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for i, q in enumerate(q_tables):
+        out += _dqt_segment(i, q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, min(i, len(q_tables) - 1)])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for t in range(ntab):
+        out += _dht_segment(0, t, dc_tabs[t][0], dc_tabs[t][1])
+        out += _dht_segment(1, t, ac_tabs[t][0], ac_tabs[t][1])
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        t = min(i, 1)
+        sos += bytes([i + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    # interleaved MCU scan (4:4:4 -> one block per component per MCU)
+    wbits = _BitWriter()
+    n_mcus = len(streams[0])
+    for m in range(n_mcus):
+        for i in range(ncomp):
+            t = min(i, 1)
+            dsize, dc_diff, acs = streams[i][m]
+            code, ln = dc_tabs[t][2][dsize]
+            wbits.write(code, ln)
+            if dsize:
+                v = dc_diff if dc_diff >= 0 else dc_diff + (1 << dsize) - 1
+                wbits.write(v, dsize)
+            for sym, val in acs:
+                code, ln = ac_tabs[t][2][sym]
+                wbits.write(code, ln)
+                size = sym & 0x0F
+                if size:
+                    v = val if val >= 0 else val + (1 << size) - 1
+                    wbits.write(v, size)
+    out += wbits.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode baseline sequential JPEG. Returns (width, height,
+    channels, pixels) with pixels (h, w) for grayscale or (h, w, 3)
+    RGB. Raises NotImplementedError for progressive scans or
+    subsampled chroma; ValueError for malformed data."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("no scan data before EOI")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                        np.int32
+                    )
+                    p += 64
+                else:
+                    vals = np.frombuffer(
+                        seg[p : p + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    p += 128
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZIGZAG] = vals
+                qt[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, dest = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                p += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        table[(ln, code)] = seg[p]
+                        p += 1
+                        code += 1
+                    code <<= 1
+                huff[(cls, dest)] = table
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma not supported (1x1 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"non-baseline frame type 0xFF{marker:02X}"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tabs = []
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tabs.append((cid, tt >> 4, tt & 0x0F))
+            pos += seglen
+            return _decode_scan(
+                payload, pos, frame, scan_tabs, qt, huff, restart_interval
+            )
+        pos += seglen
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _decode_scan(data, pos, frame, scan_tabs, qt, huff, restart_interval):
+    fh, fw, comps = frame
+    ncomp = len(comps)
+    bh, bw = -(-fh // 8), -(-fw // 8)
+    n_mcus = bh * bw
+    coeff = [np.zeros((n_mcus, 64), dtype=np.int32) for _ in range(ncomp)]
+    r = _BitReader(data, pos)
+    pred = [0] * ncomp
+    mcu = 0
+    while mcu < n_mcus:
+        try:
+            for ci in range(ncomp):
+                _, dc_t, ac_t = scan_tabs[ci]
+                dct = huff[(0, dc_t)]
+                act = huff[(1, ac_t)]
+                size = _huff_decode(r, dct)
+                diff = _receive_extend(r, size)
+                pred[ci] += diff
+                blk = coeff[ci][mcu]
+                blk[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(r, act)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    blk[k] = _receive_extend(r, sym & 0x0F)
+                    k += 1
+            mcu += 1
+            if restart_interval and mcu % restart_interval == 0 and mcu < n_mcus:
+                r.align_to_marker()
+                pred = [0] * ncomp
+        except _RestartMarker:
+            r.pos += 0  # marker already consumed positionally by _fill
+            raise ValueError("unexpected restart marker") from None
+
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        q = qt[tq]
+        zz = coeff[ci]
+        dense = np.zeros((n_mcus, 64), dtype=np.float64)
+        dense[:, _ZIGZAG] = zz
+        blocks = dense.reshape(n_mcus, 8, 8) * q
+        spatial = np.einsum("ji,ajk,kl->ail", _DCT, blocks, _DCT)
+        plane = np.zeros((bh * 8, bw * 8))
+        for m in range(n_mcus):
+            y, x = divmod(m, bw)
+            plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = spatial[m]
+        planes.append(plane[:fh, :fw] + 128.0)
+
+    if ncomp == 1:
+        px = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return fw, fh, 1, px
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r_ = y + 1.402 * cr
+    g_ = y - 0.344136 * cb - 0.714136 * cr
+    b_ = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8) for p in (r_, g_, b_)],
+        axis=-1,
+    )
+    return fw, fh, 3, rgb

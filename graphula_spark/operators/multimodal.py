@@ -6,9 +6,10 @@ over mapInPandas, so each batch crosses the JVM↔Python boundary once.
 
 Decode is REAL for PNG images and PCM WAV audio via the stdlib-only
 codecs in `operators/codecs.py` (zlib chunk inflate + filter undo;
-RIFF chunk walk) — `extract_real_features` routes payloads by magic
+RIFF chunk walk; baseline JPEG from the spec in operators/jpeg.py) —
+`extract_real_features` routes payloads by magic
 bytes and emits decoded dimensions / signal features. Formats needing
-external codec libraries (JPEG/H.264/...; PIL/ffmpeg are not in this
+external codec libraries (H.264/...; PIL/ffmpeg are not in this
 environment) still go through the STUBBED path: `decode_image` raises
 NotImplementedError unless `fake=True`, in which case a deterministic
 fake decoder (derived from the payload bytes) exercises the full
@@ -58,9 +59,22 @@ FEATURE_SCHEMA = StructType(
 
 
 def _decode_image_real(payload: bytes):
+    """Real decode for the formats the in-repo codecs cover (PNG via
+    stdlib zlib, baseline JPEG via operators/jpeg.py); other image
+    formats still need PIL/opencv."""
+    from graphula_spark.operators.codecs import PNG_SIG, decode_png
+    from graphula_spark.operators.jpeg import decode_jpeg
+
+    if payload[: len(PNG_SIG)] == PNG_SIG:
+        w, h, _c, _px = decode_png(payload)
+        return w, h
+    if payload[:2] == b"\xff\xd8":
+        w, h, _c, _px = decode_jpeg(payload)
+        return w, h
     raise NotImplementedError(
-        "real image decoding needs PIL/opencv — not available in this "
-        "environment; pass fake=True for the deterministic stub decoder"
+        "image format beyond PNG/baseline-JPEG needs PIL/opencv — not "
+        "available in this environment; pass fake=True for the "
+        "deterministic stub decoder"
     )
 
 
@@ -162,30 +176,34 @@ REAL_FEATURE_SCHEMA = StructType(
 
 
 def synthesize_real_media(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL media payloads from document rows: even
-    doc_ids become actual PNG images (grayscale, w = id%64+1,
-    h = id%48+1, constant pixel id%256), odd doc_ids become actual
-    PCM-16 WAV files (8 kHz square wave, period 8, amplitude 1000,
-    n = id%500+100 samples). The payloads round-trip through any
+    """Deterministic REAL media payloads from document rows, cycling by
+    doc_id % 3: actual PNG images (grayscale, w = id%64+1, h = id%48+1,
+    constant pixel id%256), actual PCM-16 WAV files (8 kHz square wave,
+    period 8, amplitude 1000, n = id%500+100 samples), and actual
+    baseline JPEGs (flat gray w = id%40+1, h = id%32+1, value id%256 at
+    quality 90 — flat blocks decode to a value that is a CLOSED-FORM
+    function of the DC quantizer, so even the lossy codec's output is
+    SQL-predictable). The payloads round-trip through any
     standards-compliant decoder, and every decoded feature is a
     closed-form function of doc_id — so a SQL oracle can verify a
     REAL encode→decode pipeline without a codec."""
     import numpy as np
 
     from graphula_spark.operators.codecs import encode_png, encode_wav_pcm16
+    from graphula_spark.operators.jpeg import encode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, source in zip(pdf["doc_id"], pdf["source"]):
                 mid = int(mid)
-                if mid % 2 == 0:
+                if mid % 3 == 0:
                     w, h = mid % 64 + 1, mid % 48 + 1
                     px = np.full((h, w), mid % 256, dtype=np.uint8)
                     rows.append(
                         (mid, encode_png(px), "image", (source, w, h))
                     )
-                else:
+                elif mid % 3 == 1:
                     n = mid % 500 + 100
                     t = np.arange(n)
                     sq = np.where((t // 4) % 2 == 0, 1000, -1000).astype(
@@ -193,6 +211,12 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                     )
                     rows.append(
                         (mid, encode_wav_pcm16(sq, 8000), "audio", (source, None, None))
+                    )
+                else:
+                    w, h = mid % 40 + 1, mid % 32 + 1
+                    px = np.full((h, w), mid % 256, dtype=np.uint8)
+                    rows.append(
+                        (mid, encode_jpeg(px, quality=90), "image", (source, w, h))
                     )
             yield pd.DataFrame(
                 rows, columns=["media_id", "payload", "media_type", "meta"]
@@ -238,6 +262,14 @@ def extract_real_features(df: DataFrame) -> DataFrame:
                         )
                     elif bytes(payload[:4]) == b"RIFF":
                         base.update(detected="wav", **audio_features(bytes(payload)))
+                    elif bytes(payload[:2]) == b"\xff\xd8":
+                        from graphula_spark.operators.jpeg import decode_jpeg
+
+                        w, h, c, px = decode_jpeg(bytes(payload))
+                        base.update(
+                            detected="jpeg", width=w, height=h,
+                            mean_pixel=float(px.mean()),
+                        )
                 except Exception:
                     base["detected"] = "corrupt"
                 rows.append(base)

@@ -1,0 +1,126 @@
+"""Baseline JPEG codec: spec invariants, round trips, edge cases.
+
+No libjpeg exists in this environment to cross-check against, so the
+tests pin the spec-mandated invariants separately from the round trip:
+zig-zag order (against the canonical published sequence), DCT
+orthonormality, Huffman Kraft equality and the 16-bit/no-all-ones JPEG
+constraints, marker structure, and closed-form DC-only decode values.
+"""
+
+import numpy as np
+import pytest
+
+from graphula_spark.operators import jpeg as J
+
+
+class TestInvariants:
+    def test_zigzag_matches_canonical_sequence(self):
+        # first 16 entries of the T.81 zig-zag sequence
+        assert list(J._ZIGZAG[:16]) == [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        ]
+        assert sorted(J._ZIGZAG) == list(range(64))
+
+    def test_dct_is_orthonormal(self):
+        assert np.allclose(J._DCT @ J._DCT.T, np.eye(8), atol=1e-12)
+
+    def test_huffman_tables_are_jpeg_legal(self):
+        rng = np.random.default_rng(7)
+        freqs = {int(s): int(f) for s, f in enumerate(rng.integers(1, 500, 120))}
+        bits, huffval, code_map = J._build_table(freqs)
+        lengths = [ln for _, ln in code_map.values()]
+        assert max(lengths) <= 16
+        # Kraft strictly < 1: the all-ones code is reserved (T.81 K.2)
+        kraft = sum(2.0 ** -ln for ln in lengths)
+        assert kraft < 1.0
+        for _sym, (code, ln) in code_map.items():
+            assert code != (1 << ln) - 1  # no all-ones code
+        # prefix-free
+        codes = sorted((ln, code) for code, ln in code_map.values())
+        for i, (ln_a, c_a) in enumerate(codes):
+            for ln_b, c_b in codes[i + 1 :]:
+                assert not (c_b >> (ln_b - ln_a)) == c_a or ln_a == ln_b
+
+    def test_marker_structure(self):
+        enc = J.encode_jpeg(np.full((8, 8), 77, dtype=np.uint8))
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        assert b"\xff\xc0" in enc and b"\xff\xc4" in enc
+        assert b"\xff\xdb" in enc and b"\xff\xda" in enc
+
+
+class TestRoundTrip:
+    def test_flat_images_decode_closed_form(self):
+        q_dc = int(J._scaled_quant(J._Q_LUMA, 90)[0, 0])
+        assert q_dc == 3  # the constant inlined in the mm oracle
+        for v in (0, 1, 64, 127, 128, 200, 255):
+            img = np.full((13, 21), v, dtype=np.uint8)
+            _w, _h, _c, out = J.decode_jpeg(J.encode_jpeg(img, 90))
+            import math
+
+            pred = min(
+                255,
+                max(
+                    0,
+                    math.floor(
+                        math.floor(8 * (v - 128) / q_dc + 0.5) * q_dc / 8 + 128.5
+                    ),
+                ),
+            )
+            assert (out == pred).all()
+
+    def test_gray_gradient_quality_sweep(self):
+        x = np.linspace(0, 255, 64)
+        img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+        last_err = None
+        for q in (50, 75, 90, 100):
+            w, h, c, out = J.decode_jpeg(J.encode_jpeg(img, q))
+            assert (w, h, c) == (64, 64, 1)
+            err = np.abs(out.astype(int) - img.astype(int)).mean()
+            if last_err is not None:
+                assert err <= last_err + 0.25  # quality must not hurt
+            last_err = err
+        assert last_err < 1.0  # q100 is near-lossless on smooth data
+
+    def test_rgb_odd_dimensions(self):
+        img = np.zeros((37, 53, 3), dtype=np.uint8)
+        yy, xx = np.mgrid[0:37, 0:53]
+        img[..., 0] = (yy * 4) % 256
+        img[..., 1] = (xx * 3) % 256
+        img[..., 2] = ((xx + yy) * 2) % 256
+        w, h, c, out = J.decode_jpeg(J.encode_jpeg(img, 90))
+        assert (w, h, c) == (53, 37, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_random_images_structurally_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        hh, ww = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        if seed % 2:
+            img = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, (hh, ww), dtype=np.uint8)
+        img = img.astype(np.uint8)
+        w, h, _c, out = J.decode_jpeg(J.encode_jpeg(img, int(rng.integers(40, 101))))
+        assert (w, h) == (ww, hh)
+        assert out.shape == img.shape
+
+    def test_1x1(self):
+        one = np.array([[123]], dtype=np.uint8)
+        w, h, _c, out = J.decode_jpeg(J.encode_jpeg(one, 90))
+        assert (w, h) == (1, 1)
+        assert abs(int(out[0, 0]) - 123) <= 2
+
+
+class TestErrors:
+    def test_not_a_jpeg(self):
+        with pytest.raises(ValueError):
+            J.decode_jpeg(b"\x89PNG\r\n")
+
+    def test_truncated_raises(self):
+        enc = J.encode_jpeg(np.full((16, 16), 9, dtype=np.uint8))
+        with pytest.raises(Exception):
+            J.decode_jpeg(enc[:40])
+
+    def test_bad_pixel_shape(self):
+        with pytest.raises(ValueError):
+            J.encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))

@@ -176,15 +176,24 @@ def test_real_media_roundtrip_in_spark(spark):
         r["media_id"]: r.asDict()
         for r in extract_real_features(synthesize_real_media(docs)).collect()
     }
+    import math
+
     for mid, r in rows.items():
-        if mid % 2 == 0:
+        if mid % 3 == 0:
             assert r["detected"] == "png"
             assert (r["width"], r["height"]) == (mid % 64 + 1, mid % 48 + 1)
             assert r["mean_pixel"] == float(mid % 256)
-        else:
+        elif mid % 3 == 1:
             n = mid % 500 + 100
             assert r["detected"] == "wav" and r["n_samples"] == n
             assert r["n_zero_cross"] == (n - 1) // 4
+        else:
+            assert r["detected"] == "jpeg"
+            assert (r["width"], r["height"]) == (mid % 40 + 1, mid % 32 + 1)
+            v = mid % 256
+            pred = min(255, max(0, math.floor(
+                math.floor(8 * (v - 128) / 3 + 0.5) * 3 / 8 + 128.5)))
+            assert r["mean_pixel"] == float(pred)
 
 
 def test_corrupt_payload_does_not_fail_batch(spark):
