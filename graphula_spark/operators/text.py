@@ -544,3 +544,56 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     )
     return summary.join(langs, how="cross")
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap proxy
+    for repetitive / machine-generated text (highly compressible ⇒
+    low information density; near-incompressible ⇒ binary junk or
+    high-entropy noise). Used as a quality filter bound in
+    RefinedWeb-style pipelines.
+
+    zlib only exists Python-side, so this is one of the few operators
+    that runs as an Arrow-batched mapInPandas (same contract as the
+    media codecs): bytes in, one float out, one JVM↔Python crossing
+    per batch. Returns (id, n_bytes, n_compressed, ratio)."""
+    from typing import Iterator as _Iter
+
+    import pandas as _pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("n_bytes", LongType(), True),
+            StructField("n_compressed", LongType(), True),
+            StructField("ratio", DoubleType(), True),
+        ]
+    )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def run(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["t"].map(lambda s: (s or "").encode("utf-8"))
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield _pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": n,
+                    "n_compressed": comp,
+                    "ratio": [
+                        (c / b) if b else None for b, c in zip(n, comp)
+                    ],
+                }
+            )
+
+    return src.mapInPandas(run, schema=schema)

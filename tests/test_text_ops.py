@@ -444,3 +444,37 @@ def test_bpe_train_matches_python_reference(spark):
     # a frequent word compresses to fewer symbols than characters
     low_doc = enc[0][0]
     assert any(len(tok.rstrip(EOW)) >= 3 for tok in low_doc)
+
+
+class TestCompressionRatio:
+    def test_repetitive_text_compresses_more(self, spark):
+        from graphula_spark.operators.text import compression_ratio
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spam spam spam " * 50),
+                (2, "the quick brown fox jumps over a lazy dog and then "
+                    "wanders off toward distant unexplored hills quietly"),
+                (3, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["id"]: r.asDict()
+            for r in compression_ratio(docs, "doc_id", "text").collect()
+        }
+        assert rows[1]["ratio"] < 0.1  # highly repetitive
+        assert rows[2]["ratio"] > rows[1]["ratio"]
+        assert rows[3]["ratio"] is None and rows[3]["n_bytes"] == 0
+
+    def test_ratio_is_deterministic(self, spark):
+        import zlib
+
+        from graphula_spark.operators.text import compression_ratio
+
+        text = "deterministic compression check " * 7
+        docs = spark.createDataFrame([(5, text)], ["doc_id", "text"])
+        r = compression_ratio(docs, "doc_id", "text").collect()[0]
+        want = len(zlib.compress(text.encode(), 6))
+        assert r["n_compressed"] == want
+        assert r["ratio"] == want / len(text.encode())
