@@ -497,10 +497,34 @@ def q_dedup_incremental(spark, sf):
     batch = docs.where(F.col("doc_id") % 5 == 0)
     tag = sf.strip("/").replace("/", "_")
     path = f"/tmp/graphula_minhash_idx/{tag}"
-    if not os.path.exists(f"{path}/_meta.json"):
-        idx = MinHashIndex.build(corpus, "doc_id", "text", path)
-    else:
+    # cache key includes the source file's identity: a regenerated
+    # dataset at the same path must NOT hit a stale index (the oracle
+    # reads the CURRENT table)
+    src = f"{sf}/documents.parquet"
+
+    def _fingerprint(p):
+        st = os.stat(p)
+        parts = [f"{st.st_mtime_ns}:{st.st_size}"]
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                s = os.stat(os.path.join(p, name))
+                parts.append(f"{name}:{s.st_mtime_ns}:{s.st_size}")
+        return ";".join(parts)
+
+    fp = _fingerprint(src)
+    fp_file = f"{path}/_source_fp"
+    if (
+        os.path.exists(f"{path}/_meta.json")
+        and os.path.exists(fp_file)
+        and open(fp_file).read() == fp
+    ):
         idx = MinHashIndex.load(spark, path)
+    else:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        idx = MinHashIndex.build(corpus, "doc_id", "text", path)
+        open(fp_file, "w").write(fp)
     pairs = idx.query(batch, "doc_id", "text", jaccard_threshold=0.3)
     return pairs.select(
         F.col("id_new").cast("long").alias("id_new"),

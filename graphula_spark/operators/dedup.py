@@ -502,7 +502,9 @@ def substring_dedup(
         ).alias("clean_text"),
         F.coalesce(F.col("n_dup_positions"), F.lit(0)).alias("n_dup_positions"),
         F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
-        F.size(kept).alias("n_tokens_kept"),
+        # NULL text ⇒ toks/kept are NULL ⇒ size() is NULL; the SQL
+        # oracle yields 0 for such docs, so coalesce keeps parity
+        F.coalesce(F.size(kept), F.lit(0)).alias("n_tokens_kept"),
     )
     return out
 

@@ -121,7 +121,11 @@ def _package_merge_lengths(freqs: dict[int, int], max_len: int = 16) -> dict[int
         return {syms[0][1]: 1}
     coins = sorted((f, (s,)) for f, s in syms)
     packages: list[tuple[int, tuple]] = []
-    for _ in range(max_len):
+    # max_len - 1 packaging rounds: the final merged list is the
+    # max_len-th level, so membership counts (= code lengths) cannot
+    # exceed max_len. One extra round yields length max_len + 1 codes
+    # (caught by a review stress test at 170/400 random alphabets).
+    for _ in range(max_len - 1):
         merged = sorted(packages + coins)
         packages = [
             (
@@ -247,11 +251,24 @@ class _BitReader:
         return v
 
     def align_to_marker(self) -> None:
-        """Drop partial byte and consume an expected RST marker."""
+        """Drop the partial byte and consume the next RST marker,
+        stepping over stuffed FF 00 data bytes and FF fill bytes
+        (T.81 B.1.1.2) instead of mistaking them for the marker."""
         self.nbits = 0
-        while self.data[self.pos] != 0xFF:
-            self.pos += 1
-        self.pos += 2  # FF Dn
+        while True:
+            while self.data[self.pos] != 0xFF:
+                self.pos += 1
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed entropy byte, not a marker
+                self.pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                self.pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                return
+            raise ValueError(f"expected restart marker, found 0xFF{nxt:02X}")
 
 
 class _RestartMarker(Exception):
@@ -445,6 +462,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # optional 0xFF fill bytes may pad in front of any marker
+        # (T.81 B.1.1.2) — skip to the marker code proper
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

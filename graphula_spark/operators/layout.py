@@ -26,25 +26,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _rank_boundaries(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> dict[str, list[float]]:
+    """Equal-frequency boundaries for every column in ONE scan —
+    DataFrame.approxQuantile takes a column list and shares the pass,
+    so clustering on k columns does not cost k full reads."""
+    n = 1 << bits
+    qs = [i / n for i in range(1, n)]
+    # approxQuantile needs numeric columns; timestamps cast to epoch
+    casted = df.select(
+        *[F.col(c).cast("double").alias(f"__zq_{c}") for c in cols]
+    )
+    all_bounds = casted.approxQuantile([f"__zq_{c}" for c in cols], qs, 0.001)
+    out: dict[str, list[float]] = {}
+    for c, bounds in zip(cols, all_bounds):
+        uniq: list[float] = []  # strictly increasing (dups collapse buckets)
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        out[c] = uniq
+    return out
+
+
+def _rank_column(col: str, bounds: list[float]) -> Column:
+    val = F.col(col).cast("double")
+    rank = F.lit(0)
+    for b in bounds:
+        rank = rank + F.when(val > F.lit(b), 1).otherwise(0)
+    return rank.cast("long")
+
+
 def quantize_rank(df: DataFrame, col: str, bits: int = 8) -> Column:
     """0..2^bits-1 equal-frequency rank of ``col`` via approx-quantile
     boundaries. Returns a Column usable on ``df``."""
-    n = 1 << bits
-    qs = [i / n for i in range(1, n)]
-    # approxQuantile needs a numeric column; timestamps cast to epoch
-    c = f"__zq_{col}"
-    src = df.withColumn(c, F.col(col).cast("double"))
-    bounds = src.approxQuantile(c, qs, 0.001)
-    # strictly increasing boundary list (duplicates collapse buckets)
-    uniq: list[float] = []
-    for b in bounds:
-        if not uniq or b > uniq[-1]:
-            uniq.append(b)
-    val = F.col(col).cast("double")
-    rank = F.lit(0)
-    for b in uniq:
-        rank = rank + F.when(val > F.lit(b), 1).otherwise(0)
-    return rank.cast("long")
+    return _rank_column(col, _rank_boundaries(df, [col], bits)[col])
 
 
 def zorder_key(ranks: list[Column], bits: int = 8) -> Column:
@@ -74,7 +90,8 @@ def zorder_write(
     any of them (and conjunctions). ``row_group_bytes`` shrinks parquet
     row groups below the 128MB default when finer pruning granularity
     is worth the metadata (tests use it; at scale the default is right)."""
-    ranks = [quantize_rank(df, c, bits) for c in by]
+    bounds = _rank_boundaries(df, by, bits)
+    ranks = [_rank_column(c, bounds[c]) for c in by]
     keyed = df.withColumn("__zkey", zorder_key(ranks, bits))
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     writer = (

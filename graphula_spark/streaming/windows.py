@@ -158,30 +158,48 @@ def stream_near_dedup_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # snapshot the cached-RDD set so every persist() made inside
+        # this batch (batch_df, lsh signature tables, verify shingles)
+        # can be released afterwards — a long-lived stream must not
+        # accumulate one cached signature table per micro-batch
+        jsc = spark.sparkContext._jsc
+        before = set(dict(jsc.getPersistentRDDs()).keys())
         batch_df = batch_df.persist()
-        idx = MinHashIndex.load(spark, index_path)
-        dup_vs_corpus = (
-            idx.query(batch_df, id_col, text_col, jaccard_threshold)
-            .select(F.col("id_new").alias(id_col))
-            .distinct()
-        )
-        # within-batch: keep the min-id member of each near-dup pair
-        intra = minhash_lsh_pairs(
-            batch_df, id_col, text_col, jaccard_threshold=jaccard_threshold
-        ).select(F.greatest("id_a", "id_b").alias(id_col)).distinct()
-        survivors = batch_df.join(
-            dup_vs_corpus.unionByName(intra).distinct(), id_col, "left_anti"
-        ).persist()
-        # ORDER MATTERS: materialize + publish the survivors BEFORE
-        # growing the index — add() puts the survivors' own bands into
-        # the very parquet the lazy query plan scans, so a later
-        # re-evaluation would match every survivor against itself and
-        # reject the whole batch
-        survivors.count()
-        survivors.write.mode("append").parquet(f"{index_path}/accepted")
-        idx.add(survivors, id_col, text_col)
-        survivors.unpersist()
-        batch_df.unpersist()
+        try:
+            idx = MinHashIndex.load(spark, index_path)
+            dup_vs_corpus = (
+                idx.query(batch_df, id_col, text_col, jaccard_threshold)
+                .select(F.col("id_new").alias(id_col))
+                .distinct()
+            )
+            # within-batch: keep the min-id member of each near-dup
+            # pair, measured with the INDEX's pinned parameters so
+            # intra-batch and vs-corpus dedup share one similarity
+            # definition
+            intra = minhash_lsh_pairs(
+                batch_df,
+                id_col,
+                text_col,
+                num_hashes=idx.num_hashes,
+                bands=idx.bands,
+                shingle_n=idx.shingle_n,
+                jaccard_threshold=jaccard_threshold,
+            ).select(F.greatest("id_a", "id_b").alias(id_col)).distinct()
+            survivors = batch_df.join(
+                dup_vs_corpus.unionByName(intra).distinct(), id_col, "left_anti"
+            ).persist()
+            # ORDER MATTERS: materialize + publish the survivors BEFORE
+            # growing the index — add() puts the survivors' own bands
+            # into the very parquet the lazy query plan scans, so a
+            # later re-evaluation would match every survivor against
+            # itself and reject the whole batch
+            survivors.count()
+            survivors.write.mode("append").parquet(f"{index_path}/accepted")
+            idx.add(survivors, id_col, text_col)
+        finally:
+            for rid, rdd in dict(jsc.getPersistentRDDs()).items():
+                if rid not in before:
+                    rdd.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).trigger(
         availableNow=True

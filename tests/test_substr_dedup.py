@@ -101,6 +101,20 @@ def test_short_and_empty_docs_pass_through(spark):
     run_both(spark, docs, 4)
 
 
+def test_null_text_matches_oracle_semantics(spark):
+    df = spark.createDataFrame([(1, None), (2, "a b c d e")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup(df, "doc_id", "text", min_len=4).collect()
+    }
+    # the DuckDB oracle yields ('', 0, 0, 0) for a NULL-text doc
+    assert rows[1]["clean_text"] == ""
+    assert rows[1]["n_dup_positions"] == 0
+    assert rows[1]["n_spans"] == 0
+    assert rows[1]["n_tokens_kept"] == 0
+    assert rows[2]["n_tokens_kept"] == 5
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_randomized_against_python_reference(spark, seed):
     rng = random.Random(seed)
