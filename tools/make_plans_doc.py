@@ -352,5 +352,69 @@ finally:
     spark.sql("DROP TABLE IF EXISTS plans_bucketed_t")
     spark.sql("DROP TABLE IF EXISTS plans_bucketed_t_dict")
 
+# 17. substring span dedup — bounded-key shuffles only
+from graphula_spark.operators.dedup import substring_dedup
+
+docs17 = spark.read.parquet(f"{sf}/documents.parquet")
+df17 = substring_dedup(docs17.select("doc_id", "text"), "doc_id", "text", 5)
+df17.count()
+p = plan_of(df17)
+out.append("## 17. Cross-document substring span dedup (continuation)\n")
+out.append(
+    f"```\nExchanges: {p.count('Exchange')}   Window stages: {p.count('Window')}\n"
+    f"SinglePartition stages: {p.count('SinglePartition')}\n```\n"
+)
+out.append(
+    "Every shuffle keys on (kgram hash, kgram) or doc_id — bounded, "
+    "skew-resistant keys; span merge is windows per doc; the text "
+    "rebuild is array HOFs. No global stage anywhere.\n"
+)
+
+# 18. incremental MinHash index probe — corpus is scanned, never shuffled
+from graphula_spark.operators.dedup import MinHashIndex
+import os as _os, shutil as _shutil
+
+_idxp = "/tmp/plans_mh_idx"
+_shutil.rmtree(_idxp, ignore_errors=True)
+corpus18 = docs17.where(F.col("doc_id") % 5 != 0)
+batch18 = docs17.where(F.col("doc_id") % 5 == 0)
+idx18 = MinHashIndex.build(corpus18.select("doc_id", "text"), "doc_id", "text", _idxp)
+q18 = idx18.query(batch18.select("doc_id", "text"), "doc_id", "text", 0.3)
+q18.count()
+p = plan_of(q18)
+out.append("## 18. Incremental MinHash index probe (continuation)\n")
+out.append(
+    f"```\nBroadcastHashJoin: {p.count('BroadcastHashJoin')}   "
+    f"SortMergeJoin: {p.count('SortMergeJoin')}\n"
+    f"index bands scan partition-pruned by band: "
+    f"{'band' in p and 'PartitionFilters' in p}\n```\n"
+)
+out.append(
+    "The ingest batch is the broadcast side everywhere it meets index "
+    "data: the corpus index is only scanned (band-partitioned parquet), "
+    "never shuffled — dedup-on-ingest stays O(batch) at any corpus size.\n"
+)
+
+# 19. TPC-H q3 — fact side never broadcast
+from graphula_spark import tpch as _tpch
+
+df19 = _tpch.q3_shipping_priority(spark, sf)
+df19.count()
+p = plan_of(df19)
+_li_scan_prefix = p.split("lineitem.parquet")[0].rsplit("FileScan", 1)[-1]
+out.append("## 19. TPC-H Q3: fact-side broadcast protection (continuation)\n")
+out.append(
+    f"```\nShuffledHashJoin on o_orderkey: {'ShuffledHashJoin [o_orderkey' in p}\n"
+    f"lineitem scan under a BroadcastExchange: "
+    f"{'BroadcastExchange' in _li_scan_prefix}\n```\n"
+)
+out.append(
+    "Catalyst's filter-selectivity estimate can put the FACT table under "
+    "the broadcast threshold (observed live at the x10 probe: an 11s "
+    "multi-million-row hashed-relation build, an OOM at cluster scale); "
+    "the accumulated dim side is hinted shuffle_hash so lineitem always "
+    "streams. AQE may still upgrade the small side from ACTUAL sizes.\n"
+)
+
 open("/root/repo/PLANS.md", "w").write("\n".join(out))
 print("written")
