@@ -1,0 +1,107 @@
+"""Mergeable HLL sketch rollups: merge == full rescan, incremental append."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphula_spark.operators.rollup_sketch import (
+    append_bucket,
+    build_rollup,
+    query_rollup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_rollup_matches_full_rescan_estimate(spark, events, tmp_path):
+    path = str(tmp_path / "roll")
+    build_rollup(events, path)
+    got = {
+        r["key"]: r.asDict() for r in query_rollup(spark, path).collect()
+    }
+    # HLL union over per-bucket sketches must equal the single-pass
+    # sketch of all raw rows (register-max is order/partition invariant)
+    direct = {
+        r["event_type"]: r.asDict()
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for k in got:
+        assert got[k]["n_events"] == direct[k]["n_events"]
+        assert got[k]["approx_users"] == direct[k]["approx_users"]
+        # and the estimate is actually close to the exact answer
+        exact = direct[k]["exact_users"]
+        assert abs(got[k]["approx_users"] - exact) <= max(2, 0.05 * exact)
+
+
+def test_incremental_append_merges(spark, events, tmp_path):
+    path = str(tmp_path / "roll2")
+    split = events.selectExpr("percentile(unix_timestamp(ts), 0.7)").first()[0]
+    early = events.where(F.unix_timestamp("ts") < split)
+    late = events.where(F.unix_timestamp("ts") >= split)
+    build_rollup(early, path)
+    append_bucket(late, path)  # the incremental maintenance path
+    got = {
+        r["key"]: r.asDict() for r in query_rollup(spark, path).collect()
+    }
+    want = {
+        r["event_type"]: r.asDict()
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("approx_users"),
+        )
+        .collect()
+    }
+    for k in want:
+        assert got[k]["n_events"] == want[k]["n_events"]
+        assert got[k]["approx_users"] == want[k]["approx_users"]
+
+
+def test_time_range_prunes(spark, events, tmp_path):
+    path = str(tmp_path / "roll3")
+    build_rollup(events, path)
+    lo = events.agg(F.min("ts")).first()[0]
+    hi = events.agg(F.max("ts")).first()[0]
+    mid = lo + (hi - lo) / 2
+    # range endpoints are bucket boundaries — align the start down so
+    # the first (partial) bucket is included
+    lo = lo.replace(minute=0, second=0, microsecond=0)
+    ranged = query_rollup(spark, path, start=lo, end=mid)
+    want = (
+        events.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(mid)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got_n = {r["key"]: r["n_events"] for r in ranged.collect()}
+    del want
+    # rollup range filters operate on BUCKET boundaries: the bucket
+    # containing `mid` starts before mid, so it is included whole —
+    # the aligned truth is everything before the NEXT hour boundary
+    from datetime import timedelta
+
+    cut = mid.replace(minute=0, second=0, microsecond=0) + timedelta(hours=1)
+    want_aligned = {
+        r["event_type"]: r["n"]
+        for r in events.where(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(cut))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got_n == want_aligned
