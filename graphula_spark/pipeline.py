@@ -1,0 +1,154 @@
+"""End-to-end training-data pipeline: compose the operators into one run.
+
+The individual operators (dedup family, quality signals, tokenization,
+shard packing) are each tested and driver-verified on their own; this
+module is the PRODUCT shape — a declarative pipeline a data engineer
+points at a raw document table to get training shards plus a
+processing report:
+
+    raw → normalize → line-dedup (boilerplate) → exact dedup
+        → near-dedup (MinHash+LSH, min-id survivor)
+        → substring span dedup (cross-doc ExactSubstr)
+        → quality filter (Gopher-style signal bounds)
+        → PII scrub → token count → budgeted shard packing
+
+Every stage is a DataFrame→DataFrame function; stages run lazily in
+ONE Spark job graph wherever possible (Catalyst fuses the per-row
+stages; only the dedup stages introduce their own bounded-key
+shuffles). `report` collects per-stage survivor counts — the numbers
+a pipeline owner actually watches — with one cached pass per stage
+boundary rather than recomputing the lineage.
+
+Scale posture: nothing here adds state beyond the operators' own
+bounded-key shuffles; the pipeline inherits their 100 TB designs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PipelineConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    # near-dup
+    minhash_threshold: float = 0.5
+    # substring dedup
+    substr_min_len: int = 8
+    # quality bounds (fractions of tokens/chars)
+    min_tokens: int = 10
+    max_punct_ratio: float = 0.30
+    min_stopword_ratio: float = 0.01
+    # shard packing
+    shard_token_budget: int = 100_000
+    scrub_pii: bool = True
+    line_dedup_min_docs: int = 0  # >0 enables boilerplate line removal
+    extra_quality_filter: object | None = None  # Column-returning callable
+    stages: tuple = (
+        "normalize",
+        "exact_dedup",
+        "near_dedup",
+        "substr_dedup",
+        "quality",
+        "scrub",
+        "pack",
+    )
+
+
+@dataclass
+class PipelineResult:
+    shards: DataFrame
+    documents: DataFrame
+    report: list[dict] = field(default_factory=list)
+
+
+def run_pipeline(docs: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
+    from graphula_spark.operators import text as T
+    from graphula_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        substring_dedup,
+    )
+    from graphula_spark.operators.relational import pack_by_budget
+
+    cfg = cfg or PipelineConfig()
+    i, t = cfg.id_col, cfg.text_col
+    report: list[dict] = []
+
+    def checkpoint(df: DataFrame, stage: str) -> DataFrame:
+        df = df.persist()
+        report.append({"stage": stage, "docs": df.count()})
+        return df
+
+    cur = docs.select(i, t)
+    report.append({"stage": "input", "docs": cur.count()})
+
+    if cfg.line_dedup_min_docs > 0:
+        # boilerplate removal reads raw line structure, so it must run
+        # BEFORE whitespace normalization collapses newlines
+        dd = T.line_dedup(cur, i, t, min_dup_docs=cfg.line_dedup_min_docs)
+        cur = checkpoint(dd.select(i, t), "line_dedup")
+
+    if "normalize" in cfg.stages:
+        cur = cur.withColumn(
+            t, F.regexp_replace(F.trim(F.col(t)), r"\s+", " ")
+        ).where(F.length(t) > 0)
+        cur = checkpoint(cur, "normalize")
+
+    if "exact_dedup" in cfg.stages:
+        cur = checkpoint(exact_dedup(cur, t, i), "exact_dedup")
+
+    if "near_dedup" in cfg.stages:
+        pairs = minhash_lsh_pairs(
+            cur, i, t, jaccard_threshold=cfg.minhash_threshold
+        )
+        losers = pairs.select(
+            F.greatest("id_a", "id_b").alias(i)
+        ).distinct()
+        cur = checkpoint(cur.join(losers, i, "left_anti"), "near_dedup")
+
+    if "substr_dedup" in cfg.stages:
+        sd = substring_dedup(cur, i, t, min_len=cfg.substr_min_len)
+        cur = sd.select(
+            F.col(i), F.col("clean_text").alias(t)
+        ).where(F.length(t) > 0)
+        cur = checkpoint(cur, "substr_dedup")
+
+    if "quality" in cfg.stages:
+        toks = T.token_count(F.col(t))
+        keep = (
+            (toks >= cfg.min_tokens)
+            & (T.punct_ratio(F.col(t)) <= cfg.max_punct_ratio)
+            & (T.stopword_ratio(F.col(t)) >= cfg.min_stopword_ratio)
+        )
+        if cfg.extra_quality_filter is not None:
+            keep = keep & cfg.extra_quality_filter(F.col(t))
+        cur = checkpoint(cur.where(keep), "quality")
+
+    if "scrub" in cfg.stages and cfg.scrub_pii:
+        cur = cur.withColumn(t, T.scrub_pii(F.col(t)))
+
+    docs_out = cur.withColumn("n_tokens", T.token_count(F.col(t)))
+
+    if "pack" in cfg.stages:
+        # pack within hash buckets so the prefix-sum window
+        # parallelizes (pack_by_budget refuses a global cumsum by
+        # design); shard identity = (pack_bucket, shard)
+        bucketed = docs_out.withColumn(
+            "pack_bucket", F.pmod(F.xxhash64(F.col(i)), F.lit(16))
+        )
+        shards = pack_by_budget(
+            bucketed,
+            part_col="pack_bucket",
+            order_col=i,
+            weight_col="n_tokens",
+            budget=float(cfg.shard_token_budget),
+        )
+    else:
+        shards = docs_out.withColumn("shard", F.lit(0))
+
+    return PipelineResult(shards=shards, documents=docs_out, report=report)

@@ -1,0 +1,102 @@
+"""End-to-end pipeline composition: raw docs → training shards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphula_spark.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture()
+def corpus(spark):
+    good = "the quick brown fox jumps over the lazy dog in a sunny field today"
+    rows = [
+        (1, good),
+        (2, good),  # exact dup of 1 -> dropped
+        (3, good + " tonight"),  # near dup of 1 -> dropped
+        (4, "a completely different and reasonably long document about "
+            "the engines and the pipelines that we keep on building here"),
+        (5, "!!! ??? ... !!! ??? ,,, ;;; :::"),  # punctuation junk -> quality
+        (6, "short"),  # too few tokens -> quality
+        (7, "contact me at jane.doe@example.com for all of the details "
+            "about the new and rather exciting data processing project"),
+        # shares an 8-token span with doc 4 -> span removed, doc survives
+        (8, "unrelated preamble text here the engines and the pipelines "
+            "that we keep on building here and some closing words follow "
+            "with enough remaining length to clear the quality bar easily"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pipeline_end_to_end(spark, corpus):
+    cfg = PipelineConfig(minhash_threshold=0.5, substr_min_len=8)
+    res = run_pipeline(corpus, cfg)
+    docs = {r["doc_id"]: r.asDict() for r in res.documents.collect()}
+    # dups gone, junk filtered, good docs survive
+    assert 1 in docs and 4 in docs and 7 in docs and 8 in docs
+    assert 2 not in docs and 3 not in docs
+    assert 5 not in docs and 6 not in docs
+    # the shared 8-token span was removed from the later doc only
+    assert "the engines and the pipelines that we keep" in docs[4]["text"]
+    assert "the engines and the pipelines that we keep" not in docs[8]["text"]
+    # PII scrubbed
+    assert "jane.doe@example.com" not in docs[7]["text"]
+    # report tracks survivor counts per stage, monotonically non-increasing
+    stages = [r["stage"] for r in res.report]
+    assert stages[0] == "input"
+    counts = [r["docs"] for r in res.report]
+    assert counts[0] == 8
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # shards exist and carry token counts
+    sh = res.shards.agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("tok")
+    ).first()
+    assert sh["n"] == len(docs) and sh["tok"] > 0
+
+
+def test_pipeline_shard_budget(spark):
+    docs = spark.createDataFrame(
+        [(j, "the fox and the dog with a word list of exactly this many tokens")
+         for j in range(40)],
+        ["doc_id", "text"],
+    )
+    cfg = PipelineConfig(
+        stages=("quality", "pack"),
+        min_tokens=5,
+        min_stopword_ratio=0.0,
+        shard_token_budget=40,
+        scrub_pii=False,
+    )
+    res = run_pipeline(docs, cfg)
+    per_shard = (
+        res.shards.groupBy("pack_bucket", "shard")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert per_shard
+    for r in per_shard:
+        # streaming-pack contract: budget + at most one row's overshoot
+        assert r["tok"] <= 40 + r["mx"]
+
+
+def test_pipeline_line_dedup_stage(spark):
+    banner = "SITE NAVIGATION | HOME | ABOUT"
+    docs = spark.createDataFrame(
+        [
+            (1, banner + "\nunique body one with plenty of the words here"),
+            (2, banner + "\nunique body two with plenty of the words here"),
+            (3, banner + "\nunique body three with plenty of the words too"),
+        ],
+        ["doc_id", "text"],
+    )
+    cfg = PipelineConfig(
+        stages=("normalize", "quality"),
+        line_dedup_min_docs=2,
+        min_tokens=3,
+        min_stopword_ratio=0.0,
+        scrub_pii=False,
+    )
+    res = run_pipeline(docs, cfg)
+    out = {r["doc_id"]: r["text"] for r in res.documents.collect()}
+    assert len(out) == 3
+    for v in out.values():
+        assert "SITE NAVIGATION" not in v
