@@ -1259,7 +1259,17 @@ class Compiler:
         raise NotImplementedError(f"aggregate {agg.func}")
 
 
+def contains_aggregate(e) -> bool:
+    if isinstance(e, A.EAggregate):
+        return True
+    if isinstance(e, A.ECall):
+        return any(contains_aggregate(a) for a in e.args)
+    return False
+
+
 def has_aggregates(q: A.SelectQuery) -> bool:
     if q.group_by:
         return True
-    return any(isinstance(e, A.EAggregate) for _, e in q.variables)
+    # aggregates may sit NESTED in a combining expression
+    # (SELECT (SUM(?v) + COUNT(?v) AS ?t) ...)
+    return any(contains_aggregate(e) for _, e in q.variables)

@@ -279,6 +279,36 @@ def _execute_select(graph, c: Compiler, q: A.SelectQuery) -> DataFrame:
                 q.variables, q.where, q.distinct, [], q.having,
                 q.order_by, q.limit, q.offset, q.select_star,
             )
+        # projection expressions may COMBINE aggregates
+        # (SELECT (SUM(?v) + COUNT(?v) AS ?t)): hoist each nested
+        # aggregate into a hidden agg column, compute the combining
+        # expression after grouping over those columns
+        from graphula_spark.sparql.compiler import contains_aggregate
+
+        proj_specs: list[tuple[str, A.EAggregate]] = []
+
+        def hoist_proj(e):
+            if isinstance(e, A.EAggregate):
+                nm = c.fresh("projagg")
+                proj_specs.append((nm, e))
+                return A.EVar(nm)
+            if isinstance(e, A.ECall):
+                return A.ECall(e.func, [hoist_proj(a) for a in e.args])
+            return e
+
+        variables = [
+            (name, hoist_proj(e))
+            if isinstance(e, A.ECall) and contains_aggregate(e)
+            else (name, e)
+            for name, e in variables
+        ]
+        if proj_specs:
+            q = A.SelectQuery(
+                list(q.variables) + proj_specs, q.where, q.distinct,
+                q.group_by, q.having, q.order_by, q.limit, q.offset,
+                q.select_star,
+            )
+
         # ORDER BY may contain aggregates (ORDER BY DESC(COUNT(?o))):
         # hoist each into a hidden aggregate column — same rewrite
         # compile_aggregate_query applies to HAVING — and sort on the

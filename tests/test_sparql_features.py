@@ -1265,3 +1265,41 @@ def test_order_by_aggregate_and_bare_subselect(spark):
         "{ SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s }"
     ).collect()
     assert abs(rows[0]["avg_n"] - 4 / 3) < 1e-9
+
+
+class TestAggregateExpressions:
+    """Aggregates nested inside combining projection expressions —
+    SPARQL 1.1 allows arbitrary expressions over aggregates in SELECT."""
+
+    @pytest.fixture()
+    def g(self, spark):
+        from graphula_spark.graph import Graph
+
+        return Graph.from_string_triples(
+            spark,
+            spark.createDataFrame(
+                [("a", "p", "1"), ("a", "q", "x"), ("b", "p", "2"), ("c", "p", "3")],
+                ["s", "p", "o"],
+            ),
+        )
+
+    def test_sum_plus_count_implicit_group(self, g):
+        r = g.sparql(
+            "SELECT (SUM(?v) + COUNT(?v) AS ?t) WHERE { ?x <p> ?v }"
+        ).collect()
+        assert [row["t"] for row in r] == [9.0]
+
+    def test_combined_aggregates_per_group(self, g):
+        r = g.sparql(
+            """SELECT ?x (SUM(?v) * 2 + COUNT(?v) AS ?t)
+               WHERE { ?x <p> ?v } GROUP BY ?x ORDER BY ?x"""
+        ).collect()
+        assert [(row["x"], row["t"]) for row in r] == [
+            ("a", 3.0), ("b", 5.0), ("c", 7.0),
+        ]
+
+    def test_conditional_over_aggregate(self, g):
+        r = g.sparql(
+            'SELECT (IF(COUNT(?v) > 2, "many", "few") AS ?k) WHERE { ?x <p> ?v }'
+        ).collect()
+        assert [row["k"] for row in r] == ["many"]
