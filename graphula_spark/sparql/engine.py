@@ -256,9 +256,38 @@ def _execute_describe(graph, c: Compiler, q: A.DescribeQuery) -> DataFrame:
                 subjects = part if subjects is None else subjects.unionByName(part)
     if subjects is None:
         return spark.createDataFrame([], "s string, p string, o string")
-    triples = graph.triples.join(
-        subjects.distinct(), "s", "left_semi"
-    ).select("s", "p", "o")
+    subjects = subjects.distinct()
+    triples = graph.triples.join(subjects, "s", "left_semi").select(
+        "s", "p", "o"
+    )
+    # concise-bounded-description closure (SPARQL 1.1 §16.4 leaves the
+    # description form open; CBD is the conventional one): follow
+    # BLANK-NODE objects so anonymous structure attached to a described
+    # resource rides along. Blank labels are ordinary dictionary terms
+    # starting with "_:", so the blank id set is one filtered dict
+    # scan; frontier-only joins keep each round O(frontier), and real
+    # blank chains are shallow (bounded rounds)
+    blank_ids = (
+        graph.dictionary.df.where(F.col("value").startswith("_:"))
+        .select(F.col("id").alias("s"))
+    )
+    seen = subjects
+    frontier = subjects
+    for _ in range(8):
+        nxt = (
+            graph.triples.join(frontier, "s", "left_semi")
+            .select(F.col("o").alias("s"))
+            .distinct()
+            .join(blank_ids, "s", "left_semi")
+            .join(seen, "s", "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        triples = triples.unionByName(
+            graph.triples.join(nxt, "s", "left_semi").select("s", "p", "o")
+        ).distinct()
+        seen = seen.unionByName(nxt).distinct()
+        frontier = nxt
     return _slice(graph.decode(triples, ["s", "p", "o"]), q)
 
 

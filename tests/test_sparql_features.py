@@ -1303,3 +1303,31 @@ class TestAggregateExpressions:
             'SELECT (IF(COUNT(?v) > 2, "many", "few") AS ?k) WHERE { ?x <p> ?v }'
         ).collect()
         assert [row["k"] for row in r] == ["many"]
+
+
+class TestDescribeCbd:
+    def test_describe_follows_blank_node_closure(self, spark):
+        from graphula_spark.graph import Graph
+
+        g = Graph.from_string_triples(
+            spark,
+            spark.createDataFrame(
+                [
+                    ("a", "addr", "_:b1"),
+                    ("_:b1", "street", '"Main"'),
+                    ("_:b1", "city", "_:b2"),
+                    ("_:b2", "name", '"Springfield"'),
+                    ("a", "knows", "b"),
+                    ("b", "name", '"Bob"'),
+                ],
+                ["s", "p", "o"],
+            ),
+        )
+        rows = {(r["s"], r["p"], r["o"]) for r in g.sparql("DESCRIBE <a>").collect()}
+        # outgoing edges of <a> plus the anonymous structure they reach
+        assert ("a", "addr", "_:b1") in rows
+        assert ("_:b1", "street", '"Main"') in rows
+        assert ("_:b2", "name", '"Springfield"') in rows
+        # named neighbors are NOT expanded (CBD stops at IRIs)
+        assert ("b", "name", '"Bob"') not in rows
+        assert len(rows) == 5
