@@ -4,9 +4,11 @@ Every entry demonstrates an operator from SURVEY.md §2 (core triple
 store / SPARQL surface, exercised through the graphula_spark engine
 over triple-ized TPC-H-ish tables) or a driver-mandated extension
 (dedup / similarity / multimodal / text / streaming, over the
-documents / embeddings / events tables). Each `queries()` entry has a
-matching DuckDB `oracle_sql()` unless the op is non-SQL-expressible
-(minhash LSH, hyperplane LSH) — those are rows-only checks.
+documents / embeddings / events tables). Every `queries()` entry has a
+matching DuckDB `oracle_sql()` — including the approximate ones, which
+emit deterministic outputs a SQL program reproduces (exact all-pairs
+truth for LSH pipelines whose recall is provably ~1 on this corpus,
+closed-form hyperplanes/centroids for the ANN entries).
 
 Graph term convention for triple-ized tables: subject = 'table:key',
 predicate = column name, object = bare value string (see

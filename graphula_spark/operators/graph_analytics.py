@@ -145,3 +145,39 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global + per-node triangle counts via the node-iterator join.
+
+    Edges are undirected: each is canonicalized to (lo, hi) and
+    deduplicated, so the input may carry either or both directions.
+    Triangles = wedge join (two edges sharing `lo`) matched against the
+    closing edge — two equi-joins on bounded keys, the standard
+    distributed formulation (no adjacency lists on the driver). At
+    scale the wedge explosion is bounded per node by degree^2; skewed
+    hub nodes are exactly what AQE's skew-join handling splits.
+
+    Returns (node, n_triangles) for nodes in >=1 triangle; the global
+    count is sum(n_triangles) / 3.
+    """
+    e = (
+        edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    # wedges centered at a: (a, b1, b2) with b1 < b2 (both neighbors of a)
+    left = e.select(F.col("a"), F.col("b").alias("b1"))
+    right = e.select(F.col("a"), F.col("b").alias("b2"))
+    wedges = left.join(right, "a").where(F.col("b1") < F.col("b2"))
+    closing = e.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tris = wedges.join(closing, ["b1", "b2"])
+    per_node = (
+        tris.select(F.explode(F.array("a", "b1", "b2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node

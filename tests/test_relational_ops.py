@@ -205,3 +205,31 @@ def test_pagerank_matches_reference_implementation(spark):
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-6, (v, got[v], ranks[v])
     assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from graphula_spark.operators.graph_analytics import triangle_count
+
+    rng = random.Random(3)
+    nodes = list(range(14))
+    edges = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)}
+    )
+    # feed a mix of directions + duplicates: canonicalization must absorb it
+    rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges[:10]]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(df).collect()
+    }
+    es = set(edges)
+    want = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+    assert sum(got.values()) % 3 == 0
