@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 #: log2m for the HLL sketches — 12 gives ~1.6% relative error at ~4KB
 HLL_LGK = 12
+#: retained entries in the mergeable heavy-hitter (top-k) sketches
+TOPK_RETAIN = 64
 
 
 def build_rollup(
@@ -46,6 +48,9 @@ def build_rollup(
             F.hll_sketch_agg(F.col(user_col), F.lit(HLL_LGK)).alias(
                 "users_sketch"
             ),
+            F.expr(
+                f"approx_top_k_accumulate({user_col}, {TOPK_RETAIN})"
+            ).alias("top_users_sketch"),
         )
         .write.mode("overwrite")
         .parquet(path)
@@ -77,6 +82,9 @@ def append_bucket(
             F.hll_sketch_agg(F.col(user_col), F.lit(HLL_LGK)).alias(
                 "users_sketch"
             ),
+            F.expr(
+                f"approx_top_k_accumulate({user_col}, {TOPK_RETAIN})"
+            ).alias("top_users_sketch"),
         )
         .write.mode("append")
         .parquet(path)
@@ -92,7 +100,10 @@ def query_rollup(
     """Answer (key → events, value sum, distinct-user estimate) for a
     time range FROM THE ROLLUP ONLY: a scan of a few bucket rows + one
     tiny merge aggregation. `hll_union_agg` merges the per-bucket
-    sketches; the estimate equals what a raw rescan would produce."""
+    sketches, and `approx_top_k_combine` merges the per-bucket
+    heavy-hitter sketches into a top-5 user list; both estimates equal
+    what a raw rescan would produce (order/partition-invariant
+    accumulators)."""
     df = spark.read.parquet(path)
     if start is not None:
         df = df.where(F.col("bucket") >= F.lit(start))
@@ -106,5 +117,8 @@ def query_rollup(
             F.hll_sketch_estimate(
                 F.hll_union_agg(F.col("users_sketch"))
             ).alias("approx_users"),
+            F.expr(
+                "approx_top_k_estimate(approx_top_k_combine(top_users_sketch), 5)"
+            ).alias("top_users"),
         )
     )

@@ -41,6 +41,8 @@ def test_rollup_matches_full_rescan_estimate(spark, events, tmp_path):
     for k in got:
         assert got[k]["n_events"] == direct[k]["n_events"]
         assert got[k]["approx_users"] == direct[k]["approx_users"]
+        # top-k heavy hitters ride the rollup too, mergeable
+        assert len(got[k]["top_users"]) == 5
         # and the estimate is actually close to the exact answer
         exact = direct[k]["exact_users"]
         assert abs(got[k]["approx_users"] - exact) <= max(2, 0.05 * exact)
