@@ -600,10 +600,11 @@ def _decode_scan(data, pos, frame, scan_tabs, qt, huff, restart_interval):
         dense[:, _ZIGZAG] = zz
         blocks = dense.reshape(n_mcus, 8, 8) * q
         spatial = np.einsum("ji,ajk,kl->ail", _DCT, blocks, _DCT)
-        plane = np.zeros((bh * 8, bw * 8))
-        for m in range(n_mcus):
-            y, x = divmod(m, bw)
-            plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = spatial[m]
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
         planes.append(plane[:fh, :fw] + 128.0)
 
     if ncomp == 1:
