@@ -207,3 +207,33 @@ def stream_near_dedup_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_rollup_maintenance(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    rollup_path: str,
+    checkpoint: str | None = None,
+    **rollup_kwargs,
+):
+    """Continuous-aggregate maintenance: every micro-batch folds its
+    events into new rollup bucket rows (`rollup_sketch.append_bucket`).
+    Appends are idempotent-by-merge — duplicate bucket rows union at
+    query time (counts add, HLL/top-k sketches merge) — so replays
+    after a checkpoint recovery cannot corrupt totals the way an
+    in-place update would. Query with `rollup_sketch.query_rollup`
+    at any moment for an up-to-date summary without scanning raw
+    events."""
+    from graphula_spark.operators.rollup_sketch import append_bucket
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_bucket(batch_df, rollup_path, **rollup_kwargs)
+
+    writer = events_stream.writeStream.foreachBatch(process_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -107,3 +107,38 @@ def test_time_range_prunes(spark, events, tmp_path):
         .collect()
     }
     assert got_n == want_aligned
+
+
+def test_streaming_rollup_maintenance(spark, events, tmp_path):
+    from graphula_spark.streaming.windows import stream_rollup_maintenance
+
+    path = str(tmp_path / "roll_stream")
+    split = events.selectExpr("percentile(unix_timestamp(ts), 0.5)").first()[0]
+    early = events.where(F.unix_timestamp("ts") < split)
+    late = events.where(F.unix_timestamp("ts") >= split)
+    build_rollup(early, path)
+
+    # feed the late half through a REAL streaming job
+    in_dir = str(tmp_path / "incoming")
+    late.write.parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = stream_rollup_maintenance(
+        spark, stream, path, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = {r["key"]: r.asDict() for r in query_rollup(spark, path).collect()}
+    want = {
+        r["event_type"]: r.asDict()
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("approx_users"),
+        )
+        .collect()
+    }
+    for k in want:
+        assert got[k]["n_events"] == want[k]["n_events"]
+        assert got[k]["approx_users"] == want[k]["approx_users"]
