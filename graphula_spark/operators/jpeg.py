@@ -5,13 +5,15 @@ route is implemented from the spec: real marker parsing, real Huffman
 entropy coding, real DCT/quantization. Scope (the baseline common
 case, explicit errors otherwise):
 
-- encoder: 8-bit grayscale or RGB (written as YCbCr 4:4:4), quality-
-  scaled quantization tables, per-image OPTIMAL Huffman tables built
-  with package-merge and transmitted in DHT (what `cjpeg -optimize`
-  does — so no reliance on transcribing Annex K's 162-entry AC tables);
-- decoder: baseline sequential, grayscale or any non-subsampled
-  (1x1 sampling) component layout, restart markers honored; progressive
-  mode and chroma subsampling raise NotImplementedError.
+- encoder: 8-bit grayscale or RGB (YCbCr, 4:4:4 or 4:2:0 chroma
+  subsampling), quality-scaled quantization tables, per-image OPTIMAL
+  Huffman tables built with package-merge and transmitted in DHT (what
+  `cjpeg -optimize` does — so no reliance on transcribing Annex K's
+  162-entry AC tables);
+- decoder: baseline sequential, grayscale or color with sampling
+  factors 1..2 in each axis (4:4:4, 4:2:0, 4:2:2, 4:4:0 — the layouts
+  real-world JPEGs use), restart markers honored; progressive mode
+  raises NotImplementedError.
 
 Like the PNG/WAV codecs this is per-payload Python meant for
 Arrow-batched `mapInPandas` workers: bytes in, arrays out.
@@ -357,36 +359,71 @@ def _dqt_segment(dest: int, q: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
+) -> bytes:
     """Baseline JPEG bytes for an 8-bit grayscale (h, w) or RGB
-    (h, w, 3) array. YCbCr 4:4:4, optimal Huffman tables in DHT."""
+    (h, w, 3) array. YCbCr with 4:4:4 (default) or 4:2:0 chroma
+    subsampling (2x2-mean downsampled chroma — the layout nearly all
+    real-world JPEGs use); optimal Huffman tables in DHT."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
+        factors = [(1, 1)]
     elif arr.ndim == 3 and arr.shape[2] == 3:
         r = arr[..., 0].astype(np.float64)
         g = arr[..., 1].astype(np.float64)
         b = arr[..., 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, np.clip(cb, 0, 255), np.clip(cr, 0, 255)]
+        cb = np.clip(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0, 0, 255)
+        cr = np.clip(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0, 0, 255)
+        planes = [y, cb, cr]
+        if subsampling == "4:4:4":
+            factors = [(1, 1)] * 3
+        elif subsampling == "4:2:0":
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling}")
     else:
         raise ValueError(f"unsupported pixel shape {arr.shape}")
     h, w = planes[0].shape
     ncomp = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    # pad the full-res planes to whole MCUs (edge replication), THEN
+    # downsample chroma — dims stay exact multiples of 8 everywhere
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    ph, pw = -h % mcu_h, -w % mcu_w
+    if ph or pw:
+        planes = [np.pad(pl, ((0, ph), (0, pw)), mode="edge") for pl in planes]
+    H, W = planes[0].shape
+    comp_planes = []
+    for pl, (hi, vi) in zip(planes, factors):
+        sy, sx = vmax // vi, hmax // hi
+        if sy > 1 or sx > 1:
+            pl = pl.reshape(H // sy, sy, W // sx, sx).mean(axis=(1, 3))
+        comp_planes.append(pl)
+
     q_tables = [_scaled_quant(_Q_LUMA, quality)]
     if ncomp == 3:
         q_tables.append(_scaled_quant(_Q_CHROMA, quality))
 
-    comp_zz = [
-        _forward_component(p, q_tables[min(i, len(q_tables) - 1)])
-        for i, p in enumerate(planes)
-    ]
+    n_mcu_v, n_mcu_h = H // mcu_h, W // mcu_w
     streams, dc_freqs, ac_freqs = [], [{}, {}], [{}, {}]
-    for i, zz in enumerate(comp_zz):
+    for i, (pl, (hi, vi)) in enumerate(zip(comp_planes, factors)):
+        zz = _forward_component(pl, q_tables[min(i, len(q_tables) - 1)])
+        nbv, nbh = pl.shape[0] // 8, pl.shape[1] // 8
+        # reorder raster blocks into MCU emission order (DC DPCM runs
+        # in this order per T.81 interleaving)
+        order = [
+            (my * vi + r) * nbh + (mx * hi + c)
+            for my in range(n_mcu_v)
+            for mx in range(n_mcu_h)
+            for r in range(vi)
+            for c in range(hi)
+        ]
         t = min(i, 1)  # table 0 = luma, table 1 = both chromas
-        blocks, dcf, acf = _component_symbols(zz)
+        blocks, dcf, acf = _component_symbols(zz[np.array(order)])
         streams.append(blocks)
         for s, n in dcf.items():
             dc_freqs[t][s] = dc_freqs[t].get(s, 0) + n
@@ -406,7 +443,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
         out += _dqt_segment(i, q)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for i in range(ncomp):
-        sof += bytes([i + 1, 0x11, min(i, len(q_tables) - 1)])
+        hi, vi = factors[i]
+        sof += bytes([i + 1, (hi << 4) | vi, min(i, len(q_tables) - 1)])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     for t in range(ntab):
         out += _dht_segment(0, t, dc_tabs[t][0], dc_tabs[t][1])
@@ -418,25 +456,30 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    # interleaved MCU scan (4:4:4 -> one block per component per MCU)
+    # interleaved MCU scan: per MCU each component contributes
+    # hi*vi blocks, consumed sequentially from its emission-ordered
+    # symbol stream
     wbits = _BitWriter()
-    n_mcus = len(streams[0])
-    for m in range(n_mcus):
+    ptr = [0] * ncomp
+    for _m in range(n_mcu_v * n_mcu_h):
         for i in range(ncomp):
             t = min(i, 1)
-            dsize, dc_diff, acs = streams[i][m]
-            code, ln = dc_tabs[t][2][dsize]
-            wbits.write(code, ln)
-            if dsize:
-                v = dc_diff if dc_diff >= 0 else dc_diff + (1 << dsize) - 1
-                wbits.write(v, dsize)
-            for sym, val in acs:
-                code, ln = ac_tabs[t][2][sym]
+            hi, vi = factors[i]
+            for _ in range(hi * vi):
+                dsize, dc_diff, acs = streams[i][ptr[i]]
+                ptr[i] += 1
+                code, ln = dc_tabs[t][2][dsize]
                 wbits.write(code, ln)
-                size = sym & 0x0F
-                if size:
-                    v = val if val >= 0 else val + (1 << size) - 1
-                    wbits.write(v, size)
+                if dsize:
+                    v = dc_diff if dc_diff >= 0 else dc_diff + (1 << dsize) - 1
+                    wbits.write(v, dsize)
+                for sym, val in acs:
+                    code, ln = ac_tabs[t][2][sym]
+                    wbits.write(code, ln)
+                    size = sym & 0x0F
+                    if size:
+                        v = val if val >= 0 else val + (1 << size) - 1
+                        wbits.write(v, size)
     out += wbits.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -514,11 +557,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             comps = []
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled chroma not supported (1x1 only)"
+                        f"sampling factors {hi}x{vi} unsupported (1..2 only)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
@@ -554,57 +598,71 @@ def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 def _decode_scan(data, pos, frame, scan_tabs, qt, huff, restart_interval):
     fh, fw, comps = frame
     ncomp = len(comps)
-    bh, bw = -(-fh // 8), -(-fw // 8)
-    n_mcus = bh * bw
-    coeff = [np.zeros((n_mcus, 64), dtype=np.int32) for _ in range(ncomp)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    n_mcu_h = -(-fw // mcu_w)
+    n_mcu_v = -(-fh // mcu_h)
+    n_mcus = n_mcu_v * n_mcu_h
+    # per-component block grids sized to whole MCUs
+    grids = []
+    for cid, hi, vi, tq in comps:
+        nbh, nbv = n_mcu_h * hi, n_mcu_v * vi
+        grids.append(np.zeros((nbv * nbh, 64), dtype=np.int32))
     r = _BitReader(data, pos)
     pred = [0] * ncomp
     mcu = 0
     while mcu < n_mcus:
-        try:
-            for ci in range(ncomp):
-                _, dc_t, ac_t = scan_tabs[ci]
-                dct = huff[(0, dc_t)]
-                act = huff[(1, ac_t)]
-                size = _huff_decode(r, dct)
-                diff = _receive_extend(r, size)
-                pred[ci] += diff
-                blk = coeff[ci][mcu]
-                blk[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(r, act)
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    blk[k] = _receive_extend(r, sym & 0x0F)
-                    k += 1
-            mcu += 1
-            if restart_interval and mcu % restart_interval == 0 and mcu < n_mcus:
-                r.align_to_marker()
-                pred = [0] * ncomp
-        except _RestartMarker:
-            r.pos += 0  # marker already consumed positionally by _fill
-            raise ValueError("unexpected restart marker") from None
+        my, mx = divmod(mcu, n_mcu_h)
+        for ci in range(ncomp):
+            _, dc_t, ac_t = scan_tabs[ci]
+            dct = huff[(0, dc_t)]
+            act = huff[(1, ac_t)]
+            _, hi, vi, _tq = comps[ci]
+            nbh = n_mcu_h * hi
+            for br in range(vi):
+                for bc in range(hi):
+                    size = _huff_decode(r, dct)
+                    diff = _receive_extend(r, size)
+                    pred[ci] += diff
+                    blk = grids[ci][(my * vi + br) * nbh + (mx * hi + bc)]
+                    blk[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(r, act)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        blk[k] = _receive_extend(r, sym & 0x0F)
+                        k += 1
+        mcu += 1
+        if restart_interval and mcu % restart_interval == 0 and mcu < n_mcus:
+            r.align_to_marker()
+            pred = [0] * ncomp
 
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
         q = qt[tq]
-        zz = coeff[ci]
-        dense = np.zeros((n_mcus, 64), dtype=np.float64)
+        zz = grids[ci]
+        nbh, nbv = n_mcu_h * hi, n_mcu_v * vi
+        dense = np.zeros((zz.shape[0], 64), dtype=np.float64)
         dense[:, _ZIGZAG] = zz
-        blocks = dense.reshape(n_mcus, 8, 8) * q
+        blocks = dense.reshape(-1, 8, 8) * q
         spatial = np.einsum("ji,ajk,kl->ail", _DCT, blocks, _DCT)
         plane = (
-            spatial.reshape(bh, bw, 8, 8)
+            spatial.reshape(nbv, nbh, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
+            .reshape(nbv * 8, nbh * 8)
         )
+        # upsample subsampled components back to full resolution
+        sy, sx = vmax // vi, hmax // hi
+        if sy > 1 or sx > 1:
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
         planes.append(plane[:fh, :fw] + 128.0)
 
     if ncomp == 1:

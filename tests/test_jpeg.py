@@ -124,3 +124,44 @@ class TestErrors:
     def test_bad_pixel_shape(self):
         with pytest.raises(ValueError):
             J.encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+
+
+class TestSubsampling:
+    def test_420_roundtrip_smooth(self):
+        yy, xx = np.mgrid[0:37, 0:53]
+        img = np.zeros((37, 53, 3), dtype=np.uint8)
+        img[..., 0] = (yy * 4) % 256
+        img[..., 1] = (xx * 3) % 256
+        img[..., 2] = ((xx + yy) * 2) % 256
+        enc = J.encode_jpeg(img, 90, subsampling="4:2:0")
+        w, h, c, out = J.decode_jpeg(enc)
+        assert (w, h, c) == (53, 37, 3)
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < 2.0 and err.max() <= 12
+
+    def test_420_flat_exact(self):
+        flat = np.full((13, 21, 3), 77, dtype=np.uint8)
+        _w, _h, _c, out = J.decode_jpeg(
+            J.encode_jpeg(flat, 90, subsampling="4:2:0")
+        )
+        assert (out == 77).all()
+
+    def test_420_odd_dims_and_tiny(self):
+        rng = np.random.default_rng(5)
+        for hh, ww in [(1, 1), (7, 9), (16, 16), (17, 31)]:
+            img = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8).astype(np.uint8)
+            w, h, _c, out = J.decode_jpeg(
+                J.encode_jpeg(img, 85, subsampling="4:2:0")
+            )
+            assert (w, h) == (ww, hh) and out.shape == img.shape
+
+    def test_sof_declares_sampling_factors(self):
+        img = np.full((16, 16, 3), 50, dtype=np.uint8)
+        enc = J.encode_jpeg(img, 85, subsampling="4:2:0")
+        sof = enc.index(b"\xff\xc0")
+        # first component (Y) samp byte = 0x22
+        assert enc[sof + 2 + 2 + 6 + 1] == 0x22
+
+    def test_unknown_subsampling_rejected(self):
+        with pytest.raises(ValueError):
+            J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 85, subsampling="4:1:1")
