@@ -66,8 +66,19 @@ def quantize_rank(df: DataFrame, col: str, bits: int = 8) -> Column:
 def zorder_key(ranks: list[Column], bits: int = 8) -> Column:
     """Interleave ``bits`` low bits of each rank column into one long
     Morton key (column i contributes bit position j*ncols+i for its
-    j-th bit) — a pure bitwise JVM expression, no UDFs."""
+    j-th bit) — a pure bitwise JVM expression, no UDFs.
+
+    ``len(ranks) * bits`` must stay within the 63 value bits of a
+    signed long: bit 63 is the sign bit, and Spark's ``shiftleft``
+    wraps shift counts at 64, so exceeding it would silently alias
+    high-order bits into low positions and break the ordering."""
     ncols = len(ranks)
+    if ncols * bits > 63:
+        raise ValueError(
+            f"zorder_key: {ncols} columns x {bits} bits = {ncols * bits} "
+            "rank bits exceeds the 63 value bits of a signed long; "
+            "reduce bits (or cluster on fewer columns)"
+        )
     key = F.lit(0).cast("long")
     for j in range(bits):
         for i, r in enumerate(ranks):
@@ -89,7 +100,12 @@ def zorder_write(
     EVERY ``by`` column, so engine-side row-group pruning works for
     any of them (and conjunctions). ``row_group_bytes`` shrinks parquet
     row groups below the 128MB default when finer pruning granularity
-    is worth the metadata (tests use it; at scale the default is right)."""
+    is worth the metadata (tests use it; at scale the default is right).
+
+    ``bits`` is clamped so the interleaved key fits a signed long's 63
+    value bits (e.g. 8 columns => 7 bits each); extra rank resolution
+    beyond that would wrap into the sign bit and corrupt the curve."""
+    bits = max(1, min(bits, 63 // len(by)))
     bounds = _rank_boundaries(df, by, bits)
     ranks = [_rank_column(c, bounds[c]) for c in by]
     keyed = df.withColumn("__zkey", zorder_key(ranks, bits))

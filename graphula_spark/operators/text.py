@@ -408,11 +408,13 @@ def line_dedup(
 
     Scale shape: one posexplode stream over the corpus, one
     line-key hash-agg to find heavy lines (power-law: the heavy set is
-    tiny relative to the corpus, so it broadcasts), a broadcast
-    left-anti join to drop them, and one per-doc agg to reassemble —
-    no self-join, no global sort. If the boilerplate set ever outgrows
-    broadcast, the same plan degrades gracefully to a shuffle anti-join
-    on the line hash.
+    tiny relative to the corpus, so AQE usually turns the join into a
+    broadcast at runtime), a left join to drop them, and one per-doc
+    agg to reassemble — no self-join, no global sort. The join is
+    deliberately NOT hinted: AQE sizes the heavy-line set from actual
+    runtime statistics, so on a web-scale corpus where boilerplate
+    lines run to many GB the plan degrades to a shuffle join instead
+    of OOMing executors on a forced broadcast.
     """
     lines = df.select(
         F.col(id_col),
@@ -426,7 +428,7 @@ def line_dedup(
         .select("norm")
     )
     tagged = lines.join(
-        F.broadcast(heavy.withColumn("__dup", F.lit(True))), "norm", "left"
+        heavy.withColumn("__dup", F.lit(True)), "norm", "left"
     )
     # array_sort on (pos, line) structs orders by pos — original order
     return tagged.groupBy(id_col).agg(

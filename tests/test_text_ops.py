@@ -178,6 +178,28 @@ def test_line_dedup_matches_python_reference(spark):
     assert got == expected
 
 
+def test_line_dedup_degrades_to_shuffle_join(spark):
+    """The heavy-line join carries NO broadcast hint: when Spark's
+    size estimate says the boilerplate set is too big to broadcast
+    (simulated by disabling auto-broadcast), the plan must fall back
+    to a shuffle join instead of forcing a broadcast that would OOM
+    executors on a web-scale corpus — the graceful degradation the
+    docstring promises."""
+    from graphula_spark.operators.text import line_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = line_dedup(docs, "doc_id", "text", min_dup_docs=2)
+        n = out.count()  # run it so AQE settles the final plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert n == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_chunk_documents(spark):
     from graphula_spark.operators.text import chunk_documents
 
