@@ -631,6 +631,10 @@ class MinHashIndex:
             .join(
                 candidates.select("id_corpus").distinct(), "id_corpus", "left_semi"
             )
+            # tolerate duplicate index rows (e.g. an at-least-once
+            # producer that re-added a batch): dedup AFTER the semi-join
+            # so the shuffle only sees candidate ids, never the corpus
+            .dropDuplicates(["id_corpus"])
         )
         inter = F.size(F.array_intersect("sh_new", "sh_corpus"))
         union = F.size("sh_new") + F.size("sh_corpus") - inter

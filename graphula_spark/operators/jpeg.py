@@ -226,6 +226,9 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos + 1 >= len(self.data):
+            # +1: a 0xFF data byte always needs its follow-up byte
+            raise ValueError("truncated scan data")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -257,9 +260,12 @@ class _BitReader:
         stepping over stuffed FF 00 data bytes and FF fill bytes
         (T.81 B.1.1.2) instead of mistaking them for the marker."""
         self.nbits = 0
+        n = len(self.data)
         while True:
-            while self.data[self.pos] != 0xFF:
+            while self.pos < n and self.data[self.pos] != 0xFF:
                 self.pos += 1
+            if self.pos + 1 >= n:
+                raise ValueError("truncated scan data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:  # stuffed entropy byte, not a marker
                 self.pos += 2
@@ -491,10 +497,19 @@ def encode_jpeg(
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode baseline sequential JPEG. Returns (width, height,
-    channels, pixels) with pixels (h, w) for grayscale or (h, w, 3)
-    RGB. Raises NotImplementedError for progressive scans or
-    subsampled chroma; ValueError for malformed data."""
+    """Decode baseline sequential JPEG, including subsampled chroma
+    with sampling factors 1..2 (4:4:4, 4:2:0, 4:2:2, 4:4:0). Returns
+    (width, height, channels, pixels) with pixels (h, w) for grayscale
+    or (h, w, 3) RGB. Raises NotImplementedError for progressive /
+    non-baseline frames or sampling factors above 2; ValueError for
+    malformed or truncated data."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed JPEG: {e}") from None
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -595,22 +610,13 @@ def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def _decode_scan(data, pos, frame, scan_tabs, qt, huff, restart_interval):
-    fh, fw, comps = frame
+def _decode_mcus(
+    r, comps, scan_tabs, huff, grids, pred, n_mcus, n_mcu_h, restart_interval
+):
+    """Entropy-decode every MCU's quantized coefficients into `grids`
+    (in place). Raises _RestartMarker only if the stream carries an RST
+    marker at a non-restart position — callers convert to ValueError."""
     ncomp = len(comps)
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    n_mcu_h = -(-fw // mcu_w)
-    n_mcu_v = -(-fh // mcu_h)
-    n_mcus = n_mcu_v * n_mcu_h
-    # per-component block grids sized to whole MCUs
-    grids = []
-    for cid, hi, vi, tq in comps:
-        nbh, nbv = n_mcu_h * hi, n_mcu_v * vi
-        grids.append(np.zeros((nbv * nbh, 64), dtype=np.int32))
-    r = _BitReader(data, pos)
-    pred = [0] * ncomp
     mcu = 0
     while mcu < n_mcus:
         my, mx = divmod(mcu, n_mcu_h)
@@ -643,7 +649,37 @@ def _decode_scan(data, pos, frame, scan_tabs, qt, huff, restart_interval):
         mcu += 1
         if restart_interval and mcu % restart_interval == 0 and mcu < n_mcus:
             r.align_to_marker()
-            pred = [0] * ncomp
+            for ci in range(ncomp):
+                pred[ci] = 0
+
+
+def _decode_scan(data, pos, frame, scan_tabs, qt, huff, restart_interval):
+    fh, fw, comps = frame
+    ncomp = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    n_mcu_h = -(-fw // mcu_w)
+    n_mcu_v = -(-fh // mcu_h)
+    n_mcus = n_mcu_v * n_mcu_h
+    # per-component block grids sized to whole MCUs
+    grids = []
+    for cid, hi, vi, tq in comps:
+        nbh, nbv = n_mcu_h * hi, n_mcu_v * vi
+        grids.append(np.zeros((nbv * nbh, 64), dtype=np.int32))
+    r = _BitReader(data, pos)
+    pred = [0] * ncomp
+    try:
+        _decode_mcus(
+            r, comps, scan_tabs, huff, grids, pred, n_mcus, n_mcu_h,
+            restart_interval,
+        )
+    except _RestartMarker as m:
+        # an RST marker outside a restart boundary means the entropy
+        # stream is corrupt — surface it per the ValueError contract
+        raise ValueError(
+            f"unexpected restart marker 0xFFD{m.marker - 0xD0:X} in scan"
+        ) from None
 
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):

@@ -25,6 +25,29 @@ HLL_LGK = 12
 TOPK_RETAIN = 64
 
 
+def _rolled(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    user_col: str,
+    value_col: str,
+    bucket: str,
+) -> DataFrame:
+    return events.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        F.col(key_col).alias("key"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+        F.hll_sketch_agg(F.col(user_col), F.lit(HLL_LGK)).alias(
+            "users_sketch"
+        ),
+        F.expr(
+            f"approx_top_k_accumulate({user_col}, {TOPK_RETAIN})"
+        ).alias("top_users_sketch"),
+    )
+
+
 def build_rollup(
     events: DataFrame,
     path: str,
@@ -36,23 +59,14 @@ def build_rollup(
 ) -> None:
     """One pass over raw events → per-(bucket, key) rollup rows:
     count, sum(value), and an HLL sketch of distinct users (binary).
-    Written partitioned by bucket so time-range queries prune files."""
+    The store is partitioned by `__batch_id` (the base build writes
+    partition ``base``) so incremental appends can be replaced
+    per-batch — see `append_bucket`."""
     (
-        events.groupBy(
-            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
-            F.col(key_col).alias("key"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(value_col).alias("sum_value"),
-            F.hll_sketch_agg(F.col(user_col), F.lit(HLL_LGK)).alias(
-                "users_sketch"
-            ),
-            F.expr(
-                f"approx_top_k_accumulate({user_col}, {TOPK_RETAIN})"
-            ).alias("top_users_sketch"),
-        )
+        _rolled(events, ts_col, key_col, user_col, value_col, bucket)
+        .withColumn("__batch_id", F.lit("base"))
         .write.mode("overwrite")
+        .partitionBy("__batch_id")
         .parquet(path)
     )
 
@@ -65,30 +79,37 @@ def append_bucket(
     user_col: str = "user_id",
     value_col: str = "value",
     bucket: str = "hour",
+    batch_id: int | str | None = None,
 ) -> None:
     """Roll up a NEW slice of events (e.g. the last hour's arrivals)
-    and append its bucket rows — the incremental maintenance path.
-    Duplicate bucket rows are fine: queries merge them (counts add,
-    sketches union), so append is idempotent-by-merge rather than
-    rewrite-in-place."""
-    (
-        events.groupBy(
-            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
-            F.col(key_col).alias("key"),
+    and add its bucket rows — the incremental maintenance path.
+    Duplicate bucket rows MERGE at query time (counts add, sketches
+    union), so a plain append never breaks reads — but addition is not
+    idempotent: an at-least-once producer that re-runs the same slice
+    would double its counts.
+
+    Pass ``batch_id`` (foreachBatch hands you one) to make the write
+    REPLAY-SAFE: the batch's rows land in partition
+    ``__batch_id=<batch_id>`` via dynamic partition overwrite, so a
+    re-executed batch replaces its own previous rows instead of
+    duplicating them. Without ``batch_id`` the write is a plain append
+    into partition ``adhoc`` (caller owns exactly-once)."""
+    rolled = _rolled(events, ts_col, key_col, user_col, value_col, bucket)
+    if batch_id is None:
+        (
+            rolled.withColumn("__batch_id", F.lit("adhoc"))
+            .write.mode("append")
+            .partitionBy("__batch_id")
+            .parquet(path)
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(value_col).alias("sum_value"),
-            F.hll_sketch_agg(F.col(user_col), F.lit(HLL_LGK)).alias(
-                "users_sketch"
-            ),
-            F.expr(
-                f"approx_top_k_accumulate({user_col}, {TOPK_RETAIN})"
-            ).alias("top_users_sketch"),
+    else:
+        (
+            rolled.withColumn("__batch_id", F.lit(str(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
         )
-        .write.mode("append")
-        .parquet(path)
-    )
 
 
 def query_rollup(

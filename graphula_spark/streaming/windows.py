@@ -150,8 +150,22 @@ def stream_near_dedup_ingest(
     min-id survivor) so two near-identical docs arriving together
     cannot both enter the index.
 
-    Returns the StreamingQuery; surviving docs are appended as parquet
-    to `<index_path>/accepted/`.
+    REPLAY SAFETY (foreachBatch is at-least-once): a batch re-executed
+    after a mid-batch failure must converge to the same outcome.
+    Three mechanisms, keyed on the deterministic `batch_id`:
+      * the corpus probe ignores SELF-matches (`id_new == id_corpus`)
+        — if a previous attempt already added this batch's survivors
+        to the index, they match themselves at jaccard 1.0 and a naive
+        probe would reject the whole replayed batch;
+      * those self-matches identify ids the index ALREADY contains, so
+        `add()` skips them instead of appending duplicate bands;
+      * survivors are published to `<index_path>/accepted/` under a
+        per-batch partition (`__batch_id=<id>`) with overwrite, so a
+        replay replaces its own partial output instead of appending a
+        second copy.
+
+    Returns the StreamingQuery; surviving docs land as parquet under
+    `<index_path>/accepted/` (read the directory to get all batches).
     """
     from graphula_spark.operators.dedup import MinHashIndex, minhash_lsh_pairs
 
@@ -167,8 +181,18 @@ def stream_near_dedup_ingest(
         batch_df = batch_df.persist()
         try:
             idx = MinHashIndex.load(spark, index_path)
+            pairs = idx.query(
+                batch_df, id_col, text_col, jaccard_threshold
+            ).persist()
             dup_vs_corpus = (
-                idx.query(batch_df, id_col, text_col, jaccard_threshold)
+                pairs.where(F.col("id_new") != F.col("id_corpus"))
+                .select(F.col("id_new").alias(id_col))
+                .distinct()
+            )
+            # ids whose bands a previous attempt of THIS batch already
+            # pushed into the index: they probe-match themselves
+            already_indexed = (
+                pairs.where(F.col("id_new") == F.col("id_corpus"))
                 .select(F.col("id_new").alias(id_col))
                 .distinct()
             )
@@ -194,8 +218,14 @@ def stream_near_dedup_ingest(
             # later re-evaluation would match every survivor against
             # itself and reject the whole batch
             survivors.count()
-            survivors.write.mode("append").parquet(f"{index_path}/accepted")
-            idx.add(survivors, id_col, text_col)
+            survivors.write.mode("overwrite").parquet(
+                f"{index_path}/accepted/__batch_id={batch_id}"
+            )
+            idx.add(
+                survivors.join(already_indexed, id_col, "left_anti"),
+                id_col,
+                text_col,
+            )
         finally:
             for rid, rdd in dict(jsc.getPersistentRDDs()).items():
                 if rid not in before:
@@ -218,18 +248,23 @@ def stream_rollup_maintenance(
 ):
     """Continuous-aggregate maintenance: every micro-batch folds its
     events into new rollup bucket rows (`rollup_sketch.append_bucket`).
-    Appends are idempotent-by-merge — duplicate bucket rows union at
-    query time (counts add, HLL/top-k sketches merge) — so replays
-    after a checkpoint recovery cannot corrupt totals the way an
-    in-place update would. Query with `rollup_sketch.query_rollup`
-    at any moment for an up-to-date summary without scanning raw
-    events."""
+
+    foreachBatch is at-least-once: after a checkpoint recovery Spark
+    re-executes the in-flight batch, so a plain append would write that
+    batch's rows twice and `query_rollup` would silently double its
+    counts (HLL union is idempotent; addition is not). The write is
+    therefore keyed by the deterministic `batch_id` foreachBatch
+    provides — each batch lands in its own `__batch_id` partition via
+    dynamic partition overwrite, so a replay REPLACES the partial rows
+    of the failed attempt instead of adding to them. Query with
+    `rollup_sketch.query_rollup` at any moment for an up-to-date
+    summary without scanning raw events."""
     from graphula_spark.operators.rollup_sketch import append_bucket
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_bucket(batch_df, rollup_path, **rollup_kwargs)
+        append_bucket(batch_df, rollup_path, batch_id=batch_id, **rollup_kwargs)
 
     writer = events_stream.writeStream.foreachBatch(process_batch).trigger(
         availableNow=True

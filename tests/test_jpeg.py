@@ -121,6 +121,32 @@ class TestErrors:
         with pytest.raises(Exception):
             J.decode_jpeg(enc[:40])
 
+    def test_truncation_anywhere_is_valueerror(self):
+        """The documented contract is ValueError for malformed data —
+        a cut at ANY byte offset (header, tables, or mid-entropy-stream)
+        must never leak IndexError/struct.error."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        enc = J.encode_jpeg(img, 85, subsampling="4:2:0")
+        for cut in range(2, len(enc) - 2, 97):
+            with pytest.raises((ValueError, NotImplementedError)):
+                J.decode_jpeg(enc[:cut])
+
+    def test_unexpected_restart_marker_is_valueerror(self):
+        """An RST marker at a non-restart position (no DRI declared)
+        must surface as ValueError, not the internal _RestartMarker."""
+        rng = np.random.default_rng(7)
+        enc = J.encode_jpeg(
+            rng.integers(0, 256, (32, 32), dtype=np.uint8), 95
+        )
+        sos = enc.index(b"\xff\xda")
+        # entropy data starts after the 10-byte grayscale SOS segment;
+        # splice an RST0 one byte in so the bit reader must cross it
+        cut = sos + 11
+        broken = enc[:cut] + b"\xff\xd0" + enc[cut:]
+        with pytest.raises(ValueError):
+            J.decode_jpeg(broken)
+
     def test_bad_pixel_shape(self):
         with pytest.raises(ValueError):
             J.encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))

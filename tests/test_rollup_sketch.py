@@ -74,6 +74,41 @@ def test_incremental_append_merges(spark, events, tmp_path):
         assert got[k]["approx_users"] == want[k]["approx_users"]
 
 
+def test_append_bucket_replay_is_idempotent(spark, events, tmp_path):
+    """An at-least-once producer re-running a batch (same batch_id)
+    must not double counts: the per-batch partition overwrite replaces
+    the earlier attempt's rows — including a PARTIAL earlier attempt."""
+    path = str(tmp_path / "roll_replay")
+    split = events.selectExpr("percentile(unix_timestamp(ts), 0.7)").first()[0]
+    early = events.where(F.unix_timestamp("ts") < split)
+    late = events.where(F.unix_timestamp("ts") >= split)
+    build_rollup(early, path)
+    # first attempt dies mid-batch: only half the slice got written
+    partial = late.where(F.unix_timestamp("ts") % 2 == 0)
+    append_bucket(partial, path, batch_id=7)
+    # replay of the SAME batch id writes the full slice
+    append_bucket(late, path, batch_id=7)
+    # and a pure duplicate replay after success changes nothing
+    append_bucket(late, path, batch_id=7)
+    got = {r["key"]: r.asDict() for r in query_rollup(spark, path).collect()}
+    want = {
+        r["event_type"]: r.asDict()
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("approx_users"),
+        )
+        .collect()
+    }
+    for k in want:
+        assert got[k]["n_events"] == want[k]["n_events"]
+        assert round(got[k]["sum_value"], 2) == want[k]["sum_value"]
+        assert got[k]["approx_users"] == want[k]["approx_users"]
+
+
 def test_time_range_prunes(spark, events, tmp_path):
     path = str(tmp_path / "roll3")
     build_rollup(events, path)

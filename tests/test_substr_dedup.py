@@ -10,6 +10,7 @@ import re
 from collections import defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from graphula_spark.operators.dedup import substring_dedup
 
@@ -256,3 +257,71 @@ class TestStreamNearDedupIngest:
             for r in idx.query(later, "doc_id", "text", 0.3).collect()
         }
         assert (20, 11) in hits
+
+    def test_stream_ingest_replay_converges(self, spark, tmp_path):
+        """foreachBatch is at-least-once: re-executing a batch whose
+        survivors already reached the index and accepted/ must converge
+        to the same state — no self-rejection (survivors match their own
+        index entries), no duplicate accepted rows, no duplicate bands."""
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from graphula_spark.operators.dedup import MinHashIndex
+        from graphula_spark.streaming.windows import stream_near_dedup_ingest
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            ["doc_id", "text"],
+        )
+        idx_path = str(tmp_path / "idx")
+        MinHashIndex.build(corpus, "doc_id", "text", idx_path)
+
+        batch = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog tonight"),
+                (11, "entirely novel text with nothing shared at all here"),
+            ],
+            ["doc_id", "text"],
+        )
+        in_dir = str(tmp_path / "incoming")
+        batch.write.parquet(in_dir)
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        )
+
+        def run(ckpt: str) -> None:
+            stream = spark.readStream.schema(schema).parquet(in_dir)
+            q = stream_near_dedup_ingest(
+                spark,
+                stream,
+                idx_path,
+                jaccard_threshold=0.3,
+                checkpoint=str(tmp_path / ckpt),
+            )
+            q.awaitTermination()
+
+        run("ckpt1")
+        # fresh checkpoint over the same input = a faithful replay of
+        # batch 0 against an index that already absorbed its survivors
+        run("ckpt2")
+
+        accepted = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{idx_path}/accepted").collect()
+        ]
+        assert sorted(accepted) == [11]  # exactly once, not rejected
+        idx = MinHashIndex.load(spark, idx_path)
+        n_bands = (
+            spark.read.parquet(f"{idx_path}/bands")
+            .where(F.col("id") == 11)
+            .count()
+        )
+        assert n_bands == idx.bands  # no duplicate band rows
+        n_sh = (
+            spark.read.parquet(f"{idx_path}/shingles")
+            .where(F.col("id") == 11)
+            .count()
+        )
+        assert n_sh == 1
