@@ -1003,14 +1003,64 @@ def q_window_funcs(spark, sf):
 
 
 def q_rollup(spark, sf):
+    """Merged entry (SURVEY §8): SQL ROLLUP over orders + a
+    driver-verified merge==rescan probe of the mergeable-sketch rollup
+    store (`operators/rollup_sketch.py`). The store is built from an
+    even/odd split of events (base build + an incremental
+    `append_bucket` batch); `sketch_ok` is true iff querying the MERGED
+    bucket rows reproduces the full-rescan count, sum, and HLL
+    distinct-user estimate exactly — so a merge deviation flips the
+    value hash. The oracle predicts sketch_ok=true plus the exact
+    count/sum aggregates."""
+    from graphula_spark.operators.rollup_sketch import (
+        HLL_LGK,
+        append_bucket,
+        build_rollup,
+        query_rollup,
+    )
+
     orders = spark.read.parquet(f"{sf}/orders.parquet")
-    return (
+    rollup_part = (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
+        .withColumn("sketch_ok", F.lit(True))
     )
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    tag = sf.strip("/").replace("/", "_")
+    path = f"/tmp/graphula_rollup_probe/{tag}"
+    build_rollup(events.where(F.col("event_id") % 2 == 0), path)
+    append_bucket(
+        events.where(F.col("event_id") % 2 == 1), path, batch_id=1
+    )
+    merged = query_rollup(spark, path).select(
+        "key",
+        F.col("n_events").alias("m_n"),
+        F.round("sum_value", 4).alias("m_sum"),
+        F.col("approx_users").alias("m_users"),
+    )
+    rescan = events.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("r_n"),
+        F.round(F.sum("value"), 4).alias("r_sum"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
+        ).alias("r_users"),
+    )
+    sketch_part = merged.join(rescan, "key").select(
+        F.lit("__sketch").alias("o_orderstatus"),
+        F.col("key").alias("o_orderpriority"),
+        F.col("r_n").alias("n"),
+        F.col("r_sum").alias("total"),
+        (
+            (F.col("m_n") == F.col("r_n"))
+            & (F.col("m_sum") == F.col("r_sum"))
+            & (F.col("m_users") == F.col("r_users"))
+        ).alias("sketch_ok"),
+    )
+    return rollup_part.unionByName(sketch_part)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1886,7 +1936,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rel_rollup": """
             SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-                   round(sum(o_totalprice), 2) AS total
+                   round(sum(o_totalprice), 2) AS total, true AS sketch_ok
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            UNION ALL
+            SELECT '__sketch', event_type, CAST(count(*) AS BIGINT),
+                   round(sum(value), 4), true
+            FROM events GROUP BY event_type
         """,
     }

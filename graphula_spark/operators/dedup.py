@@ -76,34 +76,24 @@ def minhash_signatures(
     based = (
         df.repartition(par, id_col)
         .select(F.col(id_col).alias("id"), shingles.alias("sh"))
-        .select(
-            "id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("b1")
-        )
-        .select(
-            "id",
-            "b1",
-            F.transform(F.col("b1"), lambda h: F.xxhash64(h)).alias("b2"),
-        )
+        .selectExpr("id", "transform(sh, s -> xxhash64(s)) AS b1")
+        .selectExpr("id", "b1", "transform(b1, h -> xxhash64(h)) AS b2")
     )
 
-    def rotl(c, i):
-        i = i % 64
-        if i == 0:
-            return c
-        return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
-
-    def mixer(i):
-        # closure factory: a default-arg lambda would change the HOF
-        # arity and make zip_with pass the element index instead
-        return lambda a, b: a.bitwiseXOR(rotl(b, 2 * i + 1))
-
-    return based.select(
-        "id",
-        *[
-            F.array_min(F.zip_with(F.col("b1"), F.col("b2"), mixer(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    # the h_i expressions are built as SQL strings parsed JVM-side in
+    # ONE selectExpr call: constructing 32 zip_with lambdas through the
+    # Python Column API costs ~1.4s of py4j round-trips PER INVOCATION
+    # (measured), pure driver-side overhead repeated for every batch
+    exprs = []
+    for i in range(num_hashes):
+        c = (2 * i + 1) % 64
+        rot = (
+            f"(shiftleft(y, {c}) | shiftrightunsigned(y, {64 - c}))"
+            if c
+            else "y"
+        )
+        exprs.append(f"array_min(zip_with(b1, b2, (x, y) -> x ^ {rot})) AS h{i}")
+    return based.selectExpr("id", *exprs)
 
 
 def band_hashes(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:

@@ -141,6 +141,21 @@ class GraphGraphPattern:
 
 
 @dataclass
+class ServicePattern:
+    """SERVICE [SILENT] <iri> { ... } — SPARQL 1.1 Federated Query
+    (§13.2 of the federation spec). In-process federation only: the
+    IRI resolves against `sparql.service`'s registry of loaded
+    Graphs/Datasets (the way the reference's ARQ inheritance would
+    federate against a second local dataset). Remote HTTP endpoints
+    are out of scope by design — a distributed engine federates at
+    the storage layer, not per-query round-trips."""
+
+    iri: str
+    group: "GroupGraphPattern"
+    silent: bool = False
+
+
+@dataclass
 class Union:
     groups: list["GroupGraphPattern"]
 

@@ -177,6 +177,10 @@ class Compiler:
             elif isinstance(el, A.GraphGraphPattern):
                 g_sol = self.compile_graph_pattern(el)
                 sol = self.join(sol, g_sol) if sol is not None else g_sol
+            elif isinstance(el, A.ServicePattern):
+                s_sol = self.compile_service(el)
+                if s_sol is not None:
+                    sol = self.join(sol, s_sol) if sol is not None else s_sol
             elif isinstance(el, A.Filter):
                 deferred_filters.append(el.expr)
             elif isinstance(el, A.Bind):
@@ -242,6 +246,50 @@ class Compiler:
             return self.compile_group(el.group)
         finally:
             self.graph = saved
+
+    def compile_service(self, el: A.ServicePattern) -> Solution | None:
+        """SERVICE [SILENT] <iri> { ... } — in-process federation
+        (see `sparql.service`). The group compiles against the
+        registered Graph/Dataset, then every id var is materialized
+        with THAT graph's dictionary before rejoining: independently
+        loaded graphs need not agree on collision-exception ids, and
+        service-only vars would otherwise decode through the wrong
+        dictionary at the output boundary. The reference gets remote
+        SERVICE from ARQ (Sparql.scala:41-52); remote HTTP endpoints
+        here raise — register the data as a loaded Graph instead.
+
+        Returns None for SILENT with an unregistered IRI (the spec's
+        unit solution — a join identity)."""
+        from graphula_spark.dataset import Dataset
+        from graphula_spark.sparql.service import resolve_service
+
+        target = resolve_service(el.iri)
+        if target is None:
+            if el.silent:
+                return None
+            raise NotImplementedError(
+                f"SERVICE <{el.iri}>: no in-process dataset registered "
+                "under this IRI (remote SPARQL endpoints are not "
+                "supported); load the data and call "
+                "graphula_spark.sparql.service.register_service"
+            )
+        if isinstance(target, Dataset):
+            t_graph, t_dataset = target.default_graph, target
+        else:
+            t_graph, t_dataset = target, None
+        saved_graph, saved_dataset = self.graph, self.dataset
+        try:
+            self.graph = t_graph
+            self.dataset = t_dataset
+            sub = self.compile_group(el.group)
+            if t_graph is not saved_graph:
+                # materialize while self.graph is still the target so
+                # decode_col uses the service dictionary
+                sub = self.materialize(sub, sorted(sub.id_vars))
+            return sub
+        finally:
+            self.graph = saved_graph
+            self.dataset = saved_dataset
 
     # -- solution combinators ------------------------------------------
     def _align_for_join(

@@ -390,14 +390,25 @@ class Parser:
                     raise SyntaxError("GRAPH name must be an IRI or variable")
                 g.elements.append(GraphGraphPattern(term, self.parse_group()))
             elif w == "SERVICE":
-                # SPARQL 1.1 Federated Query: out of scope by design —
-                # a distributed engine federates at the storage layer
-                # (register the remote data as a table/graph) rather
-                # than per-query HTTP round-trips
-                raise NotImplementedError(
-                    "SERVICE (federated query) is not supported; load the "
-                    "remote graph into the store (Graph.from_ntriples / "
-                    "Dataset) and query it locally instead"
+                from graphula_spark.sparql.algebra import ServicePattern
+
+                self.next()
+                silent = False
+                if self.kw() == "SILENT":
+                    self.next()
+                    silent = True
+                term = self.parse_term()
+                if isinstance(term, Var):
+                    # SERVICE ?endpoint needs per-row endpoint dispatch
+                    raise NotImplementedError(
+                        "SERVICE with a variable endpoint is not supported; "
+                        "use a fixed IRI registered via "
+                        "graphula_spark.sparql.service.register_service"
+                    )
+                if not isinstance(term, str) or term.startswith('"'):
+                    raise SyntaxError("SERVICE endpoint must be an IRI")
+                g.elements.append(
+                    ServicePattern(term, self.parse_group(), silent)
                 )
             elif w == "BIND":
                 self.next()

@@ -1331,3 +1331,171 @@ class TestDescribeCbd:
         # named neighbors are NOT expanded (CBD stops at IRIs)
         assert ("b", "name", '"Bob"') not in rows
         assert len(rows) == 5
+
+
+class TestService:
+    """In-process SERVICE federation (SPARQL 1.1 §13): the IRI resolves
+    to another loaded Graph via sparql.service's registry; the group
+    executes there and joins back as a value-materialized solution."""
+
+    @staticmethod
+    def _graphs(spark):
+        from graphula_spark.graph import Graph
+
+        local = Graph.from_string_triples(
+            spark,
+            spark.createDataFrame(
+                [
+                    ("alice", "worksFor", "acme"),
+                    ("bob", "worksFor", "initech"),
+                    ("carol", "worksFor", "acme"),
+                ],
+                ["s", "p", "o"],
+            ),
+        )
+        remote = Graph.from_string_triples(
+            spark,
+            spark.createDataFrame(
+                [
+                    ("acme", "locatedIn", "berlin"),
+                    ("initech", "locatedIn", "austin"),
+                    ("globex", "locatedIn", "tokyo"),
+                ],
+                ["s", "p", "o"],
+            ),
+        )
+        return local, remote
+
+    def test_service_join_across_datasets(self, spark):
+        from graphula_spark.sparql.service import (
+            register_service,
+            unregister_service,
+        )
+
+        local, remote = self._graphs(spark)
+        register_service("http://example.org/hq", remote)
+        try:
+            rows = {
+                (r["who"], r["city"])
+                for r in local.sparql(
+                    """
+                    SELECT ?who ?city WHERE {
+                      ?who <worksFor> ?org .
+                      SERVICE <http://example.org/hq> {
+                        ?org <locatedIn> ?city .
+                      }
+                    }"""
+                ).collect()
+            }
+        finally:
+            unregister_service("http://example.org/hq")
+        assert rows == {
+            ("alice", "berlin"),
+            ("carol", "berlin"),
+            ("bob", "austin"),
+        }
+
+    def test_service_only_vars_decode_with_service_dictionary(self, spark):
+        """A var bound ONLY inside SERVICE must come back as the remote
+        graph's term string even when the local dictionary has never
+        seen it."""
+        from graphula_spark.sparql.service import (
+            register_service,
+            unregister_service,
+        )
+
+        local, remote = self._graphs(spark)
+        register_service("http://example.org/hq", remote)
+        try:
+            cities = {
+                r["city"]
+                for r in local.sparql(
+                    """
+                    SELECT ?city WHERE {
+                      SERVICE <http://example.org/hq> {
+                        ?org <locatedIn> ?city .
+                      }
+                    }"""
+                ).collect()
+            }
+        finally:
+            unregister_service("http://example.org/hq")
+        assert cities == {"berlin", "austin", "tokyo"}
+
+    def test_unregistered_service_raises(self, spark):
+        import pytest as _pytest
+
+        local, _ = self._graphs(spark)
+        with _pytest.raises(NotImplementedError, match="no in-process"):
+            local.sparql(
+                """
+                SELECT ?x WHERE {
+                  SERVICE <http://nowhere.example/> { ?x <p> ?y . }
+                }"""
+            ).collect()
+
+    def test_silent_unregistered_is_unit(self, spark):
+        """SERVICE SILENT over a missing endpoint yields the unit
+        solution: the rest of the query is unaffected."""
+        local, _ = self._graphs(spark)
+        rows = {
+            r["who"]
+            for r in local.sparql(
+                """
+                SELECT ?who WHERE {
+                  ?who <worksFor> ?org .
+                  SERVICE SILENT <http://nowhere.example/> {
+                    ?org <locatedIn> ?city .
+                  }
+                }"""
+            ).collect()
+        }
+        assert rows == {"alice", "bob", "carol"}
+
+    def test_variable_endpoint_rejected(self, spark):
+        import pytest as _pytest
+
+        local, _ = self._graphs(spark)
+        with _pytest.raises(NotImplementedError, match="variable endpoint"):
+            local.sparql(
+                "SELECT ?x WHERE { SERVICE ?ep { ?x <p> ?y . } }"
+            )
+
+    def test_service_against_dataset(self, spark):
+        """A registered Dataset serves its default graph, and GRAPH
+        clauses inside SERVICE see its named graphs."""
+        from graphula_spark.dataset import Dataset
+        from graphula_spark.sparql.service import (
+            register_service,
+            unregister_service,
+        )
+
+        local, _ = self._graphs(spark)
+        ds = Dataset.from_string_quads(
+            spark,
+            spark.createDataFrame(
+                [
+                    ("acme", "locatedIn", "berlin", None),
+                    ("initech", "locatedIn", "austin", "http://g/extra"),
+                ],
+                ["s", "p", "o", "g"],
+            ),
+        )
+        register_service("http://example.org/ds", ds)
+        try:
+            rows = {
+                (r["org"], r["city"])
+                for r in local.sparql(
+                    """
+                    SELECT ?org ?city WHERE {
+                      SERVICE <http://example.org/ds> {
+                        { ?org <locatedIn> ?city . }
+                        UNION
+                        { GRAPH <http://g/extra> { ?org <locatedIn> ?city . } }
+                      }
+                    }"""
+                ).collect()
+            }
+        finally:
+            unregister_service("http://example.org/ds")
+        assert rows == {("acme", "berlin"), ("initech", "austin")}
