@@ -9,11 +9,13 @@ case, explicit errors otherwise):
   subsampling), quality-scaled quantization tables, per-image OPTIMAL
   Huffman tables built with package-merge and transmitted in DHT (what
   `cjpeg -optimize` does — so no reliance on transcribing Annex K's
-  162-entry AC tables);
-- decoder: baseline sequential, grayscale or color with sampling
-  factors 1..2 in each axis (4:4:4, 4:2:0, 4:2:2, 4:4:0 — the layouts
-  real-world JPEGs use), restart markers honored; progressive mode
-  raises NotImplementedError.
+  162-entry AC tables); ``progressive=True`` emits SOF2 with a
+  cjpeg-style scan script (Annex G spectral selection + successive
+  approximation);
+- decoder: baseline sequential AND progressive (SOF0/SOF2), grayscale
+  or color with sampling factors 1..2 in each axis (4:4:4, 4:2:0,
+  4:2:2, 4:4:0 — the layouts real-world JPEGs use), restart markers
+  honored, EOB runs / refinement scans per Annex G.
 
 Like the PNG/WAV codecs this is per-payload Python meant for
 Arrow-batched `mapInPandas` workers: bytes in, arrays out.
@@ -366,12 +368,18 @@ def _dqt_segment(dest: int, q: np.ndarray) -> bytes:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JPEG bytes for an 8-bit grayscale (h, w) or RGB
-    (h, w, 3) array. YCbCr with 4:4:4 (default) or 4:2:0 chroma
-    subsampling (2x2-mean downsampled chroma — the layout nearly all
-    real-world JPEGs use); optimal Huffman tables in DHT."""
+    """JPEG bytes for an 8-bit grayscale (h, w) or RGB (h, w, 3)
+    array. YCbCr with 4:4:4 (default) or 4:2:0 chroma subsampling
+    (2x2-mean downsampled chroma — the layout nearly all real-world
+    JPEGs use); optimal Huffman tables in DHT. ``progressive=True``
+    emits SOF2 with a libjpeg-style scan script (interleaved DC first,
+    spectral-selection AC bands with successive approximation, then
+    refinement scans)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
@@ -415,6 +423,30 @@ def encode_jpeg(
         q_tables.append(_scaled_quant(_Q_CHROMA, quality))
 
     n_mcu_v, n_mcu_h = H // mcu_h, W // mcu_w
+
+    if progressive:
+        zzs = [
+            _forward_component(pl, q_tables[min(i, len(q_tables) - 1)])
+            for i, pl in enumerate(comp_planes)
+        ]
+        out = bytearray(b"\xff\xd8")
+        out += (
+            b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00"
+        )
+        for i, q in enumerate(q_tables):
+            out += _dqt_segment(i, q)
+        sof = struct.pack(">BHHB", 8, h, w, ncomp)
+        for i in range(ncomp):
+            hi, vi = factors[i]
+            sof += bytes([i + 1, (hi << 4) | vi, min(i, len(q_tables) - 1)])
+        out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+        _encode_progressive_scans(
+            out, zzs, factors, h, w, n_mcu_v, n_mcu_h
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
+
     streams, dc_freqs, ac_freqs = [], [{}, {}], [{}, {}]
     for i, (pl, (hi, vi)) in enumerate(zip(comp_planes, factors)):
         zz = _forward_component(pl, q_tables[min(i, len(q_tables) - 1)])
@@ -492,16 +524,264 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------
+# progressive encoding (T.81 Annex G) — scan-scripted like cjpeg
+# ---------------------------------------------------------------------
+
+
+class _ScanEmitter:
+    """Two-pass scan emission: a tally pass collects Huffman symbol
+    frequencies, then (with ``table``/``writer`` set) a write pass
+    emits codes + raw bits. The scan logic runs identically in both
+    passes, so the optimal per-scan table always matches the stream."""
+
+    def __init__(self):
+        self.freq: dict[int, int] = {}
+        self.table = None
+        self.writer = None
+
+    def sym(self, s: int) -> None:
+        if self.writer is None:
+            self.freq[s] = self.freq.get(s, 0) + 1
+        else:
+            code, ln = self.table[s]
+            self.writer.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if self.writer is not None and n:
+            self.writer.write(v, n)
+
+
+def _mcu_order(factors, n_mcu_v, n_mcu_h):
+    """(component, block-index) sequence in interleaved MCU order."""
+    for my in range(n_mcu_v):
+        for mx in range(n_mcu_h):
+            for i, (hi, vi) in enumerate(factors):
+                nbh = n_mcu_h * hi
+                for br in range(vi):
+                    for bc in range(hi):
+                        yield i, (my * vi + br) * nbh + (mx * hi + bc)
+
+
+def _raster_order(factors, i, fh, fw, hmax, vmax, n_mcu_h):
+    """Block indices of component i in non-interleaved raster order
+    (actual sampled dims, skipping MCU-padding blocks)."""
+    hi, vi = factors[i]
+    bh, bw = _comp_block_dims(fh, fw, hi, vi, hmax, vmax)
+    nbh = n_mcu_h * hi
+    for by in range(bh):
+        for bx in range(bw):
+            yield by * nbh + bx
+
+
+def _emit_dc_first(em, zzs, factors, blocks, al):
+    pred = [0] * len(zzs)
+    for i, bi in blocks:
+        v = int(zzs[i][bi][0]) >> al  # DC point transform: arith shift
+        diff = v - pred[i]
+        pred[i] = v
+        s = _magnitude_category(diff)
+        em.sym(s)
+        if s:
+            em.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_dc_refine(em, zzs, blocks, al):
+    for i, bi in blocks:
+        em.bits((int(zzs[i][bi][0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(em, zz, blocks, ss, se, al):
+    """AC first pass: per-coefficient point transform is magnitude
+    shift (truncate toward zero, T.81 G.1.1.1.1); all-zero block tails
+    fold into cross-block EOB runs."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            em.sym(nbits << 4)
+            em.bits(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for bi in blocks:
+        blk = zz[bi]
+        run = 0
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            v = (c >> al) if c >= 0 else -((-c) >> al)
+            if v == 0:
+                run += 1
+                continue
+            flush_eob()
+            while run > 15:
+                em.sym(0xF0)
+                run -= 16
+            s = _magnitude_category(v)
+            em.sym((run << 4) | s)
+            em.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(em, zz, blocks, ss, se, al):
+    """AC refinement pass (mirrors the T.81 G.1.2.3 discipline):
+    newly-nonzero coefficients emit (run,1)+sign; already-nonzero
+    coefficients crossed on the way buffer one correction bit each,
+    released after the next symbol/EOB; trailing content folds into
+    cross-block EOB runs."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits awaiting the next symbol
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            em.sym(nbits << 4)
+            em.bits(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+        for b in pending:
+            em.bits(b, 1)
+        pending.clear()
+
+    for bi in blocks:
+        blk = zz[bi]
+        absv = []
+        eob = ss - 1  # last newly-nonzero position
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            t = (c >> al) if c >= 0 else (-c) >> al
+            absv.append(t)
+            if t == 1:
+                eob = k
+        run = 0
+        br: list[int] = []  # correction bits inside this block
+        for k in range(ss, se + 1):
+            t = absv[k - ss]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                flush_eob()
+                em.sym(0xF0)
+                run -= 16
+                for b in br:
+                    em.bits(b, 1)
+                br = []
+            if t > 1:  # already nonzero: one correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            em.sym((run << 4) | 1)
+            em.bits(0 if int(blk[k]) < 0 else 1, 1)
+            for b in br:
+                em.bits(b, 1)
+            br = []
+            run = 0
+        if run or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_progressive_scans(out, zzs, factors, fh, fw, n_mcu_v, n_mcu_h):
+    """Append DHT+SOS segments for a cjpeg-style progressive script:
+    DC first (Al=1) → AC bands (spectral selection + first successive
+    approximation) → DC refine → AC refinements down to Al=0."""
+    ncomp = len(zzs)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    def dc_blocks():
+        if ncomp > 1:
+            return list(_mcu_order(factors, n_mcu_v, n_mcu_h))
+        return [
+            (0, bi)
+            for bi in _raster_order(factors, 0, fh, fw, hmax, vmax, n_mcu_h)
+        ]
+
+    # scan tuples: (kind, comp, ss, se, ah, al)
+    if ncomp == 1:
+        script = [
+            ("dc_first", None, 0, 0, 0, 1),
+            ("ac_first", 0, 1, 5, 0, 2),
+            ("ac_first", 0, 6, 63, 0, 2),
+            ("dc_refine", None, 0, 0, 1, 0),
+            ("ac_refine", 0, 1, 63, 2, 1),
+            ("ac_refine", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc_first", None, 0, 0, 0, 1),
+            ("ac_first", 0, 1, 5, 0, 2),
+            ("ac_first", 1, 1, 63, 0, 1),
+            ("ac_first", 2, 1, 63, 0, 1),
+            ("ac_first", 0, 6, 63, 0, 2),
+            ("dc_refine", None, 0, 0, 1, 0),
+            ("ac_refine", 0, 1, 63, 2, 1),
+            ("ac_refine", 1, 1, 63, 1, 0),
+            ("ac_refine", 2, 1, 63, 1, 0),
+            ("ac_refine", 0, 1, 63, 1, 0),
+        ]
+
+    for kind, comp, ss, se, ah, al in script:
+        em = _ScanEmitter()
+
+        def run_pass():
+            if kind == "dc_first":
+                _emit_dc_first(em, zzs, factors, dc_blocks(), al)
+            elif kind == "dc_refine":
+                _emit_dc_refine(em, zzs, dc_blocks(), al)
+            else:
+                blocks = list(
+                    _raster_order(
+                        factors, comp, fh, fw, hmax, vmax, n_mcu_h
+                    )
+                )
+                if kind == "ac_first":
+                    _emit_ac_first(em, zzs[comp], blocks, ss, se, al)
+                else:
+                    _emit_ac_refine(em, zzs[comp], blocks, ss, se, al)
+
+        run_pass()  # tally
+        uses_huff = kind != "dc_refine"
+        if uses_huff:
+            freqs = em.freq if em.freq else {0x00: 1}
+            bits, huffval, code_map = _build_table(freqs)
+            cls = 0 if kind == "dc_first" else 1
+            out += _dht_segment(cls, 0, bits, huffval)
+            em.table = code_map
+        em.writer = _BitWriter()
+        run_pass()  # emit
+        if kind in ("dc_first", "dc_refine"):
+            sos = bytes([ncomp])
+            for i in range(ncomp):
+                sos += bytes([i + 1, 0x00])
+        else:
+            sos = bytes([1, comp + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += em.writer.flush()
+
+
+# ---------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode baseline sequential JPEG, including subsampled chroma
-    with sampling factors 1..2 (4:4:4, 4:2:0, 4:2:2, 4:4:0). Returns
-    (width, height, channels, pixels) with pixels (h, w) for grayscale
-    or (h, w, 3) RGB. Raises NotImplementedError for progressive /
-    non-baseline frames or sampling factors above 2; ValueError for
+    """Decode baseline sequential (SOF0) or progressive (SOF2) JPEG,
+    including subsampled chroma with sampling factors 1..2 (4:4:4,
+    4:2:0, 4:2:2, 4:4:0). Returns (width, height, channels, pixels)
+    with pixels (h, w) for grayscale or (h, w, 3) RGB. Raises
+    NotImplementedError for other frame types (lossless, arithmetic,
+    hierarchical) or sampling factors above 2; ValueError for
     malformed or truncated data."""
     try:
         return _decode_jpeg(payload)
@@ -517,6 +797,8 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    grids: list[np.ndarray] | None = None
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -527,6 +809,13 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and grids is not None:
+                fh, fw, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                n_mcu_h = -(-fw // (8 * hmax))
+                n_mcu_v = -(-fh // (8 * vmax))
+                return _reconstruct(frame, grids, qt, n_mcu_h, n_mcu_v)
             raise ValueError("no scan data before EOI")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -565,7 +854,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                         code += 1
                     code <<= 1
                 huff[(cls, dest)] = table
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -579,7 +868,17 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     )
                 comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                n_mcu_h = -(-fw // (8 * hmax))
+                n_mcu_v = -(-fh // (8 * vmax))
+                grids = [
+                    np.zeros((n_mcu_v * vi * n_mcu_h * hi, 64), dtype=np.int32)
+                    for _cid, hi, vi, _tq in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-baseline frame type 0xFF{marker:02X}"
             )
@@ -593,10 +892,17 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_tabs.append((cid, tt >> 4, tt & 0x0F))
-            pos += seglen
-            return _decode_scan(
-                payload, pos, frame, scan_tabs, qt, huff, restart_interval
+            if not progressive:
+                pos += seglen
+                return _decode_scan(
+                    payload, pos, frame, scan_tabs, qt, huff, restart_interval
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_prog_scan(
+                payload, pos + seglen, frame, grids, scan_tabs, huff,
+                restart_interval, ss, se, ahal >> 4, ahal & 0x0F,
             )
+            continue
         pos += seglen
 
 
@@ -681,6 +987,222 @@ def _decode_scan(data, pos, frame, scan_tabs, qt, huff, restart_interval):
             f"unexpected restart marker 0xFFD{m.marker - 0xD0:X} in scan"
         ) from None
 
+    return _reconstruct(frame, grids, qt, n_mcu_h, n_mcu_v)
+
+
+# ---------------------------------------------------------------------
+# progressive decoding (T.81 Annex G: spectral selection + successive
+# approximation)
+# ---------------------------------------------------------------------
+
+
+def _comp_block_dims(fh, fw, hi, vi, hmax, vmax) -> tuple[int, int]:
+    """(blocks_h, blocks_w) of a component in NON-interleaved scan
+    order (T.81 A.2.2): ceil over the component's actual sampled size,
+    NOT the MCU-padded grid — MCU padding blocks are only coded in
+    interleaved scans."""
+    cw = -(-fw * hi // hmax)
+    ch = -(-fh * vi // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(
+    data, pos, frame, grids, scan_tabs, huff, ri, ss, se, ah, al
+) -> int:
+    """Decode one progressive scan into the persistent coefficient
+    grids; returns the payload offset of the next marker."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    n_mcu_h = -(-fw // (8 * hmax))
+    n_mcu_v = -(-fh // (8 * vmax))
+    by_cid = {c[0]: i for i, c in enumerate(comps)}
+    idxs = []
+    for cid, dc_t, ac_t in scan_tabs:
+        if cid not in by_cid:
+            raise ValueError(f"scan references unknown component {cid}")
+        idxs.append((by_cid[cid], dc_t, ac_t))
+    r = _BitReader(data, pos)
+    try:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            _prog_dc_scan(
+                r, comps, idxs, huff, grids, ah, al,
+                n_mcu_h, n_mcu_v, fh, fw, hmax, vmax, ri,
+            )
+        else:
+            if len(idxs) != 1:
+                raise ValueError("progressive AC scan must be one component")
+            ci, _dc_t, ac_t = idxs[0]
+            _prog_ac_scan(
+                r, comps[ci], huff[(1, ac_t)], grids[ci], ss, se, ah, al,
+                n_mcu_h, fh, fw, hmax, vmax, ri,
+            )
+    except _RestartMarker as m:
+        raise ValueError(
+            f"unexpected restart marker 0xFFD{m.marker - 0xD0:X} in scan"
+        ) from None
+    # advance to the next marker: entropy data never contains a bare FF
+    p, n = r.pos, len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if data[p + 1] == 0xFF or 0xD0 <= data[p + 1] <= 0xD7:
+                p += 1 if data[p + 1] == 0xFF else 2
+                continue
+            return p
+        p += 1
+    raise ValueError("truncated progressive stream")
+
+
+def _prog_dc_scan(
+    r, comps, idxs, huff, grids, ah, al, n_mcu_h, n_mcu_v, fh, fw,
+    hmax, vmax, ri,
+):
+    """DC scan: first pass (Ah=0) Huffman DPCM shifted by Al; refine
+    pass (Ah>0) one raw bit per block OR-ed at position Al (two's
+    complement makes OR exact for negatives, T.81 G.1.2.1)."""
+    pred = [0] * len(idxs)
+    if len(idxs) > 1:  # interleaved MCU order
+        units = n_mcu_v * n_mcu_h
+
+        def unit_blocks(m):
+            my, mx = divmod(m, n_mcu_h)
+            for si, (ci, dc_t, _ac) in enumerate(idxs):
+                _cid, hi, vi, _tq = comps[ci]
+                nbh = n_mcu_h * hi
+                for br in range(vi):
+                    for bc in range(hi):
+                        yield si, ci, dc_t, (my * vi + br) * nbh + (mx * hi + bc)
+
+    else:  # single component: the component's own raster block order
+        ci0, dc_t0, _ac0 = idxs[0]
+        _cid, hi0, vi0, _tq = comps[ci0]
+        bh, bw = _comp_block_dims(fh, fw, hi0, vi0, hmax, vmax)
+        nbh0 = n_mcu_h * hi0
+        units = bh * bw
+
+        def unit_blocks(m):
+            by, bx = divmod(m, bw)
+            yield 0, ci0, dc_t0, by * nbh0 + bx
+
+    for m in range(units):
+        for si, ci, dc_t, bi in unit_blocks(m):
+            blk = grids[ci][bi]
+            if ah == 0:
+                size = _huff_decode(r, huff[(0, dc_t)])
+                diff = _receive_extend(r, size)
+                pred[si] += diff
+                blk[0] = pred[si] << al
+            elif r.read_bit():
+                blk[0] |= 1 << al
+        if ri and (m + 1) % ri == 0 and m + 1 < units:
+            r.align_to_marker()
+            pred = [0] * len(idxs)
+
+
+def _prog_ac_scan(
+    r, comp, act, grid, ss, se, ah, al, n_mcu_h, fh, fw, hmax, vmax, ri
+):
+    _cid, hi, vi, _tq = comp
+    bh, bw = _comp_block_dims(fh, fw, hi, vi, hmax, vmax)
+    nbh = n_mcu_h * hi
+    eobrun = 0
+    nblocks = bh * bw
+    for m in range(nblocks):
+        by, bx = divmod(m, bw)
+        blk = grid[by * nbh + bx]
+        if ah == 0:
+            eobrun = _ac_first_block(r, act, blk, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(r, act, blk, ss, se, al, eobrun)
+        if ri and (m + 1) % ri == 0 and m + 1 < nblocks:
+            r.align_to_marker()
+            eobrun = 0
+
+
+def _ac_first_block(r, act, blk, ss, se, al, eobrun) -> int:
+    """First AC pass for one block (T.81 G.1.2.2): run-length coded
+    coefficients shifted by Al, with EOBn symbols carrying a run of
+    all-zero *blocks* (the cross-block run is the return value)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(r, act)
+        run, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if run == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << run) - 1  # -1: this block is part of the run
+            if run:
+                eobrun += r.read_bits(run)
+            return eobrun
+        k += run
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _receive_extend(r, s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(r, act, blk, ss, se, al, eobrun) -> int:
+    """AC refinement pass (T.81 G.1.2.3): newly-nonzero coefficients
+    arrive as (run, 1) symbols + a sign bit; every already-nonzero
+    coefficient crossed on the way contributes one correction bit that
+    moves its magnitude toward the true value."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(pos):
+        if r.read_bit() and (int(blk[pos]) & p1) == 0:
+            blk[pos] += p1 if blk[pos] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(r, act)
+            run, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                val = 0  # ZRL: span 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # current block's tail rides the EOB run
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, grids, qt, n_mcu_h, n_mcu_v):
+    """Dequantize + inverse DCT the per-component zig-zag coefficient
+    grids into the final pixel array (shared by the baseline and
+    progressive paths)."""
+    fh, fw, comps = frame
+    ncomp = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):
         q = qt[tq]

@@ -191,3 +191,66 @@ class TestSubsampling:
     def test_unknown_subsampling_rejected(self):
         with pytest.raises(ValueError):
             J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), 85, subsampling="4:1:1")
+
+
+class TestProgressive:
+    """SOF2 progressive (T.81 Annex G): the scan-scripted encoder and
+    the spectral-selection/successive-approximation decoder must agree
+    with the baseline codec BIT-EXACTLY — both paths reconstruct from
+    identical quantized coefficients, so any decode difference is a
+    coding bug, not rounding."""
+
+    def _roundtrip_equal(self, img, sub="4:4:4"):
+        base = J.decode_jpeg(J.encode_jpeg(img, 85, subsampling=sub))
+        prog = J.decode_jpeg(
+            J.encode_jpeg(img, 85, subsampling=sub, progressive=True)
+        )
+        assert base[:3] == prog[:3]
+        assert np.array_equal(base[3], prog[3])
+
+    def test_gray_matches_baseline(self):
+        rng = np.random.default_rng(11)
+        self._roundtrip_equal(rng.integers(0, 256, (32, 32), dtype=np.uint8))
+
+    def test_gray_odd_dims(self):
+        rng = np.random.default_rng(12)
+        self._roundtrip_equal(rng.integers(0, 256, (37, 41), dtype=np.uint8))
+
+    def test_rgb_444(self):
+        rng = np.random.default_rng(13)
+        self._roundtrip_equal(rng.integers(0, 256, (24, 24, 3), dtype=np.uint8))
+
+    def test_rgb_420_odd_dims(self):
+        """4:2:0 with non-MCU-aligned dims: AC scans cover only the
+        component's real block grid (T.81 A.2.2), not the MCU padding —
+        the case where interleaved and non-interleaved orders differ."""
+        rng = np.random.default_rng(14)
+        self._roundtrip_equal(
+            rng.integers(0, 256, (37, 41, 3), dtype=np.uint8), "4:2:0"
+        )
+
+    def test_flat_image_eob_runs(self):
+        """A flat image maximizes cross-block EOB runs (every AC block
+        is empty) — exercises the EOBn length coding on both sides."""
+        self._roundtrip_equal(np.full((48, 48), 100, dtype=np.uint8))
+
+    def test_tiny(self):
+        rng = np.random.default_rng(15)
+        self._roundtrip_equal(
+            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), "4:2:0"
+        )
+
+    def test_sof2_marker_present(self):
+        enc = J.encode_jpeg(
+            np.zeros((16, 16), dtype=np.uint8), progressive=True
+        )
+        assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+
+    def test_progressive_truncation_is_valueerror(self):
+        rng = np.random.default_rng(16)
+        enc = J.encode_jpeg(
+            rng.integers(0, 256, (24, 24), dtype=np.uint8), progressive=True
+        )
+        for cut in range(2, len(enc) - 2, 53):
+            with pytest.raises((ValueError, NotImplementedError)):
+                J.decode_jpeg(enc[:cut])
