@@ -160,7 +160,12 @@ class Graph:
     DICT_BUCKETS = 64
 
     def save(
-        self, path: str, p_buckets: int | None = None, include_ops: bool = True
+        self,
+        path: str,
+        p_buckets: int | None = None,
+        include_ops: bool = True,
+        ops_layout: str = "sorted",
+        ops_row_group_bytes: int | None = None,
     ) -> None:
         """Persist predicate-first: partition dir = hash bucket of p.
 
@@ -169,6 +174,18 @@ class Graph:
         (0,p,0) index key (Index.scala:61-78). Rows are sorted by
         (p, s, o) within partitions so parquet min/max row-group stats
         prune bound-subject scans too.
+
+        ``ops_layout`` picks the OPS twin's physical layout:
+        ``"sorted"`` (default) keeps the p_bucket partitioning with
+        rows sorted (p, o, s) — best when o-bound scans also bind p;
+        ``"zorder"`` clusters the twin on the Z-order curve of (p, o)
+        instead (operators/layout.py), so row groups carry tight
+        min/max envelopes on BOTH columns: one copy then serves
+        p-bound, o-bound, and (p,o)-bound scans via row-group pruning
+        without any partition-count explosion — the multi-predicate
+        scan regime. ``ops_row_group_bytes`` shrinks the twin's parquet
+        row groups for finer pruning (tests; at scale the default
+        128MB is right).
 
         The store build is ONE pass over the encode lineage: the
         dictionary and the bucket-shuffled encoded triples are persisted
@@ -185,6 +202,8 @@ class Graph:
 
         from pyspark import StorageLevel
 
+        if ops_layout not in ("sorted", "zorder"):
+            raise ValueError(f"unknown ops_layout {ops_layout!r}")
         p_buckets = p_buckets or Graph.P_BUCKETS
         dict_df = self.dictionary.df
         dict_was_cached = dict_df.storageLevel != StorageLevel.NONE
@@ -211,6 +230,16 @@ class Graph:
                 )
 
             def write_ops() -> None:
+                if ops_layout == "zorder":
+                    from graphula_spark.operators.layout import zorder_write
+
+                    zorder_write(
+                        bucketed.select("s", "p", "o"),
+                        f"{path}/triples_ops",
+                        by=["p", "o"],
+                        row_group_bytes=ops_row_group_bytes,
+                    )
+                    return
                 (
                     bucketed.sortWithinPartitions("p", "o", "s")
                     .write.mode("overwrite")
@@ -258,6 +287,7 @@ class Graph:
         meta = {
             "p_buckets": p_buckets,
             "layout": "pmod(p)",
+            "ops_layout": ops_layout if include_ops else None,
             "dict_buckets": Graph.DICT_BUCKETS,
         }
         stats_obj = self._stats.to_obj()
@@ -310,9 +340,13 @@ class Graph:
         )
         ops = None
         if os.path.isdir(f"{path}/triples_ops"):
-            ops = spark.read.parquet(f"{path}/triples_ops").select(
-                "s", "p", "o", "p_bucket"
+            ops = spark.read.parquet(f"{path}/triples_ops")
+            # sorted twin carries the p_bucket partition column; the
+            # z-ordered twin prunes via row-group stats instead
+            cols = ["s", "p", "o"] + (
+                ["p_bucket"] if "p_bucket" in ops.columns else []
             )
+            ops = ops.select(*cols)
         dict_raw = spark.read.parquet(f"{path}/dict")
         if dict_buckets:
             d = Dictionary(

@@ -49,12 +49,21 @@ def _rank_boundaries(
     return out
 
 
-def _rank_column(col: str, bounds: list[float]) -> Column:
+def _rank_column(col: str, bounds: list[float], bits: int | None = None) -> Column:
     val = F.col(col).cast("double")
     rank = F.lit(0)
     for b in bounds:
         rank = rank + F.when(val > F.lit(b), 1).otherwise(0)
-    return rank.cast("long")
+    rank = rank.cast("long")
+    # scale the rank to FILL the bit space: a low-cardinality column
+    # (say 37 distinct values in 8 bits) otherwise leaves its high bits
+    # ~always-zero and each lower bit skewed, so the interleaved curve
+    # degenerates toward a 1-D sort on the other columns. Spreading the
+    # ranks over 0..2^bits-1 keeps every bit level ~50/50.
+    if bits is not None and bounds and len(bounds) < (1 << bits) - 1:
+        scaled = rank * F.lit((1 << bits) - 1) / F.lit(len(bounds))
+        rank = F.floor(scaled).cast("long")
+    return rank
 
 
 def quantize_rank(df: DataFrame, col: str, bits: int = 8) -> Column:
@@ -63,27 +72,44 @@ def quantize_rank(df: DataFrame, col: str, bits: int = 8) -> Column:
     return _rank_column(col, _rank_boundaries(df, [col], bits)[col])
 
 
-def zorder_key(ranks: list[Column], bits: int = 8) -> Column:
-    """Interleave ``bits`` low bits of each rank column into one long
-    Morton key (column i contributes bit position j*ncols+i for its
-    j-th bit) — a pure bitwise JVM expression, no UDFs.
+def zorder_key(ranks: list[Column], bits: int | list[int] = 8) -> Column:
+    """Interleave the low bits of each rank column into one long Morton
+    key — a pure bitwise JVM expression, no UDFs. ``bits`` may be a
+    single width or one per column: columns whose rank domain is
+    smaller than the default width (e.g. a low-cardinality dimension)
+    should declare fewer bits, otherwise their permanently-zero high
+    bits consume the key's most significant positions and the curve
+    degenerates toward a 1-D sort on the deeper column.
 
-    ``len(ranks) * bits`` must stay within the 63 value bits of a
-    signed long: bit 63 is the sign bit, and Spark's ``shiftleft``
-    wraps shift counts at 64, so exceeding it would silently alias
-    high-order bits into low positions and break the ordering."""
-    ncols = len(ranks)
-    if ncols * bits > 63:
+    Bits are interleaved LSB-aligned (level j packs bit j of every
+    column that has one), so for equal widths column i contributes bit
+    position j*ncols+i — and for unequal widths the deeper columns'
+    surplus high bits land on top, splitting coarse tiles only on the
+    dimensions that actually have that much resolution.
+
+    The total bit count must stay within the 63 value bits of a signed
+    long: bit 63 is the sign bit, and Spark's ``shiftleft`` wraps shift
+    counts at 64, so exceeding it would silently alias high-order bits
+    into low positions and break the ordering."""
+    widths = [bits] * len(ranks) if isinstance(bits, int) else list(bits)
+    if len(widths) != len(ranks):
+        raise ValueError("zorder_key: one bit width per rank column")
+    if sum(widths) > 63:
         raise ValueError(
-            f"zorder_key: {ncols} columns x {bits} bits = {ncols * bits} "
-            "rank bits exceeds the 63 value bits of a signed long; "
-            "reduce bits (or cluster on fewer columns)"
+            f"zorder_key: {sum(widths)} total rank bits exceeds the 63 "
+            "value bits of a signed long; reduce bits (or cluster on "
+            "fewer columns)"
         )
     key = F.lit(0).cast("long")
-    for j in range(bits):
+    pos = 0
+    for j in range(max(widths)):
         for i, r in enumerate(ranks):
-            bit = F.shiftrightunsigned(r.cast("long"), j).bitwiseAND(F.lit(1))
-            key = key.bitwiseOR(F.shiftleft(bit, j * ncols + i))
+            if widths[i] > j:
+                bit = F.shiftrightunsigned(r.cast("long"), j).bitwiseAND(
+                    F.lit(1)
+                )
+                key = key.bitwiseOR(F.shiftleft(bit, pos))
+                pos += 1
     return key
 
 
@@ -104,10 +130,15 @@ def zorder_write(
 
     ``bits`` is clamped so the interleaved key fits a signed long's 63
     value bits (e.g. 8 columns => 7 bits each); extra rank resolution
-    beyond that would wrap into the sign bit and corrupt the curve."""
+    beyond that would wrap into the sign bit and corrupt the curve.
+    Low-cardinality columns have their ranks SCALED to fill the bit
+    space (see _rank_column): 37 distinct values left as ranks 0..36
+    would park near-constant high bits in the key's most significant
+    positions and degrade the curve toward a 1-D sort on the other
+    columns."""
     bits = max(1, min(bits, 63 // len(by)))
     bounds = _rank_boundaries(df, by, bits)
-    ranks = [_rank_column(c, bounds[c]) for c in by]
+    ranks = [_rank_column(c, bounds[c], bits) for c in by]
     keyed = df.withColumn("__zkey", zorder_key(ranks, bits))
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     writer = (

@@ -590,7 +590,9 @@ def _pattern_scan(
     cond: Column | None = None
     for pos, c in pat.consts():
         clause = F.col(pos) == F.lit(const_ids[c])
-        if pos == "p" and "p_bucket" in triples.columns:
+        # gate on the CHOSEN scan's columns: a z-ordered OPS twin has
+        # no p_bucket partition column (it prunes via row-group stats)
+        if pos == "p" and "p_bucket" in df.columns:
             # persisted graphs are partitioned by pmod(p, n_buckets):
             # a bound predicate prunes partitions before any IO. The
             # bucket count comes from the store's _meta (Graph.load) —
