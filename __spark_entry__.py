@@ -827,12 +827,15 @@ def q_salted_agg(spark, sf):
 def q_mm_pipeline(spark, sf):
     """Multimodal pipeline in one row: binary+metadata media schema,
     Arrow-batched feature extraction (mapInPandas), frame sampling, AND
-    a REAL encode→decode round-trip — deterministic PNG/WAV payloads
-    are synthesized per doc (operators/codecs.py, stdlib zlib/struct
-    codecs), decoded back by magic-byte routing, and every decoded
-    feature (dimensions, mean pixel, sample counts, zero crossings) is
-    a closed-form function of doc_id the oracle reproduces without a
-    codec."""
+    a REAL encode→decode round-trip — deterministic PNG/WAV/JPEG/VIDEO
+    payloads are synthesized per doc (operators/codecs.py stdlib
+    codecs, operators/jpeg.py T.81 codec, operators/video.py
+    Y4M + MJPEG-AVI), decoded back by magic-byte routing, and every
+    decoded feature (dimensions, mean pixel, sample counts, zero
+    crossings, video frame counts) is a closed-form function of doc_id
+    the oracle reproduces without a codec — including the lossy JPEG
+    DC quantization arithmetic for both still JPEGs and MJPEG video
+    frames."""
     from graphula_spark.operators.multimodal import (
         documents_as_media,
         extract_features,
@@ -1806,28 +1809,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS BIGINT) AS n_bytes,
                    md5(text) AS digest,
                    CAST(((greatest(strlen(text) // 64, 1) - 1) // 10) + 1 AS BIGINT) AS n_frames,
-                   CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-                        ELSE 'jpeg' END AS detected,
-                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INT)
-                        WHEN doc_id % 3 = 2 THEN CAST(doc_id % 40 + 1 AS INT)
+                   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                        WHEN 2 THEN 'jpeg'
+                        ELSE (CASE WHEN doc_id % 8 = 3 THEN 'y4m'
+                                   ELSE 'mjpeg' END) END AS detected,
+                   CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 64 + 1 AS INT)
+                        WHEN doc_id % 4 = 2 THEN CAST(doc_id % 40 + 1 AS INT)
+                        WHEN doc_id % 4 = 3 THEN CAST(doc_id % 24 + 2 AS INT)
                    END AS width,
-                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 1 AS INT)
-                        WHEN doc_id % 3 = 2 THEN CAST(doc_id % 32 + 1 AS INT)
+                   CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 48 + 1 AS INT)
+                        WHEN doc_id % 4 = 2 THEN CAST(doc_id % 32 + 1 AS INT)
+                        WHEN doc_id % 4 = 3 THEN CAST(doc_id % 16 + 2 AS INT)
                    END AS height,
-                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 256 AS DOUBLE)
-                        WHEN doc_id % 3 = 2 THEN
+                   CASE WHEN doc_id % 4 = 0 OR doc_id % 8 = 3
+                          THEN CAST(doc_id % 256 AS DOUBLE)
+                        WHEN doc_id % 4 = 2 OR doc_id % 8 = 7 THEN
                           -- flat 8x8 JPEG blocks carry only the DC term:
                           -- quality-90 luma DC quantizer is 3, and the
                           -- codec rounds half-up, so the decoded value is
                           -- clip(floor(floor(8(v-128)/3 + .5)*3/8 + 128.5))
+                          -- (MJPEG-AVI frames are the same codec, so flat
+                          -- video frames follow the same closed form)
                           least(255.0, greatest(0.0, floor(
                             floor(8 * (doc_id % 256 - 128) / 3.0 + 0.5)
                               * 3.0 / 8.0 + 128.5)))
                    END AS mean_pixel,
-                   CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
-                   CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 500 + 100 AS INT) END AS n_samples,
-                   CASE WHEN doc_id % 3 = 1 THEN CAST(1000 AS INT) END AS max_amp,
-                   CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 500 + 99) // 4 AS INT) END AS n_zero_cross
+                   CASE WHEN doc_id % 4 = 1 THEN CAST(8000 AS INT) END AS sample_rate,
+                   CASE WHEN doc_id % 4 = 1 THEN CAST(doc_id % 500 + 100 AS INT) END AS n_samples,
+                   CASE WHEN doc_id % 4 = 1 THEN CAST(1000 AS INT) END AS max_amp,
+                   CASE WHEN doc_id % 4 = 1 THEN CAST((doc_id % 500 + 99) // 4 AS INT) END AS n_zero_cross,
+                   CASE WHEN doc_id % 4 = 3 THEN CAST(doc_id % 5 + 2 AS INT) END AS vid_frames
             FROM documents
         """,
         "events_window": """

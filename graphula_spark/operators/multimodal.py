@@ -4,16 +4,19 @@ Images/audio/video are treated as `binary` columns with a metadata
 struct; decode / feature-extraction run as Arrow-batched Pandas UDFs
 over mapInPandas, so each batch crosses the JVM↔Python boundary once.
 
-Decode is REAL for PNG images and PCM WAV audio via the stdlib-only
-codecs in `operators/codecs.py` (zlib chunk inflate + filter undo;
-RIFF chunk walk; baseline JPEG from the spec in operators/jpeg.py) —
-`extract_real_features` routes payloads by magic
-bytes and emits decoded dimensions / signal features. Formats needing
-external codec libraries (H.264/...; PIL/ffmpeg are not in this
-environment) still go through the STUBBED path: `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder (derived from the payload bytes) exercises the full
-Spark plumbing — schema, batching, partitioning — for real.
+Decode is REAL for PNG images, PCM WAV audio, baseline+progressive
+JPEG (operators/jpeg.py from the T.81 spec), and — round 4 — VIDEO in
+the two formats honestly decodable without ffmpeg: YUV4MPEG2 and
+MJPEG-in-AVI (`operators/video.py`; AVI frames decode through the
+in-repo JPEG codec). `extract_real_features` routes payloads by magic
+bytes and emits decoded dimensions / signal features / frame counts,
+and `sample_frames(fake=False)` extracts REAL frames from video
+payloads. Formats needing external codec libraries (H.264/...;
+PIL/ffmpeg are not in this environment) still go through the STUBBED
+path: `decode_image` raises NotImplementedError unless `fake=True`,
+in which case a deterministic fake decoder (derived from the payload
+bytes) exercises the full Spark plumbing — schema, batching,
+partitioning — for real.
 """
 
 from __future__ import annotations
@@ -21,6 +24,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -114,13 +118,17 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
-    """Frame sampling for video payloads (stub): emits one row per
-    sampled frame index with a deterministic frame digest. Real frame
-    extraction would replace the fake frame synthesizer; the exploded
-    output shape and partition-preserving plumbing are real."""
-    if not fake:
-        raise NotImplementedError("real video decoding unavailable here")
+    """Frame sampling for video payloads: one row per sampled frame.
 
+    ``fake=False`` does REAL extraction — Y4M and MJPEG-AVI payloads
+    decode through operators/video.py, and each sampled frame's digest
+    is the md5 of its decoded pixel bytes (so two videos containing
+    the same frame content dedup regardless of container); payloads in
+    neither format yield no rows. ``fake=True`` keeps the
+    deterministic stub (digest derived from payload bytes + index) for
+    oracle-checkable plumbing tests. The exploded output shape and
+    partition-preserving mapInPandas plumbing are identical either
+    way."""
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -129,7 +137,7 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFr
         ]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -141,7 +149,36 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFr
                     rows.append((mid, idx, h))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_digest"])
 
-    return df.mapInPandas(run, schema=schema)
+    def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphula_spark.operators.video import (
+            Y4M_MAGIC,
+            decode_mjpeg_avi,
+            decode_y4m,
+            is_avi,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                try:
+                    if payload.startswith(Y4M_MAGIC):
+                        _w, _h, _c, luma = decode_y4m(payload)
+                        frames = list(luma)
+                    elif is_avi(payload):
+                        _w, _h, frames = decode_mjpeg_avi(payload)
+                    else:
+                        continue
+                except ValueError:
+                    continue  # poison payloads must not kill the batch
+                for idx in range(0, len(frames), every_n):
+                    h = hashlib.md5(frames[idx].tobytes()).hexdigest()
+                    rows.append((int(mid), idx, h))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_digest"])
+
+    return df.mapInPandas(run_fake if fake else run_real, schema=schema)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
@@ -171,39 +208,42 @@ REAL_FEATURE_SCHEMA = StructType(
         StructField("n_samples", IntegerType(), True),
         StructField("max_amp", IntegerType(), True),
         StructField("n_zero_cross", IntegerType(), True),
+        StructField("vid_frames", IntegerType(), True),
     ]
 )
 
 
 def synthesize_real_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL media payloads from document rows, cycling by
-    doc_id % 3: actual PNG images (grayscale, w = id%64+1, h = id%48+1,
+    doc_id % 4: actual PNG images (grayscale, w = id%64+1, h = id%48+1,
     constant pixel id%256), actual PCM-16 WAV files (8 kHz square wave,
-    period 8, amplitude 1000, n = id%500+100 samples), and actual
-    baseline JPEGs (flat gray w = id%40+1, h = id%32+1, value id%256 at
-    quality 90 — flat blocks decode to a value that is a CLOSED-FORM
-    function of the DC quantizer, so even the lossy codec's output is
-    SQL-predictable). The payloads round-trip through any
+    period 8, amplitude 1000, n = id%500+100 samples), actual baseline
+    JPEGs (flat gray w = id%40+1, h = id%32+1, value id%256 at quality
+    90 — flat blocks decode to a value that is a CLOSED-FORM function
+    of the DC quantizer, so even the lossy codec's output is
+    SQL-predictable), and — id%4==3 — actual VIDEOS with id%5+2 flat
+    frames of value id%256: YUV4MPEG2 (id%8==3, lossless mono) or
+    MJPEG-in-AVI (id%8==7, per-frame JPEGs whose flat decode follows
+    the same DC closed form). The payloads round-trip through any
     standards-compliant decoder, and every decoded feature is a
     closed-form function of doc_id — so a SQL oracle can verify a
     REAL encode→decode pipeline without a codec."""
-    import numpy as np
-
     from graphula_spark.operators.codecs import encode_png, encode_wav_pcm16
     from graphula_spark.operators.jpeg import encode_jpeg
+    from graphula_spark.operators.video import encode_mjpeg_avi, encode_y4m
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, source in zip(pdf["doc_id"], pdf["source"]):
                 mid = int(mid)
-                if mid % 3 == 0:
+                if mid % 4 == 0:
                     w, h = mid % 64 + 1, mid % 48 + 1
                     px = np.full((h, w), mid % 256, dtype=np.uint8)
                     rows.append(
                         (mid, encode_png(px), "image", (source, w, h))
                     )
-                elif mid % 3 == 1:
+                elif mid % 4 == 1:
                     n = mid % 500 + 100
                     t = np.arange(n)
                     sq = np.where((t // 4) % 2 == 0, 1000, -1000).astype(
@@ -212,12 +252,22 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                     rows.append(
                         (mid, encode_wav_pcm16(sq, 8000), "audio", (source, None, None))
                     )
-                else:
+                elif mid % 4 == 2:
                     w, h = mid % 40 + 1, mid % 32 + 1
                     px = np.full((h, w), mid % 256, dtype=np.uint8)
                     rows.append(
                         (mid, encode_jpeg(px, quality=90), "image", (source, w, h))
                     )
+                else:
+                    w, h = mid % 24 + 2, mid % 16 + 2
+                    n_frames = mid % 5 + 2
+                    fr = np.full((n_frames, h, w), mid % 256, dtype=np.uint8)
+                    payload = (
+                        encode_y4m(fr)
+                        if mid % 8 == 3
+                        else encode_mjpeg_avi(fr, quality=90)
+                    )
+                    rows.append((mid, payload, "video", (source, w, h)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "payload", "media_type", "meta"]
             )
@@ -241,6 +291,13 @@ def extract_real_features(df: DataFrame) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphula_spark.operators.video import (
+            Y4M_MAGIC,
+            decode_mjpeg_avi,
+            decode_y4m,
+            is_avi,
+        )
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -250,6 +307,7 @@ def extract_real_features(df: DataFrame) -> DataFrame:
                     "width": None, "height": None, "mean_pixel": None,
                     "sample_rate": None, "n_samples": None,
                     "max_amp": None, "n_zero_cross": None,
+                    "vid_frames": None,
                 }
                 try:
                     if payload is None:
@@ -259,6 +317,22 @@ def extract_real_features(df: DataFrame) -> DataFrame:
                         base.update(
                             detected="png", width=w, height=h,
                             mean_pixel=float(px.mean()),
+                        )
+                    elif bytes(payload[: len(Y4M_MAGIC)]) == Y4M_MAGIC:
+                        w, h, _c, luma = decode_y4m(bytes(payload))
+                        base.update(
+                            detected="y4m", width=w, height=h,
+                            mean_pixel=float(luma.mean()),
+                            vid_frames=int(luma.shape[0]),
+                        )
+                    elif is_avi(bytes(payload[:12])):
+                        w, h, frames = decode_mjpeg_avi(bytes(payload))
+                        base.update(
+                            detected="mjpeg", width=w, height=h,
+                            mean_pixel=float(
+                                np.mean([f.mean() for f in frames])
+                            ),
+                            vid_frames=len(frames),
                         )
                     elif bytes(payload[:4]) == b"RIFF":
                         base.update(detected="wav", **audio_features(bytes(payload)))

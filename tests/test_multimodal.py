@@ -54,8 +54,9 @@ def test_sample_frames(media):
         by_id[r["media_id"]] += 1
     assert by_id == {1: 1, 2: 1}
 
-    with pytest.raises(NotImplementedError):
-        sample_frames(media, fake=False)
+    # fake=False is REAL extraction now (operators/video.py): text
+    # payloads are not videos, so no rows come back
+    assert sample_frames(media, fake=False).collect() == []
 
 
 def test_delete_triples(spark):
@@ -178,22 +179,29 @@ def test_real_media_roundtrip_in_spark(spark):
     }
     import math
 
+    def jpeg_pred(v):
+        return min(255, max(0, math.floor(
+            math.floor(8 * (v - 128) / 3 + 0.5) * 3 / 8 + 128.5)))
+
     for mid, r in rows.items():
-        if mid % 3 == 0:
+        if mid % 4 == 0:
             assert r["detected"] == "png"
             assert (r["width"], r["height"]) == (mid % 64 + 1, mid % 48 + 1)
             assert r["mean_pixel"] == float(mid % 256)
-        elif mid % 3 == 1:
+        elif mid % 4 == 1:
             n = mid % 500 + 100
             assert r["detected"] == "wav" and r["n_samples"] == n
             assert r["n_zero_cross"] == (n - 1) // 4
-        else:
+        elif mid % 4 == 2:
             assert r["detected"] == "jpeg"
             assert (r["width"], r["height"]) == (mid % 40 + 1, mid % 32 + 1)
-            v = mid % 256
-            pred = min(255, max(0, math.floor(
-                math.floor(8 * (v - 128) / 3 + 0.5) * 3 / 8 + 128.5)))
-            assert r["mean_pixel"] == float(pred)
+            assert r["mean_pixel"] == float(jpeg_pred(mid % 256))
+        else:
+            assert r["detected"] == ("y4m" if mid % 8 == 3 else "mjpeg")
+            assert (r["width"], r["height"]) == (mid % 24 + 2, mid % 16 + 2)
+            assert r["vid_frames"] == mid % 5 + 2
+            want = mid % 256 if mid % 8 == 3 else jpeg_pred(mid % 256)
+            assert r["mean_pixel"] == float(want)
 
 
 def test_corrupt_payload_does_not_fail_batch(spark):
@@ -263,3 +271,119 @@ def test_wav_roundtrip_property():
         assert (back == samples).all()
 
     check()
+
+
+class TestVideoCodecs:
+    """Y4M + MJPEG-AVI (operators/video.py): the two video formats
+    honestly decodable without ffmpeg."""
+
+    def test_y4m_mono_roundtrip_exact(self):
+        import numpy as np
+
+        from graphula_spark.operators.video import decode_y4m, encode_y4m
+
+        rng = np.random.default_rng(21)
+        fr = rng.integers(0, 256, (6, 14, 18), dtype=np.uint8)
+        w, h, ctag, luma = decode_y4m(encode_y4m(fr, fps=(30, 1)))
+        assert (w, h, ctag) == (18, 14, "Cmono")
+        assert np.array_equal(luma, fr)  # uncompressed: exact
+
+    def test_y4m_color_modes(self):
+        import numpy as np
+
+        from graphula_spark.operators.video import decode_y4m, encode_y4m
+
+        rng = np.random.default_rng(22)
+        col = rng.integers(0, 256, (3, 8, 10, 3), dtype=np.uint8)
+        for chroma, tag in [("444", "C444"), ("420", "C420")]:
+            w, h, ctag, luma = decode_y4m(encode_y4m(col, chroma=chroma))
+            assert (w, h, ctag) == (10, 8, tag)
+            assert luma.shape == (3, 8, 10)
+
+    def test_mjpeg_avi_roundtrip(self):
+        import numpy as np
+
+        from graphula_spark.operators.video import (
+            decode_mjpeg_avi,
+            encode_mjpeg_avi,
+        )
+
+        rng = np.random.default_rng(23)
+        g = rng.integers(0, 256, (4, 16, 16), dtype=np.uint8)
+        w, h, frames = decode_mjpeg_avi(encode_mjpeg_avi(g, quality=90))
+        assert (w, h, len(frames)) == (16, 16, 4)
+        rgb = rng.integers(0, 256, (2, 16, 24, 3), dtype=np.uint8)
+        w, h, frames = decode_mjpeg_avi(encode_mjpeg_avi(rgb))
+        assert (w, h, len(frames)) == (24, 16, 2)
+        assert frames[0].shape == (16, 24, 3)
+
+    def test_mjpeg_flat_closed_form(self):
+        """Flat MJPEG frames decode to the same closed-form value the
+        still-JPEG oracle predicts (same DC quantizer arithmetic)."""
+        import math
+
+        import numpy as np
+
+        from graphula_spark.operators.video import (
+            decode_mjpeg_avi,
+            encode_mjpeg_avi,
+        )
+
+        v = 200
+        pred = min(
+            255,
+            max(0, math.floor(math.floor(8 * (v - 128) / 3 + 0.5) * 3 / 8 + 128.5)),
+        )
+        flat = np.full((3, 11, 13), v, dtype=np.uint8)
+        _w, _h, frames = decode_mjpeg_avi(encode_mjpeg_avi(flat, quality=90))
+        assert all((f == pred).all() for f in frames)
+
+    def test_truncation_is_valueerror(self):
+        import numpy as np
+
+        from graphula_spark.operators.video import (
+            decode_mjpeg_avi,
+            decode_y4m,
+            encode_mjpeg_avi,
+            encode_y4m,
+        )
+
+        fr = np.full((2, 8, 8), 9, dtype=np.uint8)
+        for payload, dec in [
+            (encode_y4m(fr), decode_y4m),
+            (encode_mjpeg_avi(fr), decode_mjpeg_avi),
+        ]:
+            for cut in range(4, len(payload) - 1, 37):
+                with pytest.raises(ValueError):
+                    dec(payload[:cut])
+
+
+def test_real_frame_sampling_in_spark(spark):
+    """sample_frames(fake=False) extracts REAL frames: identical frame
+    content yields identical digests across containers and videos."""
+    import numpy as np
+
+    from graphula_spark.operators.video import encode_mjpeg_avi, encode_y4m
+    from graphula_spark.operators.multimodal import sample_frames
+
+    frames_a = np.stack(
+        [np.full((8, 8), i * 10, dtype=np.uint8) for i in range(5)]
+    )
+    rows = [
+        (1, bytearray(encode_y4m(frames_a)), "video", None),
+        # same first frame content in a different video
+        (2, bytearray(encode_y4m(frames_a[:1])), "video", None),
+        (3, bytearray(b"not a video"), "video", None),
+    ]
+    from graphula_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = sample_frames(df, every_n=2, fake=False).collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], {})[r["frame_idx"]] = r["frame_digest"]
+    assert sorted(by_media[1]) == [0, 2, 4]  # every 2nd of 5 frames
+    assert sorted(by_media[2]) == [0]
+    # content-addressed: frame 0 digests agree across the two videos
+    assert by_media[1][0] == by_media[2][0]
+    assert 3 not in by_media  # non-video payload yields no rows
