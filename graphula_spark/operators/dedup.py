@@ -610,6 +610,10 @@ class MinHashIndex:
                 F.col("n.id").alias("id_new"), F.col("c.id").alias("id_corpus")
             )
             .distinct()
+            # consumed twice below (semi-join + verify join): persist so
+            # the batch-signature + index-probe subtree runs ONCE — the
+            # candidate set is tiny (LSH-bounded), the probe is not
+            .persist()
         )
         new_sh = batch.select(
             F.col(id_col).alias("id_new"),
