@@ -372,6 +372,144 @@ class BgpPlanner:
         full = best[(1 << n) - 1]
         return [(patterns[i], card) for i, card in full[2]]
 
+    # -- bushy DP (DPsub) ----------------------------------------------
+
+    def _nd(self, pat: TriplePattern, pos: str, const_ids: dict[str, int]) -> float:
+        """Distinct-count estimate of the variable at ``pos`` in the
+        pattern's scan — the join-selectivity denominator of the
+        subset cardinality model."""
+        if self.stats is None:
+            return 1000.0
+        bp = self.stats.by_pred
+        if not isinstance(pat.p, Var):
+            pid = const_ids.get(pat.p)
+            if pid in bp:
+                cnt, ns, no = bp[pid]
+                base = {"s": ns, "o": no, "p": 1}[pos]
+            else:
+                base = max(self.stats.residual_avg, 1.0)
+        else:
+            base = {
+                "s": sum(v[1] for v in bp.values()) or 1,
+                "o": sum(v[2] for v in bp.values()) or 1,
+                "p": len(bp) or 1,
+            }[pos]
+        # nd can never exceed the scan's own cardinality
+        card = self._est(pat, set(), const_ids)
+        return max(min(float(base), card if card > 0 else float(base)), 1.0)
+
+    def _rows_subset(
+        self,
+        idxs: tuple[int, ...],
+        cards: list[float],
+        var_nd: list[dict[str, float]],
+    ) -> float:
+        """Order-independent System-R-style cardinality of joining the
+        patterns in ``idxs``: product of scan cards divided, for every
+        shared variable, by all of its per-scan distinct counts except
+        the smallest (the chained max(nd_l, nd_r) convention)."""
+        rows = 1.0
+        occ: dict[str, list[float]] = {}
+        for i in idxs:
+            rows *= max(cards[i], 0.001)
+            for v, nd in var_nd[i].items():
+                occ.setdefault(v, []).append(nd)
+        for nds in occ.values():
+            if len(nds) > 1:
+                nds = sorted(nds)
+                for nd in nds[1:]:
+                    rows /= nd
+        return min(max(rows, 0.001), 1e30)
+
+    def bushy_tree(
+        self, patterns: list[TriplePattern], const_ids: dict[str, int]
+    ):
+        """Bushy join tree via DP over connected subsets (DPsub), or
+        None when the left-deep order is as good (the common star/chain
+        case) or the shape is unsupported.
+
+        Left-deep trees are optimal for stars and chains, but a
+        diamond with two selective ends wants BOTH ends joined first
+        and the small intermediates merged in the middle — a shape no
+        left-deep order can express. The gate compares the bushy
+        optimum against the left-deep DP's order COSTED UNDER THE SAME
+        subset model, and only returns a tree on a >=10% predicted win,
+        so the proven left-deep path keeps serving everything else.
+
+        Tree nodes: int = pattern index; (left, right) = join.
+        """
+        n = len(patterns)
+        if (
+            self.stats is None
+            or not (4 <= n <= DP_MAX_PATTERNS)
+            or any(not p.vars() for p in patterns)
+        ):
+            return None
+        cards = [self._est(p, set(), const_ids) for p in patterns]
+        if any(c == 0.0 for c in cards):
+            return None
+        var_nd = [
+            {v: self._nd(p, pos, const_ids) for pos, v in p.vars()}
+            for p in patterns
+        ]
+        pat_vars = [frozenset(var_nd[i]) for i in range(n)]
+
+        def idxs_of(mask: int) -> tuple[int, ...]:
+            return tuple(i for i in range(n) if (mask >> i) & 1)
+
+        def vars_of(mask: int) -> frozenset:
+            out: frozenset = frozenset()
+            for i in idxs_of(mask):
+                out |= pat_vars[i]
+            return out
+
+        # best[mask] = (cost, tree); cost = sum of estimated rows of
+        # every scan and every join node (same objective family as the
+        # left-deep DP)
+        best: dict[int, tuple[float, object]] = {
+            1 << i: (cards[i], i) for i in range(n)
+        }
+        full_mask = (1 << n) - 1
+        for mask in range(3, full_mask + 1):
+            if bin(mask).count("1") < 2:
+                continue
+            rows = self._rows_subset(idxs_of(mask), cards, var_nd)
+            found = None
+            # enumerate proper submask splits (each pair once)
+            sub = (mask - 1) & mask
+            while sub:
+                other = mask ^ sub
+                if sub < other:  # visit each unordered pair once
+                    sub = (sub - 1) & mask
+                    continue
+                l, r = best.get(sub), best.get(other)
+                if (
+                    l is not None
+                    and r is not None
+                    and vars_of(sub) & vars_of(other)  # no cross joins
+                ):
+                    cost = l[0] + r[0] + rows
+                    if found is None or cost < found[0]:
+                        found = (cost, (l[1], r[1]))
+                sub = (sub - 1) & mask
+            if found is not None:
+                best[mask] = found
+        top = best.get(full_mask)
+        if top is None:
+            return None  # disconnected pattern graph
+        # cost the left-deep DP's order under the SAME subset model
+        ld_order = self._order_dp(patterns, const_ids)
+        ld_idx = [patterns.index(p) for p, _ in ld_order]
+        ld_cost = cards[ld_idx[0]]
+        for k in range(2, n + 1):
+            ld_cost += self._rows_subset(tuple(ld_idx[:k]), cards, var_nd)
+        for i in ld_idx[1:]:
+            ld_cost += cards[i]  # each scan is read once, like bushy
+        if top[0] >= 0.9 * ld_cost:
+            return None
+        tree = top[1]
+        return None if isinstance(tree, int) else tree
+
 
 #: a join key value estimated to occur at least this often on the scan
 #: side of a BGP join triggers hot/cold skew splitting. Sized for the
@@ -505,6 +643,47 @@ def execute_bgp(
             for _, v in pat.vars():
                 var_use[v] = var_use.get(v, 0) + 1
         join_vars = {v for v, n in var_use.items() if n >= 2}
+
+    def _routed_scan(i: int, card: float) -> DataFrame:
+        pat = patterns[i]
+        src, routed = triples, False
+        if card >= BUCKETED_SCAN_MIN_EST:
+            if (
+                triples_s is not None
+                and isinstance(pat.s, Var)
+                and pat.s.name in join_vars
+            ):
+                src, routed = triples_s, True
+            elif (
+                triples_o is not None
+                and isinstance(pat.o, Var)
+                and pat.o.name in join_vars
+            ):
+                src, routed = triples_o, True
+        return _pattern_scan(
+            src, pat, const_ids, i, None if routed else triples_ops, p_buckets
+        )
+
+    # bushy join tree, only when the DP predicts a clear win over the
+    # left-deep order (diamond-shaped BGPs with selective ends); the
+    # linear path below keeps skew salting and stays the default
+    tree = planner.bushy_tree(patterns, const_ids)
+    if tree is not None:
+
+        def _build(node):
+            if isinstance(node, int):
+                card = planner._est(patterns[node], set(), const_ids)
+                return (
+                    _routed_scan(node, card),
+                    {v for _, v in patterns[node].vars()},
+                )
+            ldf, lv = _build(node[0])
+            rdf, rv = _build(node[1])
+            shared = sorted(lv & rv)  # non-empty by planner construction
+            return ldf.join(rdf, on=shared, how="inner"), lv | rv
+
+        bdf, _bv = _build(tree)
+        return bdf.select(*all_vars)
 
     result: DataFrame | None = None
     result_est = 0.0

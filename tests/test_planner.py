@@ -251,3 +251,114 @@ class TestDpJoinOrder:
         ]
         ordered = BgpPlanner(self.STATS).order(pats, self.IDS)
         assert len(ordered) == 3
+
+
+class TestBushyDp:
+    """Bushy join trees (DPsub over connected subsets) for the shape
+    left-deep orders cannot express: two selective ends of a chain of
+    huge relations, where joining both ends first keeps every
+    intermediate small."""
+
+    @staticmethod
+    def _chain():
+        a, x, y, z, b = Var("a"), Var("x"), Var("y"), Var("z"), Var("b")
+        patterns = [
+            TriplePattern(a, "rare1", x),
+            TriplePattern(x, "big1", y),
+            TriplePattern(y, "big2", z),
+            TriplePattern(z, "rare2", b),
+        ]
+        stats = BgpStats(
+            {
+                1: (5, 5, 5),
+                2: (10_000_000, 1_000, 1_000),
+                3: (10_000_000, 1_000, 1_000),
+                4: (5, 5, 5),
+            },
+            20_000_010,
+        )
+        const_ids = {"rare1": 1, "big1": 2, "big2": 3, "rare2": 4}
+        return patterns, stats, const_ids
+
+    def test_selective_ends_pick_bushy(self):
+        patterns, stats, const_ids = self._chain()
+        tree = BgpPlanner(stats).bushy_tree(patterns, const_ids)
+        assert tree is not None
+
+        def leaves(node):
+            if isinstance(node, int):
+                return {node}
+            return leaves(node[0]) | leaves(node[1])
+
+        l, r = leaves(tree[0]), leaves(tree[1])
+        # both ends join their neighbor first; the huge middle join
+        # happens once, between two small intermediates
+        assert {frozenset(l), frozenset(r)} == {
+            frozenset({0, 1}),
+            frozenset({2, 3}),
+        }
+
+    def test_star_stays_left_deep(self):
+        """A star BGP gains nothing from bushy trees — the gate must
+        keep it on the proven left-deep path."""
+        s = Var("s")
+        patterns = [
+            TriplePattern(s, "p1", Var("v1")),
+            TriplePattern(s, "p2", Var("v2")),
+            TriplePattern(s, "p3", Var("v3")),
+            TriplePattern(s, "p4", Var("v4")),
+        ]
+        stats = BgpStats(
+            {i: (1000 * i, 100, 100) for i in range(1, 5)}, 10_000
+        )
+        const_ids = {f"p{i}": i for i in range(1, 5)}
+        assert BgpPlanner(stats).bushy_tree(patterns, const_ids) is None
+
+    def test_bushy_execution_matches_linear(self, spark):
+        """execute_bgp with crafted stats that trip the bushy gate must
+        return exactly the rows the stats-free (greedy linear) path
+        returns."""
+        import random
+
+        from graphula_spark.graph import Graph
+        from graphula_spark.plans import bgp as B
+
+        rng = random.Random(7)
+        triples = []
+        # chain data: a -rare1-> x -big1-> y -big2-> z -rare2-> b
+        xs = [f"x{i}" for i in range(10)]
+        ys = [f"y{i}" for i in range(20)]
+        zs = [f"z{i}" for i in range(20)]
+        triples += [(f"a{i}", "rare1", rng.choice(xs)) for i in range(5)]
+        triples += [
+            (rng.choice(xs), "big1", rng.choice(ys)) for _ in range(200)
+        ]
+        triples += [
+            (rng.choice(ys), "big2", rng.choice(zs)) for _ in range(200)
+        ]
+        triples += [(rng.choice(zs), "rare2", f"b{i}") for i in range(5)]
+        g = Graph.from_string_triples(
+            spark, spark.createDataFrame(triples, ["s", "p", "o"])
+        )
+        patterns, stats, _ = self._chain()
+        const_ids = g._const_ids(patterns)
+        pid = {t: const_ids[t] for t in ("rare1", "big1", "big2", "rare2")}
+        crafted = BgpStats(
+            {
+                pid["rare1"]: (5, 5, 5),
+                pid["big1"]: (10_000_000, 1_000, 1_000),
+                pid["big2"]: (10_000_000, 1_000, 1_000),
+                pid["rare2"]: (5, 5, 5),
+            },
+            20_000_010,
+        )
+        assert BgpPlanner(crafted).bushy_tree(patterns, const_ids) is not None
+        bushy = B.execute_bgp(
+            g.triples, patterns, const_ids, stats=crafted
+        )
+        linear = B.execute_bgp(g.triples, patterns, const_ids, stats=None)
+        key = lambda r: tuple(r[c] for c in sorted(bushy.columns))
+        assert sorted(map(key, bushy.collect())) == sorted(
+            map(key, linear.collect())
+        )
+        assert len(bushy.collect()) > 0
