@@ -1,0 +1,110 @@
+"""WARC ingestion + HTML text extraction (sources/warc.py)."""
+
+import pytest
+
+from graphula_spark.sources.warc import (
+    html_to_text,
+    parse_warc_bytes,
+    read_warc,
+    warc_to_documents,
+    write_warc,
+)
+
+HTML = b"""<html><head><title>My Page</title>
+<style>body { color: red }</style>
+<script>var x = "<p>not text</p>";</script></head>
+<body><h1>Header&nbsp;One</h1>
+<p>First paragraph with <b>bold</b> text.</p>
+<div>Second   block</div>
+<noscript>enable js</noscript>
+</body></html>"""
+
+RECORDS = [
+    {
+        "warc_type": "warcinfo",
+        "payload": b"software: graphula-test\r\n",
+        "content_type": "application/warc-fields",
+    },
+    {
+        "warc_type": "response",
+        "target_uri": "http://example.org/a",
+        "warc_date": "2026-02-03T04:05:06Z",
+        "http_status": 200,
+        "content_type": "text/html; charset=utf-8",
+        "payload": HTML,
+    },
+    {
+        "warc_type": "response",
+        "target_uri": "http://example.org/missing",
+        "warc_date": "2026-02-03T04:05:07Z",
+        "http_status": 404,
+        "content_type": "text/html",
+        "payload": b"<html>not found</html>",
+    },
+    {
+        "warc_type": "response",
+        "target_uri": "http://example.org/img",
+        "warc_date": "2026-02-03T04:05:08Z",
+        "http_status": 200,
+        "content_type": "image/png",
+        "payload": b"\x89PNGfake",
+    },
+]
+
+
+class TestHtmlToText:
+    def test_extraction(self):
+        text = html_to_text(HTML.decode())
+        assert "My Page" in text
+        assert "Header One" in text  # &nbsp; decoded, line broken
+        assert "First paragraph with bold text." in text
+        assert "Second block" in text  # whitespace collapsed
+        # script/style/noscript content gone
+        assert "color: red" not in text
+        assert "not text" not in text
+        assert "enable js" not in text
+
+    def test_tag_soup_tolerated(self):
+        assert "hello" in html_to_text("<p>hello<div><b>world")
+        assert html_to_text("") == ""
+
+
+class TestWarcRoundTrip:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_parse_roundtrip(self, gz):
+        data = write_warc(RECORDS, gzip_members=gz)
+        recs = list(parse_warc_bytes(data, "mem"))
+        assert [r["warc_type"] for r in recs] == [
+            "warcinfo", "response", "response", "response",
+        ]
+        resp = recs[1]
+        assert resp["target_uri"] == "http://example.org/a"
+        assert resp["http_status"] == 200
+        assert resp["content_type"].startswith("text/html")
+        assert resp["payload"] == HTML  # HTTP headers stripped
+        assert recs[2]["http_status"] == 404
+
+    def test_truncated_tail_keeps_good_records(self):
+        data = write_warc(RECORDS)
+        recs = list(parse_warc_bytes(data[: len(data) - 40], "mem"))
+        # the final record is truncated and dropped; earlier ones survive
+        assert len(recs) == len(RECORDS) - 1
+
+
+class TestWarcSpark:
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_read_warc_to_documents(self, spark, tmp_path, gz):
+        ext = "warc.gz" if gz else "warc"
+        for i in range(3):  # several files -> several parse tasks
+            (tmp_path / f"crawl-{i}.{ext}").write_bytes(
+                write_warc(RECORDS, gzip_members=gz)
+            )
+        df = read_warc(spark, str(tmp_path / f"*.{ext}"))
+        assert df.count() == 3 * len(RECORDS)
+        docs = warc_to_documents(df).collect()
+        # only the 200 text/html response survives, per file
+        assert len(docs) == 3
+        assert {d["url"] for d in docs} == {"http://example.org/a"}
+        assert all("First paragraph with bold text." in d["text"] for d in docs)
+        # idempotent doc ids: same URL+date -> same id across files
+        assert len({d["doc_id"] for d in docs}) == 1
