@@ -239,6 +239,64 @@ def _decode_payload(payload: bytes, content_type: str | None) -> str:
         return payload.decode("utf-8", errors="replace")
 
 
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("url", StringType(), True),
+        StructField("fetch_date", StringType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def _record_to_doc(rec: dict, min_chars: int):
+    """(doc_id, url, fetch_date, text) for a 200 text/html response
+    record, else None."""
+    if (
+        rec["warc_type"] != "response"
+        or (rec["http_status"] or 0) != 200
+        or not rec["content_type"]
+        or "html" not in rec["content_type"].lower()
+        or rec["payload"] is None
+    ):
+        return None
+    text = html_to_text(
+        _decode_payload(bytes(rec["payload"]), rec["content_type"])
+    )
+    if len(text) < min_chars:
+        return None
+    key = f"{rec['target_uri']}\x00{rec['warc_date']}".encode()
+    return (
+        hashlib.md5(key).hexdigest(),
+        rec["target_uri"],
+        rec["warc_date"],
+        text,
+    )
+
+
+def binary_files_to_documents(df: DataFrame, min_chars: int = 1) -> DataFrame:
+    """Documents from a ``binaryFile``-shaped DataFrame (path, content)
+    — the streaming counterpart of `read_warc` + `warc_to_documents`:
+    `spark.readStream.format("binaryFile")` delivers newly-landed WARC
+    files and this transform parses + extracts text per file, Arrow-
+    batched. Works identically on a batch binaryFile read."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_bytes(bytes(content), path):
+                    doc = _record_to_doc(rec, min_chars)
+                    if doc is not None:
+                        rows.append(doc)
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "url", "fetch_date", "text"]
+            )
+
+    return df.select("path", "content").mapInPandas(run, schema=DOC_SCHEMA)
+
+
 def warc_to_documents(df: DataFrame, min_chars: int = 1) -> DataFrame:
     """HTML response records → (doc_id, url, fetch_date, text) rows,
     ready for the text pipeline. Arrow-batched mapInPandas; doc_id is
@@ -246,46 +304,26 @@ def warc_to_documents(df: DataFrame, min_chars: int = 1) -> DataFrame:
     same crawl is idempotent. Non-HTML and non-200 responses drop."""
     import pandas as pd
 
-    schema = StructType(
-        [
-            StructField("doc_id", StringType(), False),
-            StructField("url", StringType(), True),
-            StructField("fetch_date", StringType(), True),
-            StructField("text", StringType(), True),
-        ]
-    )
-
     def run(batches):
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                if (
-                    r["warc_type"] != "response"
-                    or (r["http_status"] or 0) != 200
-                    or not r["content_type"]
-                    or "html" not in r["content_type"].lower()
-                    or r["payload"] is None
-                ):
-                    continue
-                text = html_to_text(
-                    _decode_payload(bytes(r["payload"]), r["content_type"])
-                )
-                if len(text) < min_chars:
-                    continue
-                key = f"{r['target_uri']}\x00{r['warc_date']}".encode()
-                rows.append(
-                    (
-                        hashlib.md5(key).hexdigest(),
-                        r["target_uri"],
-                        r["warc_date"],
-                        text,
-                    )
-                )
+                # pandas renders SQL NULLs as NaN; normalize to None so
+                # the shared record filter sees real nulls
+                rec = {
+                    k: None
+                    if not isinstance(v, (bytes, bytearray)) and pd.isna(v)
+                    else v
+                    for k, v in r.items()
+                }
+                doc = _record_to_doc(rec, min_chars)
+                if doc is not None:
+                    rows.append(doc)
             yield pd.DataFrame(
                 rows, columns=["doc_id", "url", "fetch_date", "text"]
             )
 
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(run, schema=DOC_SCHEMA)
 
 
 # ---------------------------------------------------------------------

@@ -239,6 +239,65 @@ def stream_near_dedup_ingest(
     return writer.start()
 
 
+def stream_warc_ingest(
+    spark: SparkSession,
+    warc_dir: str,
+    index_path: str,
+    jaccard_threshold: float = 0.5,
+    checkpoint: str | None = None,
+    glob: str = "*.warc*",
+    min_chars: int = 1,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous web-crawl ingestion, end to end: WARC files landing
+    in ``warc_dir`` stream through per-file parsing + HTML→text
+    extraction (`sources/warc.py`) and then NEAR-dup dedup-on-ingest
+    against the persisted MinHash index — the composition a 100 TB
+    crawl pipeline runs as one job. The binaryFile source tracks seen
+    files in the checkpoint, so each WARC is parsed exactly once;
+    everything downstream inherits `stream_near_dedup_ingest`'s replay
+    safety. Surviving documents land under ``<index_path>/accepted/``
+    partitioned by batch."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from graphula_spark.sources.warc import binary_files_to_documents
+
+    # the binaryFile source's fixed schema must be passed explicitly in
+    # streaming mode (no inference on a stream)
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = binary_files_to_documents(reader.load(warc_dir), min_chars)
+    return stream_near_dedup_ingest(
+        spark,
+        docs,
+        index_path,
+        id_col="doc_id",
+        text_col="text",
+        jaccard_threshold=jaccard_threshold,
+        checkpoint=checkpoint,
+    )
+
+
 def stream_rollup_maintenance(
     spark: SparkSession,
     events_stream: DataFrame,

@@ -108,3 +108,92 @@ class TestWarcSpark:
         assert all("First paragraph with bold text." in d["text"] for d in docs)
         # idempotent doc ids: same URL+date -> same id across files
         assert len({d["doc_id"] for d in docs}) == 1
+
+
+class TestStreamWarcIngest:
+    def test_crawl_stream_dedups_on_ingest(self, spark, tmp_path):
+        """End-to-end: WARC files land in a directory; the stream
+        parses them, extracts text, and near-dedups against the
+        persisted MinHash index — later crawls of near-identical pages
+        are rejected, novel pages accepted."""
+        from graphula_spark.operators.dedup import MinHashIndex
+        from graphula_spark.streaming.windows import stream_warc_ingest
+
+        def page(body):
+            return f"<html><body><p>{body}</p></body></html>".encode()
+
+        base = "the quick brown fox jumps over the lazy dog again today"
+        seed = spark.createDataFrame([("seed", base)], ["doc_id", "text"])
+        idx_path = str(tmp_path / "idx")
+        MinHashIndex.build(seed, "doc_id", "text", idx_path)
+
+        crawl = tmp_path / "crawl"
+        crawl.mkdir()
+        from graphula_spark.sources.warc import write_warc
+
+        def resp(uri, body, date):
+            return {
+                "warc_type": "response",
+                "target_uri": uri,
+                "warc_date": date,
+                "http_status": 200,
+                "content_type": "text/html; charset=utf-8",
+                "payload": page(body),
+            }
+
+        (crawl / "a.warc.gz").write_bytes(
+            write_warc(
+                [
+                    # near-dup of the seeded corpus doc -> rejected
+                    resp(
+                        "http://x/1",
+                        "the quick brown fox jumps over the lazy dog again tonight",
+                        "2026-01-01T00:00:00Z",
+                    ),
+                    # novel -> accepted
+                    resp(
+                        "http://x/2",
+                        "entirely novel page content with nothing shared at all",
+                        "2026-01-01T00:00:01Z",
+                    ),
+                ],
+                gzip_members=True,
+            )
+        )
+        q = stream_warc_ingest(
+            spark,
+            str(crawl),
+            idx_path,
+            jaccard_threshold=0.3,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+        accepted = spark.read.parquet(f"{idx_path}/accepted")
+        urls = {r["url"] for r in accepted.collect()}
+        assert urls == {"http://x/2"}
+
+        # a later file with a near-dup of the accepted page is caught
+        (crawl / "b.warc").write_bytes(
+            write_warc(
+                [
+                    resp(
+                        "http://y/1",
+                        "entirely novel page content with nothing shared at most",
+                        "2026-01-02T00:00:00Z",
+                    ),
+                ]
+            )
+        )
+        q2 = stream_warc_ingest(
+            spark,
+            str(crawl),
+            idx_path,
+            jaccard_threshold=0.3,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q2.awaitTermination()
+        urls = {
+            r["url"] for r in spark.read.parquet(f"{idx_path}/accepted").collect()
+        }
+        assert urls == {"http://x/2"}  # near-dup of accepted page rejected
