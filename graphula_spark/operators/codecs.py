@@ -27,19 +27,33 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> channels
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step) — PNG spec
+#: §8.2 (derived from the published pass pattern, not transcribed code)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """Minimal real PNG encoder: 8-bit grayscale or RGB(A), filter 0
-    rows, one zlib-compressed IDAT. Round-trips through any standards-
+    rows, one zlib-compressed IDAT. ``interlace=True`` writes Adam7
+    (seven filtered sub-images). Round-trips through any standards-
     compliant decoder (including `decode_png`)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         h, w = arr.shape
         color_type = 0
-        raw_rows = arr.reshape(h, w)
+        img = arr.reshape(h, w, 1)
     elif arr.ndim == 3 and arr.shape[2] in (3, 4):
         h, w, c = arr.shape
         color_type = 2 if c == 3 else 6
-        raw_rows = arr.reshape(h, w * c)
+        img = arr
     else:
         raise ValueError(f"unsupported pixel shape {arr.shape}")
 
@@ -51,8 +65,23 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + raw_rows[y].tobytes() for y in range(h))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no bytes at all
+            rows = sub.reshape(sub.shape[0], -1)
+            parts.append(
+                b"".join(b"\x00" + rows[y].tobytes() for y in range(len(rows)))
+            )
+        raw = b"".join(parts)
+    else:
+        rows = img.reshape(h, -1)
+        raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -69,49 +98,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Real PNG decode: chunk parse, zlib inflate, undo row filters
-    0-4 (None/Sub/Up/Average/Paeth). Supports 8-bit gray/gray+alpha/
-    RGB/RGBA, non-interlaced — the common case; anything else raises.
-
-    Returns (width, height, channels, pixels[h, w*channels] uint8).
-    """
-    if payload[: len(PNG_SIG)] != PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos = len(PNG_SIG)
-    width = height = None
-    channels = 0
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + tag + data + crc
-        if tag == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if bit_depth != 8:
-                raise NotImplementedError(f"bit depth {bit_depth}")
-            if color_type not in _CHANNELS:
-                raise NotImplementedError(f"color type {color_type}")
-            if interlace:
-                raise NotImplementedError("interlaced PNG")
-            channels = _CHANNELS[color_type]
-        elif tag == b"IDAT":
-            idat.extend(data)
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("bad IDAT length")
+def _unfilter(
+    raw: bytes, offset: int, height: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Undo PNG row filters 0-4 for one (sub-)image of `height` rows of
+    `stride` bytes starting at `offset`; returns (pixels, new offset)."""
+    if offset + height * (stride + 1) > len(raw):
+        raise ValueError("truncated PNG image data")
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at bit depth 8
     for y in range(height):
-        row_start = y * (stride + 1)
+        row_start = offset + y * (stride + 1)
         ftype = raw[row_start]
         row = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=row_start + 1
@@ -137,7 +133,67 @@ def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         else:
             raise ValueError(f"unknown filter {ftype}")
         out[y] = cur.astype(np.uint8)
-    return width, height, channels, out
+    return out, offset + height * (stride + 1)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real PNG decode: chunk parse, zlib inflate, undo row filters
+    0-4 (None/Sub/Up/Average/Paeth). Supports 8-bit gray/gray+alpha/
+    RGB/RGBA, both non-interlaced and Adam7-interlaced (each of the
+    seven passes is an independently filtered sub-image scattered back
+    on the pass grid, PNG spec §8.2); other bit depths raise.
+
+    Returns (width, height, channels, pixels[h, w*channels] uint8).
+    """
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIG)
+    width = height = None
+    channels = 0
+    interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(f"bit depth {bit_depth}")
+            if color_type not in _CHANNELS:
+                raise NotImplementedError(f"color type {color_type}")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
+            channels = _CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels  # bytes per pixel at bit depth 8
+    if not interlace:
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            raise ValueError("bad IDAT length")
+        out, _ = _unfilter(raw, 0, height, stride, bpp)
+        return width, height, channels, out
+    img = np.zeros((height, width, channels), dtype=np.uint8)
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = -(-(width - x0) // dx) if width > x0 else 0
+        ph = -(-(height - y0) // dy) if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        sub, offset = _unfilter(raw, offset, ph, pw * channels, bpp)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    if offset != len(raw):
+        raise ValueError("bad IDAT length")
+    return width, height, channels, img.reshape(height, width * channels)
 
 
 def resize_nearest(

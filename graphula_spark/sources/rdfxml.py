@@ -17,7 +17,8 @@ Supported subset (RDF/XML Syntax spec, the constructs real data uses):
 - `rdf:parseType="Resource"` (implicit blank node)
 - relative IRI resolution against `xml:base` / the `base` argument
 
-Raises NotImplementedError on `rdf:parseType="Collection"` and
+`rdf:parseType="Collection"` expands to rdf:first/rest chains (§7.2.19).
+Raises NotImplementedError on
 `rdf:parseType="Literal"` (XML literals) — expand those to N-Triples
 with a full toolchain instead.
 
@@ -165,10 +166,25 @@ class _DocParser:
             for child in prop:
                 inner_li = self.parse_property(b, child, base, inner_li)
             return li_counter
-        if ptype in ("Collection", "Literal"):
+        if ptype == "Collection":
+            # RDF/XML §7.2.19: the child node elements form an
+            # rdf:first/rdf:rest chain ending in rdf:nil
+            items = [self.parse_node(child, base) for child in prop]
+            if not items:
+                self.out.append((subj, pred, RDF_NS + "nil"))
+                return li_counter
+            cells = [self.fresh_blank() for _ in items]
+            self.out.append((subj, pred, cells[0]))
+            for i, (cell, item) in enumerate(zip(cells, items)):
+                self.out.append((cell, RDF_NS + "first", item))
+                rest = cells[i + 1] if i + 1 < len(cells) else RDF_NS + "nil"
+                self.out.append((cell, RDF_NS + "rest", rest))
+            return li_counter
+        if ptype == "Literal":
             raise NotImplementedError(
-                f'rdf:parseType="{ptype}" is outside the supported RDF/XML '
-                "subset — expand to N-Triples with a full toolchain"
+                'rdf:parseType="Literal" (XML literals) is outside the '
+                "supported RDF/XML subset — expand to N-Triples with a "
+                "full toolchain"
             )
         res = prop.get(_QRDF + "resource")
         if res is not None:

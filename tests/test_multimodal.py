@@ -387,3 +387,28 @@ def test_real_frame_sampling_in_spark(spark):
     # content-addressed: frame 0 digests agree across the two videos
     assert by_media[1][0] == by_media[2][0]
     assert 3 not in by_media  # non-video payload yields no rows
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode: every pass is an independently filtered sub-image
+    scattered on the pass grid; decoded output must equal the
+    non-interlaced decode exactly, for odd dims and all color types."""
+    import numpy as np
+
+    from graphula_spark.operators.codecs import _ADAM7, decode_png, encode_png
+
+    rng = np.random.default_rng(31)
+    for shape in [(1, 1), (7, 5), (16, 16), (13, 21)]:
+        for c in (None, 3, 4):
+            img = rng.integers(
+                0, 256, shape if c is None else (*shape, c), dtype=np.uint8
+            )
+            plain = decode_png(encode_png(img))
+            inter = decode_png(encode_png(img, interlace=True))
+            assert plain[:3] == inter[:3]
+            assert np.array_equal(plain[3], inter[3])
+    # the seven passes partition the pixel grid exactly
+    seen = np.zeros((9, 13), dtype=int)
+    for x0, y0, dx, dy in _ADAM7:
+        seen[y0::dy, x0::dx] += 1
+    assert (seen == 1).all()

@@ -285,6 +285,33 @@ class TestRdfXml:
         assert ("http://ex/seq", rdf + "_1", "http://ex/one") in triples
         assert ("http://ex/seq", rdf + "_2", "http://ex/two") in triples
 
+    def test_parsetype_collection(self):
+        """rdf:parseType="Collection" expands to an rdf:first/rest
+        chain ending in rdf:nil (RDF/XML §7.2.19); an empty collection
+        is rdf:nil directly."""
+        from graphula_spark.sources.rdfxml import parse_rdfxml_text
+
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                  xmlns:ex="http://ex/">
+          <rdf:Description rdf:about="http://ex/s">
+            <ex:list rdf:parseType="Collection">
+              <rdf:Description rdf:about="http://ex/a"/>
+              <rdf:Description rdf:about="http://ex/b"/>
+            </ex:list>
+            <ex:none rdf:parseType="Collection"/>
+          </rdf:Description></rdf:RDF>"""
+        triples = parse_rdfxml_text(doc)
+        firsts = {s: o for s, p, o in triples if p == rdf + "first"}
+        rests = {s: o for s, p, o in triples if p == rdf + "rest"}
+        head = next(o for s, p, o in triples if p == "http://ex/list")
+        order, cell = [], head
+        while cell != rdf + "nil":
+            order.append(firsts[cell])
+            cell = rests[cell]
+        assert order == ["http://ex/a", "http://ex/b"]
+        assert ("http://ex/s", "http://ex/none", rdf + "nil") in triples
+
     def test_unsupported_parsetype(self):
         import pytest
 
@@ -293,9 +320,9 @@ class TestRdfXml:
         doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
                   xmlns:ex="http://ex/">
           <rdf:Description rdf:about="http://ex/s">
-            <ex:list rdf:parseType="Collection"/>
+            <ex:xml rdf:parseType="Literal"><b>markup</b></ex:xml>
           </rdf:Description></rdf:RDF>"""
-        with pytest.raises(NotImplementedError, match="Collection"):
+        with pytest.raises(NotImplementedError, match="Literal"):
             parse_rdfxml_text(doc)
 
     def test_read_rdfxml_and_query(self, spark, tmp_path):
