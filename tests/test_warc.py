@@ -197,3 +197,38 @@ class TestStreamWarcIngest:
             r["url"] for r in spark.read.parquet(f"{idx_path}/accepted").collect()
         }
         assert urls == {"http://x/2"}  # near-dup of accepted page rejected
+
+
+def test_warc_feeds_run_pipeline(spark, tmp_path):
+    """The WARC reader's output plugs straight into the training-data
+    pipeline (crawl -> documents -> normalize/dedup/quality/pack)."""
+    from graphula_spark.pipeline import PipelineConfig, run_pipeline
+    from graphula_spark.sources.warc import read_warc, warc_to_documents, write_warc
+
+    def resp(uri, body, date="2026-01-01T00:00:00Z"):
+        return {
+            "warc_type": "response",
+            "target_uri": uri,
+            "warc_date": date,
+            "http_status": 200,
+            "content_type": "text/html",
+            "payload": f"<html><body><p>{body}</p></body></html>".encode(),
+        }
+
+    body = "some reasonably long page content for the pipeline to keep " * 3
+    (tmp_path / "c.warc").write_bytes(
+        write_warc(
+            [
+                resp("http://x/1", body),
+                resp("http://x/2", body),  # exact dup after extraction
+                resp("http://x/3", "other page entirely " * 10),
+            ]
+        )
+    )
+    docs = warc_to_documents(read_warc(spark, str(tmp_path / "c.warc")))
+    res = run_pipeline(
+        docs, PipelineConfig(id_col="doc_id", text_col="text")
+    )
+    stages = {r["stage"]: r["docs"] for r in res.report}
+    assert stages["input"] == 3
+    assert stages["exact_dedup"] == 2  # the duplicated page collapsed
