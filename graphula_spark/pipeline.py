@@ -66,7 +66,29 @@ class PipelineResult:
     report: list[dict] = field(default_factory=list)
 
 
-def run_pipeline(docs: DataFrame, cfg: PipelineConfig | None = None) -> PipelineResult:
+def _fs_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence check (works for local, HDFS, S3A — whatever
+    filesystem the path's scheme resolves to)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
+def run_pipeline(
+    docs: DataFrame,
+    cfg: PipelineConfig | None = None,
+    checkpoint_dir: str | None = None,
+) -> PipelineResult:
+    """Run the pipeline; with ``checkpoint_dir`` set, every stage
+    boundary is MATERIALIZED to ``<dir>/<stage>`` parquet and a rerun
+    RESUMES from the last stage whose write committed (detected by the
+    Hadoop ``_SUCCESS`` marker, so a half-written stage is re-run, not
+    trusted). A multi-day 100 TB pipeline that dies in stage 5 then
+    restarts from stage 4's output instead of re-shuffling the week's
+    work; materialized boundaries also cut lineage, so no stage's
+    failure recovery ever recomputes an earlier stage's shuffles.
+    Resumed runs report the restored stage with ``resumed: True``."""
     from graphula_spark.operators import text as T
     from graphula_spark.operators.dedup import (
         exact_dedup,
@@ -78,31 +100,58 @@ def run_pipeline(docs: DataFrame, cfg: PipelineConfig | None = None) -> Pipeline
     cfg = cfg or PipelineConfig()
     i, t = cfg.id_col, cfg.text_col
     report: list[dict] = []
+    spark = docs.sparkSession
 
     def checkpoint(df: DataFrame, stage: str) -> DataFrame:
-        df = df.persist()
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/{stage}"
+            df.write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+        else:
+            df = df.persist()
         report.append({"stage": stage, "docs": df.count()})
         return df
 
+    planned = (
+        ["line_dedup"] if cfg.line_dedup_min_docs > 0 else []
+    ) + [
+        s
+        for s in (
+            "normalize", "exact_dedup", "near_dedup", "substr_dedup",
+            "quality",
+        )
+        if s in cfg.stages
+    ]
+    skip: set[str] = set()
     cur = docs.select(i, t)
-    report.append({"stage": "input", "docs": cur.count()})
+    if checkpoint_dir is not None:
+        for s in reversed(planned):
+            if _fs_exists(spark, f"{checkpoint_dir}/{s}/_SUCCESS"):
+                cur = spark.read.parquet(f"{checkpoint_dir}/{s}")
+                skip = set(planned[: planned.index(s) + 1])
+                report.append(
+                    {"stage": s, "docs": cur.count(), "resumed": True}
+                )
+                break
+    if not skip:
+        report.append({"stage": "input", "docs": cur.count()})
 
-    if cfg.line_dedup_min_docs > 0:
+    if cfg.line_dedup_min_docs > 0 and "line_dedup" not in skip:
         # boilerplate removal reads raw line structure, so it must run
         # BEFORE whitespace normalization collapses newlines
         dd = T.line_dedup(cur, i, t, min_dup_docs=cfg.line_dedup_min_docs)
         cur = checkpoint(dd.select(i, t), "line_dedup")
 
-    if "normalize" in cfg.stages:
+    if "normalize" in cfg.stages and "normalize" not in skip:
         cur = cur.withColumn(
             t, F.regexp_replace(F.trim(F.col(t)), r"\s+", " ")
         ).where(F.length(t) > 0)
         cur = checkpoint(cur, "normalize")
 
-    if "exact_dedup" in cfg.stages:
+    if "exact_dedup" in cfg.stages and "exact_dedup" not in skip:
         cur = checkpoint(exact_dedup(cur, t, i), "exact_dedup")
 
-    if "near_dedup" in cfg.stages:
+    if "near_dedup" in cfg.stages and "near_dedup" not in skip:
         pairs = minhash_lsh_pairs(
             cur, i, t, jaccard_threshold=cfg.minhash_threshold
         )
@@ -111,14 +160,14 @@ def run_pipeline(docs: DataFrame, cfg: PipelineConfig | None = None) -> Pipeline
         ).distinct()
         cur = checkpoint(cur.join(losers, i, "left_anti"), "near_dedup")
 
-    if "substr_dedup" in cfg.stages:
+    if "substr_dedup" in cfg.stages and "substr_dedup" not in skip:
         sd = substring_dedup(cur, i, t, min_len=cfg.substr_min_len)
         cur = sd.select(
             F.col(i), F.col("clean_text").alias(t)
         ).where(F.length(t) > 0)
         cur = checkpoint(cur, "substr_dedup")
 
-    if "quality" in cfg.stages:
+    if "quality" in cfg.stages and "quality" not in skip:
         toks = T.token_count(F.col(t))
         keep = (
             (toks >= cfg.min_tokens)

@@ -100,3 +100,57 @@ def test_pipeline_line_dedup_stage(spark):
     assert len(out) == 3
     for v in out.values():
         assert "SITE NAVIGATION" not in v
+
+
+def test_pipeline_checkpoint_resume(spark, tmp_path):
+    """With checkpoint_dir set, a rerun resumes from the last COMMITTED
+    stage (Hadoop _SUCCESS marker) instead of recomputing the chain; a
+    half-written stage directory (no marker) is not trusted."""
+    import shutil
+
+    from graphula_spark.pipeline import PipelineConfig, run_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (n, "some reasonably long document text for the pipeline " * 3
+             + f"unique tail {n}")
+            for n in range(20)
+        ] + [(100, "some reasonably long document text for the pipeline " * 3
+              + "unique tail 0")],  # near/exact-dup fodder
+        ["doc_id", "text"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(stages=("normalize", "exact_dedup", "quality", "pack"))
+    first = run_pipeline(docs, cfg, checkpoint_dir=ckpt)
+    n_shards = first.shards.count()
+    stages1 = {r["stage"]: r["docs"] for r in first.report}
+    assert (tmp_path / "ckpt" / "exact_dedup" / "_SUCCESS").exists()
+
+    # rerun: resumes from the deepest committed stage
+    second = run_pipeline(docs, cfg, checkpoint_dir=ckpt)
+    assert second.report[0] == {
+        "stage": "quality",
+        "docs": stages1["quality"],
+        "resumed": True,
+    }
+    assert second.shards.count() == n_shards
+
+    # simulate a crash mid-write: quality's marker gone -> resume from
+    # exact_dedup and RE-RUN quality
+    (tmp_path / "ckpt" / "quality" / "_SUCCESS").unlink()
+    third = run_pipeline(docs, cfg, checkpoint_dir=ckpt)
+    assert third.report[0] == {
+        "stage": "exact_dedup",
+        "docs": stages1["exact_dedup"],
+        "resumed": True,
+    }
+    assert {r["stage"] for r in third.report if not r.get("resumed")} == {
+        "quality"
+    }
+    assert third.shards.count() == n_shards
+
+    # a fresh dir runs everything
+    shutil.rmtree(ckpt)
+    fresh = run_pipeline(docs, cfg, checkpoint_dir=ckpt)
+    assert fresh.report[0]["stage"] == "input"
+    assert fresh.shards.count() == n_shards
