@@ -123,13 +123,123 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the single-table scan-heavy pricing summary.
+    No joins at all — the whole cost is the lineitem scan + one
+    map-side-combinable aggregation, which is why Q1 is the classic
+    scan/codegen throughput probe. All money aggregates stay DECIMAL
+    so the outputs are exact and engine-portable (avg columns are
+    derivable from the emitted exact sums + count, so they are not
+    separately materialized)."""
+    d18 = "decimal(18,2)"
+    line = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast(d18)
+    disc = F.col("l_discount").cast(d18)
+    tax = F.col("l_tax").cast(d18)
+    return (
+        line.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(d18)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(d18) - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                price * (F.lit(1).cast(d18) - disc) * (F.lit(1).cast(d18) + tax)
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single aggregate — the predicate
+    pushdown probe (every filter must reach the parquet scan; no
+    shuffle beyond the final 1-row combine)."""
+    d18 = "decimal(18,2)"
+    line = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return line.agg(
+        F.sum(
+            F.col("l_extendedprice").cast(d18) * F.col("l_discount").cast(d18)
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for a month. The part side
+    broadcasts (dimension); the ratio divides two EXACT decimal sums
+    as doubles, so both engines perform the identical IEEE division."""
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    line = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    joined = line.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    total = F.sum(_rev())
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * promo.cast("double") / total.cast("double"), 6
+        ).alias("promo_revenue")
+    )
+
+
 QUERIES = {
+    "tpch_q1": q1_pricing_summary,
     "tpch_q3": q3_shipping_priority,
     "tpch_q5": q5_local_supplier_volume,
+    "tpch_q6": q6_forecast_revenue,
     "tpch_q10": q10_returned_items,
+    "tpch_q14": q14_promotion_effect,
 }
 
 ORACLE_SQL = {
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q6": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "tpch_q14": """
+        SELECT round(100.0
+                 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+               6) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
     "tpch_q3": """
         SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue

@@ -9,7 +9,7 @@ import pytest
 from graphula_spark import tpch
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
-TABLES = ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
 
 
 @pytest.fixture(scope="module")
@@ -66,3 +66,20 @@ def test_q3_never_broadcasts_the_fact_table(spark):
     lineitem_scan_prefix = plan.split("lineitem.parquet")[0]
     last_scan_block = lineitem_scan_prefix.rsplit("FileScan", 1)[-1]
     assert "BroadcastExchange" not in last_scan_block
+
+
+def test_q6_filters_push_to_scan(spark):
+    """Q1/Q6 are scan-throughput probes: every predicate must reach the
+    parquet reader as a pushed filter, not a post-scan Filter only."""
+    df = tpch.q6_forecast_revenue(spark, SF_DIR)
+    # toString truncates long fields; formatted explain shows the full
+    # PushedFilters list
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is not None
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"GreaterThan({col}" in pushed.group(1) or f"LessThan({col}" in pushed.group(1) or f"GreaterThanOrEqual({col}" in pushed.group(1) or f"LessThanOrEqual({col}" in pushed.group(1)
