@@ -26,7 +26,6 @@ dependency from the 100 TB ingest path.
 from __future__ import annotations
 
 import hashlib
-import io
 import re
 import zlib
 from html.parser import HTMLParser
@@ -56,18 +55,61 @@ WARC_SCHEMA = StructType(
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a stream of CONCATENATED gzip members (the .warc.gz
-    layout: one member per record) into one plain byte stream."""
-    out = io.BytesIO()
-    pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
-        out.write(d.decompress(data[pos:]))
-        if not d.unused_data:
-            break
-        pos = len(data) - len(d.unused_data)
-    return out.getvalue()
+def _try_parse_record(data, pos: int, src_file: str):
+    """Attempt to parse one record at ``pos``. Returns
+    (record_or_None, new_pos, incomplete) — ``incomplete`` means more
+    bytes could complete the record (gzip streaming continues); a
+    non-incomplete None means clean end-of-stream / trailing garbage."""
+    n = len(data)
+    while pos < n and data[pos : pos + 2] in (b"\r\n", b"\n"):
+        pos += 2 if data[pos : pos + 2] == b"\r\n" else 1
+    if pos >= n:
+        return None, pos, False
+    if n - pos < 5:
+        return None, pos, True
+    if not data[pos : pos + 5] == b"WARC/":
+        return None, pos, False  # trailing garbage: stop cleanly
+    hdr_end = data.find(b"\r\n\r\n", pos)
+    if hdr_end < 0:
+        return None, pos, True
+    headers: dict[str, str] = {}
+    for line in bytes(data[pos:hdr_end]).split(b"\r\n")[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower().decode("latin-1")] = (
+            v.strip().decode("latin-1")
+        )
+    try:
+        length = int(headers.get("content-length", ""))
+    except ValueError:
+        return None, pos, False
+    body_start = hdr_end + 4
+    if body_start + length > n:
+        return None, pos, True  # record not fully buffered yet
+    block = bytes(data[body_start : body_start + length])
+
+    rec = {
+        "record_id": headers.get("warc-record-id"),
+        "warc_type": headers.get("warc-type"),
+        "target_uri": headers.get("warc-target-uri"),
+        "warc_date": headers.get("warc-date"),
+        "http_status": None,
+        "content_type": headers.get("content-type"),
+        "payload": block,
+        "src_file": src_file,
+    }
+    if rec["warc_type"] == "response" and block[:5] == b"HTTP/":
+        http_end = block.find(b"\r\n\r\n")
+        if http_end >= 0:
+            lines = block[:http_end].split(b"\r\n")
+            m = re.match(rb"HTTP/\S+\s+(\d{3})", lines[0])
+            if m:
+                rec["http_status"] = int(m.group(1))
+            for line in lines[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    rec["content_type"] = v.strip().decode("latin-1")
+            rec["payload"] = block[http_end + 4 :]
+    return rec, body_start + length, False
 
 
 def parse_warc_bytes(data: bytes, src_file: str = ""):
@@ -78,66 +120,42 @@ def parse_warc_bytes(data: bytes, src_file: str = ""):
     other records carry their block verbatim. Malformed trailing bytes
     terminate the stream rather than raising — a truncated tail must
     not kill a 1 GB file's worth of good records.
+
+    Gzip input decompresses INCREMENTALLY, member by member (the
+    .warc.gz layout is one gzip member per record), draining completed
+    records as the buffer fills — peak memory is O(largest record),
+    not O(decompressed file); a 1 GB crawl file must not cost a 4 GB
+    buffer per executor task.
     """
-    if data[:2] == _GZIP_MAGIC:
+    if data[:2] != _GZIP_MAGIC:
+        pos = 0
+        while True:
+            rec, pos, _inc = _try_parse_record(data, pos, src_file)
+            if rec is None:
+                return
+            yield rec
+    buf = bytearray()
+    stream_pos = 0
+    n = len(data)
+    while stream_pos < n:
+        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
         try:
-            data = _gunzip_members(data)
+            buf += d.decompress(data[stream_pos:])
         except zlib.error as e:
             raise ValueError(f"bad gzip stream in {src_file}: {e}") from None
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record blank lines
-        while pos < n and data[pos : pos + 2] in (b"\r\n", b"\n"):
-            pos += 2 if data[pos : pos + 2] == b"\r\n" else 1
-        if pos >= n:
-            return
-        if not data[pos : pos + 5] == b"WARC/":
-            return  # trailing garbage: stop cleanly
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        if hdr_end < 0:
-            return
-        headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("latin-1")] = (
-                v.strip().decode("latin-1")
-            )
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            return
-        body_start = hdr_end + 4
-        if body_start + length > n:
-            return  # truncated record
-        block = data[body_start : body_start + length]
-        pos = body_start + length
-
-        rec = {
-            "record_id": headers.get("warc-record-id"),
-            "warc_type": headers.get("warc-type"),
-            "target_uri": headers.get("warc-target-uri"),
-            "warc_date": headers.get("warc-date"),
-            "http_status": None,
-            "content_type": headers.get("content-type"),
-            "payload": block,
-            "src_file": src_file,
-        }
-        if rec["warc_type"] == "response" and block[:5] in (
-            b"HTTP/",
-        ):
-            http_end = block.find(b"\r\n\r\n")
-            if http_end >= 0:
-                lines = block[:http_end].split(b"\r\n")
-                m = re.match(rb"HTTP/\S+\s+(\d{3})", lines[0])
-                if m:
-                    rec["http_status"] = int(m.group(1))
-                for line in lines[1:]:
-                    k, _, v = line.partition(b":")
-                    if k.strip().lower() == b"content-type":
-                        rec["content_type"] = v.strip().decode("latin-1")
-                rec["payload"] = block[http_end + 4 :]
-        yield rec
+        # drain every complete record before inflating the next member
+        pos = 0
+        while True:
+            rec, pos, incomplete = _try_parse_record(buf, pos, src_file)
+            if rec is None:
+                if not incomplete and pos < len(buf):
+                    return  # garbage between members: stop cleanly
+                break
+            yield rec
+        del buf[:pos]
+        if not d.unused_data:
+            break
+        stream_pos = n - len(d.unused_data)
 
 
 def read_warc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
