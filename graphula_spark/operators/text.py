@@ -599,3 +599,44 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=schema)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Diff two corpus snapshots (e.g. consecutive crawls of the same
+    sources): one row per document present in either, with status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+
+    The curation primitive behind incremental training sets: process
+    only ``added``+``changed`` docs through the expensive pipeline and
+    carry everything else forward. Content equality compares xxhash64
+    of the text (collision-checked by also comparing lengths), so the
+    join ships two longs per side, never the documents themselves —
+    at 100 TB the diff is a hash-key shuffle of (id, 2 longs), and a
+    pre-bucketed id layout makes it exchange-free.
+    """
+    def keyed(df, side):
+        return df.select(
+            F.col(id_col),
+            F.xxhash64(F.col(text_col)).alias(f"{side}_h"),
+            F.length(F.col(text_col)).alias(f"{side}_len"),
+        )
+
+    o = keyed(old, "old")
+    n = keyed(new, "new")
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_h").isNull(), F.lit("added"))
+        .when(F.col("new_h").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_h") == F.col("new_h"))
+            & (F.col("old_len") == F.col("new_len")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col(id_col), status.alias("status"))

@@ -500,3 +500,19 @@ class TestCompressionRatio:
         want = len(zlib.compress(text.encode(), 6))
         assert r["n_compressed"] == want
         assert r["ratio"] == want / len(text.encode())
+
+
+def test_snapshot_diff(spark):
+    from graphula_spark.operators.text import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "charlie")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "bravo"), (3, "charlie v2"), (4, "delta")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new, "doc_id", "text").collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
