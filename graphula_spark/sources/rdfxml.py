@@ -233,7 +233,9 @@ def read_rdfxml(
     file; feed the result to `Graph.from_string_triples`."""
     if isinstance(paths, str):
         paths = [paths]
-    files = spark.sparkContext.binaryFiles(",".join(paths))
+    from graphula_spark.sources.files import per_file_rdd
+
+    files = per_file_rdd(spark, paths)
 
     def parse_file(kv):
         path, content = kv

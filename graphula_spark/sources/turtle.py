@@ -8,8 +8,9 @@ prefixed names, blank-node labels, literals with language tags or
 datatypes, anonymous blank nodes `[ ... ]` (fresh file-scoped ids),
 and collections `( ... )` (expanded to rdf:first/rdf:rest chains).
 
-Distribution model: one Python parse task per FILE
-(`wholeTextFiles`-style binaryFiles scan). Turtle is stateful
+Distribution model: EXACTLY one Python parse task per FILE
+(`sources/files.py::per_file_rdd` — a parallelized path list, since
+binaryFiles under-parallelizes many small files). Turtle is stateful
 (prefixes scope over the rest of the document), so a file is the
 natural parallel unit — exactly how multi-file corpora are laid out;
 a 100 TB Turtle corpus is many files, not one. For single giant files
@@ -187,7 +188,9 @@ def read_turtle(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     file; feed the result to `Graph.from_string_triples`."""
     if isinstance(paths, str):
         paths = [paths]
-    files = spark.sparkContext.binaryFiles(",".join(paths))
+    from graphula_spark.sources.files import per_file_rdd
+
+    files = per_file_rdd(spark, paths)
 
     def parse_file(kv):
         path, content = kv
@@ -261,7 +264,9 @@ def read_trig(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     file; feed the result to `Dataset.from_string_quads`."""
     if isinstance(paths, str):
         paths = [paths]
-    files = spark.sparkContext.binaryFiles(",".join(paths))
+    from graphula_spark.sources.files import per_file_rdd
+
+    files = per_file_rdd(spark, paths)
 
     def parse_file(kv):
         path, content = kv

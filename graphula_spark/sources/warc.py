@@ -6,8 +6,9 @@ requests/responses plus crawl metadata. This module turns a directory
 of .warc / .warc.gz files into the `documents`-shaped DataFrame the
 text pipeline (dedup → quality → scrub → pack, pipeline.py) consumes:
 
-- `read_warc` — one parse task per FILE (binaryFiles, the same
-  distribution model as sources/turtle.py): WARC is a stateful
+- `read_warc` — EXACTLY one parse task per FILE (sources/files.py
+  parallelizes the globbed path list; sc.binaryFiles measurably
+  under-parallelizes many-small-file corpora): WARC is a stateful
   record stream and crawl corpora are laid out as many ~1 GB files,
   so a file is the natural parallel unit. Handles both plain WARC and
   the per-record-gzip-member .warc.gz layout Common Crawl ships
@@ -160,9 +161,9 @@ def parse_warc_bytes(data: bytes, src_file: str = ""):
 
 def read_warc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """WARC records as a DataFrame, one Python parse task per file."""
-    if isinstance(paths, str):
-        paths = [paths]
-    files = spark.sparkContext.binaryFiles(",".join(paths))
+    from graphula_spark.sources.files import per_file_rdd
+
+    files = per_file_rdd(spark, paths)
 
     def parse(kv):
         path, data = kv
