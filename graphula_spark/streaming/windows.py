@@ -257,7 +257,14 @@ def stream_warc_ingest(
     files in the checkpoint, so each WARC is parsed exactly once;
     everything downstream inherits `stream_near_dedup_ingest`'s replay
     safety. Surviving documents land under ``<index_path>/accepted/``
-    partitioned by batch."""
+    partitioned by batch.
+
+    Parallelism note: the binaryFile DataSource packs small files into
+    128 MB (`spark.sql.files.maxPartitionBytes`) read partitions; for
+    crawls of many small files, lower that conf or rely on
+    ``max_files_per_trigger`` to bound per-batch work — the batch
+    `read_warc` path uses exactly-one-task-per-file instead
+    (sources/files.py)."""
     from pyspark.sql.types import (
         BinaryType,
         LongType,
