@@ -18,8 +18,92 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: sf_dir -> catalog table prefix for fact tables written by
+#: `save_bucketed`. When registered, every query in this module
+#: transparently reads the co-bucketed copies, and the orderkey joins
+#: (q3/q4/q10/q12/q18/q21) plan with ZERO shuffle on either fact —
+#: the relational twin of Graph.save_bucketed_table's star-join story.
+BUCKETED: dict[str, str] = {}
+
+#: facts bucketed on their orderkey; dims stay plain parquet (they
+#: broadcast at any scale)
+_BUCKETED_FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prefix = BUCKETED.get(sf_dir)
+    if prefix and name in _BUCKETED_FACTS:
+        return spark.table(f"{prefix}_{name}")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def save_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    location: str,
+    prefix: str = "tpch",
+    buckets: int = 32,
+    register: bool = True,
+) -> None:
+    """Write lineitem and orders as CO-BUCKETED tables on their
+    orderkey (same bucket count, one file per bucket, in-bucket sort
+    by the key).
+
+    At 100 TB the orders x lineitem shuffle is the single largest
+    exchange in the suite; pre-bucketing both sides pays that shuffle
+    ONCE at load time and every subsequent orderkey equi/semi/anti
+    join co-partitions for free (the same trade the reference makes by
+    maintaining its 8-way LMDB permutation index at insert time,
+    core/src/main/scala/com/graphula/index/Index.scala:61-78).
+
+    `repartition(buckets, key)` before the write makes exactly one
+    file per bucket so the bucketed scan needs no merge sort."""
+    for name, key in _BUCKETED_FACTS.items():
+        table = f"{prefix}_{name}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            .repartition(buckets, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", f"{location}/{name}")
+            .saveAsTable(table)
+        )
+    import json as _json
+    import os as _os
+
+    _os.makedirs(location, exist_ok=True)
+    with open(f"{location}/_bucket_meta.json", "w") as fh:
+        _json.dump({"prefix": prefix, "buckets": buckets, "sf_dir": sf_dir}, fh)
+    if register:
+        BUCKETED[sf_dir] = prefix
+
+
+def register_bucketed(spark: SparkSession, location: str) -> str:
+    """Re-attach bucketed fact tables written by `save_bucketed` in a
+    NEW session (the bucketing spec lives in the session catalog,
+    which dies with the session — the meta file beside the data
+    carries it forward, mirroring Graph.from_bucketed_path)."""
+    import json as _json
+
+    with open(f"{location}/_bucket_meta.json") as fh:
+        meta = _json.load(fh)
+    prefix, buckets = meta["prefix"], meta["buckets"]
+    for name, key in _BUCKETED_FACTS.items():
+        table = f"{prefix}_{name}"
+        if not spark.catalog.tableExists(table):
+            df = spark.read.parquet(f"{location}/{name}")
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {table} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+                f"LOCATION '{location}/{name}'"
+            )
+    BUCKETED[meta["sf_dir"]] = prefix
+    return meta["sf_dir"]
 
 
 def _rev():
@@ -200,13 +284,404 @@ def q14_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated order-priority count. The
+    native columns lack l_commitdate/l_receiptdate, so "late" is
+    l_shipdate > o_orderdate + 60 days — which keeps the interesting
+    part: a LEFT SEMI join whose condition mixes the equi key with a
+    cross-table range predicate (SMJ/SHJ only; never a nested loop).
+    No hint needed: a LEFT SEMI hash join can only build its right
+    side, and the unfiltered lineitem fact never estimates under the
+    broadcast threshold, so Catalyst sorts/shuffles on the key."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    line = _t(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(line, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two regions by
+    ship year. nation/region appear TWICE in different roles (supplier
+    side vs customer side) — the aliased-dimension join the BGP engine
+    does constantly, here in relational form. Both copies broadcast;
+    the disjunctive pair filter runs after both attachments."""
+    n_r = (
+        _t(spark, sf_dir, "nation")
+        .join(_t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "r_name")
+    )
+    supp_geo = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(n_r, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cust_geo = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(n_r, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    line = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    pair = (
+        (F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE")
+    ) | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+    return (
+        line.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_geo, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_geo, F.col("o_custkey") == F.col("c_custkey"))
+        .where(pair)
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold
+    into ASIA-region customers, per order year. The share divides two
+    EXACT decimal sums as doubles (one IEEE division per group, same
+    in both engines)."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cust_region = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    line = _t(spark, sf_dir, "lineitem")
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    return (
+        line.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                nation_rev.cast("double") / F.sum(_rev()).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q12_shipping_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation after an orders x
+    lineitem join (no l_shipmode column; grouped by l_returnflag
+    instead). The CASE sums are pure map-side expressions — the whole
+    query is one shuffle on the join key plus a tiny final combine."""
+    o = _t(spark, sf_dir, "orders")
+    line = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        line.join(o.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via LEFT
+    OUTER join (customers with zero orders must appear as c_count=0,
+    which is the whole point of the outer join) and a double
+    aggregation. Both aggs are map-side combinable; the outer join
+    shuffles on custkey — at 100 TB both sides are large, so no
+    broadcast anywhere (the filter drops URGENT orders, standing in
+    for the spec's o_comment NOT LIKE filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue. Revenue per supplier is one map-side-combinable agg over
+    the fact; the max is a 1-row aggregate broadcast back (the scalar
+    subquery made explicit). The max-equality compares EXACT decimal
+    sums, so ties and equality are engine-portable."""
+    line = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = line.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev"))
+    top = F.broadcast(rev.agg(F.max("total_rev").alias("max_rev")))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        rev.join(top, F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the per-part average (p_type filter stands in for the
+    spec's brand+container pair). The correlated AVG subquery is a
+    window aggregate partitioned by part — ONE shuffle on l_partkey
+    instead of the agg-then-rejoin double shuffle. The per-part mean
+    divides an exact decimal sum by a count, so the 0.2x threshold is
+    the same IEEE double in both engines."""
+    from pyspark.sql.window import Window
+
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
+    )
+    line = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("p_partkey")
+    joined = line.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        joined.withColumn("avg_qty", avg_qty)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, joined back to customer/orders detail. The HAVING agg
+    runs FIRST (map-side combinable, shrinks the fact to the few
+    qualifying orderkeys) and the survivors join orders then the
+    customer dim; AQE sees the post-agg size and may broadcast the
+    survivors at runtime — the safe direction."""
+    line = _t(spark, sf_dir, "lineitem")
+    big = (
+        line.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of three brand/size/quantity
+    branches across the part x lineitem join. The per-branch
+    predicates can't push through the join, but their UNION envelope
+    can: the derived conjuncts (quantity <= 30, size <= 25) are added
+    explicitly on each scan — the classic manual rewrite the spec
+    query exists to test — so parquet prunes before the join."""
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+            & (F.col("p_size") <= 25)
+        )
+    )
+    line = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 30)
+    return (
+        line.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT EXISTS double correlation.
+    Suppliers whose lineitem shipped late (> o_orderdate + 60 days,
+    standing in for receipt>commit) on a finished multi-supplier order
+    where NO other supplier was late — i.e. the one supplier who held
+    the order up. The two correlated subqueries become a LEFT SEMI and
+    a LEFT ANTI join on the same orderkey; the shared shuffle key lets
+    the exchanges reuse."""
+    # orders is a FACT — never broadcast it; the shuffle_hash hint
+    # builds per-partition hashes of the (status-filtered) orders side
+    # while lineitem streams, and both subsequent semi/anti joins
+    # shuffle on the same orderkey so the exchange is reused
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+        .hint("shuffle_hash")
+    )
+    line = _t(spark, sf_dir, "lineitem")
+    l1 = (
+        line.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = line.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = (
+        line.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+    )
+    waiting = l1.join(
+        others,
+        (F.col("o2_orderkey") == F.col("l_orderkey"))
+        & (F.col("o2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("o3_orderkey") == F.col("l_orderkey"))
+        & (F.col("o3_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with NO recent orders
+    (no c_phone column, so the country-code grouping uses c_nationkey
+    and 'lapsed' replaces 'never ordered' — the synthetic data gives
+    every customer at least one order all-time). The scalar AVG is a
+    1-row broadcast; the NOT EXISTS is a shuffle LEFT ANTI join on
+    custkey — never a broadcast of the orders fact."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = F.broadcast(
+        c.where(F.col("c_acctbal") > 0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    rich = c.join(avg_bal).where(F.col("c_acctbal") > F.col("avg_bal"))
+    lapsed = rich.hint("shuffle_hash").join(
+        recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return (
+        lapsed.groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_q1": q1_pricing_summary,
     "tpch_q3": q3_shipping_priority,
+    "tpch_q4": q4_order_priority,
     "tpch_q5": q5_local_supplier_volume,
     "tpch_q6": q6_forecast_revenue,
+    "tpch_q7": q7_volume_shipping,
+    "tpch_q8": q8_market_share,
     "tpch_q10": q10_returned_items,
+    "tpch_q12": q12_shipping_priority_mix,
+    "tpch_q13": q13_customer_distribution,
     "tpch_q14": q14_promotion_effect,
+    "tpch_q15": q15_top_supplier,
+    "tpch_q17": q17_small_quantity_revenue,
+    "tpch_q18": q18_large_volume_customer,
+    "tpch_q19": q19_discounted_revenue,
+    "tpch_q21": q21_waiting_supplier,
+    "tpch_q22": q22_lapsed_customers,
 }
 
 ORACLE_SQL = {
@@ -266,6 +741,149 @@ ORACLE_SQL = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name
+    """,
+    "tpch_q4": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q7": """
+        SELECT sg.supp_region, cg.cust_region,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN (SELECT s_suppkey, r_name AS supp_region
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey) sg
+          ON l_suppkey = sg.s_suppkey
+        JOIN (SELECT c_custkey, r_name AS cust_region
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey) cg
+          ON o_custkey = cg.c_custkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((supp_region = 'ASIA' AND cust_region = 'EUROPE')
+            OR (supp_region = 'EUROPE' AND cust_region = 'ASIA'))
+        GROUP BY sg.supp_region, cg.cust_region, year(l_shipdate)
+    """,
+    "tpch_q8": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+               6) AS mkt_share
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        WHERE p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND o_custkey IN (SELECT c_custkey
+                            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                                          JOIN region ON n_regionkey = r_regionkey
+                            WHERE r_name = 'ASIA')
+        GROUP BY year(o_orderdate)
+    """,
+    "tpch_q12": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+    "tpch_q13": """
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    "tpch_q15": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    "tpch_q17": """
+        WITH j AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_type = 'SMALL'),
+        a AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+            FROM j GROUP BY l_partkey)
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM j JOIN a USING (l_partkey)
+        WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
+    """,
+    "tpch_q18": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+               CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM big JOIN orders ON o_orderkey = l_orderkey
+                 JOIN customer ON c_custkey = o_custkey
+    """,
+    "tpch_q19": """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q21": """
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+    """,
+    "tpch_q22": """
+        SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                           FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
     """,
     "tpch_q10": """
         SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,

@@ -83,3 +83,101 @@ def test_q6_filters_push_to_scan(spark):
     assert pushed is not None
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert f"GreaterThan({col}" in pushed.group(1) or f"LessThan({col}" in pushed.group(1) or f"GreaterThanOrEqual({col}" in pushed.group(1) or f"LessThanOrEqual({col}" in pushed.group(1)
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "qname", ["tpch_q4", "tpch_q13", "tpch_q18", "tpch_q21", "tpch_q22"]
+)
+def test_fact_scans_never_feed_a_broadcast(spark, qname):
+    """The new correlated/outer-join shapes must keep every raw fact
+    scan (lineitem, orders) out of a direct BroadcastExchange: a
+    broadcast AFTER a massive reduction (e.g. q18's HAVING agg) is
+    fine and AQE's call, but a broadcast of the scan itself is the
+    cluster-OOM pattern caught at the 10x probe (see q3)."""
+    plan = _plan_str(tpch.QUERIES[qname](spark, SF_DIR))
+    for fact in ("lineitem.parquet", "orders.parquet"):
+        head = plan
+        while fact in head:
+            head = head.rsplit(fact, 1)[0]
+            scan_block = head.rsplit("FileScan", 1)[-1]
+            assert "BroadcastExchange" not in scan_block, (qname, fact)
+
+
+def test_q19_envelope_conjuncts_reach_both_scans(spark):
+    """Q19's disjunctive branches cannot push through the join, but
+    the derived envelope conjuncts must reach each scan."""
+    df = tpch.q19_discounted_revenue(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "LessThanOrEqual(l_quantity,30" in plan
+    assert "LessThanOrEqual(p_size,25" in plan
+
+
+def test_q17_uses_one_shuffle_for_the_correlated_avg(spark):
+    """The per-part AVG is a window over p_partkey, not an
+    agg-then-rejoin: exactly one exchange keyed on the part column
+    should appear under the window."""
+    plan = _plan_str(tpch.q17_small_quantity_revenue(spark, SF_DIR))
+    assert "Window" in plan
+    # no self-join of the part-joined lineitem: the only joins are the
+    # broadcast dim join
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_bucketed_facts_join_without_shuffle(spark, tmp_path):
+    """save_bucketed co-buckets lineitem+orders on the orderkey; the
+    orderkey joins must then plan with NO Exchange feeding either fact
+    side, and every query must return identical rows to the plain-
+    parquet run."""
+    names = ["tpch_q4", "tpch_q12", "tpch_q18", "tpch_q21"]
+    plain = {}
+    for n in names:
+        df = tpch.QUERIES[n](spark, SF_DIR)
+        plain[n] = sorted(map(tuple, df.collect()))
+    loc = str(tmp_path / "bucketed")
+    tpch.save_bucketed(spark, SF_DIR, loc, prefix="tpch_t", buckets=8)
+    try:
+        for n in names:
+            df = tpch.QUERIES[n](spark, SF_DIR)
+            assert sorted(map(tuple, df.collect())) == plain[n], n
+        # q12 is the cleanest probe: one orderkey join + one final agg.
+        # The join subtree over the bucketed scans must be exchange-free
+        # (the only Exchange left is the groupBy combine).
+        plan = _plan_str(tpch.QUERIES["tpch_q12"](spark, SF_DIR))
+        joins = [
+            ln
+            for ln in plan.splitlines()
+            if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+        ]
+        assert joins, plan
+        assert plan.count("Exchange") <= 1, plan
+        assert "Bucketed: true" in plan
+    finally:
+        del tpch.BUCKETED[SF_DIR]
+        for t in ("tpch_t_lineitem", "tpch_t_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_register_bucketed_reattaches_from_meta(spark, tmp_path):
+    """A new session re-registers the bucketed layout from the meta
+    file and still plans bucketed scans (catalog died, files didn't)."""
+    loc = str(tmp_path / "bucketed2")
+    tpch.save_bucketed(spark, SF_DIR, loc, prefix="tpch_r", buckets=8)
+    # simulate catalog loss
+    del tpch.BUCKETED[SF_DIR]
+    for t in ("tpch_r_lineitem", "tpch_r_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        assert tpch.register_bucketed(spark, loc) == SF_DIR
+        plan = _plan_str(tpch.QUERIES["tpch_q12"](spark, SF_DIR))
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") <= 1, plan
+    finally:
+        tpch.BUCKETED.pop(SF_DIR, None)
+        for t in ("tpch_r_lineitem", "tpch_r_orders"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
