@@ -22,6 +22,7 @@ from graphula_spark.dataset import Dataset
 from graphula_spark.dictionary import Dictionary, HASH_MASK
 from graphula_spark.graph import Graph
 from graphula_spark.plans.bgp import Var, TriplePattern
+from graphula_spark.operators.importance import importance_sample, importance_weights
 from graphula_spark.pipeline import PipelineConfig, PipelineResult, run_pipeline
 from graphula_spark.session import get_spark
 from graphula_spark.sources.ntriples import (
@@ -44,6 +45,8 @@ __all__ = [
     "PipelineConfig",
     "PipelineResult",
     "run_pipeline",
+    "importance_sample",
+    "importance_weights",
     "read_nquads",
     "read_ntriples",
     "read_rdfxml",

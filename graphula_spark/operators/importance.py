@@ -1,0 +1,177 @@
+"""DSIR-style importance resampling: select raw-corpus documents whose
+hashed n-gram distribution looks like a target corpus.
+
+Public method (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling"): featurize every document as counts over B
+hash buckets of its word uni+bigrams, fit bag-of-buckets unigram
+models for the raw and target corpora, weight each raw document by its
+log likelihood ratio, and resample with Gumbel top-k (equivalent to
+sampling without replacement proportional to exp(weight)).
+
+100 TB shape: the two bucket distributions are B-row aggregates
+(map-side combinable; B defaults to 8192 — KBs, broadcast forever).
+Per-document weights are one explode + one broadcast join on the
+bucket id + one groupBy(doc) sum — a single shuffle keyed by doc id.
+Everything is JVM-side column expressions (xxhash64 + array HOFs);
+no Python touches a token. The Gumbel keys are seeded xxhash64 of the
+doc id, so selection is deterministic and reproducible across cluster
+shapes (same discipline as shuffle_deterministic,
+operators/relational.py).
+
+Reference scope note: the reference engine (pstutz/graphula) has no
+corpus operators at all — this family is part of the driver-mandated
+LLM-pipeline surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens, word_ngrams
+
+__all__ = [
+    "hashed_ngram_buckets",
+    "bucket_distribution",
+    "importance_weights",
+    "importance_sample",
+]
+
+
+def hashed_ngram_buckets(
+    text: Column, buckets: int = 8192, seed: int = 42
+) -> Column:
+    """Array of hash-bucket ids for the word uni+bigrams of `text`
+    (the DSIR featurization). One array HOF pass per n; no explode
+    happens here, so the column can feed either the distribution agg
+    or the per-doc weight join."""
+    grams = F.concat(tokens(text), word_ngrams(text, 2))
+    return F.transform(
+        grams, lambda g: F.pmod(F.xxhash64(g, F.lit(seed)), F.lit(buckets))
+    )
+
+
+def bucket_distribution(
+    df: DataFrame,
+    text_col: str,
+    buckets: int = 8192,
+    seed: int = 42,
+) -> DataFrame:
+    """`(bucket, p)` smoothed bag-of-buckets unigram model of a corpus.
+
+    Laplace add-one smoothing keeps every bucket's probability finite
+    so the log ratio never divides by zero on buckets one corpus
+    missed. The result is at most `buckets` rows: a broadcastable
+    model at any corpus size."""
+    counts = (
+        df.select(
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), buckets, seed)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "bucket",
+            (
+                (F.col("n") + F.lit(1.0))
+                / (F.col("total") + F.lit(float(buckets)))
+            ).alias("p"),
+        )
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document DSIR log importance weight over the raw corpus:
+    `logw = sum_b count_b * log(p_target(b) / p_raw(b))`.
+
+    Returns `(id_col, n_grams, logw)`. The `log_ratio` model table is
+    <= `buckets` rows and explicitly broadcast; the only shuffle is
+    the groupBy on the doc id."""
+    p_raw = bucket_distribution(raw, text_col, buckets, seed)
+    p_tgt = bucket_distribution(target, text_col, buckets, seed)
+    # full outer: a bucket seen in only one corpus still has a smoothed
+    # probability on the other side (1 / (total + B))
+    raw_tot = raw.select(
+        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, seed)).alias("b")
+    ).count()
+    tgt_tot = target.select(
+        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, seed)).alias("b")
+    ).count()
+    floor_raw = 1.0 / (raw_tot + float(buckets))
+    floor_tgt = 1.0 / (tgt_tot + float(buckets))
+    ratio = (
+        p_raw.withColumnRenamed("p", "p_raw")
+        .join(
+            p_tgt.withColumnRenamed("p", "p_tgt"),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("p_tgt"), F.lit(floor_tgt)))
+                - F.log(F.coalesce(F.col("p_raw"), F.lit(floor_raw)))
+            ).alias("log_ratio"),
+        )
+    )
+    exploded = raw.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_ngram_buckets(F.col(text_col), buckets, seed)
+        ).alias("bucket"),
+    )
+    return (
+        exploded.join(F.broadcast(ratio), "bucket", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_grams"),
+            F.coalesce(F.sum("log_ratio"), F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def importance_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    buckets: int = 8192,
+    seed: int = 42,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Select `k` raw documents by Gumbel top-k over the DSIR weights
+    — equivalent to sampling k docs WITHOUT replacement with
+    probability proportional to exp(logw / temperature).
+
+    The Gumbel noise is seeded from xxhash64(id), so the same corpus,
+    seed and k select the same documents on any cluster shape. The
+    top-k is a TakeOrdered (per-partition heap + driver merge of k),
+    never a global sort."""
+    w = importance_weights(raw, target, id_col, text_col, buckets, seed)
+    # uniform in (0,1): (h mod M + 1) / (M + 2) keeps u away from both
+    # endpoints so the double log is finite
+    m = F.lit(2**31)
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), m) + F.lit(1.0)
+    ) / (m + F.lit(2.0))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.withColumn(
+            "gumbel_key", F.col("logw") / F.lit(float(temperature)) + gumbel
+        )
+        .orderBy(F.desc("gumbel_key"))
+        .limit(k)
+    )

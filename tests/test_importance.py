@@ -1,0 +1,117 @@
+"""DSIR importance resampling vs a plain-pandas reference.
+
+The bucket assignments (xxhash64 of n-grams) come from Spark in both
+paths — the reference recomputes the DISTRIBUTIONS, RATIOS and
+per-doc weights independently in pandas from the materialized
+(doc, bucket) pairs, so the distributed aggregation/join math is what
+is under test."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphula_spark.operators import importance as imp
+
+B = 256
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    # raw corpus: half "code-like", half "prose-like"; target: prose only
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, f"def fn{i} ( x ) : return x + {i}"))
+        else:
+            rows.append((i, f"the quick brown fox {i} jumps over the lazy dog"))
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    tgt = spark.createDataFrame(
+        [(100 + i, f"a lazy brown dog {i} watches the quick fox") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    return raw, tgt
+
+
+def _pairs(spark, df, text_col="text"):
+    return (
+        df.select(
+            "doc_id",
+            F.explode_outer(
+                imp.hashed_ngram_buckets(F.col(text_col), B, SEED)
+            ).alias("bucket"),
+        )
+        .collect()
+    )
+
+
+def test_weights_match_pandas_reference(spark, corpora):
+    raw, tgt = corpora
+    raw_pairs = _pairs(spark, raw)
+    tgt_pairs = _pairs(spark, tgt)
+
+    def dist(pairs):
+        counts = {}
+        total = 0
+        for r in pairs:
+            if r.bucket is None:
+                continue
+            counts[r.bucket] = counts.get(r.bucket, 0) + 1
+            total += 1
+        return counts, total
+
+    rc, rt = dist(raw_pairs)
+    tc, tt = dist(tgt_pairs)
+
+    def p(counts, total, b):
+        return (counts.get(b, 0) + 1.0) / (total + float(B))
+
+    expected = {}
+    for r in raw_pairs:
+        if r.bucket is None:
+            continue
+        lr = math.log(p(tc, tt, r.bucket)) - math.log(p(rc, rt, r.bucket))
+        expected[r.doc_id] = expected.get(r.doc_id, 0.0) + lr
+
+    got = {
+        r.doc_id: r.logw
+        for r in imp.importance_weights(raw, tgt, "doc_id", "text", B, SEED).collect()
+    }
+    assert set(got) == set(range(60))
+    for d in expected:
+        assert got[d] == pytest.approx(expected[d], rel=1e-9), d
+
+
+def test_sample_prefers_target_like_docs_and_is_deterministic(spark, corpora):
+    raw, tgt = corpora
+    sel1 = imp.importance_sample(raw, tgt, "doc_id", "text", 20, B, SEED)
+    ids1 = sorted(r.doc_id for r in sel1.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in imp.importance_sample(raw, tgt, "doc_id", "text", 20, B, SEED).collect()
+    )
+    assert ids1 == ids2  # seeded Gumbel keys: reproducible selection
+    assert len(ids1) == 20
+    prose = sum(1 for d in ids1 if d % 2 == 1)
+    assert prose >= 16  # target-like (prose) docs dominate the sample
+
+
+def test_weight_plan_broadcasts_model_and_shuffles_once(spark, corpora):
+    """The <=B-row log-ratio model must broadcast; the only shuffle in
+    the weight computation is the groupBy on the doc id."""
+    raw, tgt = corpora
+    df = imp.importance_weights(raw, tgt, "doc_id", "text", B, SEED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_empty_text_gets_zero_weight(spark, corpora):
+    _, tgt = corpora
+    raw = spark.createDataFrame([(1, ""), (2, "the quick fox")], ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.logw)
+        for r in imp.importance_weights(raw, tgt, "doc_id", "text", B, SEED).collect()
+    }
+    assert got[1] == (0, 0.0)  # featureless doc survives with neutral weight
+    assert got[2][0] > 0
