@@ -1,0 +1,173 @@
+"""URL operators for web-corpus pipelines: parse, canonicalize,
+dedup-by-URL, and domain-list filtering.
+
+A crawl corpus (sources/warc.py emits `(doc_id, url, fetch_date,
+text)`) carries millions of URL aliases for the same page — tracking
+parameters, fragments, default ports, case-variant hosts, http/https
+twins. Canonicalizing BEFORE content dedup removes the cheapest
+duplicate class without touching document text, and domain filtering
+is the first quality gate of every published web pipeline (CCNet,
+RefinedWeb, Gopher).
+
+Everything here is JVM-side column expressions (regexp + array HOFs):
+no Python touches a URL, so these run at scan throughput ahead of the
+heavier text stages. The only shuffles are the per-URL window in
+`url_dedup` and the broadcast semi/anti join in `filter_domains`
+(the domain list is KBs forever — broadcast at any corpus size).
+
+Reference scope note: the reference engine has no web/corpus surface;
+this module is part of the driver-mandated LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_url",
+    "normalize_url",
+    "registered_domain",
+    "url_dedup",
+    "filter_domains",
+]
+
+#: query parameters that never change page content — the common
+#: tracking families (Google/Facebook/Microsoft/Mailchimp analytics)
+TRACKING_PARAMS = (
+    "utm_source utm_medium utm_campaign utm_term utm_content utm_id "
+    "gclid gbraid wbraid fbclid msclkid dclid twclid igshid mc_cid "
+    "mc_eid ref_src ref_url _ga _gl"
+).split()
+
+#: two-label public suffixes common enough to matter for apex-domain
+#: grouping. The full Public Suffix List is a moving external artifact;
+#: this embedded subset covers the dominant ccTLD second-level zones —
+#: swap in the full PSL as a broadcast table where exactness matters.
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk org.uk ac.uk gov.uk co.jp or.jp ne.jp ac.jp go.jp com.au "
+    "net.au org.au edu.au gov.au com.br net.br org.br gov.br com.cn "
+    "net.cn org.cn gov.cn co.in net.in org.in gov.in co.kr or.kr go.kr "
+    "com.mx org.mx gob.mx co.za org.za gov.za com.tw org.tw gov.tw "
+    "com.sg edu.sg gov.sg co.nz org.nz govt.nz com.ar org.ar gov.ar"
+).split()
+
+
+def parse_url(url: Column) -> Column:
+    """`struct(scheme, host, port, path, query, fragment)` — one
+    regexp pass per component, null where the component is absent."""
+    scheme = F.lower(F.nullif(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1), F.lit("")))
+    authority = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.nullif(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1), F.lit("")))
+    port = F.nullif(F.regexp_extract(authority, r":(\d+)$", 1), F.lit("")).cast("int")
+    path = F.nullif(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), F.lit(""))
+    query = F.nullif(F.regexp_extract(url, r"\?([^#]*)", 1), F.lit(""))
+    fragment = F.nullif(F.regexp_extract(url, r"#(.*)$", 1), F.lit(""))
+    return F.struct(
+        scheme.alias("scheme"),
+        host.alias("host"),
+        port.alias("port"),
+        path.alias("path"),
+        query.alias("query"),
+        fragment.alias("fragment"),
+    )
+
+
+def normalize_url(url: Column, strip_www: bool = True) -> Column:
+    """Canonical URL: lowercase scheme+host, default ports dropped,
+    fragment dropped, tracking parameters removed, remaining query
+    parameters SORTED (param order is presentation, not identity),
+    trailing slash trimmed from non-root paths, optional leading
+    `www.` stripped. Null for strings that don't parse as http(s)."""
+    u = parse_url(url)
+    scheme, host, port = u["scheme"], u["host"], u["port"]
+    host = F.when(
+        F.lit(strip_www) & host.startswith("www."),
+        host.substr(F.lit(5), F.length(host)),
+    ).otherwise(host)
+    default_port = ((scheme == "http") & (port == 80)) | (
+        (scheme == "https") & (port == 443)
+    )
+    port_part = F.when(
+        port.isNotNull() & ~default_port, F.concat(F.lit(":"), port.cast("string"))
+    ).otherwise(F.lit(""))
+    path = F.coalesce(u["path"], F.lit("/"))
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    params = F.filter(
+        F.split(F.coalesce(u["query"], F.lit("")), "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.lower(F.split(p, "=")[0]).isin(TRACKING_PARAMS),
+    )
+    query_part = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        scheme.isin("http", "https") & host.isNotNull(),
+        F.concat(scheme, F.lit("://"), host, port_part, path, query_part),
+    )
+
+
+def registered_domain(url: Column) -> Column:
+    """Apex domain (eTLD+1) of the URL's host: the last two labels,
+    or three when the two-label tail is a known second-level public
+    suffix (embedded subset; see _TWO_LEVEL_SUFFIXES)."""
+    host = parse_url(url)["host"]
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    return F.when(n <= 2, host).otherwise(
+        F.when(last2.isin(_TWO_LEVEL_SUFFIXES), last3).otherwise(last2)
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    prefer_col: str | None = None,
+    keep_col: str = "canonical_url",
+) -> DataFrame:
+    """One row per canonical URL. Within an alias group the survivor
+    is the highest `prefer_col` (e.g. fetch_date → keep the freshest
+    capture), tie-broken deterministically on the raw URL string so
+    reruns pick the same row. Adds `keep_col` with the canonical form;
+    rows whose URL doesn't parse as http(s) pass through untouched
+    (null canonical key would otherwise collapse them into one)."""
+    out = df.withColumn(keep_col, normalize_url(F.col(url_col)))
+    order = (
+        [F.desc(prefer_col)] if prefer_col else []
+    ) + [F.asc(url_col)]
+    w = Window.partitionBy(keep_col).orderBy(*order)
+    ranked = out.withColumn(
+        "__rn", F.when(F.col(keep_col).isNull(), F.lit(1)).otherwise(F.row_number().over(w))
+    )
+    return ranked.where(F.col("__rn") == 1).drop("__rn")
+
+
+def filter_domains(
+    df: DataFrame,
+    url_col: str,
+    domains: DataFrame | list[str],
+    mode: str = "block",
+) -> DataFrame:
+    """Drop (mode='block') or keep (mode='allow') rows whose apex
+    domain appears in `domains` (a list or a 1-column DataFrame).
+    The list side broadcasts — it is a curated blocklist/allowlist,
+    KBs at any corpus scale — so this is a map-side semi/anti join."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    spark = df.sparkSession
+    if isinstance(domains, list):
+        dom = spark.createDataFrame([(d.lower(),) for d in domains], ["__domain"])
+    else:
+        c = domains.columns[0]
+        dom = domains.select(F.lower(F.col(c)).alias("__domain"))
+    keyed = df.withColumn("__apex", registered_domain(F.col(url_col)))
+    how = "left_anti" if mode == "block" else "left_semi"
+    return keyed.join(
+        F.broadcast(dom), keyed["__apex"] == dom["__domain"], how
+    ).drop("__apex")

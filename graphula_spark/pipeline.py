@@ -47,6 +47,12 @@ class PipelineConfig:
     shard_token_budget: int = 100_000
     scrub_pii: bool = True
     line_dedup_min_docs: int = 0  # >0 enables boilerplate line removal
+    # web-corpus front gate (operators/urls.py): set url_col to enable
+    # URL canonicalization dedup (keep one row per canonical URL,
+    # freshest url_prefer_col first) and optional apex-domain blocking
+    url_col: str | None = None
+    url_prefer_col: str | None = None
+    domain_blocklist: list | None = None
     extra_quality_filter: object | None = None  # Column-returning callable
     stages: tuple = (
         "normalize",
@@ -113,6 +119,8 @@ def run_pipeline(
         return df
 
     planned = (
+        ["url_dedup"] if cfg.url_col is not None else []
+    ) + (
         ["line_dedup"] if cfg.line_dedup_min_docs > 0 else []
     ) + [
         s
@@ -123,7 +131,13 @@ def run_pipeline(
         if s in cfg.stages
     ]
     skip: set[str] = set()
-    cur = docs.select(i, t)
+    if cfg.url_col is not None:
+        url_cols = [cfg.url_col] + (
+            [cfg.url_prefer_col] if cfg.url_prefer_col else []
+        )
+        cur = docs.select(i, t, *url_cols)
+    else:
+        cur = docs.select(i, t)
     if checkpoint_dir is not None:
         for s in reversed(planned):
             if _fs_exists(spark, f"{checkpoint_dir}/{s}/_SUCCESS"):
@@ -135,6 +149,17 @@ def run_pipeline(
                 break
     if not skip:
         report.append({"stage": "input", "docs": cur.count()})
+
+    if cfg.url_col is not None and "url_dedup" not in skip:
+        # the cheapest duplicate class goes first: URL aliases collapse
+        # before any text is hashed, and blocked domains never reach
+        # the content stages at all
+        from graphula_spark.operators.urls import filter_domains, url_dedup
+
+        if cfg.domain_blocklist:
+            cur = filter_domains(cur, cfg.url_col, cfg.domain_blocklist, "block")
+        cur = url_dedup(cur, cfg.url_col, prefer_col=cfg.url_prefer_col)
+        cur = checkpoint(cur.select(i, t), "url_dedup")
 
     if cfg.line_dedup_min_docs > 0 and "line_dedup" not in skip:
         # boilerplate removal reads raw line structure, so it must run

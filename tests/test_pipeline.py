@@ -154,3 +154,30 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     fresh = run_pipeline(docs, cfg, checkpoint_dir=ckpt)
     assert fresh.report[0]["stage"] == "input"
     assert fresh.shards.count() == n_shards
+
+
+def test_pipeline_url_front_gate(spark):
+    """url_col enables the web front gate: blocked domains never reach
+    the content stages, URL aliases collapse to the freshest capture."""
+    good = "the quick brown fox jumps over the lazy dog in a sunny field today"
+    other = ("a completely different and reasonably long document about "
+             "the engines and the pipelines that we keep on building here")
+    rows = [
+        (1, good, "https://spam.example.com/page", "2024-01-01"),
+        (2, good, "https://ok.org/a?utm_source=x", "2024-01-01"),
+        (3, good + " x", "https://OK.org/a/", "2024-02-01"),  # same canonical, fresher
+        (4, other, "https://ok.org/b", "2024-01-01"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "url", "fetch_date"])
+    cfg = PipelineConfig(
+        url_col="url",
+        url_prefer_col="fetch_date",
+        domain_blocklist=["example.com"],
+        stages=("normalize", "quality", "pack"),
+        min_tokens=5,
+    )
+    res = run_pipeline(docs, cfg)
+    kept = sorted(r.doc_id for r in res.documents.collect())
+    assert kept == [3, 4]  # 1 blocked by domain, 2 lost the alias group to 3
+    assert res.report[0]["stage"] == "input" and res.report[0]["docs"] == 4
+    assert [r for r in res.report if r["stage"] == "url_dedup"][0]["docs"] == 2

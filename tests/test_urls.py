@@ -1,0 +1,120 @@
+"""URL canonicalization / dedup / domain filtering vs a plain-Python
+urllib reference and hand-built expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphula_spark.operators import urls as U
+
+
+def _norm(spark, raw, **kw):
+    df = spark.createDataFrame([(r,) for r in raw], ["url"])
+    return [
+        r.n for r in df.select(U.normalize_url(F.col("url"), **kw).alias("n")).collect()
+    ]
+
+
+def test_normalize_url_canonical_forms(spark):
+    cases = {
+        # case + default port + trailing slash + fragment
+        "HTTP://WWW.Example.COM:80/a/b/#frag": "http://example.com/a/b",
+        "https://example.com:443/": "https://example.com/",
+        "https://example.com:8443/x": "https://example.com:8443/x",
+        # tracking params dropped, survivors sorted
+        "https://example.com/p?utm_source=x&b=2&a=1&fbclid=abc": "https://example.com/p?a=1&b=2",
+        # all params tracking -> no query at all
+        "https://example.com/p?gclid=1&utm_id=2": "https://example.com/p",
+        # empty path -> /
+        "https://example.com": "https://example.com/",
+        # userinfo stripped from host key
+        "https://user:pw@example.com/x": "https://example.com/x",
+        # non-http schemes and garbage -> null
+        "ftp://example.com/x": None,
+        "not a url": None,
+        "mailto:a@b.c": None,
+    }
+    got = _norm(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_normalize_url_against_urllib_reference(spark):
+    """For a batch of mechanically generated URLs, the host/path/query
+    split must agree with urllib.parse."""
+    from urllib.parse import parse_qsl, urlsplit
+
+    raw = [
+        f"https://Host{i % 7}.example.org:{443 if i % 3 else 8080}"
+        f"/p{i}/q?z={i}&utm_source=t&a={i % 5}#f{i}"
+        for i in range(50)
+    ]
+    got = _norm(spark, raw, strip_www=False)
+    for r, g in zip(raw, got):
+        s = urlsplit(r)
+        params = sorted(
+            f"{k}={v}"
+            for k, v in parse_qsl(s.query, keep_blank_values=True)
+            if k.lower() not in U.TRACKING_PARAMS
+        )
+        port = f":{s.port}" if s.port and (s.scheme, s.port) not in (
+            ("http", 80),
+            ("https", 443),
+        ) else ""
+        path = s.path[:-1] if len(s.path) > 1 and s.path.endswith("/") else (s.path or "/")
+        want = f"{s.scheme}://{s.hostname}{port}{path}"
+        if params:
+            want += "?" + "&".join(params)
+        assert g == want, (r, g, want)
+
+
+def test_registered_domain(spark):
+    cases = {
+        "https://a.b.example.co.uk/x": "example.co.uk",
+        "https://news.example.com/x": "example.com",
+        "https://example.com/": "example.com",
+        "https://localhost/": "localhost",
+        "https://deep.sub.host.com.au/": "host.com.au",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = [r.d for r in df.select(U.registered_domain(F.col("url")).alias("d")).collect()]
+    assert got == list(cases.values())
+
+
+def test_url_dedup_keeps_freshest_and_passes_unparseable(spark):
+    rows = [
+        (1, "https://example.com/a?utm_source=x", "2024-01-01"),
+        (2, "https://EXAMPLE.com/a/", "2024-02-01"),  # same canonical, fresher
+        (3, "https://example.com/b", "2024-01-01"),
+        (4, "garbage-url", "2024-01-01"),
+        (5, "also garbage", "2024-01-01"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "fetch_date"])
+    out = U.url_dedup(df, "url", prefer_col="fetch_date")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [2, 3, 4, 5]  # one survivor per alias group; garbage untouched
+    # deterministic across runs
+    again = sorted(r.doc_id for r in U.url_dedup(df, "url", prefer_col="fetch_date").collect())
+    assert again == kept
+
+
+def test_filter_domains_block_and_allow(spark):
+    rows = [
+        (1, "https://spam.example.com/x"),
+        (2, "https://good.org/y"),
+        (3, "https://sub.good.org/z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    blocked = U.filter_domains(df, "url", ["example.com"], mode="block")
+    assert sorted(r.doc_id for r in blocked.collect()) == [2, 3]
+    allowed = U.filter_domains(df, "url", ["good.org"], mode="allow")
+    assert sorted(r.doc_id for r in allowed.collect()) == [2, 3]
+    with pytest.raises(ValueError):
+        U.filter_domains(df, "url", ["x.com"], mode="nope")
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # list side broadcasts
+
+
+def test_filter_domains_accepts_dataframe_list(spark):
+    df = spark.createDataFrame([(1, "https://a.com/"), (2, "https://b.com/")], ["doc_id", "url"])
+    dom = spark.createDataFrame([("A.COM",)], ["domain"])
+    out = U.filter_domains(df, "url", dom, mode="block")
+    assert [r.doc_id for r in out.collect()] == [2]

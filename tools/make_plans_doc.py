@@ -416,5 +416,54 @@ out.append(
     "streams. AQE may still upgrade the small side from ACTUAL sizes.\n"
 )
 
+# 20. TPC-H co-bucketed facts — orderkey joins without shuffles
+import shutil as _sh
+
+_bloc = "/tmp/plans_tpch_bucketed"
+_sh.rmtree(_bloc, ignore_errors=True)
+_tpch.save_bucketed(spark, sf, _bloc, prefix="plans_tpch", buckets=32)
+try:
+    df20 = _tpch.q12_shipping_priority_mix(spark, sf)
+    df20.count()
+    p = plan_of(df20)
+    out.append("## 20. TPC-H q12 over co-bucketed facts (round 4)\n")
+    out.append(
+        f"```\nBucketed scans: {p.count('Bucketed: true')}   "
+        f"Exchanges: {p.count('Exchange')}\n```\n"
+    )
+    out.append(
+        "save_bucketed writes lineitem+orders bucketed on the orderkey "
+        "(one file per bucket, in-bucket sort); the orderkey join then "
+        "co-partitions with ZERO shuffle — the only Exchange left is the "
+        "final 3-group combine. The orders x lineitem shuffle is the "
+        "suite's largest exchange at 100 TB; this layout pays it once at "
+        "load, like the reference's insert-time permutation index "
+        "(Index.scala:61-78).\n"
+    )
+finally:
+    del _tpch.BUCKETED[sf]
+    for _t_ in ("plans_tpch_lineitem", "plans_tpch_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {_t_}")
+
+# 21. DSIR importance weights — broadcast model, one doc-keyed shuffle
+from graphula_spark.operators.importance import importance_weights as _iw
+
+_docs21 = spark.read.parquet(f"{sf}/documents.parquet")
+_tgt21 = _docs21.where(F.col("lang") == "de").limit(200)
+df21 = _iw(_docs21, _tgt21, "doc_id", "text", 1024, 11)
+df21.count()
+p = plan_of(df21)
+out.append("## 21. DSIR importance weights (round 4)\n")
+out.append(
+    f"```\nBroadcastHashJoin: {p.count('BroadcastHashJoin')}   "
+    f"SortMergeJoin: {p.count('SortMergeJoin')}\n```\n"
+)
+out.append(
+    "The <=B-row log-ratio model broadcasts onto the exploded n-gram "
+    "stream; the only shuffle keyed by data volume is the final "
+    "groupBy(doc_id) partial+final sum. Corpus size scales the map side "
+    "only.\n"
+)
+
 open("/root/repo/PLANS.md", "w").write("\n".join(out))
 print("written")
