@@ -175,3 +175,42 @@ def encode_bpe(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def tokenize_and_pack(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    budget: int,
+    buckets: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Encode with the trained merge table and pack into ~budget-token
+    shards using TRUE token counts (the regex estimate in
+    `text.text_pack_shards` over- or under-fills shards by the
+    estimator's error; training-data shards are billed in real
+    tokens).
+
+    Order within each pack bucket is a seeded epoch shuffle
+    (xxhash64), so shards mix sources instead of preserving ingest
+    order — the same discipline as `relational.shuffle_deterministic`.
+    Packing windows are PARTITIONED by bucket so the prefix sum
+    parallelizes (see `pack_by_budget`); shard identity is
+    (pack_bucket, shard). Deterministic for a (corpus, merges, seed).
+
+    Returns (id_col, tokens, n_tokens, pack_bucket, shard)."""
+    from .relational import pack_by_budget
+
+    enc = encode_bpe(df, id_col, text_col, merges)
+    bucketed = enc.withColumn(
+        "pack_bucket", F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(buckets))
+    ).withColumn("__ord", F.xxhash64(F.col("id"), F.lit(seed + 1)))
+    packed = pack_by_budget(
+        bucketed,
+        part_col="pack_bucket",
+        order_col="__ord",
+        weight_col="n_tokens",
+        budget=float(budget),
+    )
+    return packed.drop("__ord").withColumnRenamed("id", id_col)

@@ -45,6 +45,10 @@ class PipelineConfig:
     min_stopword_ratio: float = 0.01
     # shard packing
     shard_token_budget: int = 100_000
+    # trained-BPE merge table (operators/bpe.py train_bpe): when set,
+    # shard budgets and n_tokens use TRUE token counts instead of the
+    # whitespace estimate
+    bpe_merges: list | None = None
     scrub_pii: bool = True
     line_dedup_min_docs: int = 0  # >0 enables boilerplate line removal
     # web-corpus front gate (operators/urls.py): set url_col to enable
@@ -206,7 +210,15 @@ def run_pipeline(
     if "scrub" in cfg.stages and cfg.scrub_pii:
         cur = cur.withColumn(t, T.scrub_pii(F.col(t)))
 
-    docs_out = cur.withColumn("n_tokens", T.token_count(F.col(t)))
+    if cfg.bpe_merges is not None:
+        from graphula_spark.operators.bpe import encode_bpe
+
+        counts = encode_bpe(cur, i, t, cfg.bpe_merges).select(
+            F.col("id").alias(i), "n_tokens"
+        )
+        docs_out = cur.join(counts, i)
+    else:
+        docs_out = cur.withColumn("n_tokens", T.token_count(F.col(t)))
 
     if "pack" in cfg.stages:
         # pack within hash buckets so the prefix-sum window

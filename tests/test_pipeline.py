@@ -181,3 +181,27 @@ def test_pipeline_url_front_gate(spark):
     assert kept == [3, 4]  # 1 blocked by domain, 2 lost the alias group to 3
     assert res.report[0]["stage"] == "input" and res.report[0]["docs"] == 4
     assert [r for r in res.report if r["stage"] == "url_dedup"][0]["docs"] == 2
+
+
+def test_pipeline_bpe_token_budgets(spark):
+    """bpe_merges switches n_tokens and shard budgets to the trained
+    tokenizer's true counts."""
+    from graphula_spark.operators.bpe import encode_bpe, train_bpe
+
+    rows = [
+        (i, "the quick brown fox document number %d keeps jumping around today" % i)
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = train_bpe(docs, "text", n_merges=8)
+    cfg = PipelineConfig(
+        stages=("normalize", "pack"),
+        bpe_merges=merges,
+        shard_token_budget=100,
+        min_tokens=1,
+    )
+    res = run_pipeline(docs, cfg)
+    got = {r.doc_id: r.n_tokens for r in res.documents.collect()}
+    want = {r.id: r.n_tokens for r in encode_bpe(docs, "doc_id", "text", merges).collect()}
+    assert got == want
+    assert "shard" in res.shards.columns

@@ -516,3 +516,45 @@ def test_snapshot_diff(spark):
         for r in snapshot_diff(old, new, "doc_id", "text").collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_tokenize_and_pack_true_token_budgets(spark):
+    from graphula_spark.operators.bpe import (
+        encode_bpe,
+        tokenize_and_pack,
+        train_bpe,
+    )
+
+    texts = [
+        " ".join(f"alpha beta gamma delta word{j}" for j in range(i % 5 + 2))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = train_bpe(df, "text", n_merges=10)
+    budget = 60
+    packed = tokenize_and_pack(
+        df, "doc_id", "text", merges, budget=budget, buckets=4, seed=3
+    )
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == set(range(40))  # nothing dropped
+    # n_tokens are the real encoder's counts
+    enc = {r.id: r.n_tokens for r in encode_bpe(df, "doc_id", "text", merges).collect()}
+    assert all(r.n_tokens == enc[r.doc_id] for r in rows)
+    # shard budget: total <= budget + one doc's overshoot, per shard
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in rows:
+        shards[(r.pack_bucket, r.shard)].append(r.n_tokens)
+    for toks in shards.values():
+        assert sum(toks) - max(toks) < budget  # streaming-pack contract
+    # deterministic
+    again = sorted(
+        (r.doc_id, r.pack_bucket, r.shard)
+        for r in tokenize_and_pack(
+            df, "doc_id", "text", merges, budget=budget, buckets=4, seed=3
+        ).collect()
+    )
+    assert again == sorted((r.doc_id, r.pack_bucket, r.shard) for r in rows)
