@@ -857,10 +857,16 @@ def q_mm_pipeline(spark, sf):
 
 
 def q_events_window(spark, sf):
-    """Tumbling AND sliding windowed aggregations merged into one driver
-    row (wkind column) — the batch formulations of the streaming window
-    operators; `events_window_stream` runs the real micro-batch job."""
+    """Tumbling, sliding AND session windowed aggregations merged into
+    one driver row (wkind column) — the batch formulations of the
+    streaming window operators; `events_window_stream` runs the real
+    micro-batch job. The generic `key` column carries event_type for
+    time windows and user_id for session rows; `sum_value` carries the
+    value sum for tumbling rows and the session count for session
+    rows (round-4 fold of the former events_sessionize entry — the
+    freed slot went to text_urls)."""
     from graphula_spark.streaming.windows import (
+        session_counts,
         sliding_window_agg,
         tumbling_window_agg,
     )
@@ -869,18 +875,66 @@ def q_events_window(spark, sf):
     tumb = tumbling_window_agg(ev, "1 hour").select(
         F.lit("tumbling").alias("wkind"),
         "window_start",
-        "event_type",
+        F.col("event_type").alias("key"),
         "n_events",
         "sum_value",
     )
     slide = sliding_window_agg(ev, "1 hour", "30 minutes").select(
         F.lit("sliding").alias("wkind"),
         "window_start",
-        "event_type",
+        F.col("event_type").alias("key"),
         "n_events",
         F.lit(None).cast("double").alias("sum_value"),
     )
-    return tumb.unionByName(slide)
+    sess = session_counts(ev, gap_minutes=30).select(
+        F.lit("session").alias("wkind"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.col("user_id").cast("string").alias("key"),
+        "n_events",
+        F.col("n_sessions").cast("double").alias("sum_value"),
+    )
+    return tumb.unionByName(slide).unionByName(sess)
+
+
+def q_text_urls(spark, sf):
+    """URL front gate driver row (operators/urls.py): documents get a
+    deterministic synthetic URL exercising every canonicalization rule
+    (mixed-case host + WWW prefix, default vs explicit port, trailing
+    slash, tracking params, unsorted params, fragment) plus a co.uk
+    apex for one residue class; the co.uk apex class is then BLOCKED
+    via filter_domains, and the oracle predicts the exact normalized
+    form + apex + survivor set in closed form."""
+    from graphula_spark.operators.urls import (
+        filter_domains,
+        normalize_url,
+        registered_domain,
+    )
+
+    d = _docs(spark, sf).select("doc_id", "source")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        (did % 5).cast("string"),
+        F.lit(".Example"),
+        F.when(did % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".org")),
+        F.when(did % 11 == 0, F.lit(":8080")).otherwise(F.lit(":443")),
+        F.lit("/p/"),
+        did.cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&b="),
+        (did % 4).cast("string"),
+        F.lit("&a=1"),
+        F.when(did % 13 == 0, F.lit("#f")).otherwise(F.lit("")),
+    )
+    with_url = d.withColumn("url", url)
+    kept = filter_domains(with_url, "url", ["example.co.uk"], mode="block")
+    return kept.select(
+        "doc_id",
+        normalize_url(F.col("url")).alias("url_norm"),
+        registered_domain(F.col("url")).alias("apex"),
+    )
 
 
 def q_events_window_stream(spark, sf):
@@ -909,12 +963,6 @@ def q_text_mix_sources(spark, sf):
         {"src0": 0.25, "src1": 0.5, "src2": 0.75},
         default_rate=1.0,
     )
-
-
-def q_events_sessionize(spark, sf):
-    from graphula_spark.streaming.windows import session_counts
-
-    return session_counts(_events(spark, sf), gap_minutes=30)
 
 
 def q_events_temporal_join(spark, sf):
@@ -1118,7 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pipeline": q_mm_pipeline,
         "events_window": q_events_window,
         "events_window_stream": q_events_window_stream,
-        "events_sessionize": q_events_sessionize,
+        "text_urls": q_text_urls,
         "events_temporal_join": q_events_temporal_join,
         "rel_graph_reach": q_graph_reach,
         "rel_window_funcs": q_window_funcs,
@@ -1843,12 +1891,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_window": """
             SELECT 'tumbling' AS wkind,
-                   date_trunc('hour', ts) AS window_start, event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   event_type AS key,
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 2, 3
             UNION ALL
-            SELECT 'sliding', window_start, event_type, n_events,
+            SELECT 'sliding', window_start, key, n_events,
                    CAST(NULL AS DOUBLE)
             FROM (
               -- naive-TIMESTAMP arithmetic only (see former
@@ -1864,8 +1913,25 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT event_type, w0 - INTERVAL 30 MINUTE FROM starts
               )
-              SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+              SELECT window_start, event_type AS key,
+                     CAST(count(*) AS BIGINT) AS n_events
               FROM cand GROUP BY 1, 2
+            )
+            UNION ALL
+            SELECT 'session', CAST(NULL AS TIMESTAMP),
+                   CAST(user_id AS VARCHAR), n_events,
+                   CAST(n_sessions AS DOUBLE)
+            FROM (
+              WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS st
+                FROM events
+              )
+              SELECT user_id, CAST(sum(st) AS BIGINT) AS n_sessions,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM g GROUP BY user_id
             )
         """,
         "events_window_stream": """
@@ -1883,17 +1949,16 @@ def oracle_sql() -> dict[str, str]:
                                       WHEN 'src2' THEN 0.75
                                       ELSE 1.0 END) * 1000000 AS BIGINT)
         """,
-        "events_sessionize": """
-            WITH g AS (
-              SELECT user_id,
-                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                            OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
-                          THEN 1 ELSE 0 END AS s
-              FROM events
-            )
-            SELECT user_id, CAST(sum(s) AS BIGINT) AS n_sessions,
-                   CAST(count(*) AS BIGINT) AS n_events
-            FROM g GROUP BY user_id
+        "text_urls": """
+            SELECT doc_id,
+                   'https://' || source || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example.org'
+                     || CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END
+                     || '/p/' || CAST(doc_id AS VARCHAR)
+                     || '?a=1&b=' || CAST(doc_id % 4 AS VARCHAR) AS url_norm,
+                   'example.org' AS apex
+            FROM documents
+            WHERE doc_id % 3 <> 0
         """,
         "events_temporal_join": """
             WITH a AS (

@@ -47,7 +47,7 @@ HEADLINE = [
     "text_profile",
     "mm_pipeline",
     "events_window",
-    "events_sessionize",
+    "text_urls",
     "events_temporal_join",
     "rel_window_funcs",
 ]
