@@ -644,6 +644,17 @@ class Graph:
         decoded = self.decode(self.triples.select("s", "p", "o"), ["s", "p", "o"])
         decoded.createOrReplaceTempView(f"{prefix}_spo")
 
+    def materialize_rdfs(self) -> "Graph":
+        """Forward-chain the ρdf RDFS fragment (subClassOf /
+        subPropertyOf / domain / range) over this graph's own schema
+        triples and return the extended snapshot — the inference
+        closure the reference's LUBM data ships pre-baked (SURVEY §5;
+        the reference has no reasoner). See operators/rdfs.py for the
+        stratified single-pass design."""
+        from graphula_spark.operators.rdfs import materialize
+
+        return materialize(self)
+
     def sparql_update(self, update: str) -> "Graph":
         """SPARQL Update subset: ``INSERT DATA { ... }`` / ``DELETE DATA
         { ... }`` with ground triples. Returns the new snapshot (the

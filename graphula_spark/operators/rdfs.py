@@ -1,0 +1,190 @@
+"""RDFS forward-chaining materialization (the ρdf fragment).
+
+The reference engine answers the canonical LUBM answers only because
+its benchmark data ships PRE-materialized: AssistantProfessor0 is
+already typed Professor/Faculty/Person in `university0_0.nt` (SURVEY
+§5 note; the reference has no reasoner). This module closes that
+loop: given a graph whose schema (subClassOf / subPropertyOf /
+domain / range) is loaded alongside the data, `materialize` derives
+the same inference closure the LUBM generator bakes in — so a user
+can load RAW data + ontology and still get the canonical answers.
+
+Scope is the ρdf fragment (Muñoz, Pérez, Gutierrez, "Minimal
+Deductive Systems for RDF", ESWC 2007 — the deployed core of RDFS):
+
+    rdfs5/11  subPropertyOf / subClassOf transitivity
+    rdfs7     (s p o), (p sp q)      =>  (s q o)
+    rdfs2     (p domain c), (s p o)  =>  (s type c)
+    rdfs3     (p range c),  (s p o)  =>  (o type c)
+    rdfs9     (s type c), (c sc d)   =>  (s type d)
+
+100 TB shape: the SCHEMA is ontology-sized (KBs–MBs forever), so its
+transitive closures compute driver-side from a bounded collect and
+broadcast everywhere; the DATA is never shuffled — every rule is one
+broadcast join + union over the triples scan, and the rule families
+stratify (subPropertyOf first, then domain/range over the
+property-closed triples, then subClassOf over all type triples), so
+a SINGLE pass reaches the fixpoint — no iterate-until-stable loop
+over 100 TB. Axiomatic/container rules (rdfs1/4/6/8/10/12/13) emit
+only schema-vocabulary triples no BGP query asks for; they are out of
+scope and documented as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# IRIs are stored BRACKET-LESS (sources/ntriples.py norm; the SPARQL
+# compiler strips <> when resolving constants)
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+RDFS_SUBPROP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
+RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
+
+#: refuse driver-side closure above this many schema edges — an
+#: "ontology" this big is data mislabeled as schema
+MAX_SCHEMA_EDGES = 1_000_000
+
+
+def _transitive_closure(edges: set[tuple[int, int]]) -> set[tuple[int, int]]:
+    """Driver-side transitive closure of a bounded schema relation
+    (plain semi-naive iteration over a dict of adjacency sets)."""
+    succ: dict[int, set[int]] = {}
+    for a, b in edges:
+        succ.setdefault(a, set()).add(b)
+    closure = {(a, b) for a, bs in succ.items() for b in bs}
+    frontier = dict(succ)
+    while frontier:
+        new_frontier: dict[int, set[int]] = {}
+        for a, bs in frontier.items():
+            derived = set()
+            for b in bs:
+                derived |= succ.get(b, set())
+            fresh = {(a, c) for c in derived} - closure
+            if fresh:
+                closure |= fresh
+                new_frontier[a] = {c for (_, c) in fresh}
+        frontier = new_frontier
+    return closure
+
+
+def materialize(graph) -> "Graph":  # noqa: F821 - avoids circular import
+    """Return a NEW Graph extended with the ρdf inference closure of
+    its own schema triples (immutable-snapshot semantics, like every
+    other update path)."""
+    from graphula_spark.graph import Graph
+
+    spark = graph.spark
+    d = graph.dictionary
+    ids = d.lookup_terms(
+        [RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
+    )
+    type_id = ids.get(RDF_TYPE)
+    triples = graph.triples.select("s", "p", "o")
+
+    def schema_pairs(pred: str) -> set[tuple[int, int]]:
+        pid = ids.get(pred)
+        if pid is None:
+            return set()
+        rows = triples.where(F.col("p") == pid).select("s", "o").collect()
+        if len(rows) > MAX_SCHEMA_EDGES:
+            raise ValueError(
+                f"{pred} has {len(rows)} edges — too large for "
+                "driver-side schema closure"
+            )
+        return {(r["s"], r["o"]) for r in rows}
+
+    sub_prop = _transitive_closure(schema_pairs(RDFS_SUBPROP))
+    sub_class = _transitive_closure(schema_pairs(RDFS_SUBCLASS))
+    domain = schema_pairs(RDFS_DOMAIN)
+    rng = schema_pairs(RDFS_RANGE)
+
+    if not (sub_prop or sub_class or domain or rng):
+        return graph  # no schema loaded — closure is the graph itself
+
+    if type_id is None and (domain or rng):
+        # the data asserts no rdf:type triple at all, but domain/range
+        # rules are about to derive some — the type term must enter the
+        # dictionary first
+        d = d.union(spark.createDataFrame([(RDF_TYPE,)], ["value"]))
+        type_id = d.lookup_terms([RDF_TYPE])[RDF_TYPE]
+
+    def bmap(pairs: set[tuple[int, int]], a: str, b: str) -> DataFrame | None:
+        if not pairs:
+            return None
+        return F.broadcast(
+            spark.createDataFrame(sorted(pairs), [a, b]).dropDuplicates()
+        )
+
+    derived = []
+
+    # rdfs5/11: the transitive schema edges are themselves triples of
+    # the closure — emit them (driver-sized literal DataFrames)
+    for pairs, pred in ((sub_prop, RDFS_SUBPROP), (sub_class, RDFS_SUBCLASS)):
+        if pairs:
+            pid = ids[pred]
+            derived.append(
+                spark.createDataFrame(
+                    [(a, pid, b) for a, b in sorted(pairs)], ["s", "p", "o"]
+                )
+            )
+
+    # rdfs7: property closure over the data (includes the transitive
+    # schema edges, so one join applies every super-property level)
+    sp = bmap(sub_prop, "sub_p", "super_p")
+    prop_closed_extra = None
+    if sp is not None:
+        prop_closed_extra = triples.join(sp, triples["p"] == sp["sub_p"]).select(
+            "s", F.col("super_p").alias("p"), "o"
+        )
+        derived.append(prop_closed_extra)
+
+    if type_id is not None:
+        # rdfs2/3 must see the property-CLOSED data (a sub-property of
+        # a domain-carrying property inherits its domain via rdfs7)
+        closed = (
+            triples
+            if prop_closed_extra is None
+            else triples.unionByName(prop_closed_extra)
+        )
+        dm = bmap(domain, "dom_p", "dom_c")
+        if dm is not None:
+            derived.append(
+                closed.join(dm, closed["p"] == dm["dom_p"]).select(
+                    "s",
+                    F.lit(type_id).alias("p"),
+                    F.col("dom_c").alias("o"),
+                )
+            )
+        rg = bmap(rng, "rng_p", "rng_c")
+        if rg is not None:
+            derived.append(
+                closed.join(rg, closed["p"] == rg["rng_p"]).select(
+                    F.col("o").alias("s"),
+                    F.lit(type_id).alias("p"),
+                    F.col("rng_c").alias("o"),
+                )
+            )
+        # rdfs9 over ALL type triples (asserted + everything the
+        # earlier strata derived); the transitive class closure
+        # collapses the whole hierarchy into one broadcast join
+        sc = bmap(sub_class, "sub_c", "super_c")
+        if sc is not None:
+            pre = triples
+            for ddf in derived:
+                pre = pre.unionByName(ddf)
+            types = pre.where(F.col("p") == type_id)
+            derived.append(
+                types.join(sc, types["o"] == sc["sub_c"]).select(
+                    "s", "p", F.col("super_c").alias("o")
+                )
+            )
+
+    out = triples
+    for ddf in derived:
+        out = out.unionByName(ddf)
+    out = out.dropDuplicates(["s", "p", "o"])
+    g = Graph(spark, out.cache(), d)
+    return g

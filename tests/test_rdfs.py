@@ -1,0 +1,183 @@
+"""RDFS materialization vs an independent plain-Python fixpoint."""
+
+import pytest
+
+from graphula_spark import Graph
+from graphula_spark.operators.rdfs import (
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASS,
+    RDFS_SUBPROP,
+)
+
+
+def _py_rdfs_closure(triples: set[tuple]) -> set[tuple]:
+    """Naive rule-at-a-time fixpoint over string triples — the
+    textbook formulation, used only as the oracle."""
+    out = set(triples)
+    changed = True
+    while changed:
+        changed = False
+        new = set()
+        sp = {(s, o) for s, p, o in out if p == RDFS_SUBPROP}
+        sc = {(s, o) for s, p, o in out if p == RDFS_SUBCLASS}
+        dom = {(s, o) for s, p, o in out if p == RDFS_DOMAIN}
+        rng = {(s, o) for s, p, o in out if p == RDFS_RANGE}
+        for a, b in sp:
+            for c, d in sp:
+                if b == c:
+                    new.add((a, RDFS_SUBPROP, d))
+        for a, b in sc:
+            for c, d in sc:
+                if b == c:
+                    new.add((a, RDFS_SUBCLASS, d))
+        for s, p, o in out:
+            for a, b in sp:
+                if p == a:
+                    new.add((s, b, o))
+            for a, c in dom:
+                if p == a:
+                    new.add((s, RDF_TYPE, c))
+            for a, c in rng:
+                if p == a:
+                    new.add((o, RDF_TYPE, c))
+            if p == RDF_TYPE:
+                for a, b in sc:
+                    if o == a:
+                        new.add((s, RDF_TYPE, b))
+        if not new <= out:
+            out |= new
+            changed = True
+    return out
+
+
+ONTOLOGY = [
+    ("ex:Professor", RDFS_SUBCLASS, "ex:Faculty"),
+    ("ex:Faculty", RDFS_SUBCLASS, "ex:Person"),
+    ("ex:Person", RDFS_SUBCLASS, "ex:Agent"),
+    ("ex:headOf", RDFS_SUBPROP, "ex:worksFor"),
+    ("ex:worksFor", RDFS_SUBPROP, "ex:memberOf"),
+    ("ex:teacherOf", RDFS_DOMAIN, "ex:Faculty"),
+    ("ex:teacherOf", RDFS_RANGE, "ex:Course"),
+    ("ex:headOf", RDFS_DOMAIN, "ex:Professor"),
+]
+
+DATA = [
+    ("ex:alice", RDF_TYPE, "ex:Professor"),
+    ("ex:alice", "ex:headOf", "ex:dept1"),
+    ("ex:bob", "ex:teacherOf", "ex:cs101"),
+    ("ex:carol", "ex:worksFor", "ex:dept2"),
+]
+
+
+@pytest.fixture(scope="module")
+def closed(spark):
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(ONTOLOGY + DATA, ["s", "p", "o"])
+    )
+    mg = g.materialize_rdfs()
+    got = {
+        (r.s, r.p, r.o)
+        for r in mg.decode(mg.triples.select("s", "p", "o"), ["s", "p", "o"]).collect()
+    }
+    return mg, got
+
+
+def test_matches_python_fixpoint(closed):
+    _, got = closed
+    assert got == _py_rdfs_closure(set(ONTOLOGY + DATA))
+
+
+def test_expected_inferences_present(closed):
+    _, got = closed
+    # class chain: alice is Professor -> Faculty -> Person -> Agent
+    for c in ("ex:Faculty", "ex:Person", "ex:Agent"):
+        assert ("ex:alice", RDF_TYPE, c) in got
+    # property chain: headOf -> worksFor -> memberOf
+    assert ("ex:alice", "ex:worksFor", "ex:dept1") in got
+    assert ("ex:alice", "ex:memberOf", "ex:dept1") in got
+    assert ("ex:carol", "ex:memberOf", "ex:dept2") in got
+    # domain/range through the data
+    assert ("ex:bob", RDF_TYPE, "ex:Faculty") in got
+    assert ("ex:cs101", RDF_TYPE, "ex:Course") in got
+    # domain attached to the SUB-property still fires
+    assert ("ex:alice", RDF_TYPE, "ex:Professor") in got
+    # and bob climbs the class chain from the domain-derived type
+    assert ("ex:bob", RDF_TYPE, "ex:Person") in got
+
+
+def test_idempotent(spark, closed):
+    mg, got = closed
+    again = mg.materialize_rdfs()
+    n1 = mg.triples.count()
+    assert again.triples.count() == n1  # closure of a closure adds nothing
+
+
+def test_no_schema_is_identity(spark):
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(DATA, ["s", "p", "o"])
+    )
+    assert g.materialize_rdfs() is g
+
+
+def test_queries_over_materialized_graph(spark, closed):
+    """The point of the exercise: a BGP over an inferred type works."""
+    mg, _ = closed
+    rows = mg.sparql(
+        "SELECT ?x WHERE { ?x "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <ex:Person> }"
+    ).collect()
+    assert sorted(r.x for r in rows) == ["ex:alice", "ex:bob"]
+
+
+def test_domain_rule_without_any_asserted_type(spark):
+    """Data with zero rdf:type triples still gains types from domain/
+    range rules (the type term enters the dictionary on demand)."""
+    rows = [
+        ("ex:teacherOf", RDFS_DOMAIN, "ex:Faculty"),
+        ("ex:bob", "ex:teacherOf", "ex:cs101"),
+    ]
+    g = Graph.from_string_triples(spark, spark.createDataFrame(rows, ["s", "p", "o"]))
+    mg = g.materialize_rdfs()
+    got = {
+        (r.s, r.p, r.o)
+        for r in mg.decode(mg.triples.select("s", "p", "o"), ["s", "p", "o"]).collect()
+    }
+    assert ("ex:bob", RDF_TYPE, "ex:Faculty") in got
+    assert got == _py_rdfs_closure(set(rows))
+
+
+def test_random_graphs_match_fixpoint(spark):
+    """Randomized schema+data graphs agree with the naive fixpoint."""
+    import random
+
+    rnd = random.Random(11)
+    classes = [f"ex:C{i}" for i in range(6)]
+    props = [f"ex:p{i}" for i in range(5)]
+    nodes = [f"ex:n{i}" for i in range(8)]
+    for trial in range(5):
+        triples = set()
+        for _ in range(4):
+            a, b = rnd.sample(classes, 2)
+            triples.add((a, RDFS_SUBCLASS, b))
+        for _ in range(3):
+            a, b = rnd.sample(props, 2)
+            triples.add((a, RDFS_SUBPROP, b))
+        for _ in range(2):
+            triples.add((rnd.choice(props), RDFS_DOMAIN, rnd.choice(classes)))
+            triples.add((rnd.choice(props), RDFS_RANGE, rnd.choice(classes)))
+        for _ in range(10):
+            triples.add((rnd.choice(nodes), rnd.choice(props), rnd.choice(nodes)))
+            triples.add((rnd.choice(nodes), RDF_TYPE, rnd.choice(classes)))
+        g = Graph.from_string_triples(
+            spark, spark.createDataFrame(sorted(triples), ["s", "p", "o"])
+        )
+        mg = g.materialize_rdfs()
+        got = {
+            (r.s, r.p, r.o)
+            for r in mg.decode(
+                mg.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        }
+        assert got == _py_rdfs_closure(triples), f"trial {trial}"
