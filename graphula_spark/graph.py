@@ -644,16 +644,19 @@ class Graph:
         decoded = self.decode(self.triples.select("s", "p", "o"), ["s", "p", "o"])
         decoded.createOrReplaceTempView(f"{prefix}_spo")
 
-    def materialize_rdfs(self) -> "Graph":
+    def materialize_rdfs(self, owl: bool = False) -> "Graph":
         """Forward-chain the ρdf RDFS fragment (subClassOf /
         subPropertyOf / domain / range) over this graph's own schema
         triples and return the extended snapshot — the inference
         closure the reference's LUBM data ships pre-baked (SURVEY §5;
-        the reference has no reasoner). See operators/rdfs.py for the
-        stratified single-pass design."""
-        from graphula_spark.operators.rdfs import materialize
+        the reference has no reasoner). With ``owl=True`` the pass
+        also applies owl:inverseOf / owl:SymmetricProperty /
+        owl:TransitiveProperty (the constructs LUBM's univ-bench
+        ontology declares). See operators/rdfs.py for the stratified
+        design."""
+        from graphula_spark.operators.rdfs import materialize, materialize_owl
 
-        return materialize(self)
+        return materialize_owl(self) if owl else materialize(self)
 
     def sparql_update(self, update: str) -> "Graph":
         """SPARQL Update subset: ``INSERT DATA { ... }`` / ``DELETE DATA

@@ -188,3 +188,109 @@ def materialize(graph) -> "Graph":  # noqa: F821 - avoids circular import
     out = out.dropDuplicates(["s", "p", "o"])
     g = Graph(spark, out.cache(), d)
     return g
+
+
+OWL_INVERSE = "http://www.w3.org/2002/07/owl#inverseOf"
+OWL_TRANSITIVE = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+OWL_SYMMETRIC = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+
+
+def materialize_owl(graph, max_rounds: int = 3) -> "Graph":  # noqa: F821
+    """ρdf closure PLUS the three OWL constructs real ontologies lean
+    on (all declared by LUBM's univ-bench ontology): `owl:inverseOf`
+    ((s p o) => (o q s)), `owl:SymmetricProperty` ((s p o) => (o p s))
+    and `owl:TransitiveProperty` (per-property transitive closure of
+    the DATA edges — the only rule whose derivations are data-sized,
+    computed with the semi-naive frontier loop of
+    operators/paths.py:transitive_closure).
+
+    The families interact (an inverse edge can extend a transitive
+    relation, a transitive edge can trigger an RDFS domain), so the
+    stratified pass (inverse/symmetric -> transitivity -> ρdf) repeats
+    until the triple count is stable, bounded by `max_rounds`; real
+    ontologies converge in 1-2 rounds, and each extra round is one
+    dedup shuffle — the 100 TB cost model stays explicit."""
+    from graphula_spark.graph import Graph
+    from graphula_spark.operators.paths import transitive_closure
+
+    g = graph
+    prev = g.triples.count()
+    for _ in range(max_rounds):
+        spark, d = g.spark, g.dictionary
+        ids = d.lookup_terms([RDF_TYPE, OWL_INVERSE, OWL_TRANSITIVE, OWL_SYMMETRIC])
+        triples = g.triples.select("s", "p", "o")
+        derived = []
+
+        inv_id = ids.get(OWL_INVERSE)
+        if inv_id is not None:
+            pairs = {
+                (r["s"], r["o"])
+                for r in triples.where(F.col("p") == inv_id).select("s", "o").collect()
+            }
+            pairs |= {(b, a) for (a, b) in pairs}  # inverseOf is symmetric
+            if pairs:
+                im = F.broadcast(spark.createDataFrame(sorted(pairs), ["p_a", "p_b"]))
+                derived.append(
+                    triples.join(im, triples["p"] == im["p_a"]).select(
+                        F.col("o").alias("s"),
+                        F.col("p_b").alias("p"),
+                        F.col("s").alias("o"),
+                    )
+                )
+
+        type_id, sym_id = ids.get(RDF_TYPE), ids.get(OWL_SYMMETRIC)
+        if type_id is not None and sym_id is not None:
+            sym_props = [
+                r["s"]
+                for r in triples.where(
+                    (F.col("p") == type_id) & (F.col("o") == sym_id)
+                ).collect()
+            ]
+            if sym_props:
+                derived.append(
+                    triples.where(F.col("p").isin(sym_props)).select(
+                        F.col("o").alias("s"), "p", F.col("s").alias("o")
+                    )
+                )
+
+        trans_id = ids.get(OWL_TRANSITIVE)
+        if type_id is not None and trans_id is not None:
+            trans_props = [
+                r["s"]
+                for r in triples.where(
+                    (F.col("p") == type_id) & (F.col("o") == trans_id)
+                ).collect()
+            ]
+            # the closure must run over edges INCLUDING this round's
+            # inverse/symmetric derivations
+            with_inv = triples
+            for ddf in derived:
+                with_inv = with_inv.unionByName(ddf)
+            for pid in trans_props:
+                edges = with_inv.where(F.col("p") == pid).select(
+                    F.col("s").alias("src"), F.col("o").alias("dst")
+                )
+                derived.append(
+                    transitive_closure(edges).select(
+                        F.col("src").alias("s"),
+                        F.lit(pid).alias("p"),
+                        F.col("dst").alias("o"),
+                    )
+                )
+
+        ext = triples
+        for ddf in derived:
+            ext = ext.unionByName(ddf)
+        ext = ext.dropDuplicates(["s", "p", "o"])
+        g = materialize(Graph(spark, ext.cache(), d))
+        # localCheckpoint each round: the accumulated union/closure
+        # lineage otherwise grows with every round and Catalyst
+        # re-analyzes the whole history on EVERY later query over the
+        # materialized graph (the cluster.py lesson — a 9-minute hang
+        # on LUBM queries before this line)
+        g = Graph(spark, g.triples.localCheckpoint(eager=True), d)
+        n = g.triples.count()
+        if n == prev:
+            break
+        prev = n
+    return g

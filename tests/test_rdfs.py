@@ -181,3 +181,39 @@ def test_random_graphs_match_fixpoint(spark):
             ).collect()
         }
         assert got == _py_rdfs_closure(triples), f"trial {trial}"
+
+
+def test_owl_constructs(spark):
+    from graphula_spark.operators.rdfs import (
+        OWL_INVERSE,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+    )
+
+    rows = [
+        ("ex:degreeFrom", OWL_INVERSE, "ex:hasAlumnus"),
+        ("ex:subOrg", RDF_TYPE, OWL_TRANSITIVE),
+        ("ex:colleague", RDF_TYPE, OWL_SYMMETRIC),
+        ("ex:alice", "ex:degreeFrom", "ex:uni1"),
+        ("ex:dept1", "ex:subOrg", "ex:college1"),
+        ("ex:college1", "ex:subOrg", "ex:uni1"),
+        ("ex:bob", "ex:colleague", "ex:carol"),
+        # inverse feeds transitivity: uni1 hasSubOrg is NOT transitive,
+        # but an inverseOf-pair on subOrg is: declare it and check the
+        # inverse edges close transitively too
+        ("ex:subOrg", OWL_INVERSE, "ex:hasSubOrg"),
+        ("ex:hasSubOrg", RDF_TYPE, OWL_TRANSITIVE),
+    ]
+    g = Graph.from_string_triples(spark, spark.createDataFrame(rows, ["s", "p", "o"]))
+    mg = g.materialize_rdfs(owl=True)
+    got = {
+        (r.s, r.p, r.o)
+        for r in mg.decode(mg.triples.select("s", "p", "o"), ["s", "p", "o"]).collect()
+    }
+    assert ("ex:uni1", "ex:hasAlumnus", "ex:alice") in got  # inverseOf
+    assert ("ex:carol", "ex:colleague", "ex:bob") in got  # symmetric
+    assert ("ex:dept1", "ex:subOrg", "ex:uni1") in got  # transitive
+    assert ("ex:college1", "ex:hasSubOrg", "ex:dept1") in got  # inverse edge
+    assert ("ex:uni1", "ex:hasSubOrg", "ex:dept1") in got  # inverse + transitive
+    # fixed point: a second owl pass adds nothing
+    assert mg.materialize_rdfs(owl=True).triples.count() == mg.triples.count()
