@@ -618,13 +618,39 @@ def q_ann_ivf(spark, sf):
         .otherwise(0.0)
         .alias("score"),
     )
-    return seed.unionByName(recall_row)
+    # round-4 fold: the hyperplane-LSH top-k rows live here too (the
+    # freed ann_lsh_topk slot went to rel_importance)
+    lsh = q_ann_lsh(spark, sf).select(
+        F.lit("lsh_topk").alias("part"), "query_id", "neighbor_id", "score"
+    )
+    return seed.unionByName(recall_row).unionByName(lsh)
 
 
 def q_dedup_embedding(spark, sf):
     from graphula_spark.operators.ann import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(_emb(spark, sf), threshold=0.3)
+
+
+def q_rel_importance(spark, sf):
+    """DSIR importance weights driver row (operators/importance.py):
+    per-document log-likelihood-ratio weights of the documents table
+    against the German-language slice as the target distribution,
+    with the portable md5 bucket hash so DuckDB reproduces the whole
+    pipeline — bucket models with add-one smoothing, full-outer ratio
+    merge with missing-bucket floors, per-doc sums — in closed form."""
+    from graphula_spark.operators.importance import importance_weights
+
+    d = _docs(spark, sf).select("doc_id", "text", "lang")
+    target = d.where(F.col("lang") == "de")
+    w = importance_weights(
+        d, target, "doc_id", "text", buckets=256, hash_fn="md5"
+    )
+    return w.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round("logw", 4).alias("logw"),
+    )
 
 
 def q_events_stateful(spark, sf):
@@ -1149,7 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine,
-        "ann_lsh_topk": q_ann_lsh,
+        "rel_importance": q_rel_importance,
         "ann_ivf_topk": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "events_stateful": q_events_stateful,
@@ -1300,6 +1326,40 @@ _IVF_ORACLE = """
     -- the KMeans production path's recall gate: Spark emits 1.0 only if
     -- measured mean recall@5 vs the exact operator is >= 0.6
     SELECT 'kmeans_recall', -1, -1, 1.0
+"""
+
+
+_IMPORTANCE_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang,
+             list_concat(w, CASE WHEN len(w) >= 2
+               THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+               ELSE [] END) AS g
+      FROM words),
+    eb AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT % 256 AS bucket
+      FROM grams),
+    raw_counts AS (SELECT bucket, count(*) AS n FROM eb GROUP BY 1),
+    raw_tot AS (SELECT count(*) AS t FROM eb),
+    tgt_counts AS (SELECT bucket, count(*) AS n FROM eb WHERE lang = 'de' GROUP BY 1),
+    tgt_tot AS (SELECT count(*) AS t FROM eb WHERE lang = 'de'),
+    ratio AS (
+      SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+             ln((COALESCE(t.n, 0) + 1.0) / ((SELECT t FROM tgt_tot) + 256.0))
+           - ln((COALESCE(r.n, 0) + 1.0) / ((SELECT t FROM raw_tot) + 256.0)) AS lr
+      FROM raw_counts r FULL OUTER JOIN tgt_counts t ON r.bucket = t.bucket),
+    per_doc AS (
+      SELECT eb.doc_id, count(*) AS n_grams, sum(lr) AS logw
+      FROM eb JOIN ratio USING (bucket) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           round(COALESCE(p.logw, 0.0), 4) AS logw
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
@@ -1603,8 +1663,11 @@ def oracle_sql() -> dict[str, str]:
                      - len(list_intersect(a.shingles, b.shingles))) >= 0.3
         """,
         "dedup_simhash": _simhash_oracle(),
-        "ann_lsh_topk": _lsh_oracle(),
-        "ann_ivf_topk": _IVF_ORACLE,
+        "ann_ivf_topk": _IVF_ORACLE
+        + " UNION ALL SELECT 'lsh_topk' AS part, * FROM ("
+        + _lsh_oracle()
+        + ")",
+        "rel_importance": _IMPORTANCE_ORACLE,
         "approx_distinct": """
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

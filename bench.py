@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "rel_importance",
     "dedup_embedding",
     "events_stateful",
     "rel_graph_reach",
@@ -214,6 +215,7 @@ SF1_QUERIES = [
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "rel_importance",
     "dedup_embedding",
     "rel_graph_reach",
     "events_temporal_join",

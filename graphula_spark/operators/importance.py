@@ -39,16 +39,29 @@ __all__ = [
 
 
 def hashed_ngram_buckets(
-    text: Column, buckets: int = 8192, seed: int = 42
+    text: Column, buckets: int = 8192, seed: int = 42, hash_fn: str = "xxhash64"
 ) -> Column:
     """Array of hash-bucket ids for the word uni+bigrams of `text`
     (the DSIR featurization). One array HOF pass per n; no explode
     happens here, so the column can feed either the distribution agg
-    or the per-doc weight join."""
+    or the per-doc weight join.
+
+    `hash_fn="md5"` switches to a 60-bit md5-prefix hash computable
+    identically in ANSI SQL engines (the portable-hash discipline of
+    simhash_portable_pairs / sample_by_weight) so the whole weight
+    pipeline can be oracle-checked; xxhash64 stays the production
+    default (one JVM op, no hex detour)."""
     grams = F.concat(tokens(text), word_ngrams(text, 2))
-    return F.transform(
-        grams, lambda g: F.pmod(F.xxhash64(g, F.lit(seed)), F.lit(buckets))
-    )
+    if hash_fn == "md5":
+        def h(g):
+            return F.pmod(
+                F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+                F.lit(buckets),
+            )
+    else:
+        def h(g):
+            return F.pmod(F.xxhash64(g, F.lit(seed)), F.lit(buckets))
+    return F.transform(grams, h)
 
 
 def bucket_distribution(
@@ -56,6 +69,7 @@ def bucket_distribution(
     text_col: str,
     buckets: int = 8192,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """`(bucket, p)` smoothed bag-of-buckets unigram model of a corpus.
 
@@ -66,7 +80,7 @@ def bucket_distribution(
     counts = (
         df.select(
             F.explode(
-                hashed_ngram_buckets(F.col(text_col), buckets, seed)
+                hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)
             ).alias("bucket")
         )
         .groupBy("bucket")
@@ -92,6 +106,7 @@ def importance_weights(
     text_col: str,
     buckets: int = 8192,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document DSIR log importance weight over the raw corpus:
     `logw = sum_b count_b * log(p_target(b) / p_raw(b))`.
@@ -99,15 +114,15 @@ def importance_weights(
     Returns `(id_col, n_grams, logw)`. The `log_ratio` model table is
     <= `buckets` rows and explicitly broadcast; the only shuffle is
     the groupBy on the doc id."""
-    p_raw = bucket_distribution(raw, text_col, buckets, seed)
-    p_tgt = bucket_distribution(target, text_col, buckets, seed)
+    p_raw = bucket_distribution(raw, text_col, buckets, seed, hash_fn)
+    p_tgt = bucket_distribution(target, text_col, buckets, seed, hash_fn)
     # full outer: a bucket seen in only one corpus still has a smoothed
     # probability on the other side (1 / (total + B))
     raw_tot = raw.select(
-        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, seed)).alias("b")
+        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)).alias("b")
     ).count()
     tgt_tot = target.select(
-        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, seed)).alias("b")
+        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)).alias("b")
     ).count()
     floor_raw = 1.0 / (raw_tot + float(buckets))
     floor_tgt = 1.0 / (tgt_tot + float(buckets))
@@ -129,7 +144,7 @@ def importance_weights(
     exploded = raw.select(
         F.col(id_col),
         F.explode_outer(
-            hashed_ngram_buckets(F.col(text_col), buckets, seed)
+            hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)
         ).alias("bucket"),
     )
     return (
