@@ -460,10 +460,40 @@ out.append(
 )
 out.append(
     "The <=B-row log-ratio model broadcasts onto the exploded n-gram "
-    "stream; the only shuffle keyed by data volume is the final "
-    "groupBy(doc_id) partial+final sum. Corpus size scales the map side "
-    "only.\n"
+    "stream; the SortMergeJoin is the two B-row corpus models' "
+    "full-outer merge (bounded by B=1024 rows forever — Spark cannot "
+    "broadcast a full outer join), and the only shuffle keyed by data "
+    "volume is the final groupBy(doc_id) partial+final sum. Corpus "
+    "size scales the map side only.\n"
 )
+
+# 22. RDFS materialization — broadcast rules, no data shuffle
+import glob as _glob
+
+_lubm = sorted(_glob.glob("/root/reference/benchmarks/data/university0_*.nt"))[:3]
+if _lubm:
+    from graphula_spark.graph import Graph as _G
+
+    _g22 = _G.from_ntriples(spark, _lubm)
+    _mg22 = _g22.materialize_rdfs()
+    _mg22.triples.count()
+    p = plan_of(_mg22.triples)
+    out.append("## 22. RDFS ρdf materialization (round 4)\n")
+    out.append(
+        f"```\nBroadcastHashJoin: {p.count('BroadcastHashJoin')}   "
+        f"SortMergeJoin: {p.count('SortMergeJoin')}   "
+        f"cached base reused per rule branch (InMemoryTableScan): "
+        f"{p.count('InMemoryTableScan')}\n```\n"
+    )
+    out.append(
+        "Every inference rule is a broadcast join against a "
+        "driver-closed schema relation (ontologies are KBs forever) over "
+        "the CACHED base-triples scan, which every rule branch reuses; "
+        "the only data-sized shuffle is the final set-semantics dedup. "
+        "The stratified pass (properties -> domain/range -> classes) "
+        "reaches the ρdf fixpoint in ONE sweep — no iterate-until-stable "
+        "loop over 100 TB.\n"
+    )
 
 open("/root/repo/PLANS.md", "w").write("\n".join(out))
 print("written")
