@@ -11,6 +11,7 @@ noted. Import as:
 from graphula_spark.operators.ann import _dot as dot_product
 from graphula_spark.operators.ann import _norm as l2_norm
 from graphula_spark.operators.dedup import hash60, word_shingles
+from graphula_spark.operators.importance import hashed_ngram_buckets
 from graphula_spark.operators.text import (
     bpe_ish_token_count,
     char_count,
@@ -23,6 +24,11 @@ from graphula_spark.operators.text import (
     token_count,
     tokens,
     word_ngrams,
+)
+from graphula_spark.operators.urls import (
+    normalize_url,
+    parse_url,
+    registered_domain,
 )
 from graphula_spark.sparql.compiler import rdf_value
 
