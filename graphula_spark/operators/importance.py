@@ -64,6 +64,28 @@ def hashed_ngram_buckets(
     return F.transform(grams, h)
 
 
+def _bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    buckets: int,
+    seed: int,
+    hash_fn: str,
+) -> list:
+    """Collected `(bucket, n)` counts of a corpus — at most `buckets`
+    rows (the model is ontology-small by construction), one
+    map-side-combinable pass over the corpus."""
+    return (
+        df.select(
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+
 def bucket_distribution(
     df: DataFrame,
     text_col: str,
@@ -77,25 +99,11 @@ def bucket_distribution(
     so the log ratio never divides by zero on buckets one corpus
     missed. The result is at most `buckets` rows: a broadcastable
     model at any corpus size."""
-    counts = (
-        df.select(
-            F.explode(
-                hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)
-            ).alias("bucket")
-        )
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    total = counts.agg(F.sum("n").alias("total"))
-    return (
-        counts.join(F.broadcast(total))
-        .select(
-            "bucket",
-            (
-                (F.col("n") + F.lit(1.0))
-                / (F.col("total") + F.lit(float(buckets)))
-            ).alias("p"),
-        )
+    rows = _bucket_counts(df, text_col, buckets, seed, hash_fn)
+    total = sum(r["n"] for r in rows)
+    return df.sparkSession.createDataFrame(
+        [(r["bucket"], (r["n"] + 1.0) / (total + float(buckets))) for r in rows],
+        ["bucket", "p"],
     )
 
 
@@ -112,34 +120,27 @@ def importance_weights(
     `logw = sum_b count_b * log(p_target(b) / p_raw(b))`.
 
     Returns `(id_col, n_grams, logw)`. The `log_ratio` model table is
-    <= `buckets` rows and explicitly broadcast; the only shuffle is
-    the groupBy on the doc id."""
-    p_raw = bucket_distribution(raw, text_col, buckets, seed, hash_fn)
-    p_tgt = bucket_distribution(target, text_col, buckets, seed, hash_fn)
-    # full outer: a bucket seen in only one corpus still has a smoothed
-    # probability on the other side (1 / (total + B))
-    raw_tot = raw.select(
-        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)).alias("b")
-    ).count()
-    tgt_tot = target.select(
-        F.explode(hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)).alias("b")
-    ).count()
-    floor_raw = 1.0 / (raw_tot + float(buckets))
-    floor_tgt = 1.0 / (tgt_tot + float(buckets))
-    ratio = (
-        p_raw.withColumnRenamed("p", "p_raw")
-        .join(
-            p_tgt.withColumnRenamed("p", "p_tgt"),
-            "bucket",
-            "full_outer",
+    <= `buckets` rows, built DRIVER-side from the two collected count
+    models and broadcast (one corpus pass each — totals come from the
+    model itself, not extra count jobs); the only shuffle is the
+    groupBy on the doc id."""
+    import math
+
+    rc = {r["bucket"]: r["n"] for r in _bucket_counts(raw, text_col, buckets, seed, hash_fn)}
+    tc = {r["bucket"]: r["n"] for r in _bucket_counts(target, text_col, buckets, seed, hash_fn)}
+    raw_tot, tgt_tot = sum(rc.values()), sum(tc.values())
+    # a bucket seen in only one corpus still has a smoothed probability
+    # on the other side ((0+1) / (total + B))
+    ratio_rows = [
+        (
+            b,
+            math.log((tc.get(b, 0) + 1.0) / (tgt_tot + float(buckets)))
+            - math.log((rc.get(b, 0) + 1.0) / (raw_tot + float(buckets))),
         )
-        .select(
-            "bucket",
-            (
-                F.log(F.coalesce(F.col("p_tgt"), F.lit(floor_tgt)))
-                - F.log(F.coalesce(F.col("p_raw"), F.lit(floor_raw)))
-            ).alias("log_ratio"),
-        )
+        for b in set(rc) | set(tc)
+    ]
+    ratio = raw.sparkSession.createDataFrame(
+        sorted(ratio_rows), ["bucket", "log_ratio"]
     )
     exploded = raw.select(
         F.col(id_col),

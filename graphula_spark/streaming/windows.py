@@ -133,6 +133,7 @@ def stream_near_dedup_ingest(
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     checkpoint: str | None = None,
+    batch_transform=None,
 ):
     """Streaming NEAR-dup dedup-on-ingest against a persisted MinHash
     index: each micro-batch (1) probes the index for near-duplicates of
@@ -170,6 +171,10 @@ def stream_near_dedup_ingest(
     from graphula_spark.operators.dedup import MinHashIndex, minhash_lsh_pairs
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_transform is not None:
+            # per-batch static-DF stage (e.g. the URL front gate's
+            # row_number dedup, which streaming DFs cannot window)
+            batch_df = batch_transform(batch_df)
         if batch_df.isEmpty():
             return
         # snapshot the cached-RDD set so every persist() made inside
@@ -248,6 +253,8 @@ def stream_warc_ingest(
     glob: str = "*.warc*",
     min_chars: int = 1,
     max_files_per_trigger: int | None = None,
+    domain_blocklist: list | None = None,
+    url_dedup_batch: bool = False,
 ):
     """Continuous web-crawl ingestion, end to end: WARC files landing
     in ``warc_dir`` stream through per-file parsing + HTML→text
@@ -294,6 +301,26 @@ def stream_warc_ingest(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = binary_files_to_documents(reader.load(warc_dir), min_chars)
+    if domain_blocklist:
+        # the URL front gate runs before any text is hashed (cheapest
+        # rejection first — operators/urls.py); the blocklist filter is
+        # a stateless join so it can sit on the stream itself
+        from graphula_spark.operators.urls import filter_domains
+
+        docs = filter_domains(docs, "url", domain_blocklist, "block")
+    transform = None
+    if url_dedup_batch:
+        # WITHIN-batch canonical-URL dedup (a crawl batch often holds
+        # the same page under several tracking-param aliases). This is
+        # a row_number window, which streaming DFs cannot run — it
+        # executes inside foreachBatch on the static batch DF.
+        # Cross-batch content dups are the MinHash index's job; URL
+        # identity across batches would need keyed state for strictly
+        # less recall than the content index already provides.
+        from graphula_spark.operators.urls import url_dedup
+
+        def transform(batch_df):
+            return url_dedup(batch_df, "url", prefer_col="fetch_date")
     return stream_near_dedup_ingest(
         spark,
         docs,
@@ -302,6 +329,7 @@ def stream_warc_ingest(
         text_col="text",
         jaccard_threshold=jaccard_threshold,
         checkpoint=checkpoint,
+        batch_transform=transform,
     )
 
 
@@ -328,6 +356,10 @@ def stream_rollup_maintenance(
     from graphula_spark.operators.rollup_sketch import append_bucket
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_transform is not None:
+            # per-batch static-DF stage (e.g. the URL front gate's
+            # row_number dedup, which streaming DFs cannot window)
+            batch_df = batch_transform(batch_df)
         if batch_df.isEmpty():
             return
         append_bucket(batch_df, rollup_path, batch_id=batch_id, **rollup_kwargs)

@@ -232,3 +232,62 @@ def test_warc_feeds_run_pipeline(spark, tmp_path):
     stages = {r["stage"]: r["docs"] for r in res.report}
     assert stages["input"] == 3
     assert stages["exact_dedup"] == 2  # the duplicated page collapsed
+
+
+class TestStreamWarcUrlGate:
+    def test_blocklist_and_url_dedup_in_stream(self, spark, tmp_path):
+        """The URL front gate runs inside the streaming crawl ingest:
+        blocked domains never reach the content index, and within-batch
+        URL aliases collapse before near-dedup."""
+        from graphula_spark.operators.dedup import MinHashIndex
+        from graphula_spark.sources.warc import write_warc
+        from graphula_spark.streaming.windows import stream_warc_ingest
+
+        def resp(uri, body, date):
+            return {
+                "warc_type": "response",
+                "target_uri": uri,
+                "warc_date": date,
+                "http_status": 200,
+                "content_type": "text/html; charset=utf-8",
+                "payload": f"<html><body><p>{body}</p></body></html>".encode(),
+            }
+
+        seed = spark.createDataFrame(
+            [("seed", "totally unrelated seed corpus text right here")],
+            ["doc_id", "text"],
+        )
+        idx_path = str(tmp_path / "idx")
+        MinHashIndex.build(seed, "doc_id", "text", idx_path)
+
+        crawl = tmp_path / "crawl"
+        crawl.mkdir()
+        (crawl / "a.warc").write_bytes(
+            write_warc(
+                [
+                    resp("http://spam.bad.com/x",
+                         "spam page that would otherwise be novel and accepted",
+                         "2026-01-01T00:00:00Z"),
+                    resp("http://ok.org/page?utm_source=f&id=1",
+                         "a perfectly novel page body nothing shares",
+                         "2026-01-01T00:00:01Z"),
+                    # same canonical URL, fresher capture, different body
+                    resp("http://OK.org/page/?id=1",
+                         "a RE-crawled page body nothing else shares either",
+                         "2026-02-01T00:00:00Z"),
+                ]
+            )
+        )
+        q = stream_warc_ingest(
+            spark,
+            str(crawl),
+            idx_path,
+            jaccard_threshold=0.3,
+            checkpoint=str(tmp_path / "ckpt"),
+            domain_blocklist=["bad.com"],
+            url_dedup_batch=True,
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(f"{idx_path}/accepted").collect()
+        assert {r["url"] for r in rows} == {"http://OK.org/page/?id=1"}
+        assert len(rows) == 1  # alias collapsed to the freshest capture
