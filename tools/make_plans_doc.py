@@ -459,10 +459,9 @@ out.append(
     f"SortMergeJoin: {p.count('SortMergeJoin')}\n```\n"
 )
 out.append(
-    "The <=B-row log-ratio model broadcasts onto the exploded n-gram "
-    "stream; the SortMergeJoin is the two B-row corpus models' "
-    "full-outer merge (bounded by B=1024 rows forever — Spark cannot "
-    "broadcast a full outer join), and the only shuffle keyed by data "
+    "The log-ratio model is built DRIVER-side from the two collected "
+    "<=B-row bucket-count models (one corpus pass each) and broadcast "
+    "onto the exploded n-gram stream; the only shuffle keyed by data "
     "volume is the final groupBy(doc_id) partial+final sum. Corpus "
     "size scales the map side only.\n"
 )
