@@ -669,6 +669,14 @@ class Graph:
 
         return reduce_graph(self, owl=owl)
 
+    def smush_sameas(self, keep_links: bool = True) -> "Graph":
+        """Merge owl:sameAs-co-referent individuals onto canonical
+        (minimum-id) representatives via distributed connected
+        components; see operators/rdfs.py:smush_sameas."""
+        from graphula_spark.operators.rdfs import smush_sameas
+
+        return smush_sameas(self, keep_links=keep_links)
+
     def sparql_update(self, update: str) -> "Graph":
         """SPARQL Update subset: ``INSERT DATA { ... }`` / ``DELETE DATA
         { ... }`` with ground triples. Returns the new snapshot (the

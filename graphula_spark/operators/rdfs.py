@@ -406,3 +406,69 @@ def reduce_graph(graph, owl: bool = True) -> "Graph":  # noqa: F821
         rm.dropDuplicates(["s", "p", "o"]), ["s", "p", "o"], "left_anti"
     )
     return Graph(spark, base.localCheckpoint(eager=True), d)
+
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def smush_sameas(graph, keep_links: bool = True) -> "Graph":  # noqa: F821
+    """owl:sameAs smushing: merge co-referent individuals onto one
+    canonical representative — the entity-resolution step every
+    multi-source RDF integration runs (and the reference cannot:
+    triples-only store, no rules).
+
+    sameAs is an equivalence relation, so its closure partitions the
+    nodes into components; unlike the schema relations this one is
+    DATA-sized (millions of pairwise links in a web-scale graph), so
+    the closure runs distributed: min-label connected components
+    (operators/cluster.py — label propagation + pointer jumping,
+    O(log diameter) rounds), then TWO hash joins rewrite every
+    subject/object to its component's minimum id. Predicates are not
+    rewritten (sameAs on properties is owl:equivalentProperty's job —
+    handled by the subPropertyOf machinery).
+
+    With ``keep_links`` the canonicalized graph retains one
+    ``<canonical> sameAs <member>`` triple per merged member, so the
+    original ids stay queryable and decodable; pass False for a pure
+    canonical graph."""
+    from graphula_spark.graph import Graph
+    from graphula_spark.operators.cluster import connected_components
+
+    spark, d = graph.spark, graph.dictionary
+    ids = d.lookup_terms([OWL_SAMEAS])
+    sid = ids.get(OWL_SAMEAS)
+    if sid is None:
+        return graph
+    T = graph.triples.select("s", "p", "o")
+    links = T.where(F.col("p") == sid)
+    mapping = connected_components(links, src="s", dst="o").select(
+        F.col("node"), F.col("cluster").alias("canon")
+    )
+    # rewrite s then o; a mapping hit replaces the id, a miss keeps it.
+    # The mapping is component-members only — usually far smaller than
+    # the graph, so Catalyst/AQE broadcasts it when it fits and
+    # shuffles on the key when it does not (both correct at 100 TB).
+    rewritten = (
+        T.where(F.col("p") != sid)
+        .join(mapping.withColumnRenamed("node", "s"), "s", "left")
+        .withColumn("s", F.coalesce(F.col("canon"), F.col("s")))
+        .drop("canon")
+        .join(
+            mapping.select(
+                F.col("node").alias("o"), F.col("canon").alias("__oc")
+            ),
+            "o",
+            "left",
+        )
+        .withColumn("o", F.coalesce(F.col("__oc"), F.col("o")))
+        .drop("__oc")
+    )
+    if keep_links:
+        back = mapping.where(F.col("node") != F.col("canon")).select(
+            F.col("canon").alias("s"),
+            F.lit(sid).alias("p"),
+            F.col("node").alias("o"),
+        )
+        rewritten = rewritten.unionByName(back.select("s", "p", "o"))
+    out = rewritten.select("s", "p", "o").dropDuplicates(["s", "p", "o"])
+    return Graph(spark, out.localCheckpoint(eager=True), d)

@@ -265,3 +265,64 @@ def test_equivalence_cycle_types_survive_reduction(spark):
     }
     assert ("ex:alice", RDF_TYPE, "ex:Chair") in got
     assert ("ex:alice", RDF_TYPE, "ex:Restriction1") in got
+
+
+class TestSameAsSmushing:
+    SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+    def _graph(self, spark):
+        rows = [
+            # two sameAs chains: {a1,a2,a3} and {b1,b2}
+            ("ex:a1", self.SAMEAS, "ex:a2"),
+            ("ex:a2", self.SAMEAS, "ex:a3"),
+            ("ex:b1", self.SAMEAS, "ex:b2"),
+            # facts spread across the aliases
+            ("ex:a1", "ex:worksAt", "ex:dept"),
+            ("ex:a2", RDF_TYPE, "ex:Person"),
+            ("ex:a3", "ex:knows", "ex:b2"),
+            ("ex:c", "ex:knows", "ex:a3"),
+            ("ex:b1", RDF_TYPE, "ex:Person"),
+        ]
+        return Graph.from_string_triples(
+            spark, spark.createDataFrame(rows, ["s", "p", "o"])
+        )
+
+    def _decoded(self, g):
+        return {
+            (r.s, r.p, r.o)
+            for r in g.decode(
+                g.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        }
+
+    def test_facts_merge_onto_one_representative(self, spark):
+        g = self._graph(spark)
+        sm = g.smush_sameas()
+        got = self._decoded(sm)
+        # exactly one alias carries all the a-facts now
+        subs = {s for (s, p, o) in got if p in ("ex:worksAt", "ex:knows") or o == "ex:Person"}
+        a_reps = {s for s in subs if s.startswith("ex:a")}
+        assert len(a_reps) == 1, got
+        rep = a_reps.pop()
+        b_rep = next(o for (s, p, o) in got if s == rep and p == "ex:knows" and o.startswith("ex:b"))
+        assert (rep, "ex:worksAt", "ex:dept") in got
+        assert (rep, RDF_TYPE, "ex:Person") in got
+        assert ("ex:c", "ex:knows", rep) in got  # objects rewritten too
+        assert (b_rep, RDF_TYPE, "ex:Person") in got
+        # canonical->member links kept so original ids stay queryable
+        assert sum(1 for (s, p, o) in got if p == self.SAMEAS and s == rep) == 2
+
+    def test_pure_canonical_mode_and_idempotence(self, spark):
+        g = self._graph(spark)
+        sm = g.smush_sameas(keep_links=False)
+        got = self._decoded(sm)
+        assert not any(p == self.SAMEAS for (_, p, _) in got)
+        again = sm.smush_sameas(keep_links=False)
+        assert self._decoded(again) == got
+
+    def test_no_sameas_is_identity(self, spark):
+        g = Graph.from_string_triples(
+            spark,
+            spark.createDataFrame([("ex:x", "ex:p", "ex:y")], ["s", "p", "o"]),
+        )
+        assert g.smush_sameas() is g
