@@ -356,10 +356,6 @@ def stream_rollup_maintenance(
     from graphula_spark.operators.rollup_sketch import append_bucket
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_transform is not None:
-            # per-batch static-DF stage (e.g. the URL front gate's
-            # row_number dedup, which streaming DFs cannot window)
-            batch_df = batch_transform(batch_df)
         if batch_df.isEmpty():
             return
         append_bucket(batch_df, rollup_path, batch_id=batch_id, **rollup_kwargs)
