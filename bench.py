@@ -199,10 +199,40 @@ def main() -> None:
                 "sf": sf,
                 "warmup_iters": warmup,
                 "floor_s": round(floor_s, 3),
+                "store_bytes": store_sizes(sf_dir),
                 "sf1": sf1_section,
             }
         )
     )
+
+
+def store_sizes(sf_dir: str) -> dict:
+    """On-disk bytes per persisted store component for THIS run's
+    scale factor (the storage side of the 100 TB story: SPO vs OPS
+    twin vs dictionary). Missing paths are skipped."""
+    sizes: dict[str, int] = {}
+    want = sf_dir.strip("/").replace("/", "_")
+
+    def du(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    base = "/tmp/graphula_store"
+    if os.path.isdir(base):
+        for tag in os.listdir(base):
+            if not tag.startswith(want):
+                continue
+            for comp in ("triples", "triples_ops", "dict"):
+                p = os.path.join(base, tag, comp)
+                if os.path.isdir(p):
+                    sizes[f"{tag}/{comp}"] = du(p)
+    return sizes
 
 
 #: queries probed at ~sf1 — the shuffle/join-heavy families where a
