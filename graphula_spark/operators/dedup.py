@@ -114,12 +114,36 @@ def band_hashes(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def choose_lsh_params(
+    jaccard_threshold: float, num_hashes: int = 32
+) -> tuple[int, int]:
+    """(bands, rows) with bands*rows == num_hashes whose S-curve
+    inflection `(1/b)^(1/r)` sits closest to the Jaccard threshold
+    (the standard banding analysis, Mining of Massive Datasets §3.4).
+
+    Below the inflection candidate probability collapses toward 0,
+    above it toward 1 — so placing it AT the configured threshold
+    maximizes recall for true pairs while bounding the false-candidate
+    volume the exact verify has to pay for. Low thresholds therefore
+    get MORE bands (shorter rows -> more permissive), high thresholds
+    fewer."""
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        d = abs((1.0 / b) ** (1.0 / r) - jaccard_threshold)
+        if best is None or d < best[0]:
+            best = (d, b, r)
+    return best[1], best[2]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: int | str = "auto",
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
@@ -128,7 +152,16 @@ def minhash_lsh_pairs(
     Pipeline: signatures → band hashes → self-join on (band, hash) for
     candidates → exact shingle-set Jaccard on candidates only. Returns
     (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``bands="auto"`` (default) picks the banding whose S-curve
+    inflection matches ``jaccard_threshold`` via `choose_lsh_params`
+    — at the historical defaults (32 hashes, threshold 0.5) this
+    resolves to the former fixed ``bands=8``, so existing oracle rows
+    are unchanged; corpora deduped at other thresholds now get a
+    banding that actually targets them.
     """
+    if bands == "auto":
+        bands, _ = choose_lsh_params(jaccard_threshold, num_hashes)
     # the banded self-join consumes the signature subtree twice; persist
     # so the explode+hash work runs once (materialized eagerly — the
     # signature table is k longs per doc, tiny relative to the corpus)

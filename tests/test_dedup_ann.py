@@ -407,3 +407,43 @@ def test_semantic_dedup_exact_collapse(spark):
     assert out[9]["dup_group"] == 9 and out[9]["keep"]
     assert out[10]["dup_group"] == 9 and not out[10]["keep"]
     assert out[20]["dup_group"] is None and out[20]["keep"]
+
+
+def test_choose_lsh_params_targets_threshold():
+    from graphula_spark.operators.dedup import choose_lsh_params
+
+    # historical defaults preserved: 0.5 @ 32 hashes -> 8 bands of 4
+    assert choose_lsh_params(0.5, 32) == (8, 4)
+    # permissive threshold -> more bands; strict -> fewer
+    b_low, r_low = choose_lsh_params(0.2, 32)
+    b_high, r_high = choose_lsh_params(0.9, 32)
+    assert b_low > 8 > b_high
+    assert b_low * r_low == b_high * r_high == 32
+    # inflection actually lands near the threshold
+    for t in (0.2, 0.5, 0.9):
+        b, r = choose_lsh_params(t, 32)
+        assert abs((1.0 / b) ** (1.0 / r) - t) < 0.2
+
+
+def test_minhash_auto_bands_matches_explicit(spark):
+    from graphula_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different text about engines and pipelines"),
+        ],
+        ["doc_id", "text"],
+    )
+    auto = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5).collect()
+    )
+    fixed = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", bands=8, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert auto == fixed == [(1, 2)]
