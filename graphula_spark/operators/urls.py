@@ -58,7 +58,9 @@ def parse_url(url: Column) -> Column:
     regexp pass per component, null where the component is absent."""
     scheme = F.lower(F.nullif(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1), F.lit("")))
     authority = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    host = F.lower(F.nullif(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1), F.lit("")))
+    # userinfo ends at the LAST @ (greedy), and a host contains neither
+    # '@' nor ':' — 'user:pw@@@' must not yield host '@@'
+    host = F.lower(F.nullif(F.regexp_extract(authority, r"^(?:.*@)?([^:@]*)", 1), F.lit("")))
     port = F.nullif(F.regexp_extract(authority, r":(\d+)$", 1), F.lit("")).cast("int")
     path = F.nullif(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), F.lit(""))
     query = F.nullif(F.regexp_extract(url, r"\?([^#]*)", 1), F.lit(""))
@@ -85,6 +87,10 @@ def normalize_url(url: Column, strip_www: bool = True) -> Column:
         F.lit(strip_www) & host.startswith("www."),
         host.substr(F.lit(5), F.length(host)),
     ).otherwise(host)
+    # 'www.' alone strips to the empty string — an empty host is not a
+    # URL (the idempotence fuzz found 'http://WWW.:8080' normalizing to
+    # a hostless string whose re-normalization was null)
+    host = F.nullif(host, F.lit(""))
     default_port = ((scheme == "http") & (port == 80)) | (
         (scheme == "https") & (port == 443)
     )

@@ -118,3 +118,22 @@ def test_filter_domains_accepts_dataframe_list(spark):
     dom = spark.createDataFrame([("A.COM",)], ["domain"])
     out = U.filter_domains(df, "url", dom, mode="block")
     assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_normalize_is_idempotent_and_total(spark):
+    """Canonicalization is a fixed point (normalize∘normalize ==
+    normalize) and never throws on arbitrary junk — fuzzed over
+    generated URLs plus pathological strings."""
+    import random
+
+    rnd = random.Random(5)
+    pieces = ["http://", "https://", "ftp://", "", "WWW.", "user:pw@", "ex",
+              "ample.com", ":443", ":8080", "/", "/a/b/", "?a=1&utm_source=x",
+              "?b=&a", "#frag", " ", "%%%", "::", "@@", "?", "#", "\t"]
+    raw = ["".join(rnd.choice(pieces) for _ in range(rnd.randint(1, 6))) for _ in range(300)]
+    df = spark.createDataFrame([(u,) for u in raw], ["url"])
+    once = df.select("url", U.normalize_url(F.col("url")).alias("n1"))
+    twice = once.select("url", "n1", U.normalize_url(F.col("n1")).alias("n2"))
+    rows = twice.collect()  # totality: no exceptions on any input
+    bad = [(r.url, r.n1, r.n2) for r in rows if r.n1 is not None and r.n1 != r.n2]
+    assert not bad, bad[:5]
