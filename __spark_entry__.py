@@ -639,12 +639,11 @@ def q_rel_importance(spark, sf):
     with the portable md5 bucket hash so DuckDB reproduces the whole
     pipeline — bucket models with add-one smoothing, full-outer ratio
     merge with missing-bucket floors, per-doc sums — in closed form."""
-    from graphula_spark.operators.importance import importance_weights
+    from graphula_spark.operators.importance import importance_weights_subset
 
     d = _docs(spark, sf).select("doc_id", "text", "lang")
-    target = d.where(F.col("lang") == "de")
-    w = importance_weights(
-        d, target, "doc_id", "text", buckets=256, hash_fn="md5"
+    w = importance_weights_subset(
+        d, F.col("lang") == "de", "doc_id", "text", buckets=256, hash_fn="md5"
     )
     return w.select(
         "doc_id",

@@ -22,7 +22,11 @@ from graphula_spark.dataset import Dataset
 from graphula_spark.dictionary import Dictionary, HASH_MASK
 from graphula_spark.graph import Graph
 from graphula_spark.plans.bgp import Var, TriplePattern
-from graphula_spark.operators.importance import importance_sample, importance_weights
+from graphula_spark.operators.importance import (
+    importance_sample,
+    importance_weights,
+    importance_weights_subset,
+)
 from graphula_spark.pipeline import PipelineConfig, PipelineResult, run_pipeline
 from graphula_spark.session import get_spark
 from graphula_spark.sources.ntriples import (
@@ -47,6 +51,7 @@ __all__ = [
     "run_pipeline",
     "importance_sample",
     "importance_weights",
+    "importance_weights_subset",
     "read_nquads",
     "read_ntriples",
     "read_rdfxml",

@@ -34,6 +34,7 @@ __all__ = [
     "hashed_ngram_buckets",
     "bucket_distribution",
     "importance_weights",
+    "importance_weights_subset",
     "importance_sample",
 ]
 
@@ -190,4 +191,61 @@ def importance_sample(
         )
         .orderBy(F.desc("gumbel_key"))
         .limit(k)
+    )
+
+
+def importance_weights_subset(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """`importance_weights` fast path for the common case where the
+    target corpus IS a predicate over the raw corpus (a language, a
+    source, a quality tier): ONE counts pass computes both bucket
+    models (raw count + conditional target count per bucket), so the
+    whole pipeline is two corpus passes instead of three. Same math,
+    same output as importance_weights(df, df.where(is_target), ...)."""
+    import math
+
+    tagged = df.select(
+        F.col(id_col),
+        is_target.alias("__tgt"),
+        hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn).alias("__b"),
+    )
+    counts = (
+        tagged.select(F.col("__tgt"), F.explode("__b").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("n_tgt"),
+        )
+        .collect()
+    )
+    raw_tot = sum(r["n_raw"] for r in counts)
+    tgt_tot = sum(r["n_tgt"] for r in counts)
+    ratio_rows = [
+        (
+            r["bucket"],
+            math.log((r["n_tgt"] + 1.0) / (tgt_tot + float(buckets)))
+            - math.log((r["n_raw"] + 1.0) / (raw_tot + float(buckets))),
+        )
+        for r in counts
+    ]
+    ratio = df.sparkSession.createDataFrame(
+        sorted(ratio_rows), ["bucket", "log_ratio"]
+    )
+    exploded = tagged.select(
+        F.col(id_col), F.explode_outer("__b").alias("bucket")
+    )
+    return (
+        exploded.join(F.broadcast(ratio), "bucket", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_grams"),
+            F.coalesce(F.sum("log_ratio"), F.lit(0.0)).alias("logw"),
+        )
     )

@@ -115,3 +115,26 @@ def test_empty_text_gets_zero_weight(spark, corpora):
     }
     assert got[1] == (0, 0.0)  # featureless doc survives with neutral weight
     assert got[2][0] > 0
+
+
+def test_subset_fast_path_matches_two_corpus_form(spark, corpora):
+    raw, _ = corpora
+    from pyspark.sql import functions as F
+
+    is_prose = F.col("doc_id") % 2 == 1
+    fast = {
+        r.doc_id: (r.n_grams, r.logw)
+        for r in imp.importance_weights_subset(
+            raw, is_prose, "doc_id", "text", B, SEED
+        ).collect()
+    }
+    slow = {
+        r.doc_id: (r.n_grams, r.logw)
+        for r in imp.importance_weights(
+            raw, raw.where(is_prose), "doc_id", "text", B, SEED
+        ).collect()
+    }
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert fast[k][0] == slow[k][0]
+        assert fast[k][1] == pytest.approx(slow[k][1], rel=1e-12)
