@@ -49,6 +49,18 @@ class PipelineConfig:
     # shard budgets and n_tokens use TRUE token counts instead of the
     # whitespace estimate
     bpe_merges: list | None = None
+    # DSIR target-distribution selection (operators/importance.py):
+    # importance_target is a Column predicate marking target-like docs
+    # (a language, a source, a quality tier); the pipeline keeps the
+    # importance_keep docs whose hashed-n-gram distribution best
+    # matches that slice (seeded Gumbel top-k — deterministic)
+    importance_target: object | None = None  # pyspark Column predicate
+    importance_keep: int = 0
+    # bucket-model size: the add-one smoothing mass is ~buckets grams,
+    # so SMALL corpora need fewer buckets or the target model flattens
+    # toward uniform (B=8192 suits web-scale corpora; use ~total_grams/8
+    # for small ones)
+    importance_buckets: int = 8192
     scrub_pii: bool = True
     line_dedup_min_docs: int = 0  # >0 enables boilerplate line removal
     # web-corpus front gate (operators/urls.py): set url_col to enable
@@ -206,6 +218,42 @@ def run_pipeline(
         if cfg.extra_quality_filter is not None:
             keep = keep & cfg.extra_quality_filter(F.col(t))
         cur = checkpoint(cur.where(keep), "quality")
+
+    if cfg.importance_target is not None and cfg.importance_keep > 0:
+        # DSIR selection AFTER the quality gate: weight the survivors
+        # against the target slice's n-gram distribution and keep the
+        # top importance_keep by seeded Gumbel key (sampling without
+        # replacement proportional to exp(logw); deterministic).
+        # The predicate is evaluated on the ORIGINAL input frame (the
+        # pipeline carries only id+text internally, and targets are
+        # usually metadata columns like lang/source), then attached to
+        # the survivors by id.
+        from graphula_spark.operators.importance import (
+            importance_weights_subset,
+        )
+
+        tgt_ids = docs.where(cfg.importance_target).select(
+            F.col(i), F.lit(True).alias("__is_t")
+        )
+        tagged = cur.join(tgt_ids, i, "left")
+        w = importance_weights_subset(
+            tagged,
+            F.coalesce(F.col("__is_t"), F.lit(False)),
+            i,
+            t,
+            buckets=cfg.importance_buckets,
+        )
+        m = F.lit(2**31)
+        u = (F.pmod(F.xxhash64(F.col(i), F.lit(43)), m) + F.lit(1.0)) / (
+            m + F.lit(2.0)
+        )
+        picked = (
+            w.withColumn("__gk", F.col("logw") - F.log(-F.log(u)))
+            .orderBy(F.desc("__gk"))
+            .limit(cfg.importance_keep)
+            .select(i)
+        )
+        cur = checkpoint(cur.join(picked, i, "left_semi"), "importance")
 
     if "scrub" in cfg.stages and cfg.scrub_pii:
         cur = cur.withColumn(t, T.scrub_pii(F.col(t)))

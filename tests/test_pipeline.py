@@ -205,3 +205,29 @@ def test_pipeline_bpe_token_budgets(spark):
     want = {r.id: r.n_tokens for r in encode_bpe(docs, "doc_id", "text", merges).collect()}
     assert got == want
     assert "shard" in res.shards.columns
+
+
+def test_pipeline_importance_selection(spark):
+    """importance_target + importance_keep adds a DSIR selection stage
+    after the quality gate: target-like docs dominate the kept set and
+    selection is deterministic."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "def fn%d ( x ) : return the value of x plus %d" % (i, i)))
+        else:
+            rows.append((i, "the quick brown fox %d jumps over the lazy dog today" % i))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    cfg = PipelineConfig(
+        stages=("normalize", "quality", "pack"),
+        min_tokens=5,
+        importance_target=F.col("doc_id") % 2 == 1,  # prose-like docs
+        importance_keep=10,
+    )
+    res = run_pipeline(docs, cfg)
+    kept = sorted(r.doc_id for r in res.documents.collect())
+    assert len(kept) == 10
+    assert sum(1 for d in kept if d % 2 == 1) >= 8  # target-like dominate
+    assert [r["stage"] for r in res.report][-1] == "importance"
+    again = run_pipeline(docs, cfg)
+    assert sorted(r.doc_id for r in again.documents.collect()) == kept
