@@ -1341,7 +1341,7 @@ _IMPORTANCE_ORACLE = """
       FROM words),
     eb AS (
       SELECT doc_id, lang,
-             ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT % 256 AS bucket
+             ('0x' || substr(md5('42:' || unnest(g)), 1, 15))::BIGINT % 256 AS bucket
       FROM grams),
     raw_counts AS (SELECT bucket, count(*) AS n FROM eb GROUP BY 1),
     raw_tot AS (SELECT count(*) AS t FROM eb),

@@ -51,12 +51,21 @@ def hashed_ngram_buckets(
     identically in ANSI SQL engines (the portable-hash discipline of
     simhash_portable_pairs / sample_by_weight) so the whole weight
     pipeline can be oracle-checked; xxhash64 stays the production
-    default (one JVM op, no hex detour)."""
+    default (one JVM op, no hex detour). The seed participates in BOTH
+    modes — md5 mixes it in as a `"<seed>:"` prefix on the gram (an
+    oracle reproduces it as `md5(CAST(seed AS VARCHAR) || ':' || g)`),
+    so varying the seed re-buckets identically portably."""
     grams = F.concat(tokens(text), word_ngrams(text, 2))
     if hash_fn == "md5":
         def h(g):
             return F.pmod(
-                F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{seed}:"), g)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
                 F.lit(buckets),
             )
     else:

@@ -48,6 +48,21 @@ RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
 MAX_SCHEMA_EDGES = 1_000_000
 
 
+def _bounded_collect(df: DataFrame, what: str) -> list:
+    """Collect a schema-sized relation with the size guard applied
+    BEFORE the collect: `limit(MAX+1)` caps what can ever reach the
+    driver, so a data-shaped predicate masquerading as schema
+    (billions of subClassOf rows) raises cleanly instead of OOMing
+    the driver on the way to the check."""
+    rows = df.limit(MAX_SCHEMA_EDGES + 1).collect()
+    if len(rows) > MAX_SCHEMA_EDGES:
+        raise ValueError(
+            f"{what} has more than {MAX_SCHEMA_EDGES} rows — too large "
+            "for driver-side schema handling (data mislabeled as schema?)"
+        )
+    return rows
+
+
 def _transitive_closure(edges: set[tuple[int, int]]) -> set[tuple[int, int]]:
     """Driver-side transitive closure of a bounded schema relation
     (plain semi-naive iteration over a dict of adjacency sets)."""
@@ -88,12 +103,9 @@ def materialize(graph) -> "Graph":  # noqa: F821 - avoids circular import
         pid = ids.get(pred)
         if pid is None:
             return set()
-        rows = triples.where(F.col("p") == pid).select("s", "o").collect()
-        if len(rows) > MAX_SCHEMA_EDGES:
-            raise ValueError(
-                f"{pred} has {len(rows)} edges — too large for "
-                "driver-side schema closure"
-            )
+        rows = _bounded_collect(
+            triples.where(F.col("p") == pid).select("s", "o"), pred
+        )
         return {(r["s"], r["o"]) for r in rows}
 
     sub_prop = _transitive_closure(schema_pairs(RDFS_SUBPROP))
@@ -225,7 +237,10 @@ def materialize_owl(graph, max_rounds: int = 3) -> "Graph":  # noqa: F821
         if inv_id is not None:
             pairs = {
                 (r["s"], r["o"])
-                for r in triples.where(F.col("p") == inv_id).select("s", "o").collect()
+                for r in _bounded_collect(
+                    triples.where(F.col("p") == inv_id).select("s", "o"),
+                    OWL_INVERSE,
+                )
             }
             pairs |= {(b, a) for (a, b) in pairs}  # inverseOf is symmetric
             if pairs:
@@ -242,9 +257,12 @@ def materialize_owl(graph, max_rounds: int = 3) -> "Graph":  # noqa: F821
         if type_id is not None and sym_id is not None:
             sym_props = [
                 r["s"]
-                for r in triples.where(
-                    (F.col("p") == type_id) & (F.col("o") == sym_id)
-                ).collect()
+                for r in _bounded_collect(
+                    triples.where(
+                        (F.col("p") == type_id) & (F.col("o") == sym_id)
+                    ).select("s"),
+                    OWL_SYMMETRIC,
+                )
             ]
             if sym_props:
                 derived.append(
@@ -257,9 +275,12 @@ def materialize_owl(graph, max_rounds: int = 3) -> "Graph":  # noqa: F821
         if type_id is not None and trans_id is not None:
             trans_props = [
                 r["s"]
-                for r in triples.where(
-                    (F.col("p") == type_id) & (F.col("o") == trans_id)
-                ).collect()
+                for r in _bounded_collect(
+                    triples.where(
+                        (F.col("p") == type_id) & (F.col("o") == trans_id)
+                    ).select("s"),
+                    OWL_TRANSITIVE,
+                )
             ]
             # the closure must run over edges INCLUDING this round's
             # inverse/symmetric derivations
@@ -296,6 +317,100 @@ def materialize_owl(graph, max_rounds: int = 3) -> "Graph":  # noqa: F821
     return g
 
 
+def _transitive_reduction_removals(e: DataFrame) -> DataFrame:
+    """Removable edges of a MATERIALIZED (transitively closed) binary
+    relation `e(s, o)` such that the transitive closure of the kept
+    remainder reconstructs `e` exactly — cycle-safe.
+
+    The naive rule ("drop every 2-hop-decomposable edge") is only
+    sound on DAGs: in a materialized cycle every non-self-loop edge is
+    2-hop decomposable, so all of them vanish at once and the cycle is
+    lost. Instead this condenses strongly connected components first —
+    cheap here because on a CLOSED relation two nodes share an SCC iff
+    BOTH edge directions are present, so SCC id = min over a node's
+    bidirectional partners (one join + one aggregation, no iteration):
+
+      * per multi-node SCC, keep a ring over its sorted members
+        (m1->m2->...->mk->m1 — all present in the closure), which
+        re-derives every intra-SCC pair including self-loops;
+      * keep singleton-SCC self-loops (nothing else re-derives them);
+      * on the condensation (a closed DAG), keep exactly the edges
+        that are NOT 2-hop decomposable — the classic reduction,
+        sound there by induction on path length.
+
+    Everything else is removable. All steps are joins/aggregations on
+    edge keys; the only per-group operation is the ring window,
+    partitioned by SCC id (SCCs of real transitive relations are
+    small; a pathological giant SCC concentrates only its own members).
+    """
+    from pyspark.sql import Window
+
+    rev = e.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    bidir = e.join(rev, ["s", "o"], "left_semi")  # intra-SCC pairs (+self-loops)
+    members = (
+        bidir.groupBy("s")
+        .agg(F.min("o").alias("mn"))
+        .select(
+            F.col("s").alias("node"),
+            F.least(F.col("s"), F.col("mn")).alias("rep"),
+        )
+    )
+    # Closed-input invariant: in a transitive closure, each SCC's
+    # members form a COMPLETE digraph (self-loops included), so the
+    # bidirectional pair count must equal Σ k² over SCC sizes. A
+    # cyclic-but-unclosed relation (where min-partner SCC labeling is
+    # unsound and reduction could silently drop non-derivable edges)
+    # fails this and must raise rather than lose data.
+    n_bidir = bidir.count()
+    if n_bidir:
+        expected = (
+            members.groupBy("rep")
+            .count()
+            .agg(F.sum(F.col("count") * F.col("count")).alias("x"))
+            .collect()[0]["x"]
+        )
+        if n_bidir != expected:
+            raise ValueError(
+                "transitive property has cyclic edges but is not a "
+                "transitive closure — reduce_graph requires a "
+                "materialized graph (run materialize_owl first)"
+            )
+    cond = (
+        e.join(members.withColumnRenamed("node", "s"), "s", "left")
+        .withColumn("cs", F.coalesce(F.col("rep"), F.col("s")))
+        .drop("rep")
+        .join(
+            members.select(
+                F.col("node").alias("o"), F.col("rep").alias("or_")
+            ),
+            "o",
+            "left",
+        )
+        .withColumn("co", F.coalesce(F.col("or_"), F.col("o")))
+        .select(F.col("cs").alias("s"), F.col("co").alias("o"))
+        .where(F.col("s") != F.col("o"))
+        .distinct()
+    )
+    two_hop = (
+        cond.alias("a")
+        .join(cond.alias("b"), F.col("a.o") == F.col("b.s"))
+        .where(F.col("a.s") != F.col("b.o"))
+        .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
+        .distinct()
+    )
+    keep_dag = cond.join(two_hop, ["s", "o"], "left_anti")
+    w = Window.partitionBy("rep").orderBy("node")
+    ring = (
+        members.withColumn("nxt", F.lead("node").over(w))
+        .withColumn(
+            "nxt", F.coalesce(F.col("nxt"), F.first("node").over(w))
+        )
+        .select(F.col("node").alias("s"), F.col("nxt").alias("o"))
+    )
+    keep = keep_dag.unionByName(ring).distinct()
+    return e.join(keep, ["s", "o"], "left_anti")
+
+
 def reduce_graph(graph, owl: bool = True) -> "Graph":  # noqa: F821
     """The lossless inverse of materialization: strip every triple the
     ρdf(+OWL) rules re-derive from the remainder, keeping a minimal
@@ -330,12 +445,14 @@ def reduce_graph(graph, owl: bool = True) -> "Graph":  # noqa: F821
     tid = ids.get(RDF_TYPE)
     T = graph.triples.select("s", "p", "o")
 
-    def pairs(pid):
+    def pairs(pid, what="schema predicate"):
         if pid is None:
             return set()
         return {
             (r["s"], r["o"])
-            for r in T.where(F.col("p") == pid).select("s", "o").collect()
+            for r in _bounded_collect(
+                T.where(F.col("p") == pid).select("s", "o"), what
+            )
         }
 
     sc = _transitive_closure(pairs(ids.get(RDFS_SUBCLASS)))
@@ -368,21 +485,17 @@ def reduce_graph(graph, owl: bool = True) -> "Graph":  # noqa: F821
         if trid is not None:
             trans_props = [
                 r["s"]
-                for r in T.where(
-                    (F.col("p") == tid) & (F.col("o") == trid)
-                ).collect()
+                for r in _bounded_collect(
+                    T.where(
+                        (F.col("p") == tid) & (F.col("o") == trid)
+                    ).select("s"),
+                    OWL_TRANSITIVE,
+                )
             ]
             for pid in trans_props:
-                e = T.where(F.col("p") == pid).select("s", "o")
-                two_hop = (
-                    e.alias("a")
-                    .join(e.alias("b"), F.col("a.o") == F.col("b.s"))
-                    .where(F.col("a.s") != F.col("b.o"))
-                    .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
-                    .distinct()
-                )
+                e = T.where(F.col("p") == pid).select("s", "o").distinct()
                 removals.append(
-                    e.join(two_hop, ["s", "o"], "left_semi").select(
+                    _transitive_reduction_removals(e).select(
                         "s", F.lit(pid).alias("p"), "o"
                     )
                 )

@@ -63,7 +63,10 @@ def parse_url(url: Column) -> Column:
     host = F.lower(F.nullif(F.regexp_extract(authority, r"^(?:.*@)?([^:@]*)", 1), F.lit("")))
     port = F.nullif(F.regexp_extract(authority, r":(\d+)$", 1), F.lit("")).cast("int")
     path = F.nullif(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), F.lit(""))
-    query = F.nullif(F.regexp_extract(url, r"\?([^#]*)", 1), F.lit(""))
+    # RFC 3986: the query ends at the first '#'; anchor the match to the
+    # pre-fragment portion so a '?' inside the fragment (SPA routes like
+    # https://site.com/#/page?id=1) is NOT treated as a query
+    query = F.nullif(F.regexp_extract(url, r"^[^#]*\?([^#]*)", 1), F.lit(""))
     fragment = F.nullif(F.regexp_extract(url, r"#(.*)$", 1), F.lit(""))
     return F.struct(
         scheme.alias("scheme"),
@@ -147,11 +150,17 @@ def url_dedup(
     order = (
         [F.desc(prefer_col)] if prefer_col else []
     ) + [F.asc(url_col)]
+    # Null canonical keys (non-http(s) / unparseable URLs) are routed
+    # AROUND the window, not merely excused from its rank: partitionBy
+    # hashes every null to ONE shuffle partition, so a crawl with a few
+    # percent garbage URLs would otherwise funnel all of it through a
+    # single straggler task. The split keeps the window's exchange
+    # null-free; the pass-through branch is a pure filter (no shuffle).
+    parseable = out.where(F.col(keep_col).isNotNull())
+    unparseable = out.where(F.col(keep_col).isNull())
     w = Window.partitionBy(keep_col).orderBy(*order)
-    ranked = out.withColumn(
-        "__rn", F.when(F.col(keep_col).isNull(), F.lit(1)).otherwise(F.row_number().over(w))
-    )
-    return ranked.where(F.col("__rn") == 1).drop("__rn")
+    ranked = parseable.withColumn("__rn", F.row_number().over(w))
+    return ranked.where(F.col("__rn") == 1).drop("__rn").unionByName(unparseable)
 
 
 def filter_domains(

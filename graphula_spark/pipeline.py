@@ -145,7 +145,11 @@ def run_pipeline(
             "quality",
         )
         if s in cfg.stages
-    ]
+    ] + (
+        ["importance"]
+        if cfg.importance_target is not None and cfg.importance_keep > 0
+        else []
+    )
     skip: set[str] = set()
     if cfg.url_col is not None:
         url_cols = [cfg.url_col] + (
@@ -219,7 +223,11 @@ def run_pipeline(
             keep = keep & cfg.extra_quality_filter(F.col(t))
         cur = checkpoint(cur.where(keep), "quality")
 
-    if cfg.importance_target is not None and cfg.importance_keep > 0:
+    if (
+        cfg.importance_target is not None
+        and cfg.importance_keep > 0
+        and "importance" not in skip
+    ):
         # DSIR selection AFTER the quality gate: weight the survivors
         # against the target slice's n-gram distribution and keep the
         # top importance_keep by seeded Gumbel key (sampling without

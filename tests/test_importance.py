@@ -138,3 +138,35 @@ def test_subset_fast_path_matches_two_corpus_form(spark, corpora):
     for k in fast:
         assert fast[k][0] == slow[k][0]
         assert fast[k][1] == pytest.approx(slow[k][1], rel=1e-12)
+
+
+def test_sample_plan_is_take_ordered_not_global_sort(spark, corpora):
+    """The docstring's 'never a global sort' promise holds only because
+    Catalyst rewrites orderBy().limit(k) to TakeOrderedAndProject —
+    pin it so a refactor can't silently regress to a total Sort."""
+    raw, tgt = corpora
+    sel = imp.importance_sample(raw, tgt, "doc_id", "text", 20, B, SEED)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # a global sort would show as a Sort over an Exchange rangepartitioning
+    assert "rangepartitioning" not in plan
+
+
+def test_md5_hash_mode_mixes_seed(spark, corpora):
+    """In portable-md5 mode the seed must actually vary the bucketing
+    (it is mixed into the md5 input as a '<seed>:' prefix), and a
+    given seed must reproduce."""
+    raw, _ = corpora
+    def buckets_for(seed):
+        return [
+            r.b
+            for r in raw.select(
+                imp.hashed_ngram_buckets(
+                    F.col("text"), 64, seed=seed, hash_fn="md5"
+                ).alias("b")
+            ).orderBy("doc_id").collect()
+        ]
+
+    a, b, a2 = buckets_for(1), buckets_for(2), buckets_for(1)
+    assert a == a2  # deterministic per seed
+    assert a != b  # seed participates in md5 mode

@@ -231,3 +231,46 @@ def test_pipeline_importance_selection(spark):
     assert [r["stage"] for r in res.report][-1] == "importance"
     again = run_pipeline(docs, cfg)
     assert sorted(r.doc_id for r in again.documents.collect()) == kept
+
+
+def test_pipeline_importance_stage_resumes(spark, tmp_path):
+    """The importance stage participates in the resume contract like
+    every other stage: a committed 'importance' checkpoint restores
+    directly (DSIR weighting is NOT re-run), and a missing marker
+    falls back to 'quality' and re-runs only importance."""
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "def fn%d ( x ) : return the value of x plus %d" % (i, i)))
+        else:
+            rows.append((i, "the quick brown fox %d jumps over the lazy dog today" % i))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(
+        stages=("normalize", "quality", "pack"),
+        min_tokens=5,
+        importance_target=F.col("doc_id") % 2 == 1,
+        importance_keep=10,
+    )
+    first = run_pipeline(docs, cfg, checkpoint_dir=ckpt)
+    kept = sorted(r.doc_id for r in first.documents.collect())
+    assert (tmp_path / "ckpt" / "importance" / "_SUCCESS").exists()
+
+    second = run_pipeline(docs, cfg, checkpoint_dir=ckpt)
+    assert second.report[0]["stage"] == "importance"
+    assert second.report[0]["resumed"] is True
+    # no stage re-ran
+    assert all(r.get("resumed") for r in second.report)
+    assert sorted(r.doc_id for r in second.documents.collect()) == kept
+
+    (tmp_path / "ckpt" / "importance" / "_SUCCESS").unlink()
+    third = run_pipeline(docs, cfg, checkpoint_dir=ckpt)
+    assert third.report[0] == {
+        "stage": "quality",
+        "docs": third.report[0]["docs"],
+        "resumed": True,
+    }
+    assert {r["stage"] for r in third.report if not r.get("resumed")} == {
+        "importance"
+    }
+    assert sorted(r.doc_id for r in third.documents.collect()) == kept

@@ -267,6 +267,71 @@ def test_equivalence_cycle_types_survive_reduction(spark):
     assert ("ex:alice", RDF_TYPE, "ex:Restriction1") in got
 
 
+def test_cyclic_transitive_property_survives_reduction(spark):
+    """A materialized CYCLIC transitive relation must round-trip: the
+    old 2-hop rule removed every cycle edge simultaneously (all are
+    2-hop decomposable in a closure), silently losing the cycle. The
+    SCC-aware reduction keeps a ring per component."""
+    from graphula_spark.operators.rdfs import OWL_TRANSITIVE
+
+    rows = [
+        ("ex:linked", RDF_TYPE, OWL_TRANSITIVE),
+        # a 3-cycle feeding a 2-chain tail
+        ("ex:a", "ex:linked", "ex:b"),
+        ("ex:b", "ex:linked", "ex:c"),
+        ("ex:c", "ex:linked", "ex:a"),
+        ("ex:c", "ex:linked", "ex:d"),
+        ("ex:d", "ex:linked", "ex:e"),
+    ]
+    g = Graph.from_string_triples(spark, spark.createDataFrame(rows, ["s", "p", "o"]))
+    closed = g.materialize_rdfs(owl=True)
+    base = closed.reduce_rdfs(owl=True)
+    n_closed, n_base = closed.triples.count(), base.triples.count()
+    assert n_base < n_closed  # something actually strips
+    rebuilt = base.materialize_rdfs(owl=True)
+    missing = closed.triples.join(
+        rebuilt.triples.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
+    ).count()
+    extra = rebuilt.triples.select("s", "p", "o").join(
+        closed.triples, ["s", "p", "o"], "left_anti"
+    ).count()
+    assert missing == 0 and extra == 0, (missing, extra, n_closed, n_base)
+
+
+def test_unclosed_cyclic_transitive_property_raises(spark):
+    """Bidirectional edges WITHOUT the full closure make min-partner
+    SCC labeling unsound — reduce_graph must refuse loudly instead of
+    silently dropping non-derivable edges."""
+    from graphula_spark.operators.rdfs import OWL_TRANSITIVE
+
+    rows = [
+        ("ex:linked", RDF_TYPE, OWL_TRANSITIVE),
+        ("ex:a", "ex:linked", "ex:b"),
+        ("ex:b", "ex:linked", "ex:a"),
+        ("ex:b", "ex:linked", "ex:c"),
+        ("ex:c", "ex:linked", "ex:b"),
+        # missing: a<->c, self-loops — NOT a transitive closure
+    ]
+    g = Graph.from_string_triples(spark, spark.createDataFrame(rows, ["s", "p", "o"]))
+    with pytest.raises(ValueError, match="not a transitive closure"):
+        g.reduce_rdfs(owl=True)
+
+
+def test_schema_collects_are_bounded(spark, monkeypatch):
+    """A data-shaped predicate masquerading as schema must raise from
+    the limit(MAX+1) guard instead of collecting everything to the
+    driver first — in materialize AND in reduce_graph."""
+    from graphula_spark.operators import rdfs as R
+
+    monkeypatch.setattr(R, "MAX_SCHEMA_EDGES", 10)
+    rows = [(f"ex:c{i}", RDFS_SUBCLASS, f"ex:c{i + 1}") for i in range(25)]
+    g = Graph.from_string_triples(spark, spark.createDataFrame(rows, ["s", "p", "o"]))
+    with pytest.raises(ValueError, match="more than 10"):
+        R.materialize(g)
+    with pytest.raises(ValueError, match="more than 10"):
+        R.reduce_graph(g)
+
+
 class TestSameAsSmushing:
     SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 

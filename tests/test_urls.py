@@ -32,6 +32,12 @@ def test_normalize_url_canonical_forms(spark):
         "ftp://example.com/x": None,
         "not a url": None,
         "mailto:a@b.c": None,
+        # RFC 3986: query ends at the first '#'. A '?' inside the
+        # fragment (SPA routes) is NOT a query
+        "https://site.com/#/page?id=1": "https://site.com/",
+        "https://site.com/app#sec?x=1&utm_source=t": "https://site.com/app",
+        # real query AND a '?' in the fragment: only the real one kept
+        "https://site.com/p?b=2&a=1#frag?c=3": "https://site.com/p?a=1&b=2",
     }
     got = _norm(spark, list(cases))
     assert got == list(cases.values())
@@ -94,6 +100,32 @@ def test_url_dedup_keeps_freshest_and_passes_unparseable(spark):
     # deterministic across runs
     again = sorted(r.doc_id for r in U.url_dedup(df, "url", prefer_col="fetch_date").collect())
     assert again == kept
+
+
+def test_url_dedup_null_keys_bypass_window_exchange(spark):
+    """Unparseable URLs (null canonical) must never enter the window's
+    shuffle: at crawl scale every null hashes to ONE partition, making
+    a single straggler task. The plan must show the window branch
+    filtered to non-null keys, with null rows routed around it via a
+    union."""
+    rows = [(i, f"https://example.com/{i % 10}" if i % 3 else "garbage", "d")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "fetch_date"])
+    out = U.url_dedup(df, "url", prefer_col="fetch_date")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan
+    # exactly ONE window (the non-null branch); the null branch is a
+    # plain filter+project with no shuffle
+    assert plan.count("windowspecdefinition") == 1
+    # the window branch has the null-excluding filter pushed BELOW the
+    # window (branch 1 = everything before the second top-level child)
+    branch1, branch2 = plan.split("\n+- ", 1)
+    assert "Window" in branch1 and "Filter" in branch1
+    assert "Window" not in branch2
+    got = out.collect()
+    # all 20 garbage rows pass through; parseable collapse to 10
+    assert sum(1 for r in got if r.canonical_url is None) == 20
+    assert sum(1 for r in got if r.canonical_url is not None) == 10
 
 
 def test_filter_domains_block_and_allow(spark):
