@@ -30,6 +30,7 @@ __all__ = [
     "registered_domain",
     "url_dedup",
     "filter_domains",
+    "PublicSuffixList",
 ]
 
 #: query parameters that never change page content — the common
@@ -120,11 +121,119 @@ def normalize_url(url: Column, strip_www: bool = True) -> Column:
     )
 
 
-def registered_domain(url: Column) -> Column:
-    """Apex domain (eTLD+1) of the URL's host: the last two labels,
-    or three when the two-label tail is a known second-level public
-    suffix (embedded subset; see _TWO_LEVEL_SUFFIXES)."""
+class PublicSuffixList:
+    """Parsed Public Suffix List (publicsuffix.org/list/ format) for
+    exact eTLD+1 grouping — covers private suffixes (github.io),
+    3-level zones, wildcard rules (`*.ck`) and exceptions (`!www.ck`)
+    that the embedded two-level subset cannot.
+
+    100 TB shape: the whole rule set (~15k entries, ~250 KB) is
+    embedded as ONE string literal inside a `str_to_map` expression.
+    The expression is foldable, so Catalyst's ConstantFolding
+    evaluates it ONCE at plan time into a literal map — per-row
+    matching is then K constant-time map probes (K = max rule depth),
+    pure JVM column expressions: no broadcast join, no shuffle, no
+    Python. The list is a moving external artifact, so it is loaded
+    from caller-supplied text/file, never vendored here.
+    """
+
+    #: pair / key-value delimiters for the embedded map literal —
+    #: neither can appear in a PSL rule (lowercase hostnames, '.',
+    #: '*', '!')
+    _PAIR_SEP, _KV_SEP = ",", ":"
+
+    def __init__(self, rules: list[str]):
+        cleaned = []
+        for r in rules:
+            r = r.strip().lower()
+            if not r or r.startswith("//"):
+                continue
+            cleaned.append(r)
+        if not cleaned:
+            raise ValueError("empty public suffix list")
+        bad = [r for r in cleaned if self._PAIR_SEP in r or self._KV_SEP in r]
+        if bad:
+            raise ValueError(f"rule contains a reserved delimiter: {bad[:3]}")
+        self.rules = cleaned
+        self.max_labels = max(r.count(".") + 1 for r in cleaned)
+        payload = self._PAIR_SEP.join(
+            f"{r}{self._KV_SEP}1" for r in sorted(set(cleaned))
+        )
+        self._map = F.str_to_map(
+            F.lit(payload), F.lit(self._PAIR_SEP), F.lit(self._KV_SEP)
+        )
+
+    @classmethod
+    def from_text(cls, text: str) -> "PublicSuffixList":
+        """Parse the public_suffix_list.dat format: one rule per line,
+        `//` comments and blank lines ignored (both ICANN and PRIVATE
+        sections are included — private suffixes like github.io are
+        exactly what apex grouping needs)."""
+        return cls(text.splitlines())
+
+    @classmethod
+    def from_file(cls, path: str) -> "PublicSuffixList":
+        with open(path, encoding="utf-8") as f:
+            return cls.from_text(f.read())
+
+    def _has(self, key: Column) -> Column:
+        return F.element_at(self._map, key).isNotNull()
+
+    def suffix_length(self, host: Column) -> Column:
+        """Label count of the host's public suffix under the full PSL
+        algorithm: exception rules prevail (suffix = rule minus its
+        leftmost label), else the longest matching exact or wildcard
+        rule, else the implicit default rule `*` (1 label)."""
+        labels = F.split(host, r"\.")
+        n = F.size(labels)
+
+        def tail(k: int) -> Column:
+            return F.array_join(F.slice(labels, n - k + 1, F.lit(k)), ".")
+
+        exc, matches = [], [F.lit(1)]
+        for k in range(1, self.max_labels + 1):
+            guard = n >= k
+            exc.append(
+                F.when(
+                    guard & self._has(F.concat(F.lit("!"), tail(k))),
+                    F.lit(k - 1),
+                )
+            )
+            matches.append(F.when(guard & self._has(tail(k)), F.lit(k)))
+            if k >= 2:
+                matches.append(
+                    F.when(
+                        guard
+                        & self._has(F.concat(F.lit("*."), tail(k - 1))),
+                        F.lit(k),
+                    )
+                )
+        longest_exc = exc[0] if len(exc) == 1 else F.greatest(*exc)
+        return F.coalesce(longest_exc, F.greatest(*matches))
+
+    def registered_domain(self, host: Column) -> Column:
+        """eTLD+1 of a bare host column: public suffix plus one label;
+        null when the host IS a public suffix (per the PSL algorithm —
+        such a host has no registrable domain)."""
+        labels = F.split(host, r"\.")
+        n = F.size(labels)
+        ps = self.suffix_length(host)
+        return F.when(
+            host.isNotNull() & (n > ps),
+            F.array_join(F.slice(labels, n - ps, ps + F.lit(1)), "."),
+        )
+
+
+def registered_domain(url: Column, psl: PublicSuffixList | None = None) -> Column:
+    """Apex domain (eTLD+1) of the URL's host. With a
+    `PublicSuffixList` the full PSL algorithm applies (wildcards,
+    exceptions, private suffixes); without one, the embedded
+    two-level-suffix subset approximates it: the last two labels, or
+    three when the two-label tail is a known second-level public
+    suffix (see _TWO_LEVEL_SUFFIXES)."""
     host = parse_url(url)["host"]
+    if psl is not None:
+        return psl.registered_domain(host)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
@@ -168,11 +277,13 @@ def filter_domains(
     url_col: str,
     domains: DataFrame | list[str],
     mode: str = "block",
+    psl: PublicSuffixList | None = None,
 ) -> DataFrame:
     """Drop (mode='block') or keep (mode='allow') rows whose apex
     domain appears in `domains` (a list or a 1-column DataFrame).
     The list side broadcasts — it is a curated blocklist/allowlist,
-    KBs at any corpus scale — so this is a map-side semi/anti join."""
+    KBs at any corpus scale — so this is a map-side semi/anti join.
+    Pass a `PublicSuffixList` for exact apex grouping."""
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
     spark = df.sparkSession
@@ -181,7 +292,7 @@ def filter_domains(
     else:
         c = domains.columns[0]
         dom = domains.select(F.lower(F.col(c)).alias("__domain"))
-    keyed = df.withColumn("__apex", registered_domain(F.col(url_col)))
+    keyed = df.withColumn("__apex", registered_domain(F.col(url_col), psl))
     how = "left_anti" if mode == "block" else "left_semi"
     return keyed.join(
         F.broadcast(dom), keyed["__apex"] == dom["__domain"], how
