@@ -196,6 +196,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "sections": section_sums(per_query),
                 "sf": sf,
                 "warmup_iters": warmup,
                 "floor_s": round(floor_s, 3),
@@ -204,6 +205,38 @@ def main() -> None:
             }
         )
     )
+
+
+#: per-family prefixes for the sections rollup — regressions then
+#: localize to a family without spreadsheet work (VERDICT r4 #10).
+#: Load times (graph_load / lubm_load) are one-time store builds and
+#: stay out of every section, mirroring the headline total.
+_SECTIONS = {
+    "graph_sparql": ("bgp_", "sq_", "graph_probes"),
+    "lubm": ("lubm_q",),
+    "tpch": ("tpch_",),
+    "dedup_ann": ("dedup_", "ann_"),
+    "text_mm": ("text_", "mm_"),
+    "events_rel": ("events_", "rel_"),
+}
+
+
+def section_sums(per_query: dict) -> dict:
+    out = {}
+    seen = set()
+    for section, prefixes in _SECTIONS.items():
+        names = [
+            q
+            for q in per_query
+            if any(q.startswith(p) for p in prefixes)
+            and q not in ("graph_load", "lubm_load")
+        ]
+        out[section] = round(sum(per_query[q] for q in names), 3)
+        seen.update(names)
+    leftovers = set(per_query) - seen - {"graph_load", "lubm_load"}
+    if leftovers:
+        out["other"] = round(sum(per_query[q] for q in leftovers), 3)
+    return out
 
 
 def store_sizes(sf_dir: str) -> dict:

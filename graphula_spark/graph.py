@@ -610,16 +610,25 @@ class Graph:
         round-trips), and a Graph is an immutable snapshot so reuse is
         always sound. Updates return a NEW Graph with an empty cache.
         """
+        import re
+
+        # SERVICE resolves through a MUTABLE registry (re-registration,
+        # injectable transports whose results vary per call) — caching
+        # would freeze the first resolution into the plan. The word
+        # check can false-positive on literals; that only skips a cache,
+        # never corrupts one.
+        cacheable = not re.search(r"(?i)\bSERVICE\b", query)
         # strict_zero_length_paths changes path compilation — key on it
         key = (query, self.strict_zero_length_paths)
-        df = self._plan_cache.get(key)
+        df = self._plan_cache.get(key) if cacheable else None
         if df is None:
             from graphula_spark.sparql.engine import execute_sparql
 
             df = execute_sparql(self, query)
-            if len(self._plan_cache) >= 256:  # bound driver memory
-                self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[key] = df
+            if cacheable:
+                if len(self._plan_cache) >= 256:  # bound driver memory
+                    self._plan_cache.pop(next(iter(self._plan_cache)))
+                self._plan_cache[key] = df
         return df
 
     def explain_sparql(self, query: str, mode: str = "formatted") -> str:

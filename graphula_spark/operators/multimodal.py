@@ -153,10 +153,14 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFr
         from graphula_spark.operators.video import (
             Y4M_MAGIC,
             decode_mjpeg_avi,
+            decode_via_ffmpeg,
             decode_y4m,
+            ffmpeg_available,
             is_avi,
         )
 
+        # checked once per worker batch, not per payload
+        have_ffmpeg = ffmpeg_available()
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -169,6 +173,12 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFr
                         frames = list(luma)
                     elif is_avi(payload):
                         _w, _h, frames = decode_mjpeg_avi(payload)
+                    elif have_ffmpeg:
+                        # inter-frame codecs (H.264/VP9/AV1) route
+                        # through the ffmpeg gate where the binary
+                        # exists; same bytes-in/frames-out contract
+                        _w, _h, _c, luma = decode_via_ffmpeg(payload)
+                        frames = list(luma)
                     else:
                         continue
                 except ValueError:

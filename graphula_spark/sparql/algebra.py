@@ -153,6 +153,9 @@ class ServicePattern:
     iri: str
     group: "GroupGraphPattern"
     silent: bool = False
+    #: raw `SELECT * WHERE { ... }` text of the group (prologue
+    #: prefixes prepended), captured at parse time for transports
+    remote_query: str | None = None
 
 
 @dataclass

@@ -270,9 +270,14 @@ class Compiler:
             raise NotImplementedError(
                 f"SERVICE <{el.iri}>: no in-process dataset registered "
                 "under this IRI (remote SPARQL endpoints are not "
-                "supported); load the data and call "
-                "graphula_spark.sparql.service.register_service"
+                "supported without a transport); load the data and call "
+                "graphula_spark.sparql.service.register_service, or "
+                "install a transport via set_default_transport"
             )
+        if callable(target) and not isinstance(target, Dataset) and not hasattr(
+            target, "triples"
+        ):
+            return self._service_via_transport(el, target)
         if isinstance(target, Dataset):
             t_graph, t_dataset = target.default_graph, target
         else:
@@ -290,6 +295,30 @@ class Compiler:
         finally:
             self.graph = saved_graph
             self.dataset = saved_dataset
+
+    def _service_via_transport(self, el: "A.ServicePattern", fetch) -> Solution | None:
+        """Execute SERVICE through a caller-supplied transport: hand it
+        the endpoint IRI and the group's verbatim SPARQL text, join the
+        returned solutions (list of {var: term-string} dicts) as a
+        value-materialized solution. One driver-side call per SERVICE
+        clause — never per row — so the 1000-executor DoS shape the
+        module docstring forbids cannot arise. SILENT swallows
+        transport failures into the unit solution, per spec."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        try:
+            rows = fetch(el.iri, el.remote_query or "")
+        except Exception:
+            if el.silent:
+                return None
+            raise
+        cols = sorted({v for r in rows for v in r})
+        schema = StructType([StructField(c, StringType(), True) for c in cols])
+        df = self.graph.spark.createDataFrame(
+            [tuple(r.get(c) for c in cols) for r in rows], schema
+        )
+        unbound = {c for c in cols if any(r.get(c) is None for r in rows)}
+        return Solution(df, val_vars=set(cols), maybe_unbound=unbound)
 
     # -- solution combinators ------------------------------------------
     def _align_for_join(

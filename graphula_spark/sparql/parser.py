@@ -102,6 +102,7 @@ _BUILTINS = {
 
 class Parser:
     def __init__(self, text: str):
+        self.text = text
         self.toks = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -407,8 +408,20 @@ class Parser:
                     )
                 if not isinstance(term, str) or term.startswith('"'):
                     raise SyntaxError("SERVICE endpoint must be an IRI")
+                # capture the group's RAW source span so an injectable
+                # transport (sparql/service.py) can forward the query
+                # text verbatim to a real endpoint — re-serializing the
+                # algebra would be a second, lossier grammar
+                start = self.peek().pos
+                group = self.parse_group()
+                end_tok = self.toks[self.i - 1]  # the closing '}'
+                raw = self.text[start : end_tok.pos + len(end_tok.text)]
+                remote = "".join(
+                    f"PREFIX {p}: <{iri}>\n"
+                    for p, iri in self.prefixes.items()
+                ) + "SELECT * WHERE " + raw
                 g.elements.append(
-                    ServicePattern(term, self.parse_group(), silent)
+                    ServicePattern(term, group, silent, remote_query=remote)
                 )
             elif w == "BIND":
                 self.next()

@@ -17,18 +17,42 @@ back with term strings, not dictionary ids (two independently loaded
 graphs need not share collision-exception tables, and real federation
 transfers strings too). The compiler then joins it like any
 value-materialized solution.
+
+**Injectable transport** (round 5): the no-network policy stays, but a
+caller can register a TRANSPORT — a callable
+``fetch(endpoint_iri, query_text) -> list[dict[var, term]]`` — either
+for a specific IRI (``register_service(iri, fetch)``) or as the
+fallback for every otherwise-unresolved endpoint
+(``set_default_transport(fetch)``). The compiler hands it the SERVICE
+group as verbatim SPARQL text (``SELECT * WHERE { ... }`` with the
+query's prefixes prepended) and joins the returned solutions; outside
+this sandbox a transport wrapping ``urllib`` + the SPARQL JSON results
+format gives real HTTP federation without this module ever owning a
+socket. Returned term strings use the repo's storage convention:
+bracket-less IRIs, N-Triples lexical forms for literals — the same
+strings ``Graph.decode`` yields.
 """
 
 from __future__ import annotations
 
 _REGISTRY: dict[str, object] = {}
+_DEFAULT_TRANSPORT = None
 
 
 def register_service(iri: str, target) -> None:
-    """Register a loaded ``Graph`` or ``Dataset`` as the resolution of
-    ``SERVICE <iri>``. ``iri`` is the canonical (expanded) IRI string
-    without angle brackets."""
+    """Register the resolution of ``SERVICE <iri>``: a loaded
+    ``Graph`` or ``Dataset``, or a transport callable
+    ``fetch(endpoint_iri, query_text) -> list[dict]``. ``iri`` is the
+    canonical (expanded) IRI string without angle brackets."""
     _REGISTRY[iri] = target
+
+
+def set_default_transport(fetch) -> None:
+    """Install ``fetch`` as the resolution for EVERY service IRI that
+    has no specific registration — the hook a deployment with network
+    access uses for open federation. Pass None to remove."""
+    global _DEFAULT_TRANSPORT
+    _DEFAULT_TRANSPORT = fetch
 
 
 def unregister_service(iri: str) -> None:
@@ -36,9 +60,12 @@ def unregister_service(iri: str) -> None:
 
 
 def resolve_service(iri: str):
-    """The registered Graph/Dataset for ``iri``, or None."""
-    return _REGISTRY.get(iri)
+    """The registered Graph/Dataset/transport for ``iri``, falling
+    back to the default transport; None if neither exists."""
+    return _REGISTRY.get(iri, _DEFAULT_TRANSPORT)
 
 
 def clear_services() -> None:
+    global _DEFAULT_TRANSPORT
     _REGISTRY.clear()
+    _DEFAULT_TRANSPORT = None

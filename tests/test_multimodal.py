@@ -412,3 +412,60 @@ def test_png_adam7_interlaced_roundtrip():
     for x0, y0, dx, dy in _ADAM7:
         seen[y0::dy, x0::dx] += 1
     assert (seen == 1).all()
+
+
+class TestFfmpegGate:
+    """The inter-frame codec seam: ffmpeg present -> real H.264 decode
+    through the Y4M pipe; absent (this sandbox) -> one clean
+    NotImplementedError, never a crash inside a worker."""
+
+    def test_clean_error_without_ffmpeg(self, monkeypatch):
+        from graphula_spark.operators import video as V
+
+        monkeypatch.setattr(V, "ffmpeg_available", lambda: False)
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            V.decode_via_ffmpeg(b"\x00\x00\x00\x18ftypmp42")
+        # the dispatcher routes unknown formats to the gate
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            V.decode_video(b"\x00\x00\x00\x18ftypmp42")
+
+    def test_dispatcher_routes_native_formats(self):
+        import numpy as np
+
+        from graphula_spark.operators import video as V
+
+        frames = [np.full((8, 8), v, dtype=np.uint8) for v in (0, 128, 255)]
+        w, h, got = V.decode_video(V.encode_y4m(frames, chroma="mono"))
+        assert (w, h, len(got)) == (8, 8, 3)
+        assert all((a == b).all() for a, b in zip(got, frames))
+
+    @pytest.mark.skipif(
+        not __import__(
+            "graphula_spark.operators.video", fromlist=["ffmpeg_available"]
+        ).ffmpeg_available(),
+        reason="ffmpeg not on PATH",
+    )
+    def test_h264_fixture_decodes_with_ffmpeg(self, tmp_path):
+        """Where ffmpeg exists: synthesize an H.264 MP4 from Y4M frames
+        with ffmpeg itself, then decode it through the gate and demand
+        the right frame count and dimensions."""
+        import subprocess
+
+        import numpy as np
+
+        from graphula_spark.operators import video as V
+
+        frames = [
+            np.full((32, 32), 40 * i, dtype=np.uint8) for i in range(5)
+        ]
+        y4m = tmp_path / "in.y4m"
+        y4m.write_bytes(V.encode_y4m(frames, chroma="420"))
+        mp4 = tmp_path / "out.mp4"
+        subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", str(y4m), "-c:v", "libx264",
+             "-pix_fmt", "yuv420p", "-y", str(mp4)],
+            check=True,
+        )
+        w, h, c, luma = V.decode_via_ffmpeg(mp4.read_bytes())
+        assert (w, h) == (32, 32)
+        assert len(luma) == 5

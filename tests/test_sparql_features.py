@@ -1499,3 +1499,172 @@ class TestService:
         finally:
             unregister_service("http://example.org/ds")
         assert rows == {("acme", "berlin"), ("initech", "austin")}
+
+
+class TestServiceTransport:
+    """Injectable SERVICE transport: the no-network policy stays, but a
+    caller-supplied fetch(endpoint, query_text) -> rows callable
+    enables real federation outside the sandbox. The compiler hands it
+    the group's VERBATIM SPARQL text with the query's prefixes
+    prepended and joins the returned term-string solutions."""
+
+    LOCAL = [
+        ("alice", "worksFor", "acme"),
+        ("bob", "worksFor", "initech"),
+    ]
+
+    def _local(self, spark):
+        from graphula_spark.graph import Graph
+
+        return Graph.from_string_triples(
+            spark, spark.createDataFrame(self.LOCAL, ["s", "p", "o"])
+        )
+
+    def test_transport_receives_verbatim_query_and_joins(self, spark):
+        from graphula_spark.sparql.service import (
+            register_service,
+            unregister_service,
+        )
+
+        calls = []
+
+        def fetch(endpoint, query):
+            calls.append((endpoint, query))
+            return [
+                {"org": "acme", "city": "berlin"},
+                {"org": "initech", "city": "austin"},
+                {"org": "globex", "city": "tokyo"},
+            ]
+
+        local = self._local(spark)
+        register_service("http://remote.example/sparql", fetch)
+        try:
+            rows = {
+                (r["who"], r["city"])
+                for r in local.sparql(
+                    """
+                    PREFIX ex: <http://example.org/>
+                    SELECT ?who ?city WHERE {
+                      ?who <worksFor> ?org .
+                      SERVICE <http://remote.example/sparql> {
+                        ?org <locatedIn> ?city .
+                      }
+                    }"""
+                ).collect()
+            }
+        finally:
+            unregister_service("http://remote.example/sparql")
+        assert rows == {("alice", "berlin"), ("bob", "austin")}
+        (endpoint, query), = calls
+        assert endpoint == "http://remote.example/sparql"
+        # verbatim group text with the prologue's prefixes prepended
+        assert query.startswith("PREFIX ex: <http://example.org/>")
+        assert "SELECT * WHERE {" in query
+        assert "?org <locatedIn> ?city ." in query
+
+    def test_default_transport_covers_unregistered_endpoints(self, spark):
+        from graphula_spark.sparql.service import (
+            clear_services,
+            set_default_transport,
+        )
+
+        local = self._local(spark)
+        set_default_transport(lambda ep, q: [{"org": "acme", "city": "berlin"}])
+        try:
+            got = {
+                (r["who"], r["city"])
+                for r in local.sparql(
+                    """SELECT ?who ?city WHERE {
+                         ?who <worksFor> ?org .
+                         SERVICE <http://anywhere.example/> {
+                           ?org <locatedIn> ?city . } }"""
+                ).collect()
+            }
+        finally:
+            clear_services()
+        assert got == {("alice", "berlin")}
+
+    def test_silent_swallows_transport_failure(self, spark):
+        from graphula_spark.sparql.service import (
+            register_service,
+            unregister_service,
+        )
+
+        def boom(ep, q):
+            raise RuntimeError("connection refused")
+
+        local = self._local(spark)
+        register_service("http://down.example/", boom)
+        try:
+            rows = {
+                r["who"]
+                for r in local.sparql(
+                    """SELECT ?who WHERE {
+                         ?who <worksFor> ?org .
+                         SERVICE SILENT <http://down.example/> {
+                           ?org <locatedIn> ?city . } }"""
+                ).collect()
+            }
+            # non-SILENT propagates
+            import pytest as _pt
+
+            with _pt.raises(Exception, match="connection refused"):
+                local.sparql(
+                    """SELECT ?who WHERE {
+                         ?who <worksFor> ?org .
+                         SERVICE <http://down.example/> {
+                           ?org <locatedIn> ?city . } }"""
+                ).collect()
+        finally:
+            unregister_service("http://down.example/")
+        assert rows == {"alice", "bob"}
+
+    def test_transport_empty_result_empties_join(self, spark):
+        from graphula_spark.sparql.service import (
+            register_service,
+            unregister_service,
+        )
+
+        local = self._local(spark)
+        register_service("http://empty.example/", lambda ep, q: [])
+        try:
+            got = local.sparql(
+                """SELECT ?who WHERE {
+                     ?who <worksFor> ?org .
+                     SERVICE <http://empty.example/> {
+                       ?org <locatedIn> ?city . } }"""
+            ).collect()
+        finally:
+            unregister_service("http://empty.example/")
+        assert got == []
+
+
+def test_service_queries_bypass_plan_cache(spark):
+    """SERVICE resolves through a mutable registry: the same query text
+    must re-resolve per call (a cached plan would freeze the first
+    transport fetch / registration forever)."""
+    from graphula_spark.graph import Graph
+    from graphula_spark.sparql.service import (
+        register_service,
+        unregister_service,
+    )
+
+    local = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame([("alice", "worksFor", "acme")], ["s", "p", "o"]),
+    )
+    state = {"city": "berlin"}
+
+    def fetch(ep, q):
+        return [{"org": "acme", "city": state["city"]}]
+
+    q = """SELECT ?who ?city WHERE {
+             ?who <worksFor> ?org .
+             SERVICE <http://mut.example/> { ?org <locatedIn> ?city . } }"""
+    register_service("http://mut.example/", fetch)
+    try:
+        assert [r["city"] for r in local.sparql(q).collect()] == ["berlin"]
+        state["city"] = "tokyo"
+        assert [r["city"] for r in local.sparql(q).collect()] == ["tokyo"]
+    finally:
+        unregister_service("http://mut.example/")
