@@ -279,6 +279,17 @@ def q_exists_filter(spark, sf):
     )
 
 
+def q_set_ops(spark, sf):
+    """UNION + MINUS + FILTER EXISTS in one driver row (round-5 fold
+    of the former sq_union/sq_minus/sq_exists entries — the freed
+    slots went to rdfs_closure and rel_pagerank); the `part` column
+    keys each family's rows."""
+    u = q_union(spark, sf).select(F.lit("union").alias("part"), "name")
+    m = q_minus(spark, sf).select(F.lit("minus").alias("part"), "name")
+    e = q_exists_filter(spark, sf).select(F.lit("exists").alias("part"), "name")
+    return u.unionByName(m).unionByName(e)
+
+
 def q_distinct(spark, sf):
     g = _graph(spark, sf)
     return g.sparql(
@@ -1139,6 +1150,100 @@ def q_rollup(spark, sf):
     return rollup_part.unionByName(sketch_part)
 
 
+def q_rdfs_closure(spark, sf):
+    """RDFS ρdf materialization driver row (operators/rdfs.py): string
+    triples built from the customer table (rdf:type per market
+    segment, an inNation edge per customer) plus a small ontology
+    (2-level subClassOf chain, 2-level subPropertyOf chain, a domain
+    and a range), materialized to the full closure and decoded back to
+    strings. The DuckDB oracle re-derives the SAME closure with
+    recursive CTEs over the schema relations + the stratified rule
+    passes (rdfs5/11 closure edges, rdfs7 property rewrite, rdfs2/3
+    on property-closed data, rdfs9 over all accumulated types) — the
+    first driver row exercising the reasoner end-to-end."""
+    from graphula_spark.graph import Graph
+    from graphula_spark.operators.rdfs import (
+        RDF_TYPE,
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASS,
+        RDFS_SUBPROP,
+    )
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    ck = F.concat(F.lit("customer:"), F.col("c_custkey").cast("string"))
+    seg = F.concat(F.lit("seg:"), F.col("c_mktsegment"))
+    nat = F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string"))
+    data = cust.select(
+        ck.alias("s"), F.lit(RDF_TYPE).alias("p"), seg.alias("o")
+    ).unionByName(
+        cust.select(ck.alias("s"), F.lit("inNation").alias("p"), nat.alias("o"))
+    )
+    seg_schema = (
+        cust.select(seg.alias("s")).distinct()
+        .select("s", F.lit(RDFS_SUBCLASS).alias("p"), F.lit("Segment").alias("o"))
+    )
+    static = spark.createDataFrame(
+        [
+            ("Segment", RDFS_SUBCLASS, "Thing"),
+            ("inNation", RDFS_SUBPROP, "locatedIn"),
+            ("locatedIn", RDFS_SUBPROP, "relatedTo"),
+            ("inNation", RDFS_DOMAIN, "Customer"),
+            ("locatedIn", RDFS_RANGE, "Place"),
+        ],
+        ["s", "p", "o"],
+    )
+    key = ("rdfs_base", sf)
+    if key not in _GRAPH_CACHE:
+        # the base graph (dictionary build) is shared across calls like
+        # _graph's store, and its triples/dictionary are MATERIALIZED:
+        # materialize() references the base in every rule's union
+        # branch, so an unpinned lineage would re-scan + re-encode the
+        # customer table once per rule. The timed surface is the
+        # REASONER (materialize + decode), not re-encoding.
+        base = Graph.from_string_triples(
+            spark, data.unionByName(seg_schema).unionByName(static)
+        )
+        base.dictionary.df.persist().count()
+        _GRAPH_CACHE[key] = Graph(
+            spark,
+            base.triples.localCheckpoint(eager=True),
+            base.dictionary,
+        )
+    mg = _GRAPH_CACHE[key].materialize_rdfs()
+    return mg.decode(mg.triples.select("s", "p", "o"), ["s", "p", "o"])
+
+
+def q_pagerank(spark, sf):
+    """PageRank driver row (operators/graph_analytics.py): 5 power
+    iterations (d=0.85) over a 100-node graph whose edges are a ring
+    (i -> i+1 mod 100, so NO node dangles and the recurrence is the
+    plain formula) plus data-derived chords from the orders table.
+    The DuckDB oracle unrolls the same 5 iterations as chained CTEs —
+    an iterative DataFrame program checked value-exactly against
+    closed-form SQL."""
+    from graphula_spark.operators.graph_analytics import pagerank
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    ring = spark.range(100).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 100).alias("dst")
+    )
+    chords = (
+        orders.select(
+            (F.col("o_custkey") % 100).alias("src"),
+            (F.col("o_orderkey") % 100).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = ring.unionByName(chords).distinct()
+    pr = pagerank(edges, n_iter=5, damping=0.85)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank").cast("double").alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # core engine (SURVEY §2: O4-O14, O18-O22 + §2.2 surface).
@@ -1152,9 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_filter": q_filter,
         "sq_optional": q_optional,
         "sq_path_seq": q_sq_path_seq,
-        "sq_union": q_union,
-        "sq_minus": q_minus,
-        "sq_exists": q_exists_filter,
+        "sq_set_ops": q_set_ops,
         "sq_order_limit": q_order_limit,
         "sq_groupby_agg": q_groupby_agg,
         "sq_having": q_having,
@@ -1197,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_funcs": q_window_funcs,
         "rel_rollup": q_rollup,
         "dedup_clusters": q_dedup_clusters,
+        "rdfs_closure": q_rdfs_closure,
+        "rel_pagerank": q_pagerank,
     }
 
 
@@ -1362,6 +1467,121 @@ _IMPORTANCE_ORACLE = """
 """
 
 
+#: the full RDFS vocabulary IRIs, embedded in the oracle SQL literals
+_RDFS_CLOSURE_ORACLE = """
+    WITH RECURSIVE base AS (
+      SELECT 'customer:' || c_custkey AS s,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+             'seg:' || c_mktsegment AS o
+      FROM customer
+      UNION ALL
+      SELECT 'customer:' || c_custkey, 'inNation', 'nation:' || c_nationkey
+      FROM customer
+      UNION ALL
+      SELECT DISTINCT 'seg:' || c_mktsegment,
+             'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'Segment'
+      FROM customer
+      UNION ALL SELECT 'Segment',
+             'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'Thing'
+      UNION ALL SELECT 'inNation',
+             'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', 'locatedIn'
+      UNION ALL SELECT 'locatedIn',
+             'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', 'relatedTo'
+      UNION ALL SELECT 'inNation',
+             'http://www.w3.org/2000/01/rdf-schema#domain', 'Customer'
+      UNION ALL SELECT 'locatedIn',
+             'http://www.w3.org/2000/01/rdf-schema#range', 'Place'
+    ), scc AS (
+      SELECT s AS sub, o AS sup FROM base
+      WHERE p = 'http://www.w3.org/2000/01/rdf-schema#subClassOf'
+      UNION
+      SELECT a.sub, b.o FROM scc a JOIN base b
+        ON b.p = 'http://www.w3.org/2000/01/rdf-schema#subClassOf'
+       AND a.sup = b.s
+    ), spc AS (
+      SELECT s AS sub, o AS sup FROM base
+      WHERE p = 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf'
+      UNION
+      SELECT a.sub, b.o FROM spc a JOIN base b
+        ON b.p = 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf'
+       AND a.sup = b.s
+    ), prop7 AS (
+      SELECT t.s, c.sup AS p, t.o FROM base t JOIN spc c ON t.p = c.sub
+    ), closed AS (
+      SELECT s, p, o FROM base UNION ALL SELECT s, p, o FROM prop7
+    ), dom2 AS (
+      SELECT c.s AS s,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+             d.o AS o
+      FROM closed c JOIN base d
+        ON d.p = 'http://www.w3.org/2000/01/rdf-schema#domain' AND c.p = d.s
+    ), rng3 AS (
+      SELECT c.o AS s,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+             r.o AS o
+      FROM closed c JOIN base r
+        ON r.p = 'http://www.w3.org/2000/01/rdf-schema#range' AND c.p = r.s
+    ), pre AS (
+      SELECT s, p, o FROM base
+      UNION ALL SELECT sub,
+        'http://www.w3.org/2000/01/rdf-schema#subClassOf', sup FROM scc
+      UNION ALL SELECT sub,
+        'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', sup FROM spc
+      UNION ALL SELECT s, p, o FROM prop7
+      UNION ALL SELECT s, p, o FROM dom2
+      UNION ALL SELECT s, p, o FROM rng3
+    ), types9 AS (
+      SELECT t.s,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+             c.sup AS o
+      FROM pre t JOIN scc c
+        ON t.p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+       AND t.o = c.sub
+    )
+    SELECT DISTINCT s, p, o FROM (
+      SELECT s, p, o FROM pre UNION ALL SELECT s, p, o FROM types9
+    )
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 5-iteration PageRank: DuckDB recursive CTEs cannot
+    aggregate over the recursive relation, so each power iteration is
+    one chained CTE (join edge list x previous ranks, sum per dst) —
+    the exact recurrence pagerank() runs, with zero dangling mass by
+    construction (every node carries a ring out-edge)."""
+    head = """
+    WITH edges AS (
+      SELECT CAST(i AS BIGINT) AS src, CAST((i + 1) % 100 AS BIGINT) AS dst
+      FROM range(100) t(i)
+      UNION
+      SELECT DISTINCT o_custkey % 100, o_orderkey % 100 FROM orders
+      WHERE o_custkey % 100 <> o_orderkey % 100
+    ), deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ),
+    r0 AS (SELECT node, 1.0 / (SELECT COUNT(*) FROM nodes) AS rank FROM nodes)
+    """
+    iters = "".join(
+        f""", r{k} AS (
+      SELECT nd.node,
+             0.15 / (SELECT COUNT(*) FROM nodes)
+             + 0.85 * COALESCE(inf.inflow, 0) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.rank / dg.d) AS inflow
+        FROM edges e
+        JOIN r{k - 1} p ON p.node = e.src
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst
+      ) inf ON inf.node = nd.node
+    )"""
+        for k in range(1, 6)
+    )
+    return head + iters + "\n    SELECT node, round(rank, 6) AS rank FROM r5"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bgp_join": """
@@ -1423,17 +1643,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_name AS cn, n_name AS nname
             FROM customer JOIN nation ON n_nationkey = c_nationkey
         """,
-        "sq_union": """
-            SELECT c_name AS name FROM customer WHERE c_mktsegment = 'FURNITURE'
+        "sq_set_ops": """
+            SELECT 'union' AS part, c_name AS name FROM customer
+            WHERE c_mktsegment IN ('FURNITURE', 'MACHINERY')
             UNION ALL
-            SELECT c_name AS name FROM customer WHERE c_mktsegment = 'MACHINERY'
-        """,
-        "sq_minus": """
-            SELECT c_name AS name FROM customer
+            SELECT 'minus', c_name FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        """,
-        "sq_exists": """
-            SELECT c_name AS name FROM customer
+            UNION ALL
+            SELECT 'exists', c_name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "sq_order_limit": """
@@ -2081,4 +2298,6 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4), true
             FROM events GROUP BY event_type
         """,
+        "rdfs_closure": _RDFS_CLOSURE_ORACLE,
+        "rel_pagerank": _pagerank_oracle(),
     }

@@ -31,7 +31,7 @@ HEADLINE = [
     "sq_groupby_agg",
     "sq_lineitem_agg",
     "sq_order_limit",
-    "sq_minus",
+    "sq_set_ops",
     "dedup_exact",
     "dedup_substr",
     "dedup_minhash",
@@ -51,6 +51,8 @@ HEADLINE = [
     "text_urls",
     "events_temporal_join",
     "rel_window_funcs",
+    "rdfs_closure",
+    "rel_pagerank",
 ]
 
 
@@ -212,7 +214,7 @@ def main() -> None:
 #: Load times (graph_load / lubm_load) are one-time store builds and
 #: stay out of every section, mirroring the headline total.
 _SECTIONS = {
-    "graph_sparql": ("bgp_", "sq_", "graph_probes"),
+    "graph_sparql": ("bgp_", "sq_", "graph_probes", "rdfs_"),
     "lubm": ("lubm_q",),
     "tpch": ("tpch_",),
     "dedup_ann": ("dedup_", "ann_"),

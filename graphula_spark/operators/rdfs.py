@@ -133,14 +133,17 @@ def materialize(graph) -> "Graph":  # noqa: F821 - avoids circular import
     derived = []
 
     # rdfs5/11: the transitive schema edges are themselves triples of
-    # the closure — emit them (driver-sized literal DataFrames)
+    # the closure — emit them (driver-sized literal DataFrames;
+    # coalesce(1): createDataFrame defaults to defaultParallelism
+    # near-empty slices, which inflate the final union's task count
+    # for no work)
     for pairs, pred in ((sub_prop, RDFS_SUBPROP), (sub_class, RDFS_SUBCLASS)):
         if pairs:
             pid = ids[pred]
             derived.append(
                 spark.createDataFrame(
                     [(a, pid, b) for a, b in sorted(pairs)], ["s", "p", "o"]
-                )
+                ).coalesce(1)
             )
 
     # rdfs7: property closure over the data (includes the transitive
