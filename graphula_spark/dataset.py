@@ -170,6 +170,54 @@ class Dataset:
         return default, view
 
     # ------------------------------------------------------------------
+    def materialize_rdfs(
+        self,
+        ontology: str,
+        target: str,
+        data: str | None = None,
+        owl: bool = False,
+    ) -> "Dataset":
+        """Per-graph inference materialization: run the ρdf(+OWL)
+        closure of the `data` graph (default graph when None) against
+        the schema held in the `ontology` named graph, and land the
+        DERIVED-ONLY triples in the `target` named graph. The asserted
+        graphs are untouched — queries choose their entailment level
+        by graph selection (`GRAPH <target>` for inferences only, the
+        union/merge views for data+inferences), and re-materializing
+        after an ontology change is: drop `target`, run again.
+
+        100 TB shape: everything shares the dataset's ONE dictionary,
+        so the closure is the same broadcast-schema program as
+        `Graph.materialize_rdfs`; the derived set lands as one
+        anti-join against the inputs (no rewrite of existing quads).
+        Idempotent: a second call derives the same set, and the quad
+        dedup collapses it."""
+        from graphula_spark.operators.rdfs import materialize, materialize_owl
+
+        data_g = self.default_graph if data is None else self.graph(data)
+        onto_g = self.graph(ontology)
+        combined_triples = (
+            data_g.triples.select("s", "p", "o")
+            .unionByName(onto_g.triples.select("s", "p", "o"))
+            .dropDuplicates(["s", "p", "o"])
+        )
+        combined = Graph(self.spark, combined_triples, self.dictionary)
+        closed = materialize_owl(combined) if owl else materialize(combined)
+        derived = closed.triples.select("s", "p", "o").join(
+            combined_triples, ["s", "p", "o"], "left_anti"
+        )
+        # the closure may have grown the dictionary (rdf:type injection
+        # on type-free data); the target graph name must be a term too
+        d2 = closed.dictionary.union(
+            self.spark.createDataFrame([(target,)], ["value"])
+        )
+        gid = d2.lookup_terms([target])[target]
+        new_quads = self.quads.unionByName(
+            derived.withColumn("g", F.lit(gid).cast("long"))
+        ).dropDuplicates(["s", "p", "o", "g"])
+        return Dataset(self.spark, new_quads, d2)
+
+    # ------------------------------------------------------------------
     def save(self, path: str, include_ops: bool = False) -> None:
         """Persist the dataset: the union graph goes through Graph.save
         (predicate-bucketed triples + id-bucketed dictionary + meta —

@@ -36,6 +36,9 @@ __all__ = [
     "importance_weights",
     "importance_weights_subset",
     "importance_sample",
+    "build_importance_model",
+    "append_importance_model",
+    "importance_weights_from_model",
 ]
 
 
@@ -249,6 +252,144 @@ def importance_weights_subset(
     )
     exploded = tagged.select(
         F.col(id_col), F.explode_outer("__b").alias("bucket")
+    )
+    return (
+        exploded.join(F.broadcast(ratio), "bucket", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").alias("n_grams"),
+            F.coalesce(F.sum("log_ratio"), F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Incremental model store: DSIR targets that update with ingest
+# ---------------------------------------------------------------------
+
+
+def _model_counts(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str,
+    buckets: int,
+    seed: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(bucket, n_raw, n_tgt) of one corpus slice — the mergeable form
+    of both DSIR models: counts add across slices, so the merged store
+    equals a full-corpus rescan exactly (the rollup-store property)."""
+    return (
+        df.select(
+            is_target.alias("__tgt"),
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("n_tgt"),
+        )
+    )
+
+
+def build_importance_model(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str,
+    path: str,
+    buckets: int = 8192,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Persist the (bucket, n_raw, n_tgt) model store for a corpus —
+    partitioned by ``__batch_id`` (base build = partition ``base``)
+    so ingest batches append/replace per-batch like the rollup store
+    (operators/rollup_sketch.py). The store is at most
+    ``buckets × n_batches`` rows: model-sized forever."""
+    (
+        _model_counts(df, is_target, text_col, buckets, seed, hash_fn)
+        .withColumn("__batch_id", F.lit("base"))
+        .write.mode("overwrite")
+        .partitionBy("__batch_id")
+        .parquet(path)
+    )
+
+
+def append_importance_model(
+    batch: DataFrame,
+    is_target: Column,
+    text_col: str,
+    path: str,
+    buckets: int = 8192,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    batch_id: int | str | None = None,
+) -> None:
+    """Add one ingest batch's counts to the model store. With
+    ``batch_id`` (foreachBatch hands you one) the write is REPLAY-SAFE
+    via dynamic partition overwrite — a re-executed batch replaces its
+    own rows; without it, a plain append into partition ``adhoc``
+    (caller owns exactly-once)."""
+    rolled = _model_counts(batch, is_target, text_col, buckets, seed, hash_fn)
+    if batch_id is None:
+        (
+            rolled.withColumn("__batch_id", F.lit("adhoc"))
+            .write.mode("append")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+    else:
+        (
+            rolled.withColumn("__batch_id", F.lit(str(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+
+def importance_weights_from_model(
+    df: DataFrame,
+    model_path: str,
+    id_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document DSIR weights against the PERSISTED model store:
+    merge the per-batch counts (one model-sized aggregation), derive
+    the smoothed log ratio driver-side, and score the documents with
+    the same broadcast-join + doc-keyed shuffle as importance_weights.
+    Corpus passes to score N batches: N (one each at ingest) + 1 per
+    scoring run — instead of 2 full-corpus passes per run."""
+    import math
+
+    spark = df.sparkSession
+    merged = (
+        spark.read.parquet(model_path)
+        .groupBy("bucket")
+        .agg(F.sum("n_raw").alias("n_raw"), F.sum("n_tgt").alias("n_tgt"))
+        .collect()
+    )
+    raw_tot = sum(r["n_raw"] for r in merged)
+    tgt_tot = sum(r["n_tgt"] for r in merged)
+    ratio_rows = [
+        (
+            r["bucket"],
+            math.log((r["n_tgt"] + 1.0) / (tgt_tot + float(buckets)))
+            - math.log((r["n_raw"] + 1.0) / (raw_tot + float(buckets))),
+        )
+        for r in merged
+    ]
+    ratio = spark.createDataFrame(sorted(ratio_rows), ["bucket", "log_ratio"])
+    exploded = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)
+        ).alias("bucket"),
     )
     return (
         exploded.join(F.broadcast(ratio), "bucket", "left_outer")

@@ -366,3 +366,40 @@ def stream_rollup_maintenance(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_importance_model_maintenance(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    is_target,
+    text_col: str,
+    model_path: str,
+    checkpoint: str | None = None,
+    **model_kwargs,
+):
+    """Continuous DSIR model maintenance: every micro-batch of ingested
+    documents folds its hashed-n-gram counts into the importance model
+    store (`importance.append_importance_model`), so resampling targets
+    track the corpus AS IT GROWS without any full-corpus recount.
+
+    Same replay discipline as `stream_rollup_maintenance`: foreachBatch
+    is at-least-once, counts are not idempotent under re-addition, so
+    each batch lands in its own `__batch_id` partition via dynamic
+    partition overwrite — a recovered batch replaces its own rows.
+    Score at any moment with `importance_weights_from_model`."""
+    from graphula_spark.operators.importance import append_importance_model
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_importance_model(
+            batch_df, is_target, text_col, model_path,
+            batch_id=batch_id, **model_kwargs,
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(process_batch).trigger(
+        availableNow=True
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

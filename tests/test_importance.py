@@ -170,3 +170,105 @@ def test_md5_hash_mode_mixes_seed(spark, corpora):
     a, b, a2 = buckets_for(1), buckets_for(2), buckets_for(1)
     assert a == a2  # deterministic per seed
     assert a != b  # seed participates in md5 mode
+
+
+class TestIncrementalModel:
+    """Persisted (bucket, n_raw, n_tgt) model store: merged counts ==
+    full-corpus rescan exactly, batch appends are replay-safe, and
+    weights scored from the store match the one-shot subset path."""
+
+    def _corpus(self, spark, lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            if i % 2 == 0:
+                rows.append((i, "def fn%d ( x ) : return x plus %d" % (i, i)))
+            else:
+                rows.append((i, "the quick brown fox %d jumps the lazy dog" % i))
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_incremental_equals_rebuild_and_subset_path(self, spark, tmp_path):
+        path = str(tmp_path / "model")
+        full = self._corpus(spark, 0, 60)
+        tgt = F.col("doc_id") % 2 == 1
+        # base on the first 40 docs, one batch appends the remaining 20
+        imp.build_importance_model(
+            self._corpus(spark, 0, 40), tgt, "text", path, buckets=64
+        )
+        imp.append_importance_model(
+            self._corpus(spark, 40, 60), tgt, "text", path,
+            buckets=64, batch_id=1,
+        )
+        got = {
+            r.doc_id: (r.n_grams, r.logw)
+            for r in imp.importance_weights_from_model(
+                full, path, "doc_id", "text", buckets=64
+            ).collect()
+        }
+        want = {
+            r.doc_id: (r.n_grams, r.logw)
+            for r in imp.importance_weights_subset(
+                full, tgt, "doc_id", "text", buckets=64
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for k in got:
+            assert got[k][0] == want[k][0]
+            assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
+
+    def test_batch_replay_replaces_not_doubles(self, spark, tmp_path):
+        path = str(tmp_path / "model")
+        tgt = F.col("doc_id") % 2 == 1
+        imp.build_importance_model(
+            self._corpus(spark, 0, 40), tgt, "text", path, buckets=64
+        )
+        batch = self._corpus(spark, 40, 60)
+        imp.append_importance_model(batch, tgt, "text", path, buckets=64, batch_id=7)
+        once = (
+            spark.read.parquet(path)
+            .agg(F.sum("n_raw"), F.sum("n_tgt"))
+            .collect()[0]
+        )
+        # at-least-once replay of the SAME batch id
+        imp.append_importance_model(batch, tgt, "text", path, buckets=64, batch_id=7)
+        again = (
+            spark.read.parquet(path)
+            .agg(F.sum("n_raw"), F.sum("n_tgt"))
+            .collect()[0]
+        )
+        assert tuple(once) == tuple(again)
+
+    def test_streaming_maintenance(self, spark, tmp_path):
+        import os
+
+        from graphula_spark.streaming.windows import (
+            stream_importance_model_maintenance,
+        )
+
+        src = str(tmp_path / "src")
+        path = str(tmp_path / "model")
+        ckpt = str(tmp_path / "ckpt")
+        full = self._corpus(spark, 0, 50)
+        full.repartition(1).write.parquet(src)
+        tgt = F.col("doc_id") % 2 == 1
+        stream = (
+            spark.readStream.schema(full.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_importance_model_maintenance(
+            spark, stream, tgt, "text", path, checkpoint=ckpt, buckets=64
+        )
+        q.awaitTermination(120)
+        got = {
+            r.doc_id: (r.n_grams, round(r.logw, 10))
+            for r in imp.importance_weights_from_model(
+                full, path, "doc_id", "text", buckets=64
+            ).collect()
+        }
+        want = {
+            r.doc_id: (r.n_grams, round(r.logw, 10))
+            for r in imp.importance_weights_subset(
+                full, tgt, "doc_id", "text", buckets=64
+            ).collect()
+        }
+        assert got == want

@@ -1668,3 +1668,79 @@ def test_service_queries_bypass_plan_cache(spark):
         assert [r["city"] for r in local.sparql(q).collect()] == ["tokyo"]
     finally:
         unregister_service("http://mut.example/")
+
+
+class TestDatasetMaterialization:
+    """Per-graph inference: ontology in a named graph, data in the
+    default graph, derived-only triples landing in a target named
+    graph — queries choose their entailment level by graph selection."""
+
+    ONTO = "http://ex/ontology"
+    INF = "http://ex/inferred"
+
+    def _dataset(self, spark):
+        from graphula_spark.dataset import Dataset
+        from graphula_spark.operators.rdfs import RDF_TYPE, RDFS_SUBCLASS
+
+        rows = [
+            # data (default graph)
+            ("ex:alice", RDF_TYPE, "ex:Professor", None),
+            ("ex:bob", RDF_TYPE, "ex:Student", None),
+            # ontology (named graph)
+            ("ex:Professor", RDFS_SUBCLASS, "ex:Faculty", self.ONTO),
+            ("ex:Faculty", RDFS_SUBCLASS, "ex:Person", self.ONTO),
+            ("ex:Student", RDFS_SUBCLASS, "ex:Person", self.ONTO),
+        ]
+        return Dataset.from_string_quads(
+            spark, spark.createDataFrame(rows, ["s", "p", "o", "g"])
+        )
+
+    def test_derived_triples_land_in_target_graph(self, spark):
+        from graphula_spark.operators.rdfs import RDF_TYPE
+
+        ds = self._dataset(spark).materialize_rdfs(self.ONTO, self.INF)
+        inf = ds.graph(self.INF)
+        got = {
+            (r.s, r.o)
+            for r in inf.decode(
+                inf.triples.select("s", "o"), ["s", "o"]
+            ).collect()
+            if True
+        }
+        # type inheritance + the transitive subclass edge
+        assert ("ex:alice", "ex:Faculty") in got
+        assert ("ex:alice", "ex:Person") in got
+        assert ("ex:bob", "ex:Person") in got
+        assert ("ex:Professor", "ex:Person") in got  # rdfs11 edge
+        # asserted triples do NOT duplicate into the target graph
+        assert ("ex:alice", "ex:Professor") not in got
+
+    def test_asserted_graphs_untouched_and_query_by_entailment(self, spark):
+        ds0 = self._dataset(spark)
+        ds = ds0.materialize_rdfs(self.ONTO, self.INF)
+        # default graph unchanged
+        assert ds.default_graph.triples.count() == 2
+        # ontology graph unchanged
+        assert ds.graph(self.ONTO).triples.count() == 3
+        # raw query (default graph only) sees no inferences
+        raw = ds.sparql(
+            "SELECT ?s WHERE { ?s "
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t }"
+        ).collect()
+        assert len(raw) == 2
+        # GRAPH <inferred> exposes exactly the derived types
+        inf = ds.sparql(
+            f"""SELECT ?s ?t WHERE {{ GRAPH <{self.INF}> {{
+                  ?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?t
+               }} }}"""
+        ).collect()
+        assert {(r.s, r.t) for r in inf} == {
+            ("ex:alice", "ex:Faculty"),
+            ("ex:alice", "ex:Person"),
+            ("ex:bob", "ex:Person"),
+        }
+
+    def test_idempotent(self, spark):
+        ds = self._dataset(spark).materialize_rdfs(self.ONTO, self.INF)
+        again = ds.materialize_rdfs(self.ONTO, self.INF)
+        assert again.quads.count() == ds.quads.count()
