@@ -200,6 +200,18 @@ def materialize(graph) -> "Graph":  # noqa: F821 - avoids circular import
     out = triples
     for ddf in derived:
         out = out.unionByName(ddf)
+    # the rule unions fan the map side out to (branches × input
+    # partitions) mostly-tiny tasks — rdfs9 alone nests a 5-frame
+    # union. Cap the dedup's map partitions at a small multiple of the
+    # cluster's parallelism: coalesce merges narrow deps (no extra
+    # shuffle), each merged task absorbing a handful of branch
+    # partitions; data-sized inputs below the cap are untouched.
+    par = spark.sparkContext.defaultParallelism
+    cap = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", str(par))), par
+    ) * 4
+    if out.rdd.getNumPartitions() > cap:
+        out = out.coalesce(cap)
     out = out.dropDuplicates(["s", "p", "o"])
     g = Graph(spark, out.cache(), d)
     return g

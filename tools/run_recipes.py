@@ -21,6 +21,7 @@ def main() -> int:
         "/tmp/recipe_ivf",
         "/tmp/recipe_tpch",
         "/tmp/recipe_crawl",
+        "/tmp/recipe_dsir",
     ):
         shutil.rmtree(p, ignore_errors=True)
 
