@@ -985,20 +985,32 @@ def q_events_window_stream(spark, sf):
 
 
 def q_text_mix_sources(spark, sf):
-    """Deterministic corpus mixing: per-source keep-rates applied via a
-    portable hash — src0 kept at 25%, src1 at 50%, src2 at 75%, the
-    rest at 100%. Returns the kept (doc_id, source) rows so the oracle
-    hash-verifies the exact sampling decision set."""
+    """Deterministic corpus mixing + splitting in one row. Part 1:
+    per-source keep-rates applied via a portable hash — src0 kept at
+    25%, src1 at 50%, src2 at 75%, the rest at 100%; the kept
+    (doc_id, source) rows hash-verify the exact sampling decision set.
+    Part 2 (round-5 fold, operators/splits.py): the 80/10/10
+    train/val/test assignment for EVERY document as
+    (doc_id, 'split:<name>') rows — the oracle replays the same
+    boundary cuts on the same md5 hash, so the split assignment is
+    verified document-exactly."""
     from graphula_spark.operators.relational import sample_by_weight
+    from graphula_spark.operators.splits import split_by_key
 
     d = _docs(spark, sf).select("doc_id", "source")
-    return sample_by_weight(
+    mixed = sample_by_weight(
         d,
         "source",
         "doc_id",
         {"src0": 0.25, "src1": 0.5, "src2": 0.75},
         default_rate=1.0,
     )
+    splits = split_by_key(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select(
+        "doc_id", F.concat(F.lit("split:"), F.col("split")).alias("source")
+    )
+    return mixed.unionByName(splits)
 
 
 def q_events_temporal_join(spark, sf):
@@ -2227,6 +2239,15 @@ def oracle_sql() -> dict[str, str]:
                                       WHEN 'src1' THEN 0.5
                                       WHEN 'src2' THEN 0.75
                                       ELSE 1.0 END) * 1000000 AS BIGINT)
+            UNION ALL
+            SELECT doc_id, 'split:' || (
+              CASE WHEN u < 100000 THEN 'test'
+                   WHEN u < 900000 THEN 'train'
+                   ELSE 'val' END)
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                         % 1000000 AS u
+                  FROM documents)
         """,
         "text_urls": """
             SELECT doc_id,

@@ -27,6 +27,10 @@ from graphula_spark.operators.importance import (
     importance_weights,
     importance_weights_subset,
 )
+from graphula_spark.operators.splits import (
+    leakage_safe_split,
+    split_by_key,
+)
 from graphula_spark.pipeline import PipelineConfig, PipelineResult, run_pipeline
 from graphula_spark.session import get_spark
 from graphula_spark.sources.ntriples import (
@@ -50,6 +54,8 @@ __all__ = [
     "PipelineResult",
     "run_pipeline",
     "importance_sample",
+    "leakage_safe_split",
+    "split_by_key",
     "importance_weights",
     "importance_weights_subset",
     "read_nquads",

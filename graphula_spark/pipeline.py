@@ -70,6 +70,12 @@ class PipelineConfig:
     url_prefer_col: str | None = None
     domain_blocklist: list | None = None
     extra_quality_filter: object | None = None  # Column-returning callable
+    # leakage-safe train/val/test assignment (operators/splits.py):
+    # when set, output documents carry a `split` column keyed on the
+    # normalized-text hash, so byte-identical survivors of upstream
+    # stages can never straddle a split boundary; deterministic and
+    # subset-stable (corpus growth never moves an old doc's split)
+    split_fractions: dict | None = None
     stages: tuple = (
         "normalize",
         "exact_dedup",
@@ -275,6 +281,13 @@ def run_pipeline(
         docs_out = cur.join(counts, i)
     else:
         docs_out = cur.withColumn("n_tokens", T.token_count(F.col(t)))
+
+    if cfg.split_fractions:
+        from graphula_spark.operators.splits import leakage_safe_split
+
+        docs_out = leakage_safe_split(
+            docs_out, i, t, cfg.split_fractions
+        )
 
     if "pack" in cfg.stages:
         # pack within hash buckets so the prefix-sum window

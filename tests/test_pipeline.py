@@ -274,3 +274,24 @@ def test_pipeline_importance_stage_resumes(spark, tmp_path):
         "importance"
     }
     assert sorted(r.doc_id for r in third.documents.collect()) == kept
+
+
+def test_pipeline_split_fractions(spark):
+    docs = spark.createDataFrame(
+        [(i, "a reasonably long document body %d with plenty of words here" % i)
+         for i in range(80)],
+        ["doc_id", "text"],
+    )
+    cfg = PipelineConfig(
+        stages=("normalize", "quality", "pack"),
+        min_tokens=5,
+        split_fractions={"train": 0.8, "val": 0.2},
+    )
+    res = run_pipeline(docs, cfg)
+    rows = res.documents.collect()
+    assert set(r.split for r in rows) == {"train", "val"}
+    # deterministic across reruns
+    again = run_pipeline(docs, cfg)
+    assert {(r.doc_id, r.split) for r in again.documents.collect()} == {
+        (r.doc_id, r.split) for r in rows
+    }
