@@ -1109,10 +1109,15 @@ def q_rollup(spark, sf):
     `append_bucket` batch); `sketch_ok` is true iff querying the MERGED
     bucket rows reproduces the full-rescan count, sum, and HLL
     distinct-user estimate exactly — so a merge deviation flips the
-    value hash. The oracle predicts sketch_ok=true plus the exact
-    count/sum aggregates."""
+    value hash — AND the merged KLL p50/p95 land within the sketch's
+    rank-error band of the true percentiles, AND the merged theta
+    distinct-user estimate stays within its error bound of the exact
+    count (the theta sketches also power `user_overlap` retention
+    queries, which HLL cannot). The oracle predicts sketch_ok=true
+    plus the exact count/sum aggregates."""
     from graphula_spark.operators.rollup_sketch import (
         HLL_LGK,
+        THETA_LGK,
         append_bucket,
         build_rollup,
         query_rollup,
@@ -1140,6 +1145,17 @@ def q_rollup(spark, sf):
         F.col("n_events").alias("m_n"),
         F.round("sum_value", 4).alias("m_sum"),
         F.col("approx_users").alias("m_users"),
+        "p50_value",
+        "p95_value",
+    )
+    m_theta = (
+        spark.read.parquet(path)
+        .groupBy("key")
+        .agg(
+            F.theta_sketch_estimate(
+                F.theta_union_agg(F.col("users_theta"), THETA_LGK)
+            ).alias("m_theta")
+        )
     )
     rescan = events.groupBy(F.col("event_type").alias("key")).agg(
         F.count(F.lit(1)).alias("r_n"),
@@ -1147,8 +1163,13 @@ def q_rollup(spark, sf):
         F.hll_sketch_estimate(
             F.hll_sketch_agg("user_id", F.lit(HLL_LGK))
         ).alias("r_users"),
+        F.countDistinct("user_id").alias("r_exact_users"),
+        F.expr("percentile(value, 0.46)").alias("p50_lo"),
+        F.expr("percentile(value, 0.54)").alias("p50_hi"),
+        F.expr("percentile(value, 0.91)").alias("p95_lo"),
+        F.expr("percentile(value, 0.99)").alias("p95_hi"),
     )
-    sketch_part = merged.join(rescan, "key").select(
+    sketch_part = merged.join(m_theta, "key").join(rescan, "key").select(
         F.lit("__sketch").alias("o_orderstatus"),
         F.col("key").alias("o_orderpriority"),
         F.col("r_n").alias("n"),
@@ -1157,6 +1178,14 @@ def q_rollup(spark, sf):
             (F.col("m_n") == F.col("r_n"))
             & (F.col("m_sum") == F.col("r_sum"))
             & (F.col("m_users") == F.col("r_users"))
+            # merged KLL quantiles inside the rank-error band
+            & F.col("p50_value").between(F.col("p50_lo"), F.col("p50_hi"))
+            & F.col("p95_value").between(F.col("p95_lo"), F.col("p95_hi"))
+            # merged theta estimate within its error bound of exact
+            & (
+                F.abs(F.col("m_theta") - F.col("r_exact_users"))
+                <= F.greatest(F.lit(3.0), 0.05 * F.col("r_exact_users"))
+            )
         ).alias("sketch_ok"),
     )
     return rollup_part.unionByName(sketch_part)

@@ -7,6 +7,7 @@ from graphula_spark.operators.rollup_sketch import (
     append_bucket,
     build_rollup,
     query_rollup,
+    user_overlap,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -142,6 +143,82 @@ def test_time_range_prunes(spark, events, tmp_path):
         .collect()
     }
     assert got_n == want_aligned
+
+
+def test_merged_kll_quantiles_within_rank_error(spark, events, tmp_path):
+    """p50/p95 from MERGED per-bucket KLL sketches must sit within the
+    sketch's rank-error bound of the true percentiles — merging bucket
+    sketches keeps the same guarantee as one sketch over raw rows."""
+    path = str(tmp_path / "roll_kll")
+    split = events.selectExpr("percentile(unix_timestamp(ts), 0.5)").first()[0]
+    build_rollup(events.where(F.unix_timestamp("ts") < split), path)
+    append_bucket(
+        events.where(F.unix_timestamp("ts") >= split), path, batch_id=1
+    )
+    got = {r["key"]: r.asDict() for r in query_rollup(spark, path).collect()}
+    # true value at ranks padded by the KLL error (~1.65% at k=200):
+    # the sketch answer must fall between the values at rank ±3%
+    bounds = {
+        r["event_type"]: r.asDict()
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.47)").alias("p50_lo"),
+            F.expr("percentile(value, 0.53)").alias("p50_hi"),
+            F.expr("percentile(value, 0.92)").alias("p95_lo"),
+            F.expr("percentile(value, 0.98)").alias("p95_hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(bounds)
+    for k in got:
+        b = bounds[k]
+        assert b["p50_lo"] <= got[k]["p50_value"] <= b["p50_hi"]
+        assert b["p95_lo"] <= got[k]["p95_value"] <= b["p95_hi"]
+
+
+def test_user_overlap_theta_intersection_exact_at_small_scale(
+    spark, events, tmp_path
+):
+    """Retention from the rollup only: theta-union each window's bucket
+    sketches, intersect — below the sketch's nominal capacity (4096
+    distinct) theta is exact, so the overlap must EQUAL the raw-data
+    intersection count per key."""
+    path = str(tmp_path / "roll_theta")
+    build_rollup(events, path)
+    lo = events.agg(F.min("ts")).first()[0].replace(
+        minute=0, second=0, microsecond=0
+    )
+    hi = events.agg(F.max("ts")).first()[0]
+    mid = (lo + (hi - lo) / 2).replace(minute=0, second=0, microsecond=0)
+    from datetime import timedelta
+
+    end = hi.replace(minute=0, second=0, microsecond=0) + timedelta(hours=1)
+    got = {
+        r["key"]: r.asDict()
+        for r in user_overlap(spark, path, lo, mid, mid, end).collect()
+    }
+    in_a = events.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(mid)))
+    in_b = events.where((F.col("ts") >= F.lit(mid)) & (F.col("ts") < F.lit(end)))
+    want = {
+        r["event_type"]: r["n"]
+        for r in in_a.select("event_type", "user_id")
+        .intersect(in_b.select("event_type", "user_id"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(want) <= set(got)
+    for k in want:
+        assert got[k]["users_both"] == want[k]
+        # and the per-window counts are exact too at this scale
+    want_a = {
+        r["event_type"]: r["n"]
+        for r in in_a.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k in got:
+        assert got[k]["users_a"] == want_a[k]
 
 
 def test_streaming_rollup_maintenance(spark, events, tmp_path):
