@@ -152,8 +152,22 @@ def query_rollup(
     per-bucket KLL sketches — the merged sketch carries the same rank
     error bound as a single-pass sketch of the raw rows, so the
     estimates stay within ~2% rank error of the true percentiles
-    without touching raw data."""
+    without touching raw data.
+
+    Stores written before the KLL/Theta columns existed (or grown by
+    appending new-schema batches into an old store, which yields null
+    sketches for the old rows) cannot answer the percentile columns
+    honestly — rebuild them with ``build_rollup``. A missing column
+    raises here with that instruction instead of failing inside the
+    sketch aggregate."""
     df = spark.read.parquet(path)
+    missing = {"value_kll", "users_theta"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            "rollup store at %r lacks sketch column(s) %s — it predates "
+            "sketch support; rebuild it with build_rollup"
+            % (path, sorted(missing))
+        )
     if start is not None:
         df = df.where(F.col("bucket") >= F.lit(start))
     if end is not None:
@@ -189,6 +203,7 @@ def user_overlap(
     a_end,
     b_start,
     b_end,
+    bucket: str = "hour",
 ) -> DataFrame:
     """Per-key user overlap between two time windows FROM THE ROLLUP:
     how many distinct users were active in window A AND in window B
@@ -200,12 +215,28 @@ def user_overlap(
     the sketch's nominal capacity (2^THETA_LGK = 4096) and within a
     few percent above it. The whole query touches only rollup rows:
     at 100 TB of raw events this is a scan of two handfuls of bucket
-    rows + one tiny merge aggregation."""
+    rows + one tiny merge aggregation.
+
+    Windows resolve at BUCKET granularity (``bucket`` must be the unit
+    the store was built with, default "hour"): the boundaries are
+    date_trunc'd before filtering, so a mid-bucket boundary snaps to
+    the containing bucket's start instead of silently counting the
+    straddling bucket's full contents in one window and not the other.
+    Stores written before the theta-sketch column existed must be
+    rebuilt via ``build_rollup`` — this raises a clear error instead
+    of failing in the aggregate."""
     df = spark.read.parquet(path)
+    if "users_theta" not in df.columns:
+        raise ValueError(
+            "rollup store at %r has no users_theta column — it predates "
+            "sketch support; rebuild it with build_rollup" % path
+        )
 
     def _window(lo, hi, alias: str) -> DataFrame:
+        lo_b = F.date_trunc(bucket, F.lit(lo).cast("timestamp"))
+        hi_b = F.date_trunc(bucket, F.lit(hi).cast("timestamp"))
         return (
-            df.where((F.col("bucket") >= F.lit(lo)) & (F.col("bucket") < F.lit(hi)))
+            df.where((F.col("bucket") >= lo_b) & (F.col("bucket") < hi_b))
             .groupBy("key")
             .agg(
                 F.theta_union_agg(F.col("users_theta"), THETA_LGK).alias(alias)

@@ -207,10 +207,13 @@ def test_user_overlap_theta_intersection_exact_at_small_scale(
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
+    # every key active in BOTH windows must be in got; keys in got but
+    # not in want had an EMPTY raw intersection and must report 0 —
+    # the raw intersect yields no row for them, so default to 0 rather
+    # than skipping the check (ADVICE r5)
     assert set(want) <= set(got)
-    for k in want:
-        assert got[k]["users_both"] == want[k]
-        # and the per-window counts are exact too at this scale
+    for k in got:
+        assert got[k]["users_both"] == want.get(k, 0)
     want_a = {
         r["event_type"]: r["n"]
         for r in in_a.groupBy("event_type")
@@ -219,6 +222,55 @@ def test_user_overlap_theta_intersection_exact_at_small_scale(
     }
     for k in got:
         assert got[k]["users_a"] == want_a[k]
+
+
+def test_user_overlap_unaligned_boundary_snaps_to_bucket_start(
+    spark, events, tmp_path
+):
+    """Windows resolve at bucket granularity: a mid-bucket boundary
+    (e.g. a_end = b_start at :30 on an hourly store) must snap to the
+    containing bucket's start on BOTH sides, so adjacent windows never
+    double-count or drop the straddling bucket."""
+    from datetime import timedelta
+
+    path = str(tmp_path / "roll_unaligned")
+    build_rollup(events, path)
+    lo = events.agg(F.min("ts")).first()[0].replace(
+        minute=0, second=0, microsecond=0
+    )
+    hi = events.agg(F.max("ts")).first()[0].replace(
+        minute=0, second=0, microsecond=0
+    ) + timedelta(hours=1)
+    mid = (lo + (hi - lo) / 2).replace(minute=0, second=0, microsecond=0)
+    ragged = mid + timedelta(minutes=30)  # mid-bucket split point
+    aligned = {
+        r["key"]: r.asDict()
+        for r in user_overlap(spark, path, lo, mid, mid, hi).collect()
+    }
+    snapped = {
+        r["key"]: r.asDict()
+        for r in user_overlap(spark, path, lo, ragged, ragged, hi).collect()
+    }
+    assert snapped == aligned
+
+
+def test_pre_sketch_store_raises_clear_rebuild_error(spark, events, tmp_path):
+    """A rollup store written before the KLL/Theta columns existed must
+    fail with a rebuild instruction, not inside the sketch aggregate."""
+    import pytest
+
+    new = str(tmp_path / "roll_new")
+    old = str(tmp_path / "roll_old")
+    build_rollup(events, new)
+    (
+        spark.read.parquet(new)
+        .drop("value_kll", "users_theta")
+        .write.parquet(old)
+    )
+    with pytest.raises(ValueError, match="rebuild it with build_rollup"):
+        query_rollup(spark, old)
+    with pytest.raises(ValueError, match="rebuild it with build_rollup"):
+        user_overlap(spark, old, None, None, None, None)
 
 
 def test_streaming_rollup_maintenance(spark, events, tmp_path):

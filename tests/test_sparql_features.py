@@ -1744,3 +1744,20 @@ class TestDatasetMaterialization:
         ds = self._dataset(spark).materialize_rdfs(self.ONTO, self.INF)
         again = ds.materialize_rdfs(self.ONTO, self.INF)
         assert again.quads.count() == ds.quads.count()
+
+    def test_rematerialization_never_shuffles_the_quad_table(self, spark):
+        """At 100 TB the quad table must never be globally deduped to
+        land a derived-only set: the fresh triples anti-join against
+        the TARGET graph's quads only, then append via a narrow union.
+        The old shape's dropDuplicates(["s","p","o","g"]) over the
+        whole union showed as a Deduplicate keyed on g — assert it is
+        gone (the only dedups left are the closure's own, keyed on
+        s,p,o with no g)."""
+        import re
+
+        ds = self._dataset(spark).materialize_rdfs(self.ONTO, self.INF)
+        again = ds.materialize_rdfs(self.ONTO, self.INF)
+        plan = again.quads._jdf.queryExecution().optimizedPlan().toString()
+        assert re.search(r"Deduplicate \[[^\]]*\bg#", plan) is None
+        # and the result is still exactly idempotent
+        assert again.quads.count() == ds.quads.count()
