@@ -3,9 +3,12 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Graph construction (triple-ization + dictionary build) is timed
-separately as "graph_load" and warmed before per-query timing, matching
-how the reference's JMH suite loads LUBM once per trial
+Graph construction is reported as TWO always-comparable metrics:
+"graph_build_s" (triple-ization + dictionary build + store write,
+forced cold into a scratch dir every run) and "graph_load" (pure open
+of the persisted store + planner stats). Both stay out of the headline
+total, which times queries over warmed stores — matching how the
+reference's JMH suite loads LUBM once per trial
 (benchmarks/.../LubmGraphula.scala:23-34).
 """
 
@@ -56,6 +59,41 @@ HEADLINE = [
 ]
 
 
+def _timed_cold_build(spark, sf_dir: str) -> float:
+    """Build both shared stores (triple-ized TPC-H star + lineitem)
+    from raw parquet into a throwaway scratch dir and time it — the
+    always-cold counterpart of the warm-open `graph_load` metric."""
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from graphula_spark.graph import Graph
+    from graphula_spark.sources.relational import (
+        lineitem_to_triples,
+        load_tpch_graph,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="graphula_bench_build_")
+
+    def build_tpch():
+        load_tpch_graph(spark, sf_dir, cache=False).save(f"{scratch}/tpch")
+
+    def build_lineitem():
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        Graph.from_string_triples(
+            spark, lineitem_to_triples(df), cache=False
+        ).save(f"{scratch}/lineitem", include_ops=False)
+
+    t0 = time.time()
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(build_tpch), pool.submit(build_lineitem)]:
+                f.result()
+        return time.time() - t0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -63,19 +101,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
-    t0 = time.time()
-    # the two shared graphs build CONCURRENTLY (thread-safe session;
-    # their shuffle stages interleave on idle cores) — same trick a
-    # multi-tenant cluster uses to hide independent ETL latencies
     from concurrent.futures import ThreadPoolExecutor
 
+    # store BUILD, forced cold into a scratch dir every run: the old
+    # single "graph_load" number included the build only when the /tmp
+    # store marker was absent, so round-over-round values compared a
+    # warm open against a cold build (VERDICT r5 #4). Build and open
+    # are now separate, always-comparable metrics.
+    graph_build_s = _timed_cold_build(spark, sf_dir)
+
+    # ensure the canonical stores exist (untimed — may be warm), then
+    # time the pure OPEN path: Graph.load + planner stats
     with ThreadPoolExecutor(max_workers=2) as pool:
+        # the two shared graphs build CONCURRENTLY (thread-safe session;
+        # their shuffle stages interleave on idle cores) — same trick a
+        # multi-tenant cluster uses to hide independent ETL latencies
         futs = [
             pool.submit(entry_mod._graph, spark, sf_dir),
             pool.submit(entry_mod._lineitem_graph, spark, sf_dir),
         ]
         for f in futs:
             f.result()
+    entry_mod._GRAPH_CACHE.pop(("tpch", sf_dir), None)
+    entry_mod._GRAPH_CACHE.pop(("lineitem", sf_dir), None)
+    t0 = time.time()
+    entry_mod._graph(spark, sf_dir)
+    entry_mod._lineitem_graph(spark, sf_dir)
     graph_load = time.time() - t0
 
     # JMH-style warmup (the reference's suite uses JMH @Warmup
@@ -121,6 +172,7 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
+    per_query["graph_build_s"] = round(graph_build_s, 3)
     per_query["graph_load"] = round(graph_load, 3)
 
     # relational-analytics counterpart: the TPC-H-style join suite over
@@ -211,8 +263,8 @@ def main() -> None:
 
 #: per-family prefixes for the sections rollup — regressions then
 #: localize to a family without spreadsheet work (VERDICT r4 #10).
-#: Load times (graph_load / lubm_load) are one-time store builds and
-#: stay out of every section, mirroring the headline total.
+#: Load times (graph_build_s / graph_load / lubm_load) are store
+#: builds/opens and stay out of every section, like the headline total.
 _SECTIONS = {
     "graph_sparql": ("bgp_", "sq_", "graph_probes", "rdfs_"),
     "lubm": ("lubm_q",),
@@ -231,11 +283,15 @@ def section_sums(per_query: dict) -> dict:
             q
             for q in per_query
             if any(q.startswith(p) for p in prefixes)
-            and q not in ("graph_load", "lubm_load")
+            and q not in ("graph_load", "graph_build_s", "lubm_load")
         ]
         out[section] = round(sum(per_query[q] for q in names), 3)
         seen.update(names)
-    leftovers = set(per_query) - seen - {"graph_load", "lubm_load"}
+    leftovers = set(per_query) - seen - {
+        "graph_load",
+        "graph_build_s",
+        "lubm_load",
+    }
     if leftovers:
         out["other"] = round(sum(per_query[q] for q in leftovers), 3)
     return out

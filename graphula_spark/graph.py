@@ -610,22 +610,23 @@ class Graph:
         round-trips), and a Graph is an immutable snapshot so reuse is
         always sound. Updates return a NEW Graph with an empty cache.
         """
-        import re
-
-        # SERVICE resolves through a MUTABLE registry (re-registration,
-        # injectable transports whose results vary per call) — caching
-        # would freeze the first resolution into the plan. The word
-        # check can false-positive on literals; that only skips a cache,
-        # never corrupts one.
-        cacheable = not re.search(r"(?i)\bSERVICE\b", query)
         # strict_zero_length_paths changes path compilation — key on it
         key = (query, self.strict_zero_length_paths)
-        df = self._plan_cache.get(key) if cacheable else None
+        df = self._plan_cache.get(key)
         if df is None:
             from graphula_spark.sparql.engine import execute_sparql
+            from graphula_spark.sparql.parser import parse_sparql
 
-            df = execute_sparql(self, query)
-            if cacheable:
+            # parse once; the parser stamps a structural has_service
+            # flag on the query. SERVICE resolves through a MUTABLE
+            # registry (re-registration, injectable transports whose
+            # results vary per call), so those plans are never
+            # memoized — but a query merely containing the word
+            # "service" in a literal stays cacheable (the old regex
+            # word-match skipped the cache for those too).
+            parsed = parse_sparql(query)
+            df = execute_sparql(self, query, parsed=parsed)
+            if not getattr(parsed, "has_service", False):
                 if len(self._plan_cache) >= 256:  # bound driver memory
                     self._plan_cache.pop(next(iter(self._plan_cache)))
                 self._plan_cache[key] = df

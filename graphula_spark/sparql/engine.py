@@ -19,8 +19,8 @@ from graphula_spark.sparql.compiler import CE, Compiler, Solution, has_aggregate
 from graphula_spark.sparql.parser import parse_sparql
 
 
-def execute_sparql(graph, query: str, dataset=None) -> DataFrame:
-    q = parse_sparql(query)
+def execute_sparql(graph, query: str, dataset=None, parsed=None) -> DataFrame:
+    q = parsed if parsed is not None else parse_sparql(query)
     fg = getattr(q, "from_graphs", None)
     fn = getattr(q, "from_named", None)
     if fg is not None or fn is not None:

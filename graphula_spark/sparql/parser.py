@@ -106,6 +106,10 @@ class Parser:
         self.toks = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        # set while parsing any SERVICE clause (incl. nested groups /
+        # subqueries); stamped onto the returned query object so the
+        # plan cache can key on it structurally instead of word-matching
+        self.has_service = False
 
     # -- token helpers --------------------------------------------------
     def peek(self, k: int = 0) -> Token:
@@ -393,6 +397,7 @@ class Parser:
             elif w == "SERVICE":
                 from graphula_spark.sparql.algebra import ServicePattern
 
+                self.has_service = True
                 self.next()
                 silent = False
                 if self.kw() == "SILENT":
@@ -840,4 +845,12 @@ class Parser:
 
 
 def parse_sparql(text: str):
-    return Parser(text).parse()
+    p = Parser(text)
+    q = p.parse()
+    # structural SERVICE marker (set even for SERVICE nested in
+    # subqueries/OPTIONAL): Graph.sparql keys its plan cache on it —
+    # SERVICE resolves through a mutable registry, so those plans must
+    # never be memoized, while a query merely CONTAINING the word
+    # "service" in a literal stays cacheable
+    q.has_service = p.has_service
+    return q

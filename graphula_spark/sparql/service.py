@@ -25,12 +25,16 @@ for a specific IRI (``register_service(iri, fetch)``) or as the
 fallback for every otherwise-unresolved endpoint
 (``set_default_transport(fetch)``). The compiler hands it the SERVICE
 group as verbatim SPARQL text (``SELECT * WHERE { ... }`` with the
-query's prefixes prepended) and joins the returned solutions; outside
-this sandbox a transport wrapping ``urllib`` + the SPARQL JSON results
-format gives real HTTP federation without this module ever owning a
-socket. Returned term strings use the repo's storage convention:
-bracket-less IRIs, N-Triples lexical forms for literals — the same
-strings ``Graph.decode`` yields.
+query's prefixes prepended) and joins the returned solutions.
+Returned term strings use the repo's storage convention: bracket-less
+IRIs, N-Triples lexical forms for literals — the same strings
+``Graph.decode`` yields.
+
+**HTTP federation** (round 6): ``graphula_spark.sparql.http`` ships
+the real transport — ``http_transport()`` POSTs the SERVICE group via
+the SPARQL 1.1 Protocol and parses SPARQL JSON results; register it
+per-IRI or as the default transport for open federation. This module
+still never owns a socket itself.
 """
 
 from __future__ import annotations

@@ -1639,6 +1639,207 @@ class TestServiceTransport:
         assert got == []
 
 
+class TestHttpService:
+    """Real HTTP federation over the injectable-transport seam:
+    http_transport POSTs the SERVICE group to a SPARQL 1.1 Protocol
+    endpoint and parses SPARQL JSON results back into storage-form
+    terms. Driven against an in-process localhost stub (stdlib
+    http.server) — no external network."""
+
+    RESULTS = {
+        "head": {"vars": ["org", "city", "motto"]},
+        "results": {
+            "bindings": [
+                {
+                    "org": {"type": "uri", "value": "acme"},
+                    "city": {"type": "uri", "value": "berlin"},
+                    "motto": {
+                        "type": "literal",
+                        "value": 'we "deliver"\nfast',
+                        "xml:lang": "en",
+                    },
+                },
+                {
+                    "org": {"type": "uri", "value": "initech"},
+                    "city": {"type": "uri", "value": "austin"},
+                    # unbound motto: var absent from the binding
+                },
+            ]
+        },
+    }
+
+    def _serve(self, status=200, body=None):
+        """Start a one-shot threaded stub endpoint; returns (url,
+        captured-requests list, shutdown-callable)."""
+        import http.server
+        import json as _json
+        import threading
+
+        captured = []
+        results = self.RESULTS if body is None else body
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self_h):
+                n = int(self_h.headers.get("Content-Length", 0))
+                captured.append(
+                    {
+                        "body": self_h.rfile.read(n).decode(),
+                        "accept": self_h.headers.get("Accept"),
+                        "ctype": self_h.headers.get("Content-Type"),
+                    }
+                )
+                payload = _json.dumps(results).encode()
+                self_h.send_response(status)
+                self_h.send_header(
+                    "Content-Type", "application/sparql-results+json"
+                )
+                self_h.send_header("Content-Length", str(len(payload)))
+                self_h.end_headers()
+                self_h.wfile.write(payload)
+
+            def log_message(self_h, *a):  # keep pytest output clean
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}/sparql"
+        return url, captured, srv.shutdown
+
+    def _local(self, spark):
+        from graphula_spark.graph import Graph
+
+        return Graph.from_string_triples(
+            spark,
+            spark.createDataFrame(
+                [("alice", "worksFor", "acme"), ("bob", "worksFor", "initech")],
+                ["s", "p", "o"],
+            ),
+        )
+
+    def test_remote_solutions_join_over_http(self, spark):
+        from graphula_spark.sparql.http import http_transport
+        from graphula_spark.sparql.service import (
+            register_service,
+            unregister_service,
+        )
+
+        url, captured, shutdown = self._serve()
+        local = self._local(spark)
+        register_service(url, http_transport())
+        try:
+            rows = {
+                tuple(r)
+                for r in local.sparql(
+                    f"""SELECT ?who ?city ?motto WHERE {{
+                          ?who <worksFor> ?org .
+                          SERVICE <{url}> {{ ?org <locatedIn> ?city . }}
+                        }}"""
+                ).collect()
+            }
+        finally:
+            unregister_service(url)
+            shutdown()
+        assert rows == {
+            ("alice", "berlin", '"we \\"deliver\\"\\nfast"@en'),
+            ("bob", "austin", None),  # unbound var -> null
+        }
+        # the protocol request: form-encoded POST of the verbatim group,
+        # asking for SPARQL JSON
+        assert len(captured) == 1
+        assert "query=" in captured[0]["body"]
+        assert "locatedIn" in urllib_unquote(captured[0]["body"])
+        assert captured[0]["accept"] == "application/sparql-results+json"
+        assert "x-www-form-urlencoded" in captured[0]["ctype"]
+
+    def test_silent_swallows_http_failure(self, spark):
+        from graphula_spark.sparql.http import http_transport
+        from graphula_spark.sparql.service import (
+            register_service,
+            unregister_service,
+        )
+
+        url, _, shutdown = self._serve(status=500)
+        local = self._local(spark)
+        register_service(url, http_transport())
+        try:
+            got = local.sparql(
+                f"""SELECT ?who WHERE {{
+                      ?who <worksFor> ?org .
+                      SERVICE SILENT <{url}> {{ ?org <locatedIn> ?c . }}
+                    }}"""
+            ).count()
+            import pytest
+
+            with pytest.raises(Exception):
+                local.sparql(
+                    f"""SELECT ?who WHERE {{
+                          ?who <worksFor> ?org .
+                          SERVICE <{url}> {{ ?org <locatedIn> ?c . }}
+                        }}"""
+                ).count()
+        finally:
+            unregister_service(url)
+            shutdown()
+        assert got == 2  # unit solution: local rows pass through
+
+    def test_term_conversion_matches_storage_convention(self):
+        from graphula_spark.sparql.http import term_to_storage
+
+        assert term_to_storage({"type": "uri", "value": "http://x/a"}) == (
+            "http://x/a"
+        )
+        assert term_to_storage({"type": "bnode", "value": "b0"}) == "_:b0"
+        assert term_to_storage({"type": "literal", "value": "hi"}) == '"hi"'
+        # RDF 1.1: xsd:string-typed == simple literal (the .nt loader
+        # stores the simple form)
+        assert (
+            term_to_storage(
+                {
+                    "type": "literal",
+                    "value": "hi",
+                    "datatype": "http://www.w3.org/2001/XMLSchema#string",
+                }
+            )
+            == '"hi"'
+        )
+        assert (
+            term_to_storage(
+                {
+                    "type": "typed-literal",
+                    "value": "5",
+                    "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+                }
+            )
+            == '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        )
+
+
+def urllib_unquote(s: str) -> str:
+    import urllib.parse
+
+    return urllib.parse.unquote_plus(s)
+
+
+def test_service_word_in_literal_stays_cacheable(spark):
+    """The cache bypass is a STRUCTURAL flag set by the parser on
+    ServicePattern, not a word-match on the query text: a query whose
+    literal merely contains the word "service" must hit the plan cache
+    on the second call (same DataFrame object back)."""
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [("ex:a", "ex:label", '"customer service desk"')],
+            ["s", "p", "o"],
+        ),
+    )
+    q = 'SELECT ?s WHERE { ?s <ex:label> "customer service desk" . }'
+    first = g.sparql(q)
+    assert first.count() == 1
+    assert g.sparql(q) is first  # cached, despite the word "service"
+
+
 def test_service_queries_bypass_plan_cache(spark):
     """SERVICE resolves through a mutable registry: the same query text
     must re-resolve per call (a cached plan would freeze the first
