@@ -1320,16 +1320,26 @@ class Compiler:
         if agg.func in ("MIN", "MAX"):
             fn = F.min if agg.func == "MIN" else F.max
             # numeric-first composite ordering: numeric rows order
-            # numerically, non-numeric lexically (SPARQL ORDER semantics)
+            # numerically, non-numeric lexically (SPARQL ORDER
+            # semantics) — but the RESULT is the RDF term, not its
+            # value (spec §18.5.1.5/6: Min/Max return an element of the
+            # multiset; W3C conformance joins aggregated subquery
+            # projections back onto term variables, which only unifies
+            # if the term survives). For bare triple-ized terms the
+            # term IS the lexical value, so those outputs are unchanged.
             n = ce.numeric()
             packed = F.struct(
                 n.isNull().cast("int").alias("k0"),
                 F.coalesce(n, F.lit(0.0)).alias("k1"),
                 ce.val.alias("k2"),
+                (ce.term if ce.term is not None else ce.val).alias("k3"),
             )
-            return sol, fn(packed).getField("k2").alias(name)
+            return sol, fn(packed).getField("k3").alias(name)
         if agg.func == "SAMPLE":
-            return sol, F.min(ce.val).alias(name)
+            # any element of the group (spec §18.5.1.8); term form, like
+            # MIN/MAX — min over term strings keeps it deterministic
+            src = ce.term if ce.term is not None else ce.val
+            return sol, F.min(src).alias(name)
         if agg.func == "GROUP_CONCAT":
             lst = F.collect_set(ce.val) if agg.distinct else F.collect_list(ce.val)
             return sol, F.array_join(F.sort_array(lst), agg.separator).alias(name)

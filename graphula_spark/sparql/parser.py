@@ -776,7 +776,30 @@ class Parser:
             return ELit(float(txt) if ("." in txt or "e" in txt or "E" in txt) else int(txt))
         if t.kind == "STRING":
             self.next()
-            return ELit(t.text[1:-1])
+            lex = t.text[1:-1]
+            nxt = self.peek()
+            # typed / language-tagged literal in EXPRESSION position
+            # (SPARQL grammar RDFLiteral inside BrackettedExpression):
+            # desugar to the STRDT / STRLANG builtins, which already
+            # implement the spec's split between value comparison (=)
+            # and term identity (SAMETERM)
+            if nxt.kind == "DTYPE":
+                self.next()
+                dt_tok = self.next()
+                if dt_tok.kind == "IRI":
+                    dt = dt_tok.text[1:-1]
+                elif dt_tok.kind == "PNAME":
+                    pfx, local = dt_tok.text.split(":", 1)
+                    dt = self._prefix(pfx) + local
+                else:
+                    raise SyntaxError(
+                        f"expected datatype IRI after ^^, got {dt_tok}"
+                    )
+                return ECall("STRDT", [ELit(lex), EIri(dt)])
+            if nxt.kind == "LANGTAG":
+                self.next()
+                return ECall("STRLANG", [ELit(lex), ELit(nxt.text[1:])])
+            return ELit(lex)
         if t.kind == "IRI":
             self.next()
             return self._iri_or_call(t.text[1:-1])

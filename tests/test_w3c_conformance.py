@@ -1,0 +1,609 @@
+"""W3C SPARQL 1.1 query-evaluation conformance subset.
+
+The reference inherits near-full SPARQL 1.1 conformance from Jena ARQ
+(build.sbt:25); this repo re-implements that whole surface, so 50
+hand-picked driver oracles are not enough evidence. This harness is a
+manifest-style subset of the public W3C rdf-tests query-evaluation
+areas (BGP matching, FILTER semantics, OPTIONAL/negation, UNION,
+aggregates, property paths, VALUES, subqueries, solution modifiers,
+builtin functions), re-authored here with small hand-verifiable
+datasets: each case's `expect` is derived BY HAND from the SPARQL 1.1
+Query spec (W3C Recommendation 2013-03-21), not from engine output —
+a case failing means the engine diverges from the spec.
+
+Conventions (the engine's storage/decode contract):
+  * IRIs decode bracket-less; literals decode to verbatim N-Triples
+    lexical forms ('"Alice"', '"30"^^<...integer>', '"hi"@en');
+    blank nodes decode as '_:label'.
+  * SELECT-expression results (BIND/builtins/SUM/AVG/COUNT) are plain
+    Spark values (ints, floats, strings); MIN/MAX/SAMPLE return the
+    RDF term in lexical form (spec §18.5.1: they pick an ELEMENT of
+    the group, and subquery projections must re-unify with term vars).
+  * Unbound variables decode as None.
+
+Known-unsupported corners are declared in SKIP with reasons — every
+non-skipped case must pass.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from graphula_spark.graph import Graph
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+INT = f"^^<{XSD}integer>"
+DEC = f"^^<{XSD}decimal>"
+DBL = f"^^<{XSD}double>"
+
+PREFIX = """
+PREFIX ex: <http://ex/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+"""
+
+# ---------------------------------------------------------------------
+# shared datasets (N-Triples text; one graph build per dataset)
+# ---------------------------------------------------------------------
+
+DATA_PEOPLE = """
+<http://ex/alice> <http://ex/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex/bob> <http://ex/age> "25"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex/carol> <http://ex/age> "9"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex/alice> <http://ex/name> "Alice" .
+<http://ex/alice> <http://ex/name> "Alicia"@es .
+<http://ex/bob> <http://ex/name> "Bob" .
+<http://ex/carol> <http://ex/name> "Carol" .
+<http://ex/alice> <http://ex/email> "alice@x.org" .
+<http://ex/alice> <http://ex/knows> <http://ex/bob> .
+<http://ex/bob> <http://ex/knows> <http://ex/carol> .
+<http://ex/alice> <http://ex/height> "1.7"^^<http://www.w3.org/2001/XMLSchema#decimal> .
+_:b1 <http://ex/age> "40"^^<http://www.w3.org/2001/XMLSchema#integer> .
+""".strip()
+
+DATA_PATHS = """
+<http://ex/a> <http://ex/p> <http://ex/b> .
+<http://ex/b> <http://ex/p> <http://ex/c> .
+<http://ex/c> <http://ex/p> <http://ex/d> .
+<http://ex/a> <http://ex/q> <http://ex/e> .
+<http://ex/d> <http://ex/p> <http://ex/b> .
+<http://ex/e> <http://ex/r> <http://ex/f> .
+""".strip()
+
+DATA_AGG = """
+<http://ex/o1> <http://ex/cust> <http://ex/c1> .
+<http://ex/o1> <http://ex/amount> "10"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex/o2> <http://ex/cust> <http://ex/c1> .
+<http://ex/o2> <http://ex/amount> "20"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex/o3> <http://ex/cust> <http://ex/c2> .
+<http://ex/o3> <http://ex/amount> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex/o4> <http://ex/cust> <http://ex/c2> .
+<http://ex/o5> <http://ex/cust> <http://ex/c3> .
+<http://ex/o5> <http://ex/amount> "7"^^<http://www.w3.org/2001/XMLSchema#integer> .
+""".strip()
+
+DATA_ONE = """
+<http://ex/a> <http://ex/b> <http://ex/c> .
+""".strip()
+
+DATASETS = {
+    "people": DATA_PEOPLE,
+    "paths": DATA_PATHS,
+    "agg": DATA_AGG,
+    "one": DATA_ONE,
+}
+
+_GRAPHS: dict[str, Graph] = {}
+
+
+@pytest.fixture(scope="module")
+def graphs(spark, tmp_path_factory):
+    for key, text in DATASETS.items():
+        if key not in _GRAPHS:
+            p = tmp_path_factory.mktemp("w3c") / f"{key}.nt"
+            p.write_text(text + "\n")
+            g = Graph.from_string_triples(
+                spark,
+                __import__(
+                    "graphula_spark.sources.ntriples", fromlist=["read_ntriples"]
+                ).read_ntriples(spark, str(p)),
+            )
+            # conformance runs the STRICT zero-length-path domain (all
+            # graph nodes, SPARQL 1.1 §9.3) — the default restricts
+            # zero-length to nodes incident to the sub-path's edges, a
+            # documented scale deviation (graph.py)
+            g.strict_zero_length_paths = True
+            _GRAPHS[key] = g
+    yield _GRAPHS
+    for g in _GRAPHS.values():
+        g.triples.unpersist()
+        g.dictionary.df.unpersist()
+    _GRAPHS.clear()
+
+
+# ---------------------------------------------------------------------
+# manifest
+# ---------------------------------------------------------------------
+# each case: (name, dataset, query, expect) where expect is a list of
+# dicts var->value (multiset compare) — or ("ordered", [rows...]) for
+# ORDER BY cases, or ("ask", bool), or ("count", n) when only
+# cardinality is spec-determined.
+
+A, B, C, D, E, F_ = (f"http://ex/{x}" for x in "abcdef")
+ALICE, BOB, CAROL = (f"http://ex/{x}" for x in ("alice", "bob", "carol"))
+
+CASES = [
+    # ---- §5 basic graph patterns -----------------------------------
+    (
+        "bgp-join-two-patterns",
+        "people",
+        "SELECT ?x ?y WHERE { ?x ex:knows ?y . ?y ex:knows ?z . }",
+        [{"x": ALICE, "y": BOB}],
+    ),
+    (
+        "bgp-no-match",
+        "people",
+        "SELECT ?x WHERE { ?x ex:knows ex:alice . }",
+        [],
+    ),
+    (
+        "bgp-blank-node-in-data",
+        "people",
+        'SELECT ?s WHERE { ?s ex:age "40"^^xsd:integer . }',
+        [{"s": "_:b1"}],
+    ),
+    # ---- §17.4 / §17.3 filters and functions ------------------------
+    (
+        "filter-numeric-typed",
+        "people",
+        "SELECT ?x WHERE { ?x ex:age ?a . FILTER(?a > 26) }",
+        [{"x": ALICE}, {"x": "_:b1"}],
+    ),
+    (
+        "filter-numeric-promotion",
+        "people",
+        # decimal 1.7 compared against integer literal
+        "SELECT ?x WHERE { ?x ex:height ?h . FILTER(?h > 1) }",
+        [{"x": ALICE}],
+    ),
+    (
+        "filter-in",
+        "people",
+        "SELECT ?x WHERE { ?x ex:age ?a . FILTER(?a IN (25, 9)) }",
+        [{"x": BOB}, {"x": CAROL}],
+    ),
+    (
+        "filter-regex-case-insensitive",
+        "people",
+        'SELECT ?n WHERE { ex:alice ex:name ?n . FILTER(REGEX(?n, "^ALI", "i")) FILTER(LANG(?n) = "") }',
+        [{"n": '"Alice"'}],
+    ),
+    (
+        "filter-lang-and-langmatches",
+        "people",
+        'SELECT ?n WHERE { ex:alice ex:name ?n . FILTER(LANGMATCHES(LANG(?n), "es")) }',
+        [{"n": '"Alicia"@es'}],
+    ),
+    (
+        "filter-isiri-isliteral-isblank",
+        "people",
+        "SELECT ?s WHERE { ?s ex:age ?a . FILTER(ISBLANK(?s)) }",
+        [{"s": "_:b1"}],
+    ),
+    (
+        "filter-str-of-iri",
+        "people",
+        'SELECT ?x WHERE { ?x ex:knows ?y . FILTER(STR(?y) = "http://ex/bob") }',
+        [{"x": ALICE}],
+    ),
+    (
+        "filter-bound",
+        "people",
+        "SELECT ?x WHERE { ?x ex:age ?a . OPTIONAL { ?x ex:email ?e } FILTER(!BOUND(?e)) }",
+        [{"x": BOB}, {"x": CAROL}, {"x": "_:b1"}],
+    ),
+    (
+        "filter-value-eq-vs-sameterm",
+        "one",
+        # "1"^^integer = "01"^^integer is TRUE (value), sameTerm FALSE
+        'SELECT ?s WHERE { ?s ?p ?o . FILTER("1"^^xsd:integer = "01"^^xsd:integer) }',
+        [{"s": A}],
+    ),
+    (
+        "filter-sameterm-is-term-not-value",
+        "one",
+        'SELECT ?s WHERE { ?s ?p ?o . FILTER(!SAMETERM("1"^^xsd:integer, "01"^^xsd:integer)) }',
+        [{"s": A}],
+    ),
+    (
+        "filter-if-coalesce",
+        "people",
+        'SELECT ?x (IF(?a >= 30, "old", "young") AS ?b) WHERE { ?x ex:age ?a . FILTER(!ISBLANK(?x)) }',
+        [
+            {"x": ALICE, "b": "old"},
+            {"x": BOB, "b": "young"},
+            {"x": CAROL, "b": "young"},
+        ],
+    ),
+    # ---- §6 OPTIONAL -------------------------------------------------
+    (
+        "optional-unbound-null",
+        "people",
+        "SELECT ?x ?e WHERE { ?x ex:knows ?y . OPTIONAL { ?x ex:email ?e } }",
+        [{"x": ALICE, "e": '"alice@x.org"'}, {"x": BOB, "e": None}],
+    ),
+    (
+        "optional-filter-scoped-inside",
+        "people",
+        # the FILTER is part of the optional group: bob's email pattern
+        # fails, the optional fails, bob survives with ?e unbound
+        'SELECT ?x ?e WHERE { ?x ex:knows ?y . OPTIONAL { ?x ex:email ?e . FILTER(CONTAINS(?e, "@x.org")) } }',
+        [{"x": ALICE, "e": '"alice@x.org"'}, {"x": BOB, "e": None}],
+    ),
+    # ---- §8 negation -------------------------------------------------
+    (
+        "minus-shared-vars",
+        "people",
+        "SELECT ?x WHERE { ?x ex:age ?a . MINUS { ?x ex:email ?e } }",
+        [{"x": BOB}, {"x": CAROL}, {"x": "_:b1"}],
+    ),
+    (
+        "notexists-basic",
+        "people",
+        "SELECT ?x WHERE { ?x ex:age ?a . FILTER NOT EXISTS { ?x ex:email ?e } }",
+        [{"x": BOB}, {"x": CAROL}, {"x": "_:b1"}],
+    ),
+    (
+        "exists-basic",
+        "people",
+        "SELECT ?x WHERE { ?x ex:age ?a . FILTER EXISTS { ?x ex:knows ?y } }",
+        [{"x": ALICE}, {"x": BOB}],
+    ),
+    (
+        # W3C subtleties test family (spec §8.3.3): MINUS with NO
+        # shared variables removes nothing...
+        "minus-disjoint-removes-nothing",
+        "one",
+        "SELECT ?s ?p ?o WHERE { ?s ?p ?o MINUS { ?x ?y ?z } }",
+        [{"s": A, "p": B, "o": C}],
+    ),
+    (
+        # ...while FILTER NOT EXISTS with the same groups removes all
+        "notexists-disjoint-removes-all",
+        "one",
+        "SELECT ?s ?p ?o WHERE { ?s ?p ?o FILTER NOT EXISTS { ?x ?y ?z } }",
+        [],
+    ),
+    # ---- §7 UNION ----------------------------------------------------
+    (
+        "union-disjoint-vars",
+        "people",
+        "SELECT ?mail ?who WHERE { { ex:alice ex:email ?mail } UNION { ex:bob ex:knows ?who } }",
+        [
+            {"mail": '"alice@x.org"', "who": None},
+            {"mail": None, "who": CAROL},
+        ],
+    ),
+    (
+        "union-same-var",
+        "people",
+        "SELECT ?y WHERE { { ex:alice ex:knows ?y } UNION { ex:bob ex:knows ?y } }",
+        [{"y": BOB}, {"y": CAROL}],
+    ),
+    # ---- §11 aggregates ---------------------------------------------
+    (
+        "agg-count-star-groups",
+        "agg",
+        "SELECT ?c (COUNT(*) AS ?n) WHERE { ?o ex:cust ?c . } GROUP BY ?c",
+        [
+            {"c": "http://ex/c1", "n": 2},
+            {"c": "http://ex/c2", "n": 2},
+            {"c": "http://ex/c3", "n": 1},
+        ],
+    ),
+    (
+        "agg-count-var-skips-unbound",
+        "agg",
+        "SELECT ?c (COUNT(?a) AS ?n) WHERE { ?o ex:cust ?c . OPTIONAL { ?o ex:amount ?a } } GROUP BY ?c",
+        [
+            {"c": "http://ex/c1", "n": 2},
+            {"c": "http://ex/c2", "n": 1},  # o4 has no amount
+            {"c": "http://ex/c3", "n": 1},
+        ],
+    ),
+    (
+        "agg-sum-avg-min-max",
+        "agg",
+        "SELECT ?c (SUM(?a) AS ?s) (AVG(?a) AS ?av) (MIN(?a) AS ?mn) (MAX(?a) AS ?mx) "
+        "WHERE { ?o ex:cust ?c . ?o ex:amount ?a . } GROUP BY ?c",
+        # SUM/AVG are numeric VALUES; MIN/MAX return the RDF TERM
+        # (spec §18.5.1.5/6)
+        [
+            {"c": "http://ex/c1", "s": 30, "av": 15.0,
+             "mn": f'"10"{INT}', "mx": f'"20"{INT}'},
+            {"c": "http://ex/c2", "s": 5, "av": 5.0,
+             "mn": f'"5"{INT}', "mx": f'"5"{INT}'},
+            {"c": "http://ex/c3", "s": 7, "av": 7.0,
+             "mn": f'"7"{INT}', "mx": f'"7"{INT}'},
+        ],
+    ),
+    (
+        "agg-min-orders-numerically-not-lexically",
+        "people",
+        # ages {30,25,9,40}: numeric MIN is 9; LEXICAL min would be "25"
+        "SELECT (MIN(?a) AS ?mn) (MAX(?a) AS ?mx) WHERE { ?x ex:age ?a . }",
+        [{"mn": f'"9"{INT}', "mx": f'"40"{INT}'}],
+    ),
+    (
+        "agg-group-concat-separator",
+        "agg",
+        'SELECT ?c (GROUP_CONCAT(STR(?a); SEPARATOR="|") AS ?g) '
+        "WHERE { ?o ex:cust ?c . ?o ex:amount ?a . } GROUP BY ?c ORDER BY ?c",
+        # group order within concat is implementation-defined; c1's two
+        # values may concat either way — normalize in the comparator
+        [
+            {"c": "http://ex/c1", "g": {"10|20", "20|10"}},
+            {"c": "http://ex/c2", "g": {"5"}},
+            {"c": "http://ex/c3", "g": {"7"}},
+        ],
+    ),
+    (
+        "agg-sample-singleton-deterministic",
+        "agg",
+        "SELECT ?c (SAMPLE(?a) AS ?one) WHERE { ?o ex:cust ?c . ?o ex:amount ?a . FILTER(?a < 10) } GROUP BY ?c",
+        [
+            {"c": "http://ex/c2", "one": f'"5"{INT}'},
+            {"c": "http://ex/c3", "one": f'"7"{INT}'},
+        ],
+    ),
+    (
+        "agg-having",
+        "agg",
+        "SELECT ?c WHERE { ?o ex:cust ?c . ?o ex:amount ?a . } GROUP BY ?c HAVING (SUM(?a) > 6)",
+        [{"c": "http://ex/c1"}, {"c": "http://ex/c3"}],
+    ),
+    (
+        "agg-count-distinct",
+        "agg",
+        "SELECT (COUNT(DISTINCT ?c) AS ?n) WHERE { ?o ex:cust ?c . }",
+        [{"n": 3}],
+    ),
+    (
+        "agg-count-empty-is-zero",
+        "agg",
+        "SELECT (COUNT(?o) AS ?n) WHERE { ?o ex:cust <http://ex/nobody> . }",
+        [{"n": 0}],
+    ),
+    (
+        "agg-implicit-group-all",
+        "agg",
+        "SELECT (SUM(?a) AS ?total) WHERE { ?o ex:amount ?a . }",
+        [{"total": 42}],
+    ),
+    # ---- §9 property paths ------------------------------------------
+    (
+        "path-sequence",
+        "paths",
+        "SELECT ?z WHERE { ex:a ex:p/ex:p ?z . }",
+        [{"z": C}],
+    ),
+    (
+        "path-alternative",
+        "paths",
+        "SELECT ?z WHERE { ex:a ex:p|ex:q ?z . }",
+        [{"z": B}, {"z": E}],
+    ),
+    (
+        "path-inverse",
+        "paths",
+        "SELECT ?x WHERE { ex:b ^ex:p ?x . }",
+        [{"x": A}, {"x": D}],
+    ),
+    (
+        "path-oneplus-cycle-no-dups",
+        "paths",
+        # b->c->d->b cycle: b+ reaches {c,d,b}, each once
+        "SELECT ?z WHERE { ex:b ex:p+ ?z . }",
+        [{"z": B}, {"z": C}, {"z": D}],
+    ),
+    (
+        "path-star-includes-zero-length",
+        "paths",
+        "SELECT ?z WHERE { ex:e ex:p* ?z . }",
+        [{"z": E}],  # no p-edges from e; zero-length still binds e
+    ),
+    (
+        "path-zero-or-one",
+        "paths",
+        "SELECT ?z WHERE { ex:a ex:p? ?z . }",
+        [{"z": A}, {"z": B}],
+    ),
+    (
+        "path-negated-property-set",
+        "paths",
+        "SELECT ?z WHERE { ex:a !(ex:q) ?z . }",
+        [{"z": B}],
+    ),
+    (
+        "path-sequence-with-inverse",
+        "paths",
+        # a --p--> b <--p-- d : siblings via p/^p (excluding nothing)
+        "SELECT ?x WHERE { ex:a ex:p/^ex:p ?x . }",
+        [{"x": A}, {"x": D}],
+    ),
+    # ---- §10.2 VALUES ------------------------------------------------
+    (
+        "values-inline-undef",
+        "people",
+        """SELECT ?x ?e WHERE { ?x ex:age ?a .
+             VALUES (?x ?e) { (ex:alice "alice@x.org") (ex:bob UNDEF) } }""",
+        [{"x": ALICE, "e": '"alice@x.org"'}, {"x": BOB, "e": None}],
+    ),
+    (
+        "values-join-compatibility",
+        "people",
+        # UNDEF joins with anything; a bound mismatch eliminates
+        """SELECT ?x ?e WHERE { ?x ex:email ?e .
+             VALUES (?x ?e) { (ex:alice UNDEF) (ex:bob "nope") } }""",
+        [{"x": ALICE, "e": '"alice@x.org"'}],
+    ),
+    # ---- §12 subqueries ----------------------------------------------
+    (
+        "subquery-agg-join",
+        "agg",
+        """SELECT ?o WHERE {
+             ?o ex:amount ?a .
+             { SELECT (MAX(?a2) AS ?a) WHERE { ?x ex:amount ?a2 } }
+           }""",
+        [{"o": "http://ex/o2"}],
+    ),
+    # ---- §15 solution modifiers --------------------------------------
+    (
+        "order-by-numeric-not-lexical",
+        "people",
+        "SELECT ?x WHERE { ?x ex:age ?a . FILTER(!ISBLANK(?x)) } ORDER BY ?a",
+        ("ordered", [{"x": CAROL}, {"x": BOB}, {"x": ALICE}]),
+    ),
+    (
+        "order-by-desc-limit-offset",
+        "people",
+        "SELECT ?x WHERE { ?x ex:age ?a . FILTER(!ISBLANK(?x)) } ORDER BY DESC(?a) LIMIT 1 OFFSET 1",
+        ("ordered", [{"x": BOB}]),
+    ),
+    (
+        "distinct-projection",
+        "agg",
+        "SELECT DISTINCT ?c WHERE { ?o ex:cust ?c . }",
+        [
+            {"c": "http://ex/c1"},
+            {"c": "http://ex/c2"},
+            {"c": "http://ex/c3"},
+        ],
+    ),
+    (
+        "select-expression",
+        "people",
+        "SELECT ?x ((?a + 1) * 2 AS ?v) WHERE { ex:bob ex:age ?a . BIND(ex:bob AS ?x) }",
+        [{"x": BOB, "v": 52}],
+    ),
+    # ---- §17.4 builtin functions over strings/numbers ----------------
+    (
+        "fn-strlen-ucase-substr",
+        "people",
+        """SELECT (STRLEN(?n) AS ?l) (UCASE(?n) AS ?u) (SUBSTR(?n, 1, 2) AS ?s2)
+           WHERE { ex:bob ex:name ?n . }""",
+        [{"l": 3, "u": "BOB", "s2": "Bo"}],
+    ),
+    (
+        "fn-concat-contains-strstarts",
+        "people",
+        """SELECT ?x WHERE { ?x ex:name ?n .
+             FILTER(STRSTARTS(?n, "Ca") && CONTAINS(?n, "aro") && STRENDS(?n, "ol")) }""",
+        [{"x": CAROL}],
+    ),
+    (
+        "fn-numeric-abs-ceil-floor-round",
+        "one",
+        """SELECT (ABS(-2) AS ?a) (CEIL(1.2) AS ?c) (FLOOR(1.8) AS ?f) (ROUND(1.5) AS ?r)
+           WHERE { ?s ?p ?o . }""",
+        [{"a": 2, "c": 2, "f": 1, "r": 2}],
+    ),
+    (
+        "fn-datatype-and-str",
+        "people",
+        "SELECT (DATATYPE(?a) AS ?dt) (STR(?a) AS ?sv) WHERE { ex:bob ex:age ?a . }",
+        [{"dt": f"{XSD}integer", "sv": "25"}],
+    ),
+    (
+        "fn-coalesce-unbound",
+        "people",
+        """SELECT ?x (COALESCE(?e, "none") AS ?v) WHERE {
+             ?x ex:knows ?y . OPTIONAL { ?x ex:email ?e } }""",
+        [{"x": ALICE, "v": "alice@x.org"}, {"x": BOB, "v": "none"}],
+    ),
+    # ---- ASK ----------------------------------------------------------
+    (
+        "ask-true",
+        "people",
+        "ASK { ex:alice ex:knows ex:bob }",
+        ("ask", True),
+    ),
+    (
+        "ask-false",
+        "people",
+        "ASK { ex:bob ex:knows ex:alice }",
+        ("ask", False),
+    ),
+]
+
+#: known-unsupported corners, name -> reason (none currently — every
+#: authored case must pass; populate with a reason if a documented
+#: engine deviation ever lands here)
+SKIP: dict[str, str] = {}
+
+
+def _norm(v):
+    """Normalize a collected Spark value for comparison: Decimals to
+    float/int, everything else as-is."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return int(f) if f.is_integer() else f
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
+
+def _row_key(d: dict) -> tuple:
+    return tuple(sorted((k, _norm(v)) for k, v in d.items()))
+
+
+@pytest.mark.parametrize(
+    "name,dataset,query,expect",
+    CASES,
+    ids=[c[0] for c in CASES],
+)
+def test_w3c_case(graphs, name, dataset, query, expect):
+    if name in SKIP:
+        pytest.skip(SKIP[name])
+    g = graphs[dataset]
+    df = g.sparql(PREFIX + query)
+    if isinstance(expect, tuple) and expect[0] == "ask":
+        assert df.collect()[0][0] is expect[1]
+        return
+    rows = [r.asDict() for r in df.collect()]
+    if isinstance(expect, tuple) and expect[0] == "ordered":
+        want = expect[1]
+        got = [{k: _norm(r[k]) for k in w} for r, w in zip(rows, want)]
+        assert len(rows) == len(want) and got == [
+            {k: _norm(v) for k, v in w.items()} for w in want
+        ], (got, want)
+        return
+    # set-valued cells (e.g. GROUP_CONCAT order) match any member
+    def matches(row: dict, want: dict) -> bool:
+        if set(row) != set(want):
+            return False
+        for k, wv in want.items():
+            gv = _norm(row[k])
+            if isinstance(wv, set):
+                if gv not in {_norm(x) for x in wv}:
+                    return False
+            elif gv != _norm(wv):
+                return False
+        return True
+
+    assert len(rows) == len(expect), (rows, expect)
+    unmatched = list(expect)
+    for r in rows:
+        hit = next((w for w in unmatched if matches(r, w)), None)
+        assert hit is not None, (r, unmatched)
+        unmatched.remove(hit)
+    assert not unmatched
+
+
+def test_every_case_has_unique_name():
+    names = [c[0] for c in CASES]
+    assert len(names) == len(set(names))
