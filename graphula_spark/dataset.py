@@ -213,7 +213,9 @@ class Dataset:
         # the closure may have grown the dictionary (rdf:type injection
         # on type-free data); the target graph name must be a term too
         d2 = closed.dictionary.union(
-            self.spark.createDataFrame([(target,)], ["value"])
+            self.spark.range(0, 1, 1, 1).select(
+                F.lit(target).alias("value")
+            )
         )
         gid = d2.lookup_terms([target])[target]
         # derived is already distinct (the closure dedups; the anti-join
@@ -388,7 +390,9 @@ class Dataset:
                 d2 = out.dictionary
             else:
                 d2 = out.dictionary.union(
-                    self.spark.createDataFrame([(dst,)], "value string")
+                    self.spark.range(0, 1, 1, 1).select(
+                        F.lit(dst).alias("value")
+                    )
                 )
                 gid = d2.lookup_terms([dst])[dst]
                 moved = src_triples.withColumn("g", F.lit(gid))

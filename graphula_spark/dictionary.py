@@ -98,7 +98,9 @@ class Dictionary:
 
     @classmethod
     def empty(cls, spark: SparkSession) -> "Dictionary":
-        return cls(spark, spark.createDataFrame([], DICT_SCHEMA), exceptions=[])
+        from graphula_spark.literal import empty_df
+
+        return cls(spark, empty_df(spark, "id long, value string"), exceptions=[])
 
     @staticmethod
     def _assign_ids(
@@ -272,9 +274,11 @@ class Dictionary:
         ).otherwise(term_id_col(F.col(col)))
         if not exc:
             return df.withColumn(out, raw)
+        from graphula_spark.literal import literal_df
+
         patch = F.broadcast(
-            self.spark.createDataFrame(
-                [(i, v) for (v, i) in exc], DICT_SCHEMA
+            literal_df(
+                self.spark, [(i, v) for (v, i) in exc], "id long, value string"
             ).select(
                 F.col("value").alias(col), F.col("id").alias(f"__exc_{out}")
             )

@@ -1,0 +1,99 @@
+"""Driver-built literal DataFrames as pure Catalyst plans.
+
+``spark.createDataFrame(python_list)`` routes through RDD parallelize:
+every slice is a pickled partition that needs a PYTHON WORKER task to
+deserialize. For the driver-sized relations this engine embeds in
+query plans (VALUES blocks, ASK results, broadcast model tables,
+schema closures, domain lists), that is pure overhead — profiling the
+RDFS closure showed each such task costing seconds of worker startup
+and recurring as the straggler of every stage it appeared in (see
+operators/rdfs.py round-6 notes).
+
+``literal_df`` builds the same relation as an ``inline`` of an
+array-of-structs LITERAL over a one-row range: the plan never leaves
+the JVM, constant-folds, and is one partition by construction — the
+right shape for something that exists to be broadcast. Above
+``MAX_LITERAL_ROWS`` the literal plan's analysis cost stops being a
+win and it falls back to a single-partition parallelized DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: above this many rows, fall back to a parallelized DataFrame. The
+#: SQL-string literal's parse/analysis cost grows with row count;
+#: measured per-query cost on a broadcast-join consumer: 0.26s at 256
+#: rows and 0.33s at 1024 (beats warm parallelize ~0.4s) but 1.3s at
+#: 8192 (loses). Cold sessions tilt further toward the literal — a
+#: parallelize task can cost seconds of Python-worker startup.
+MAX_LITERAL_ROWS = 1024
+
+
+def _parse_schema(schema) -> list[tuple[str, str]]:
+    if isinstance(schema, str):
+        out = []
+        for part in schema.split(","):
+            name, typ = part.strip().split(None, 1)
+            out.append((name, typ.strip()))
+        return out
+    return [(n, t) for n, t in schema]
+
+
+def _sql_value(v, typ: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return f"CAST({v!r} AS {typ})"
+    if isinstance(v, str):
+        esc = (
+            v.replace("\\", "\\\\")
+            .replace("'", "\\'")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+        return f"CAST('{esc}' AS {typ})"
+    raise TypeError(f"unsupported literal value {v!r} for literal_df")
+
+
+def literal_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """``rows``: list of tuples of plain Python values (None allowed);
+    ``schema``: ``"name type, name type"`` or ``[(name, type), ...]``
+    with Spark SQL type names. Returns a one-partition DataFrame whose
+    plan is a JVM-side literal (no Python-worker parallelize task).
+
+    The plan is built as ONE ``F.expr`` string — building it from
+    ``F.struct(F.lit(...).cast(...))`` calls costs a py4j round-trip
+    per expression node (~ms each), which at a few hundred rows
+    dominated the queries embedding the literal (measured ~7ms/row per
+    query); a single SQL string parses JVM-side in microseconds."""
+    cols = _parse_schema(schema)
+    if not rows:
+        return empty_df(spark, cols)
+    if len(rows) > MAX_LITERAL_ROWS:
+        schema_str = ", ".join(f"{n} {t}" for n, t in cols)
+        return spark.createDataFrame(rows, schema_str)
+    structs = ", ".join(
+        "named_struct("
+        + ", ".join(
+            f"'{n}', {_sql_value(v, t)}" for v, (n, t) in zip(row, cols)
+        )
+        + ")"
+        for row in rows
+    )
+    return spark.range(0, 1, 1, 1).select(
+        F.expr(f"inline(array({structs}))")
+    )
+
+
+def empty_df(spark: SparkSession, schema) -> DataFrame:
+    """Zero-row DataFrame with the given schema, as a JVM-side plan
+    (one empty partition; no RDD parallelize)."""
+    cols = _parse_schema(schema)
+    return spark.range(0, 0, 1, 1).select(
+        *[F.lit(None).cast(t).alias(n) for n, t in cols]
+    )

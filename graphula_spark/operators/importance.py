@@ -152,8 +152,10 @@ def importance_weights(
         )
         for b in set(rc) | set(tc)
     ]
-    ratio = raw.sparkSession.createDataFrame(
-        sorted(ratio_rows), ["bucket", "log_ratio"]
+    from graphula_spark.literal import literal_df
+
+    ratio = literal_df(
+        raw.sparkSession, sorted(ratio_rows), "bucket long, log_ratio double"
     )
     exploded = raw.select(
         F.col(id_col),
@@ -247,8 +249,10 @@ def importance_weights_subset(
         )
         for r in counts
     ]
-    ratio = df.sparkSession.createDataFrame(
-        sorted(ratio_rows), ["bucket", "log_ratio"]
+    from graphula_spark.literal import literal_df
+
+    ratio = literal_df(
+        df.sparkSession, sorted(ratio_rows), "bucket long, log_ratio double"
     )
     exploded = tagged.select(
         F.col(id_col), F.explode_outer("__b").alias("bucket")
@@ -384,7 +388,9 @@ def importance_weights_from_model(
         )
         for r in merged
     ]
-    ratio = spark.createDataFrame(sorted(ratio_rows), ["bucket", "log_ratio"])
+    from graphula_spark.literal import literal_df
+
+    ratio = literal_df(spark, sorted(ratio_rows), "bucket long, log_ratio double")
     exploded = df.select(
         F.col(id_col),
         F.explode_outer(

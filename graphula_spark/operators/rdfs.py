@@ -63,32 +63,16 @@ def _bounded_collect(df: DataFrame, what: str) -> list:
     return rows
 
 
-#: above this many rows a literal plan stops being a win — fall back
-#: to a parallelized DataFrame (analysis cost grows with literal count)
-MAX_LITERAL_ROWS = 20_000
-
-
 def _literal_df(spark, rows: list[tuple], cols: list[str]) -> DataFrame:
-    """Schema-sized relation of dictionary ids as a PURE CATALYST plan:
-    ``inline`` of an array-of-structs literal over a one-row range.
+    """Schema-sized relation of dictionary ids as a PURE CATALYST plan
+    (graphula_spark.literal) — createDataFrame's Python-worker
+    parallelize tasks recurred in several closure-plan branches and
+    were the straggler of every stage (~4.5s/task observed); a literal
+    plan never leaves the JVM. Ids cast to long (the dictionary's id
+    type)."""
+    from graphula_spark.literal import literal_df
 
-    ``spark.createDataFrame(list)`` parallelizes through a Python
-    worker — one pickle/deserialize task per literal, and in this
-    engine's closure plans those literals recur in several branches,
-    so worker startup became the straggler of every stage (~4.5s/task
-    observed). A literal plan never leaves the JVM, constant-folds,
-    and is one partition by construction. Ids are cast to long (the
-    dictionary's id type) so struct types unify regardless of the
-    Python ints' magnitudes."""
-    if len(rows) > MAX_LITERAL_ROWS:  # rare: giant ontology, still bounded
-        return spark.createDataFrame(rows, cols).coalesce(1)
-    structs = [
-        F.struct(
-            *[F.lit(v).cast("long").alias(c) for v, c in zip(r, cols)]
-        )
-        for r in rows
-    ]
-    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+    return literal_df(spark, rows, [(c, "long") for c in cols])
 
 
 def _transitive_closure(edges: set[tuple[int, int]]) -> set[tuple[int, int]]:
@@ -160,7 +144,9 @@ def materialize(graph) -> "Graph":  # noqa: F821 - avoids circular import
         # the data asserts no rdf:type triple at all, but domain/range
         # rules are about to derive some — the type term must enter the
         # dictionary first
-        d = d.union(spark.createDataFrame([(RDF_TYPE,)], ["value"]))
+        d = d.union(
+            spark.range(0, 1, 1, 1).select(F.lit(RDF_TYPE).alias("value"))
+        )
         type_id = d.lookup_terms([RDF_TYPE])[RDF_TYPE]
 
     def bmap(pairs: set[tuple[int, int]], a: str, b: str) -> DataFrame | None:

@@ -288,7 +288,11 @@ def filter_domains(
         raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
     spark = df.sparkSession
     if isinstance(domains, list):
-        dom = spark.createDataFrame([(d.lower(),) for d in domains], ["__domain"])
+        from graphula_spark.literal import literal_df
+
+        dom = literal_df(
+            spark, [(d.lower(),) for d in domains], "__domain string"
+        )
     else:
         c = domains.columns[0]
         dom = domains.select(F.lower(F.col(c)).alias("__domain"))

@@ -151,8 +151,10 @@ class BgpStats:
         po_src = triples
         if len(by_pred) > cls.PO_PRED_CAP:
             heavy = sorted(by_pred, key=lambda p: -by_pred[p][0])[: cls.PO_PRED_CAP]
-            heavy_df = triples.sparkSession.createDataFrame(
-                [(p,) for p in heavy], "p long"
+            from graphula_spark.literal import literal_df
+
+            heavy_df = literal_df(
+                triples.sparkSession, [(p,) for p in heavy], "p long"
             )
             po_src = triples.join(F.broadcast(heavy_df), "p", "left_semi")
         w = Window.partitionBy("p").orderBy(F.col("cnt").desc(), F.col("o").asc())
@@ -611,11 +613,9 @@ def execute_bgp(
     """
     spark = triples.sparkSession
     all_vars = sorted({v for pat in patterns for _, v in pat.vars()})
-    from pyspark.sql.types import LongType, StructField, StructType
+    from graphula_spark.literal import empty_df
 
-    empty = spark.createDataFrame(
-        [], StructType([StructField(v, LongType(), True) for v in all_vars])
-    )
+    empty = empty_df(spark, [(v, "long") for v in all_vars])
     if not patterns:
         return empty
 

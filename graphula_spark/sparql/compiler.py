@@ -832,10 +832,12 @@ class Compiler:
                     sentinel -= 1
                     out_row.append(sentinel)  # unknown term: joins with nothing
             data.append(tuple(out_row))
-        from pyspark.sql.types import LongType, StructField, StructType
+        from graphula_spark.literal import literal_df
 
-        schema = StructType([StructField(name, LongType(), True) for name in v.vars])
-        df = self.spark.createDataFrame(data, schema)
+        # JVM-side literal plan: a VALUES block is part of every
+        # execution of the query — a parallelized DataFrame here would
+        # add a Python-worker task per run (see literal.py)
+        df = literal_df(self.spark, data, [(name, "long") for name in v.vars])
         undef_vars = {
             name
             for i, name in enumerate(v.vars)

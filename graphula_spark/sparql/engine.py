@@ -35,7 +35,10 @@ def execute_sparql(graph, query: str, dataset=None, parsed=None) -> DataFrame:
     if isinstance(q, A.AskQuery):
         sol = c.compile_group(q.where)
         exists = sol.df.limit(1).count() > 0
-        return graph.spark.createDataFrame([(exists,)], "ask boolean")
+        # one-row JVM literal (no Python parallelize task per ASK)
+        return graph.spark.range(0, 1, 1, 1).select(
+            F.lit(exists).alias("ask")
+        )
     if isinstance(q, A.ConstructQuery):
         return _execute_construct(graph, c, q)
     if isinstance(q, A.DescribeQuery):
@@ -98,9 +101,11 @@ def execute_update(graph, update: str):
                 p.next()
         from graphula_spark.graph import Graph
 
+        from graphula_spark.literal import empty_df
+
         return Graph.from_string_triples(
             graph.spark,
-            graph.spark.createDataFrame([], "s string, p string, o string"),
+            empty_df(graph.spark, "s string, p string, o string"),
             cache=False,
         )
     if word == "LOAD":
@@ -133,8 +138,12 @@ def _ground_update(graph, p, mode: str):
         for t in pat:
             if isinstance(t, Var):
                 raise SyntaxError("INSERT/DELETE DATA requires ground triples")
-    df = graph.spark.createDataFrame(
-        [(pat.s, pat.p, pat.o) for pat in patterns], "s string, p string, o string"
+    from graphula_spark.literal import literal_df
+
+    df = literal_df(
+        graph.spark,
+        [(pat.s, pat.p, pat.o) for pat in patterns],
+        "s string, p string, o string",
     )
     if mode == "insert":
         return graph.add_string_triples(df)
@@ -202,7 +211,9 @@ def _instantiate_template(graph, c: Compiler, sol: Solution, template) -> DataFr
             F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
         ))
     if not parts:
-        return graph.spark.createDataFrame([], "s string, p string, o string")
+        from graphula_spark.literal import empty_df
+
+        return empty_df(graph.spark, "s string, p string, o string")
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)
@@ -245,9 +256,9 @@ def _execute_describe(graph, c: Compiler, q: A.DescribeQuery) -> DataFrame:
     if iris:
         ids = graph.dictionary.lookup_terms(iris)
         found = [ids[i] for i in iris if i in ids]
-        subjects = spark.createDataFrame(
-            [(i,) for i in found] or [], "s bigint"
-        )
+        from graphula_spark.literal import literal_df
+
+        subjects = literal_df(spark, [(i,) for i in found], "s bigint")
     if var_terms and q.where is not None:
         sol = c.compile_group(q.where)
         for v in var_terms:
@@ -255,7 +266,9 @@ def _execute_describe(graph, c: Compiler, q: A.DescribeQuery) -> DataFrame:
                 part = sol.df.select(F.col(v.name).alias("s")).distinct()
                 subjects = part if subjects is None else subjects.unionByName(part)
     if subjects is None:
-        return spark.createDataFrame([], "s string, p string, o string")
+        from graphula_spark.literal import empty_df
+
+        return empty_df(spark, "s string, p string, o string")
     subjects = subjects.distinct()
     triples = graph.triples.join(subjects, "s", "left_semi").select(
         "s", "p", "o"
