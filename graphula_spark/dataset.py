@@ -333,12 +333,11 @@ class Dataset:
             p.next()
             p.expect_kw("DATA")
             rows = _parse_quad_data(p)
-            from pyspark.sql.types import StringType, StructField, StructType
+            from graphula_spark.literal import literal_df
 
-            schema = StructType(
-                [StructField(c, StringType(), True) for c in ("s", "p", "o", "g")]
+            df = literal_df(
+                self.spark, rows, "s string, p string, o string, g string"
             )
-            df = self.spark.createDataFrame(rows, schema)
             if word == "INSERT":
                 return self.add_string_quads(df)
             return self.delete_string_quads(df)

@@ -313,10 +313,21 @@ class Compiler:
                 return None
             raise
         cols = sorted({v for r in rows for v in r})
-        schema = StructType([StructField(c, StringType(), True) for c in cols])
-        df = self.graph.spark.createDataFrame(
-            [tuple(r.get(c) for c in cols) for r in rows], schema
-        )
+        if not cols:
+            # var-less unit solutions (e.g. a fully-bound remote group)
+            df = self.graph.spark.createDataFrame(
+                [tuple() for _ in rows], StructType([])
+            )
+        else:
+            from graphula_spark.literal import literal_df
+
+            # JVM literal for the common small-result case; literal_df
+            # falls back to parallelize above its row cap
+            df = literal_df(
+                self.graph.spark,
+                [tuple(r.get(c) for c in cols) for r in rows],
+                [(c, "string") for c in cols],
+            )
         unbound = {c for c in cols if any(r.get(c) is None for r in rows)}
         return Solution(df, val_vars=set(cols), maybe_unbound=unbound)
 

@@ -1,0 +1,57 @@
+"""graphula_spark.literal — JVM-side literal relations.
+
+These guard the properties the query compiler leans on: values
+round-trip exactly (including SQL-hostile strings and NULLs), the
+plan is RDD-free below the cap (no Python-worker parallelize task),
+one partition by construction, and the over-cap fallback still
+returns identical data.
+"""
+
+import pytest
+
+from graphula_spark import literal as L
+from graphula_spark.literal import empty_df, literal_df
+
+
+def test_values_round_trip_exactly(spark):
+    rows = [
+        (1, "plain", 1.5, True),
+        (None, None, None, None),
+        (-7, "quote ' backslash \\ nl \n tab \t", 0.0, False),
+        (2**40, "unicode ✓ κλμ", -2.25, True),
+    ]
+    df = literal_df(
+        spark, rows, "k long, s string, x double, b boolean"
+    )
+    assert [tuple(r) for r in df.collect()] == rows
+    assert df.schema.simpleString() == (
+        "struct<k:bigint,s:string,x:double,b:boolean>"
+    )
+
+
+def test_plan_is_rdd_free_and_single_partition(spark):
+    df = literal_df(spark, [(1, "a"), (2, "b")], "k long, v string")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # an RDD-backed (parallelized) plan shows as LogicalRDD / ExistingRDD
+    assert "LogicalRDD" not in plan and "ExistingRDD" not in plan
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_over_cap_fallback_same_data(spark, monkeypatch):
+    monkeypatch.setattr(L, "MAX_LITERAL_ROWS", 3)
+    rows = [(i, f"v{i}") for i in range(10)]
+    df = literal_df(spark, rows, "k long, v string")
+    assert sorted(tuple(r) for r in df.collect()) == rows
+
+
+def test_empty_df_schema_and_zero_rows(spark):
+    df = empty_df(spark, "a string, b long")
+    assert df.count() == 0
+    assert df.schema.simpleString() == "struct<a:string,b:bigint>"
+    # empty rows through literal_df hit the same path
+    assert literal_df(spark, [], "a string, b long").count() == 0
+
+
+def test_unsupported_value_type_raises(spark):
+    with pytest.raises(TypeError, match="unsupported literal value"):
+        literal_df(spark, [([1, 2],)], "a string").collect()
