@@ -1093,7 +1093,17 @@ class Compiler:
         if f == "SHA256":
             return sol, CE(F.sha2(args[0].val, 256))
         if f == "ENCODE_FOR_URI":
-            return sol, CE(F.url_encode(args[0].val))
+            # XPath fn:encode-for-uri percent-encodes with unreserved
+            # set A-Za-z0-9-_.~; Spark's url_encode is Java FORM
+            # encoding, which differs in exactly three places: space
+            # -> '+' (spec %20), '*' left bare (spec %2A), '~' ->
+            # %7E (spec bare). A literal '+' in the input is already
+            # %2B by then, so the replacements are unambiguous.
+            enc = F.url_encode(args[0].val)
+            enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+            enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+            enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+            return sol, CE(enc)
         if f in ("YEAR", "MONTH", "DAY"):
             # XSD component semantics: read the lexical form directly
             # (to_timestamp would shift zone-offset literals into the

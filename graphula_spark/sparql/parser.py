@@ -316,6 +316,10 @@ class Parser:
                         self.expect_op(")")
                     else:
                         break
+                if not order_by:
+                    raise SyntaxError(
+                        "ORDER BY requires at least one ordering key"
+                    )
             elif w == "LIMIT":
                 self.next()
                 limit = int(self.next().text)
@@ -487,6 +491,11 @@ class Parser:
                 row = []
                 while not self.eat_op(")"):
                     row.append(self.parse_values_term())
+                if len(row) != len(vars_):
+                    raise SyntaxError(
+                        f"VALUES row has {len(row)} terms for "
+                        f"{len(vars_)} variables"
+                    )
                 rows.append(row)
             self.expect_op("}")
         else:

@@ -88,12 +88,33 @@ DATA_ONE = """
 <http://ex/a> <http://ex/b> <http://ex/c> .
 """.strip()
 
+DATA_STR = """
+<http://ex/s1> <http://ex/v> "abcab" .
+<http://ex/s2> <http://ex/v> "Los Angeles" .
+<http://ex/s3> <http://ex/n> "12"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex/s4> <http://ex/n> "notnum" .
+<http://ex/t1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/Widget> .
+""".strip()
+
 DATASETS = {
     "people": DATA_PEOPLE,
     "paths": DATA_PATHS,
     "agg": DATA_AGG,
     "one": DATA_ONE,
+    "str": DATA_STR,
 }
+
+#: quad datasets evaluated through Dataset.sparql (named graphs /
+#: GRAPH / FROM / FROM NAMED — SPARQL 1.1 §13); g=None is the default
+#: graph
+QUADS = [
+    ("http://ex/alice", "http://ex/knows", "http://ex/bob", None),
+    ("http://ex/bob", "http://ex/knows", "http://ex/carol", "http://ex/g1"),
+    ("http://ex/carol", "http://ex/knows", "http://ex/dave", "http://ex/g2"),
+    # same triple asserted in BOTH named graphs (merge must dedup)
+    ("http://ex/x", "http://ex/dup", "http://ex/y", "http://ex/g1"),
+    ("http://ex/x", "http://ex/dup", "http://ex/y", "http://ex/g2"),
+]
 
 _GRAPHS: dict[str, Graph] = {}
 
@@ -116,9 +137,16 @@ def graphs(spark, tmp_path_factory):
             # documented scale deviation (graph.py)
             g.strict_zero_length_paths = True
             _GRAPHS[key] = g
+    if "quads" not in _GRAPHS:
+        from graphula_spark.dataset import Dataset
+
+        _GRAPHS["quads"] = Dataset.from_string_quads(
+            spark, spark.createDataFrame(QUADS, ["s", "p", "o", "g"])
+        )
     yield _GRAPHS
     for g in _GRAPHS.values():
-        g.triples.unpersist()
+        if hasattr(g, "triples"):
+            g.triples.unpersist()
         g.dictionary.df.unpersist()
     _GRAPHS.clear()
 
@@ -523,6 +551,144 @@ CASES = [
              ?x ex:knows ?y . OPTIONAL { ?x ex:email ?e } }""",
         [{"x": ALICE, "v": "alice@x.org"}, {"x": BOB, "v": "none"}],
     ),
+    # ---- §13 named graphs / RDF datasets (Dataset.sparql) -----------
+    (
+        "graph-var-enumerates-named-graphs-only",
+        "quads",
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:knows ?o } }",
+        [
+            {"g": "http://ex/g1", "s": BOB},
+            {"g": "http://ex/g2", "s": CAROL},
+        ],
+    ),
+    (
+        "graph-iri-scopes-to-one-graph",
+        "quads",
+        "SELECT ?s WHERE { GRAPH <http://ex/g1> { ?s ex:knows ?o } }",
+        [{"s": BOB}],
+    ),
+    (
+        "default-graph-excludes-named-triples",
+        "quads",
+        "SELECT ?s WHERE { ?s ex:knows ?o }",
+        [{"s": ALICE}],
+    ),
+    (
+        "from-merge-dedups-shared-triple",
+        "quads",
+        """SELECT ?x FROM <http://ex/g1> FROM <http://ex/g2>
+           WHERE { ?x ex:dup ?y }""",
+        [{"x": "http://ex/x"}],  # asserted in both graphs; merge = set
+    ),
+    (
+        "from-named-restricts-graph-enumeration",
+        "quads",
+        """SELECT ?g ?s FROM NAMED <http://ex/g2>
+           WHERE { GRAPH ?g { ?s ex:knows ?o } }""",
+        [{"g": "http://ex/g2", "s": CAROL}],
+    ),
+    (
+        "graph-joins-with-default-graph",
+        "quads",
+        """SELECT ?c WHERE {
+             ?a ex:knows ?b . GRAPH <http://ex/g1> { ?b ex:knows ?c } }""",
+        [{"c": CAROL}],
+    ),
+    # ---- §10.1 CONSTRUCT --------------------------------------------
+    (
+        "construct-template-instantiation",
+        "people",
+        """CONSTRUCT { ?x <http://ex/aged> ?a }
+           WHERE { ?x ex:age ?a . FILTER(?a > 26) }""",
+        [
+            {"s": ALICE, "p": "http://ex/aged", "o": f'"30"{INT}'},
+            {"s": "_:b1", "p": "http://ex/aged", "o": f'"40"{INT}'},
+        ],
+    ),
+    # ---- rdf:type shorthand -----------------------------------------
+    (
+        "a-keyword-is-rdf-type",
+        "str",
+        "SELECT ?t WHERE { ?t a <http://ex/Widget> }",
+        [{"t": "http://ex/t1"}],
+    ),
+    # ---- more §17.4 builtins ----------------------------------------
+    (
+        "fn-replace",
+        "str",
+        """SELECT (REPLACE(?v, "b", "Z") AS ?r)
+           WHERE { <http://ex/s1> <http://ex/v> ?v }""",
+        [{"r": "aZcaZ"}],
+    ),
+    (
+        "fn-strbefore-strafter-and-no-match",
+        "str",
+        """SELECT (STRBEFORE(?v, "c") AS ?b) (STRAFTER(?v, "c") AS ?a)
+                  (STRBEFORE(?v, "xyz") AS ?none)
+           WHERE { <http://ex/s1> <http://ex/v> ?v }""",
+        [{"b": "ab", "a": "ab", "none": ""}],
+    ),
+    (
+        "fn-encode-for-uri",
+        "str",
+        """SELECT (ENCODE_FOR_URI(?v) AS ?e)
+           WHERE { <http://ex/s2> <http://ex/v> ?v }""",
+        [{"e": "Los%20Angeles"}],
+    ),
+    (
+        "fn-md5-sha256-known-vectors",
+        "one",
+        'SELECT (MD5("abc") AS ?m) (SHA256("abc") AS ?s) WHERE { ?x ?p ?o }',
+        [
+            {
+                "m": "900150983cd24fb0d6963f7d28e17f72",
+                "s": (
+                    "ba7816bf8f01cfea414140de5dae2223"
+                    "b00361a396177a9cb410ff61f20015ad"
+                ),
+            }
+        ],
+    ),
+    (
+        "fn-isnumeric",
+        "str",
+        "SELECT ?s WHERE { ?s <http://ex/n> ?n . FILTER(ISNUMERIC(?n)) }",
+        [{"s": "http://ex/s3"}],
+    ),
+    (
+        "fn-iri-constructor-comparison",
+        "str",
+        """SELECT ?v WHERE { ?s <http://ex/v> ?v .
+             FILTER(?s = IRI("http://ex/s1")) }""",
+        [{"v": '"abcab"'}],
+    ),
+    # ---- §9 property-path compositions ------------------------------
+    (
+        "path-alt-of-sequences",
+        "paths",
+        "SELECT ?z WHERE { ex:a (ex:p/ex:p)|ex:q ?z . }",
+        [{"z": C}, {"z": E}],
+    ),
+    (
+        "path-star-over-alternative",
+        "paths",
+        # from e: zero-length e; r reaches f; q reaches nothing from e
+        "SELECT ?z WHERE { ex:e (ex:q|ex:r)* ?z . }",
+        [{"z": E}, {"z": F_}],
+    ),
+    (
+        "path-negated-set-multiple-members",
+        "paths",
+        "SELECT ?z WHERE { ex:a !(ex:q|ex:r) ?z . }",
+        [{"z": B}],
+    ),
+    (
+        "path-plus-of-inverse",
+        "paths",
+        # ^p steps: d<-c<-b<-{a,d}; closure visits the b/c/d cycle + a
+        "SELECT ?z WHERE { ex:d (^ex:p)+ ?z . }",
+        [{"z": A}, {"z": B}, {"z": C}, {"z": D}],
+    ),
     # ---- ASK ----------------------------------------------------------
     (
         "ask-true",
@@ -607,3 +773,28 @@ def test_w3c_case(graphs, name, dataset, query, expect):
 def test_every_case_has_unique_name():
     names = [c[0] for c in CASES]
     assert len(names) == len(set(names))
+
+
+# ---------------------------------------------------------------------
+# negative syntax (W3C syntax-test style): malformed queries must fail
+# at parse, not produce wrong answers
+# ---------------------------------------------------------------------
+
+BAD_SYNTAX = [
+    ("unclosed-group", "SELECT ?x WHERE { ?x ?p ?o "),
+    ("triple-missing-object", "SELECT ?x WHERE { ?x <http://ex/p> . }"),
+    ("filter-unbalanced-parens", "SELECT ?x WHERE { ?x ?p ?o FILTER((?x) }"),
+    ("values-arity-mismatch", '''SELECT * WHERE {
+        VALUES (?a ?b) { ("x") } ?s ?p ?o }'''),
+    ("order-by-nothing", "SELECT ?x WHERE { ?x ?p ?o } ORDER BY"),
+]
+
+
+@pytest.mark.parametrize(
+    "name,query", BAD_SYNTAX, ids=[n for n, _ in BAD_SYNTAX]
+)
+def test_bad_syntax_raises(graphs, name, query):
+    from graphula_spark.sparql.parser import parse_sparql
+
+    with pytest.raises((SyntaxError, NotImplementedError)):
+        parse_sparql(query)
