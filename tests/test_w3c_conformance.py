@@ -689,6 +689,78 @@ CASES = [
         "SELECT ?z WHERE { ex:d (^ex:p)+ ?z . }",
         [{"z": A}, {"z": B}, {"z": C}, {"z": D}],
     ),
+    # ---- batch 3: scoping / modifiers / corner compositions ----------
+    (
+        "optional-nested",
+        "people",
+        """SELECT ?x ?y ?z ?w WHERE { ?x ex:knows ?y .
+             OPTIONAL { ?y ex:knows ?z OPTIONAL { ?z ex:knows ?w } } }""",
+        [
+            {"x": ALICE, "y": BOB, "z": CAROL, "w": None},
+            {"x": BOB, "y": CAROL, "z": None, "w": None},
+        ],
+    ),
+    (
+        "group-by-bound-expression-var",
+        "people",
+        """SELECT ?k (COUNT(*) AS ?n) WHERE {
+             ?x ex:age ?a . BIND(?a > 10 AS ?k) } GROUP BY ?k""",
+        [{"k": True, "n": 3}, {"k": False, "n": 1}],
+    ),
+    (
+        "order-by-two-keys-with-ties",
+        "agg",
+        "SELECT ?o WHERE { ?o ex:cust ?c } ORDER BY ?c DESC(?o)",
+        (
+            "ordered",
+            [
+                {"o": "http://ex/o2"},
+                {"o": "http://ex/o1"},
+                {"o": "http://ex/o4"},
+                {"o": "http://ex/o3"},
+                {"o": "http://ex/o5"},
+            ],
+        ),
+    ),
+    (
+        "union-filter-scoped-to-branch",
+        "people",
+        """SELECT ?x WHERE {
+             { ?x ex:age ?a . FILTER(?a < 10) } UNION { ?x ex:email ?e } }""",
+        [{"x": CAROL}, {"x": ALICE}],
+    ),
+    (
+        "minus-with-inner-filter",
+        "people",
+        """SELECT ?x WHERE { ?x ex:age ?a
+             MINUS { ?x ex:age ?b . FILTER(?b > 26) } }""",
+        [{"x": BOB}, {"x": CAROL}],
+    ),
+    (
+        "subquery-order-limit-joins-outer",
+        "people",
+        """SELECT ?s WHERE { ?s ex:age ?a .
+             { SELECT ?a WHERE { ?x ex:age ?a } ORDER BY DESC(?a) LIMIT 1 } }""",
+        [{"s": "_:b1"}],
+    ),
+    (
+        "trailing-values-clause",
+        "people",
+        "SELECT ?x WHERE { ?x ex:age ?a } VALUES ?x { ex:alice }",
+        [{"x": ALICE}],
+    ),
+    (
+        "langmatches-star-excludes-plain",
+        "people",
+        'SELECT ?n WHERE { ex:alice ex:name ?n . FILTER(LANGMATCHES(LANG(?n), "*")) }',
+        [{"n": '"Alicia"@es'}],
+    ),
+    (
+        "strlang-lang-roundtrip",
+        "one",
+        'SELECT (LANG(STRLANG("x", "en")) AS ?l) WHERE { ?s ?p ?o }',
+        [{"l": "en"}],
+    ),
     # ---- ASK ----------------------------------------------------------
     (
         "ask-true",
