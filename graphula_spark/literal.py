@@ -46,6 +46,11 @@ def _sql_value(v, typ: str) -> str:
         return f"CAST(NULL AS {typ})"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        # repr() gives 'nan'/'inf', which CAST does not parse (and ANSI
+        # mode errors); Spark accepts these spellings
+        word = "NaN" if v != v else ("Infinity" if v > 0 else "-Infinity")
+        return f"CAST('{word}' AS {typ})"
     if isinstance(v, (int, float)):
         return f"CAST({v!r} AS {typ})"
     if isinstance(v, str):

@@ -52,6 +52,23 @@ def test_empty_df_schema_and_zero_rows(spark):
     assert literal_df(spark, [], "a string, b long").count() == 0
 
 
+def test_non_finite_floats_round_trip(spark):
+    import math
+
+    rows = [
+        (float("inf"),),
+        (float("-inf"),),
+        (float("nan"),),
+        (1.5,),
+    ]
+    got = [
+        r[0]
+        for r in literal_df(spark, rows, "x double").collect()
+    ]
+    assert got[0] == float("inf") and got[1] == float("-inf")
+    assert math.isnan(got[2]) and got[3] == 1.5
+
+
 def test_unsupported_value_type_raises(spark):
     with pytest.raises(TypeError, match="unsupported literal value"):
         literal_df(spark, [([1, 2],)], "a string").collect()
