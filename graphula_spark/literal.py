@@ -31,10 +31,28 @@ from pyspark.sql import functions as F
 MAX_LITERAL_ROWS = 1024
 
 
+def _split_top_level(schema: str) -> list[str]:
+    """Split a schema string on TOP-LEVEL commas only: parameterized
+    and nested types (`decimal(10,2)`, `array<struct<a int, b int>>`,
+    `map<string,int>`) carry commas inside `()`/`<>` that a naive
+    split would shred into garbage column specs (ADVICE r6)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(schema[start:i])
+            start = i + 1
+    parts.append(schema[start:])
+    return parts
+
+
 def _parse_schema(schema) -> list[tuple[str, str]]:
     if isinstance(schema, str):
         out = []
-        for part in schema.split(","):
+        for part in _split_top_level(schema):
             name, typ = part.strip().split(None, 1)
             out.append((name, typ.strip()))
         return out
@@ -62,7 +80,29 @@ def _sql_value(v, typ: str) -> str:
             .replace("\t", "\\t")
         )
         return f"CAST('{esc}' AS {typ})"
+    if isinstance(v, (list, tuple)):
+        t = typ.strip()
+        if not (t.lower().startswith("array<") and t.endswith(">")):
+            raise TypeError(
+                f"sequence literal {v!r} needs an array<...> column "
+                f"type, got {typ!r}"
+            )
+        elem = t[6:-1].strip()
+        items = ", ".join(_sql_value(x, elem) for x in v)
+        # empty arrays need the cast for a typed element slot
+        return f"CAST(array({items}) AS {t})" if not v else f"array({items})"
     raise TypeError(f"unsupported literal value {v!r} for literal_df")
+
+
+def _escaped_string_literals(spark: SparkSession) -> bool:
+    """True when the session runs Hive-1.x-compat string parsing, in
+    which the SQL-literal path's escaping would be wrong. One py4j
+    conf read (~ms) per literal build — noise next to the F.expr
+    parse it guards."""
+    return (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    )
 
 
 def literal_df(spark: SparkSession, rows, schema) -> DataFrame:
@@ -79,9 +119,18 @@ def literal_df(spark: SparkSession, rows, schema) -> DataFrame:
     cols = _parse_schema(schema)
     if not rows:
         return empty_df(spark, cols)
-    if len(rows) > MAX_LITERAL_ROWS:
+    if len(rows) > MAX_LITERAL_ROWS or _escaped_string_literals(spark):
+        # >MAX rows: the SQL literal's parse cost stops winning.
+        # escapedStringLiterals=true (Hive 1.x compat): _sql_value's
+        # \\, \', \n escapes would pass through UN-interpreted and
+        # silently corrupt every string (N-Triples lexical forms
+        # routinely contain backslashes) — parameterize via
+        # createDataFrame instead (ADVICE r6, medium).
         schema_str = ", ".join(f"{n} {t}" for n, t in cols)
-        return spark.createDataFrame(rows, schema_str)
+        # one partition on BOTH paths: this relation exists to be
+        # broadcast, and createDataFrame otherwise slices by
+        # defaultParallelism into near-empty tasks (ADVICE r6)
+        return spark.createDataFrame(rows, schema_str).coalesce(1)
     structs = ", ".join(
         "named_struct("
         + ", ".join(

@@ -141,8 +141,13 @@ class IvfIndex:
             (i, [float(x) for x in c])
             for i, c in enumerate(model.clusterCenters())
         ]
-        cdf = vectors.sparkSession.createDataFrame(
-            centers_rows, "cell int, cv array<double>"
+        # centroid table as a JVM literal plan (literal.py): at most
+        # n_cells rows, exists to be broadcast — no Python-worker
+        # parallelize task in every probe query (VERDICT r6 #2)
+        from graphula_spark.literal import literal_df
+
+        cdf = literal_df(
+            vectors.sparkSession, centers_rows, "cell int, cv array<double>"
         )
         return cls(assigned, cdf)
 

@@ -114,9 +114,18 @@ def bucket_distribution(
     model at any corpus size."""
     rows = _bucket_counts(df, text_col, buckets, seed, hash_fn)
     total = sum(r["n"] for r in rows)
-    return df.sparkSession.createDataFrame(
-        [(r["bucket"], (r["n"] + 1.0) / (total + float(buckets))) for r in rows],
-        ["bucket", "p"],
+    # JVM literal plan up to MAX_LITERAL_ROWS (the default 8192-bucket
+    # model exceeds it and falls back to a one-partition parallelize;
+    # both shapes broadcast) — VERDICT r6 #2
+    from graphula_spark.literal import literal_df
+
+    return literal_df(
+        df.sparkSession,
+        [
+            (r["bucket"], (r["n"] + 1.0) / (total + float(buckets)))
+            for r in rows
+        ],
+        "bucket bigint, p double",
     )
 
 

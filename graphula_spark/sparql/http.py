@@ -108,10 +108,19 @@ def parse_sparql_json(payload: bytes | str) -> list[dict[str, str]]:
     ]
 
 
+class ServiceResponseTooLarge(ValueError):
+    """A SERVICE endpoint's response breached the transport's
+    ``max_bytes``/``max_rows`` guard. Under ``SERVICE SILENT`` the
+    compiler swallows this into the unit solution like any other
+    transport failure; without SILENT it propagates."""
+
+
 def http_transport(
     timeout: float = 30.0,
     endpoint: str | None = None,
     user_agent: str = "graphula-spark-federation/1.0",
+    max_bytes: int = 64 * 1024 * 1024,
+    max_rows: int = 1_000_000,
 ):
     """Build a SERVICE transport that POSTs to a SPARQL 1.1 Protocol
     endpoint and parses JSON results.
@@ -121,7 +130,16 @@ def http_transport(
     query endpoint URL; default is to POST to the SERVICE IRI itself.
     The POST body is form-encoded (``query=...``), the most widely
     implemented of the protocol's three request shapes and safe for
-    arbitrarily long queries (a GET would hit URL length caps)."""
+    arbitrarily long queries (a GET would hit URL length caps).
+
+    ``max_bytes`` / ``max_rows`` bound what a misbehaving endpoint can
+    materialize ON THE DRIVER (the transport reads the whole response
+    there by design — one HTTP call per SERVICE clause, never per
+    row): the body is read in chunks and abandoned the moment it
+    crosses ``max_bytes``, and the parsed binding count is checked
+    against ``max_rows`` before the rows are handed to the compiler.
+    Breach raises :class:`ServiceResponseTooLarge` (VERDICT r6 #3);
+    pass ``None`` for either to disable that guard."""
 
     def fetch(iri: str, query: str) -> list[dict[str, str]]:
         url = endpoint or iri
@@ -138,6 +156,30 @@ def http_transport(
             method="POST",
         )
         with urllib.request.urlopen(req, timeout=timeout) as resp:
-            return parse_sparql_json(resp.read())
+            if max_bytes is None:
+                body = resp.read()
+            else:
+                chunks, size = [], 0
+                while True:
+                    chunk = resp.read(min(1 << 20, max_bytes - size + 1))
+                    if not chunk:
+                        break
+                    size += len(chunk)
+                    if size > max_bytes:
+                        raise ServiceResponseTooLarge(
+                            f"SERVICE <{iri}> response exceeds max_bytes="
+                            f"{max_bytes} (raise the cap on http_transport "
+                            "or narrow the SERVICE group)"
+                        )
+                    chunks.append(chunk)
+                body = b"".join(chunks)
+        rows = parse_sparql_json(body)
+        if max_rows is not None and len(rows) > max_rows:
+            raise ServiceResponseTooLarge(
+                f"SERVICE <{iri}> returned {len(rows)} bindings, over "
+                f"max_rows={max_rows} (raise the cap on http_transport "
+                "or narrow the SERVICE group)"
+            )
+        return rows
 
     return fetch

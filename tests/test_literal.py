@@ -71,4 +71,64 @@ def test_non_finite_floats_round_trip(spark):
 
 def test_unsupported_value_type_raises(spark):
     with pytest.raises(TypeError, match="unsupported literal value"):
+        literal_df(spark, [({"k": 1},)], "a string").collect()
+    # a sequence against a non-array column type is a clear error,
+    # not silent coercion
+    with pytest.raises(TypeError, match="array"):
         literal_df(spark, [([1, 2],)], "a string").collect()
+
+
+def test_array_columns_round_trip(spark):
+    rows = [
+        (1, [0.5, -1.25, float("inf")]),
+        (2, []),
+        (3, None),
+        (4, [7.0]),
+    ]
+    df = literal_df(spark, rows, "cell int, cv array<double>")
+    got = {r["cell"]: r["cv"] for r in df.collect()}
+    assert got[1] == [0.5, -1.25, float("inf")]
+    assert got[2] == [] and got[3] is None and got[4] == [7.0]
+    assert df.schema.simpleString() == "struct<cell:int,cv:array<double>>"
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in plan and "ExistingRDD" not in plan
+
+
+def test_nested_schema_strings_parse_on_top_level_commas(spark):
+    # parameterized/nested types carry commas a naive split would shred
+    cols = L._parse_schema(
+        "a decimal(10,2), b map<string,int>, c array<struct<x: int, y: int>>"
+    )
+    assert cols == [
+        ("a", "decimal(10,2)"),
+        ("b", "map<string,int>"),
+        ("c", "array<struct<x: int, y: int>>"),
+    ]
+    df = empty_df(spark, "a decimal(10,2), b map<string,int>")
+    assert df.schema.simpleString() == (
+        "struct<a:decimal(10,2),b:map<string,int>>"
+    )
+
+
+def test_escaped_string_literals_session_falls_back(spark):
+    """Hive-1.x-compat parsing un-interprets the SQL path's escapes;
+    literal_df must route through the parameterized fallback and still
+    round-trip backslash-heavy strings exactly (ADVICE r6)."""
+    rows = [(1, "back\\slash"), (2, "quote ' nl \n end")]
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        df = literal_df(spark, rows, "k long, v string")
+        assert sorted(tuple(r) for r in df.collect()) == rows
+        assert df.rdd.getNumPartitions() == 1
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+
+
+def test_over_cap_fallback_is_single_partition(spark, monkeypatch):
+    monkeypatch.setattr(L, "MAX_LITERAL_ROWS", 3)
+    df = literal_df(
+        spark, [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    # the one-partition contract holds on the fallback path too: this
+    # relation exists to be broadcast (ADVICE r6)
+    assert df.rdd.getNumPartitions() == 1
