@@ -663,7 +663,15 @@ class Graph:
         also applies owl:inverseOf / owl:SymmetricProperty /
         owl:TransitiveProperty (the constructs LUBM's univ-bench
         ontology declares). See operators/rdfs.py for the stratified
-        design."""
+        design.
+
+        Precondition: this graph's triples are DISTINCT (the O3
+        set-semantics invariant every load/update path maintains).
+        The non-OWL closure appends only never-asserted derivations
+        and does not re-dedup the input, so a Graph constructed
+        directly from a user DataFrame with duplicate rows returns
+        those duplicates unchanged — dropDuplicates the input first
+        (ADVICE r7)."""
         from graphula_spark.operators.rdfs import materialize, materialize_owl
 
         return materialize_owl(self) if owl else materialize(self)

@@ -30,6 +30,28 @@ from pyspark.sql import functions as F
 #: parallelize task can cost seconds of Python-worker startup.
 MAX_LITERAL_ROWS = 1024
 
+#: cap on TOTAL scalar elements (rows × flattened array width), not
+#: just rows: an array-typed column embeds one CAST term per element,
+#: so 1024 centroid rows of dim-512 doubles would build a ~50 MB SQL
+#: string parsed single-threaded on the driver — far slower than the
+#: createDataFrame it replaced (ADVICE r7, medium). The crossover by
+#: element count matches the row measurements above (scalar rows ≈ a
+#: few elements each; 8192 rows lost).
+MAX_LITERAL_ELEMS = 8192
+
+
+def _n_elems(rows) -> int:
+    """Flattened scalar-element count of the literal relation (arrays
+    count their length, recursively; scalars count 1; empty arrays
+    count 1 for their CAST term)."""
+
+    def n(v) -> int:
+        if isinstance(v, (list, tuple)):
+            return sum(n(x) for x in v) or 1
+        return 1
+
+    return sum(n(v) for row in rows for v in row)
+
 
 def _split_top_level(schema: str) -> list[str]:
     """Split a schema string on TOP-LEVEL commas only: parameterized
@@ -119,8 +141,14 @@ def literal_df(spark: SparkSession, rows, schema) -> DataFrame:
     cols = _parse_schema(schema)
     if not rows:
         return empty_df(spark, cols)
-    if len(rows) > MAX_LITERAL_ROWS or _escaped_string_literals(spark):
-        # >MAX rows: the SQL literal's parse cost stops winning.
+    if (
+        len(rows) > MAX_LITERAL_ROWS
+        or _n_elems(rows) > MAX_LITERAL_ELEMS
+        or _escaped_string_literals(spark)
+    ):
+        # >MAX rows (or >MAX flattened ELEMENTS — array columns embed
+        # one CAST term per element): the SQL literal's parse cost
+        # stops winning.
         # escapedStringLiterals=true (Hive 1.x compat): _sql_value's
         # \\, \', \n escapes would pass through UN-interpreted and
         # silently corrupt every string (N-Triples lexical forms

@@ -122,8 +122,16 @@ def _derived_frames(graph):
     ]
     by_pid: dict[int, set[tuple[int, int]]] = {}
     if schema_pids:
+        # dedup the (ontology-sized) slice BEFORE the bounded collect:
+        # Dataset.materialize_rdfs feeds an un-deduped data∪ontology
+        # union here, and schema triples asserted in both graphs would
+        # otherwise double-count against MAX_SCHEMA_EDGES and could
+        # spuriously reject a legitimate ontology near the cap
+        # (ADVICE r7). The dedup shuffles only the schema slice.
         rows = _bounded_collect(
-            triples.where(F.col("p").isin(schema_pids)).select("p", "s", "o"),
+            triples.where(F.col("p").isin(schema_pids))
+            .select("p", "s", "o")
+            .dropDuplicates(["p", "s", "o"]),
             "RDFS schema predicates",
         )
         for r in rows:

@@ -139,7 +139,15 @@ def http_transport(
     crosses ``max_bytes``, and the parsed binding count is checked
     against ``max_rows`` before the rows are handed to the compiler.
     Breach raises :class:`ServiceResponseTooLarge` (VERDICT r6 #3);
-    pass ``None`` for either to disable that guard."""
+    pass ``None`` for either to disable that guard.
+
+    ``max_bytes`` is the REAL driver-memory guard: it aborts the read
+    mid-body. ``max_rows`` is checked only after the JSON parse has
+    materialized every binding, so it bounds what reaches the
+    compiler, not peak parse memory — with ``max_bytes=None`` an
+    unbounded response is still fully parsed before the row cap fires
+    (ADVICE r7). Keep ``max_bytes`` set unless the endpoint is
+    trusted."""
 
     def fetch(iri: str, query: str) -> list[dict[str, str]]:
         url = endpoint or iri

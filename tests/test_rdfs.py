@@ -183,6 +183,96 @@ def test_random_graphs_match_fixpoint(spark):
         assert got == _py_rdfs_closure(triples), f"trial {trial}"
 
 
+def test_derive_rdfs_invariant_on_random_graphs(spark):
+    """The public `derive_rdfs` contract, asserted directly (VERDICT
+    r7 What's-wrong #2): on randomized schema+data graphs,
+    `materialize(g).triples == g.triples ∪ derive_rdfs(g)` row-exact,
+    the derived frame is disjoint from the asserted triples, and it
+    carries no duplicate rows."""
+    import random
+
+    from graphula_spark.operators.rdfs import derive_rdfs
+
+    rnd = random.Random(29)
+    classes = [f"ex:C{i}" for i in range(6)]
+    props = [f"ex:p{i}" for i in range(5)]
+    nodes = [f"ex:n{i}" for i in range(8)]
+    for trial in range(3):
+        triples = set()
+        for _ in range(4):
+            a, b = rnd.sample(classes, 2)
+            triples.add((a, RDFS_SUBCLASS, b))
+        for _ in range(3):
+            a, b = rnd.sample(props, 2)
+            triples.add((a, RDFS_SUBPROP, b))
+        for _ in range(2):
+            triples.add((rnd.choice(props), RDFS_DOMAIN, rnd.choice(classes)))
+            triples.add((rnd.choice(props), RDFS_RANGE, rnd.choice(classes)))
+        for _ in range(10):
+            triples.add((rnd.choice(nodes), rnd.choice(props), rnd.choice(nodes)))
+            triples.add((rnd.choice(nodes), RDF_TYPE, rnd.choice(classes)))
+        g = Graph.from_string_triples(
+            spark, spark.createDataFrame(sorted(triples), ["s", "p", "o"])
+        )
+        derived = derive_rdfs(g)
+        assert derived.columns == ["s", "p", "o"]
+        d_rows = [tuple(r) for r in derived.collect()]
+        d_set = set(d_rows)
+        assert len(d_rows) == len(d_set), f"trial {trial}: duplicate rows"
+        asserted = {
+            tuple(r) for r in g.triples.select("s", "p", "o").collect()
+        }
+        assert not (asserted & d_set), f"trial {trial}: not derived-only"
+        closed = {
+            tuple(r)
+            for r in g.materialize_rdfs()
+            .triples.select("s", "p", "o")
+            .collect()
+        }
+        assert closed == asserted | d_set, f"trial {trial}"
+
+
+def test_derive_rdfs_empty_on_schema_free_graph(spark):
+    """No schema loaded -> an EMPTY (s, p, o) frame with the id
+    schema, not None and not an error."""
+    from graphula_spark.operators.rdfs import derive_rdfs
+
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(DATA, ["s", "p", "o"])
+    )
+    d = derive_rdfs(g)
+    assert d.columns == ["s", "p", "o"]
+    assert [f.dataType.simpleString() for f in d.schema.fields] == [
+        "bigint",
+        "bigint",
+        "bigint",
+    ]
+    assert d.count() == 0
+
+
+def test_derive_rdfs_dedups_overlapping_rules_and_excludes_asserted(spark):
+    """Two rule families deriving the SAME triple yield one row; a
+    derivation the graph already asserts is excluded entirely."""
+    from graphula_spark.operators.rdfs import derive_rdfs
+
+    rows = [
+        ("ex:p", RDFS_DOMAIN, "ex:C"),
+        ("ex:p", RDFS_RANGE, "ex:C"),
+        ("ex:n", "ex:p", "ex:n"),  # domain AND range both derive (n type C)
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    )
+    assert derive_rdfs(g).count() == 1
+    # now assert the would-be derivation up front: nothing left to add
+    rows2 = rows + [("ex:n", RDF_TYPE, "ex:C")]
+    g2 = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows2, ["s", "p", "o"])
+    )
+    assert derive_rdfs(g2).count() == 0
+    assert g2.materialize_rdfs().triples.count() == g2.triples.count()
+
+
 def test_owl_constructs(spark):
     from graphula_spark.operators.rdfs import (
         OWL_INVERSE,

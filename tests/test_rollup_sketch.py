@@ -127,12 +127,11 @@ def test_time_range_prunes(spark, events, tmp_path):
     )
     got_n = {r["key"]: r["n_events"] for r in ranged.collect()}
     del want
-    # rollup range filters operate on BUCKET boundaries: the bucket
-    # containing `mid` starts before mid, so it is included whole —
-    # the aligned truth is everything before the NEXT hour boundary
-    from datetime import timedelta
-
-    cut = mid.replace(minute=0, second=0, microsecond=0) + timedelta(hours=1)
+    # rollup range filters operate on BUCKET boundaries, snapped DOWN
+    # on both ends like user_overlap (VERDICT r7 #3): the mid-bucket
+    # `end` excludes its straddling bucket whole, so the aligned truth
+    # is everything before mid's OWN hour boundary
+    cut = mid.replace(minute=0, second=0, microsecond=0)
     want_aligned = {
         r["event_type"]: r["n"]
         for r in events.where(
@@ -143,6 +142,59 @@ def test_time_range_prunes(spark, events, tmp_path):
         .collect()
     }
     assert got_n == want_aligned
+
+
+def test_query_rollup_and_user_overlap_agree_mid_bucket(
+    spark, events, tmp_path
+):
+    """The two query paths over one store must resolve a MID-BUCKET
+    boundary identically (ADVICE r6 / VERDICT r7 #3): a window
+    [start, end) with both bounds mid-hour covers exactly the buckets
+    [trunc(start), trunc(end)) in BOTH query_rollup and user_overlap —
+    same distinct-user estimate for the same window."""
+    from datetime import timedelta
+
+    path = str(tmp_path / "roll_boundary")
+    build_rollup(events, path)
+    lo = events.agg(F.min("ts")).first()[0]
+    hi = events.agg(F.max("ts")).first()[0]
+    # deliberately mid-bucket on both ends
+    start = lo.replace(minute=0, second=0, microsecond=0) + timedelta(
+        minutes=17
+    )
+    end = hi.replace(minute=0, second=0, microsecond=0) + timedelta(
+        minutes=41
+    )
+    via_rollup = {
+        r["key"]: r["approx_users"]
+        for r in query_rollup(spark, path, start=start, end=end).collect()
+    }
+    # user_overlap of the window with ITSELF: users_a == the window's
+    # distinct-user estimate under user_overlap's boundary rule
+    via_overlap = {
+        r["key"]: r["users_a"]
+        for r in user_overlap(
+            spark, path, start, end, start, end
+        ).collect()
+    }
+    assert set(via_rollup) == set(via_overlap)
+    # both agree with the SAME bucket-aligned raw truth — the old
+    # query_rollup would have included end's straddling bucket and
+    # disagreed here. Theta is exact below its 4096 nominal capacity;
+    # HLL carries its usual small relative error.
+    truth = {
+        r["event_type"]: r["n"]
+        for r in events.where(
+            (F.col("ts") >= F.lit(start.replace(minute=0)))
+            & (F.col("ts") < F.lit(end.replace(minute=0)))
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert via_overlap == truth
+    for k, n in truth.items():
+        assert abs(via_rollup[k] - n) <= max(2, 0.05 * n)
 
 
 def test_merged_kll_quantiles_within_rank_error(spark, events, tmp_path):

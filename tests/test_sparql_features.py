@@ -1782,6 +1782,95 @@ class TestHttpService:
             shutdown()
         assert got == 2  # unit solution: local rows pass through
 
+    def test_max_bytes_breach_aborts_mid_body(self):
+        """The byte guard fires DURING the chunked read (the body is
+        abandoned the moment it crosses max_bytes), raising
+        ServiceResponseTooLarge before the JSON parse — the real
+        driver-memory guard (VERDICT r7 What's-wrong #1)."""
+        import pytest
+
+        from graphula_spark.sparql.http import (
+            ServiceResponseTooLarge,
+            http_transport,
+        )
+
+        # ~40 KB of bindings, comfortably over a 1 KiB cap
+        big = {
+            "head": {"vars": ["x"]},
+            "results": {
+                "bindings": [
+                    {"x": {"type": "uri", "value": f"http://x/{i:06d}"}}
+                    for i in range(800)
+                ]
+            },
+        }
+        url, _, shutdown = self._serve(body=big)
+        try:
+            with pytest.raises(ServiceResponseTooLarge, match="max_bytes"):
+                http_transport(max_bytes=1024)(url, "SELECT * WHERE {}")
+            # same body under the default cap parses fine
+            rows = http_transport()(url, "SELECT * WHERE {}")
+            assert len(rows) == 800
+        finally:
+            shutdown()
+
+    def test_max_rows_breach_post_parse(self):
+        """The row guard fires after parse, before the bindings reach
+        the compiler: the stock 2-binding response breaches
+        max_rows=1."""
+        import pytest
+
+        from graphula_spark.sparql.http import (
+            ServiceResponseTooLarge,
+            http_transport,
+        )
+
+        url, _, shutdown = self._serve()
+        try:
+            with pytest.raises(ServiceResponseTooLarge, match="max_rows"):
+                http_transport(max_rows=1)(url, "SELECT * WHERE {}")
+            assert len(http_transport(max_rows=2)(url, "SELECT * WHERE {}")) == 2
+        finally:
+            shutdown()
+
+    def test_silent_swallows_oversized_response(self, spark):
+        """Cross-layer contract (http.py docstring): under SERVICE
+        SILENT a ServiceResponseTooLarge collapses to the unit
+        solution like any transport failure; without SILENT it
+        propagates to the caller."""
+        import pytest
+
+        from graphula_spark.sparql.http import (
+            ServiceResponseTooLarge,
+            http_transport,
+        )
+        from graphula_spark.sparql.service import (
+            register_service,
+            unregister_service,
+        )
+
+        url, _, shutdown = self._serve()  # stock body, ~hundreds of bytes
+        local = self._local(spark)
+        register_service(url, http_transport(max_bytes=64))
+        try:
+            got = local.sparql(
+                f"""SELECT ?who WHERE {{
+                      ?who <worksFor> ?org .
+                      SERVICE SILENT <{url}> {{ ?org <locatedIn> ?c . }}
+                    }}"""
+            ).count()
+            with pytest.raises(ServiceResponseTooLarge):
+                local.sparql(
+                    f"""SELECT ?who WHERE {{
+                          ?who <worksFor> ?org .
+                          SERVICE <{url}> {{ ?org <locatedIn> ?c . }}
+                        }}"""
+                ).count()
+        finally:
+            unregister_service(url)
+            shutdown()
+        assert got == 2  # unit solution: local rows pass through
+
     def test_term_conversion_matches_storage_convention(self):
         from graphula_spark.sparql.http import term_to_storage
 
