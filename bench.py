@@ -59,6 +59,38 @@ HEADLINE = [
 ]
 
 
+#: timed passes per query, median reported (min/max to stderr). Four
+#: rounds of single-sample ±30% noise produced watch-list churn every
+#: round (VERDICT r4-r7); the median of 3 warm passes removes the
+#: scheduler/GC tail that caused it. SPARK_GRAFT_RUNS=1 restores the
+#: old single-sample behavior for quick iteration.
+TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
+
+
+def timed_median(run, warmup: int, name: str) -> tuple[float, int]:
+    """(median wall-time, row count) of TIMED_RUNS calls of `run()`
+    (a thunk that executes the query and returns its row count), after
+    `warmup` untimed calls. Prints per-query median + spread to
+    stderr."""
+    n = 0
+    for _ in range(warmup):
+        n = run()
+    samples = []
+    for _ in range(TIMED_RUNS):
+        t0 = time.time()
+        n = run()
+        samples.append(time.time() - t0)
+    samples.sort()
+    med = samples[len(samples) // 2]
+    spread = (
+        f" (min {samples[0]:.2f} max {samples[-1]:.2f}, n={TIMED_RUNS})"
+        if TIMED_RUNS > 1
+        else ""
+    )
+    print(f"# {name}: {n} rows in {med:.2f}s{spread}", file=sys.stderr)
+    return med, n
+
+
 def _timed_cold_build(spark, sf_dir: str) -> float:
     """Build both shared stores (triple-ized TPC-H star + lineitem)
     from raw parquet into a throwaway scratch dir and time it — the
@@ -162,15 +194,11 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        for _ in range(warmup):
-            fn(spark, sf_dir).count()
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
+        dt, _ = timed_median(
+            lambda fn=fn: fn(spark, sf_dir).count(), warmup, name
+        )
         per_query[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
     per_query["graph_build_s"] = round(graph_build_s, 3)
     per_query["graph_load"] = round(graph_load, 3)
@@ -180,14 +208,11 @@ def main() -> None:
     from graphula_spark import tpch
 
     for name, fn in sorted(tpch.QUERIES.items()):
-        for _ in range(warmup):
-            fn(spark, sf_dir).count()
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        dt = time.time() - t0
+        dt, _ = timed_median(
+            lambda fn=fn: fn(spark, sf_dir).count(), warmup, name
+        )
         per_query[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
     # LUBM — the reference's own benchmark: its FULL 14-query suite
     # (benchmarks/.../lubm/LubmGraphula.scala:48-131) over the committed
@@ -217,17 +242,17 @@ def main() -> None:
         for n in sorted(QUERIES):
             qtext = PREFIXES + QUERIES[n]
             name = f"lubm_q{n}"
-            for _ in range(warmup):
-                g.sparql(qtext).count()
-            t0 = time.time()
-            rows = g.sparql(qtext).count()
-            dt = time.time() - t0
+            dt, rows = timed_median(
+                lambda q=qtext: g.sparql(q).count(), warmup, name
+            )
             per_query[name] = round(dt, 3)
             total += dt
-            ok = "" if rows == EXPECTED_ROWS[n] else (
-                f"  ** EXPECTED {EXPECTED_ROWS[n]} **"
-            )
-            print(f"# {name}: {rows} rows in {dt:.2f}s{ok}", file=sys.stderr)
+            if rows != EXPECTED_ROWS[n]:
+                print(
+                    f"# {name}: ** EXPECTED {EXPECTED_ROWS[n]}, "
+                    f"got {rows} **",
+                    file=sys.stderr,
+                )
         g.triples.unpersist()
         g.dictionary.df.unpersist()
         spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -253,6 +278,7 @@ def main() -> None:
                 "sections": section_sums(per_query),
                 "sf": sf,
                 "warmup_iters": warmup,
+                "timed_runs": TIMED_RUNS,
                 "floor_s": round(floor_s, 3),
                 "store_bytes": store_sizes(sf_dir),
                 "sf1": sf1_section,
@@ -409,13 +435,10 @@ def run_sf1_probe(spark, base_dir, queries, warmup) -> dict:
     out: dict[str, float] = {}
     for name in SF1_QUERIES:
         fn = queries.get(name) or tpch.QUERIES[name]
-        for _ in range(warmup):
-            fn(spark, sf1_dir).count()
-        t0 = time.time()
-        n = fn(spark, sf1_dir).count()
-        dt = time.time() - t0
+        dt, _ = timed_median(
+            lambda fn=fn: fn(spark, sf1_dir).count(), warmup, f"sf1 {name}"
+        )
         out[name] = round(dt, 3)
-        print(f"# sf1 {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
     return {"queries": out, "prep_s": round(prep_s, 3), "copies": SF1_COPIES}
 
 
