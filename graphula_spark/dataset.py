@@ -224,15 +224,19 @@ class Dataset:
                 deduped, ["s", "p", "o"], "left_anti"
             )
             d_closed = closed.dictionary
+            n_derived_max = None  # unknown (data-sized closures possible)
         else:
             combined = Graph(self.spark, combined_triples, self.dictionary)
-            derived, d_closed = rdfs_mod._derive_only(combined)
+            derived, d_closed, n_derived_max = rdfs_mod._derive_only(
+                combined
+            )
             if derived is None:  # ontology graph carries no schema
                 from graphula_spark.literal import empty_df
 
                 derived = empty_df(
                     self.spark, [(c, "long") for c in ("s", "p", "o")]
                 )
+                n_derived_max = 0
         # the closure may have grown the dictionary (rdf:type injection
         # on type-free data); the target graph name must be a term too
         d2 = d_closed.union(
@@ -262,8 +266,27 @@ class Dataset:
         existing_target = self.quads.where(F.col("g") == F.lit(gid)).select(
             "s", "p", "o"
         )
-        present = existing_target.join(derived, ["s", "p", "o"], "left_semi")
-        fresh = derived.join(present, ["s", "p", "o"], "left_anti")
+        if (
+            n_derived_max is not None
+            and n_derived_max <= rdfs_mod.BROADCAST_DERIVED_MAX_ROWS
+        ):
+            # derived is persisted + known-small (rdfs._derive_only
+            # counted it): hint the broadcasts explicitly — Catalyst's
+            # static estimate for the derived side inherits corpus-scan
+            # stats and would otherwise plan SortMergeJoin, shuffling
+            # the target slice's map side before AQE can intervene
+            # (tools/probe_r8.py)
+            present = existing_target.join(
+                F.broadcast(derived), ["s", "p", "o"], "left_semi"
+            )
+            fresh = derived.join(
+                F.broadcast(present), ["s", "p", "o"], "left_anti"
+            )
+        else:
+            present = existing_target.join(
+                derived, ["s", "p", "o"], "left_semi"
+            )
+            fresh = derived.join(present, ["s", "p", "o"], "left_anti")
         new_quads = self.quads.unionByName(
             fresh.withColumn("g", F.lit(gid).cast("long")).select(
                 "s", "p", "o", "g"

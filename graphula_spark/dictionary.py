@@ -91,6 +91,16 @@ class Dictionary:
     #: shuffle join by design (the 100 TB dict is itself distributed)
     BROADCAST_MAX_ROWS = 5_000_000
 
+    #: incremental-union batches below this row count get explicit
+    #: broadcast hints in the against-the-dictionary joins (novelty
+    #: anti-join + id-clash probe): Catalyst cannot size the batch
+    #: statically, so without the hint those joins plan SortMergeJoin
+    #: and RESHUFFLE THE WHOLE DICTIONARY to add a handful of terms —
+    #: probed at a 20M-term dictionary: 102 MB shuffled to register
+    #: ONE term (tools/probe_r8.py). Strings are heavier than ids, so
+    #: the gate is more conservative than BROADCAST_MAX_ROWS.
+    BROADCAST_NEW_TERMS_MAX_ROWS = 500_000
+
     def _broadcastable(self) -> bool:
         if self._nrows is None:
             self._nrows = self.df.count()
@@ -104,7 +114,10 @@ class Dictionary:
 
     @staticmethod
     def _assign_ids(
-        terms: DataFrame, existing: DataFrame | None, max_rounds: int = 12
+        terms: DataFrame,
+        existing: DataFrame | None,
+        max_rounds: int = 12,
+        n_terms: int | None = None,
     ) -> tuple[DataFrame, bool]:
         """Assign a unique id to every term in `terms` (one 'value'
         column, distinct, non-null), disjoint from `existing` ids.
@@ -122,6 +135,13 @@ class Dictionary:
         Returns (df, clean): clean=True means NO term was re-salted —
         every id is the raw term hash, so the caller can record an
         empty collision-exception list without any extra scan.
+
+        ``n_terms`` (when the caller already counted the batch) gates
+        the id-clash probe's join order: a known-small batch is
+        BROADCAST against the streaming existing-id scan, so an
+        incremental union never shuffles the existing dictionary
+        (tools/probe_r8.py: the old shape shuffled 102 MB of ids to
+        register one term at 20M entries).
         """
         from pyspark import StorageLevel
 
@@ -133,7 +153,15 @@ class Dictionary:
         # that computation instead of re-scanning + re-shuffling the
         # source terms — one pass over the data, not two (spills rather
         # than recomputes at 100 TB)
-        ex_ids = existing.select("id").distinct() if existing is not None else None
+        #
+        # existing ids are UNIQUE by the dictionary invariant (this very
+        # function guarantees it) — the old .distinct() here reshuffled
+        # the whole dictionary on every incremental union for nothing
+        ex_ids = existing.select("id") if existing is not None else None
+        small = (
+            n_terms is not None
+            and n_terms <= Dictionary.BROADCAST_NEW_TERMS_MAX_ROWS
+        )
         for rnd in range(max_rounds):
             dup_ids = (
                 result.groupBy("id")
@@ -143,18 +171,32 @@ class Dictionary:
             )
             bad_ids = dup_ids
             if ex_ids is not None:
-                clash_ids = (
-                    result.join(ex_ids, "id", "left_semi").select("id").distinct()
-                )
+                if small:
+                    # stream the dictionary past a broadcast of the
+                    # batch's ids — zero dictionary shuffle; output ids
+                    # are unique (they come from ex_ids)
+                    clash_ids = ex_ids.join(
+                        F.broadcast(result.select("id")), "id", "left_semi"
+                    )
+                else:
+                    clash_ids = (
+                        result.join(ex_ids, "id", "left_semi")
+                        .select("id")
+                        .distinct()
+                    )
                 bad_ids = dup_ids.unionByName(clash_ids).distinct()
             if bad_ids.isEmpty():
                 return result.select("id", "value"), rnd == 0
             bad = result.join(F.broadcast(bad_ids), "id", "left_semi")
             good = result.join(F.broadcast(bad_ids), "id", "left_anti")
             if ex_ids is not None:
-                bad = bad.join(
-                    ex_ids.withColumn("__ex", F.lit(1)), "id", "left"
-                )
+                # only the existing ids IN the collided set matter, and
+                # that set is tiny — semi-reduce ex_ids first instead of
+                # shuffling the whole dictionary into the left join
+                ex_hits = ex_ids.join(
+                    F.broadcast(bad_ids), "id", "left_semi"
+                ).withColumn("__ex", F.lit(1))
+                bad = bad.join(F.broadcast(ex_hits), "id", "left")
             else:
                 bad = bad.withColumn("__ex", F.lit(None).cast("int"))
             w = Window.partitionBy("id").orderBy("value")
@@ -211,14 +253,34 @@ class Dictionary:
         Fresh ids are assigned with the same iterated ranked-salt scheme
         as build, with the existing id set excluded — post-salt
         uniqueness is guaranteed by the fixed point, not assumed.
+
+        100 TB shape: the batch is counted once (persisted, so the
+        count is the materialization the joins reuse), and a
+        known-small batch runs both against-the-dictionary joins with
+        the DICTIONARY STREAMING — novelty via semi-join the overlap
+        out of the dictionary (batch broadcast) then anti-join the
+        batch against that batch-bounded overlap; a direct
+        `batch ANTI dict` can never broadcast (only the right side of
+        LEFT ANTI broadcasts, and that is the dictionary) and
+        reshuffled all 20M entries to add one term (tools/probe_r8.py).
         """
-        new_terms = (
+        from pyspark import StorageLevel
+
+        cand = (
             other_terms.select(F.col(other_terms.columns[0]).alias("value"))
             .where(F.col("value").isNotNull())
             .distinct()
-            .join(self.df, "value", "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        fresh, clean = Dictionary._assign_ids(new_terms, self.df)
+        n_new = cand.count()
+        if n_new <= Dictionary.BROADCAST_NEW_TERMS_MAX_ROWS:
+            present = self.df.join(F.broadcast(cand), "value", "left_semi")
+            new_terms = cand.join(F.broadcast(present), "value", "left_anti")
+        else:
+            new_terms = cand.join(self.df, "value", "left_anti")
+        fresh, clean = Dictionary._assign_ids(
+            new_terms, self.df, n_terms=n_new
+        )
         exc = None
         if clean and isinstance(self._exceptions, list):
             exc = list(self._exceptions)

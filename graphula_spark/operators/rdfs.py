@@ -47,6 +47,20 @@ RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
 #: "ontology" this big is data mislabeled as schema
 MAX_SCHEMA_EDGES = 1_000_000
 
+#: explicit-broadcast gate for the derived set in the corpus overlap
+#: joins. Catalyst cannot SIZE the derived side statically (its
+#: estimate inherits the corpus scan's stats through the rule joins),
+#: so without the hint the semi-join plans as SortMergeJoin and the
+#: corpus map-side shuffle WRITE happens before AQE's runtime
+#: broadcast conversion can skip anything — probed at 20M triples /
+#: 0.8M derived: 348 MB corpus shuffle (tools/probe_r8.py, the round-8
+#: finding). Below this row count we KNOW (post-count, rows × ~48 B
+#: per 3-long HashedRelation row ≈ 48 MB) the derived set fits the
+#: session's 64 MB broadcast budget, so the hint is safe; above it the
+#: shuffle join is the correct plan — derived ≈ corpus there, and
+#: O(derived) and O(corpus) coincide.
+BROADCAST_DERIVED_MAX_ROWS = 1_000_000
+
 
 def _bounded_collect(df: DataFrame, what: str) -> list:
     """Collect a schema-sized relation with the size guard applied
@@ -251,17 +265,34 @@ def _derive_only(graph):
         merges narrow deps, no extra shuffle);
       * asserted triples are removed with the same broadcast-friendly
         two-step as Dataset's landing: semi-join the re-derivable
-        overlap OUT OF the corpus (Spark broadcasts the RIGHT side of
-        LEFT SEMI, and that side is the derived set — the corpus only
-        streams), then anti-join the derived set against that
-        derived-bounded overlap. A direct `derived ANTI corpus` could
-        never broadcast (only the right side of LEFT ANTI broadcasts,
-        and there the corpus is the right side) and would shuffle the
-        whole graph."""
+        overlap OUT OF the corpus (the derived set is the RIGHT side
+        of the LEFT SEMI — the corpus only streams), then anti-join
+        the derived set against that derived-bounded overlap. A direct
+        `derived ANTI corpus` could never broadcast (only the right
+        side of LEFT ANTI broadcasts, and there the corpus is the
+        right side) and would shuffle the whole graph;
+      * the deduped derived set is PERSISTED and COUNTED, and below
+        BROADCAST_DERIVED_MAX_ROWS the semi/anti pair carries EXPLICIT
+        broadcast hints — Catalyst's static size estimate for the
+        derived side inherits the corpus scan's stats, so without the
+        hint the semi-join plans as SortMergeJoin and the corpus
+        map-side shuffle write lands before AQE can convert anything
+        (tools/probe_r8.py: 348 MB corpus shuffle for a 0.8M-row
+        derivation at 20M triples — the r8 finding). The persist also
+        stops the rule joins recomputing for every consumer (the
+        semi probe, the anti, and each caller's landing joins).
+
+    Returns (fresh, d, n_max) where n_max bounds fresh's row count
+    (the deduped derived count BEFORE removing asserted overlap) so
+    callers can reuse the same broadcast gate for their own landing
+    joins without another count job. (None, d, 0) when no schema is
+    loaded."""
+    from pyspark import StorageLevel
+
     spark = graph.spark
     derived, d = _derived_frames(graph)
     if not derived:
-        return None, d
+        return None, d, 0
     u = derived[0]
     for ddf in derived[1:]:
         u = u.unionByName(ddf)
@@ -273,11 +304,22 @@ def _derive_only(graph):
     # the identity, and probing the count via u.rdd.getNumPartitions()
     # forced an RDD conversion that re-analyzed the whole union lineage
     # on the driver (VERDICT r5 #3 — a measurable slice of closure time)
-    u = u.coalesce(cap).dropDuplicates(["s", "p", "o"])
+    u = u.coalesce(cap).dropDuplicates(["s", "p", "o"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_u = u.count()
     triples = graph.triples.select("s", "p", "o")
-    overlap = triples.join(u, ["s", "p", "o"], "left_semi")
-    fresh = u.join(overlap, ["s", "p", "o"], "left_anti")
-    return fresh, d
+    if n_u <= BROADCAST_DERIVED_MAX_ROWS:
+        overlap = triples.join(F.broadcast(u), ["s", "p", "o"], "left_semi")
+        fresh = u.join(F.broadcast(overlap), ["s", "p", "o"], "left_anti")
+    else:
+        overlap = triples.join(u, ["s", "p", "o"], "left_semi")
+        fresh = u.join(overlap, ["s", "p", "o"], "left_anti")
+    # persist fresh too: callers consume it repeatedly (materialize's
+    # union + count, Dataset's landing semi + anti + union), and every
+    # un-cached consumption would re-stream the corpus to rebuild the
+    # overlap side
+    return fresh.persist(StorageLevel.MEMORY_AND_DISK), d, n_u
 
 
 def derive_rdfs(graph) -> DataFrame:
@@ -286,7 +328,7 @@ def derive_rdfs(graph) -> DataFrame:
     deduped at derived size, zero corpus-sized shuffles. Empty frame
     when the graph carries no schema. `materialize(g).triples` ==
     `g.triples ∪ derive_rdfs(g)` by construction."""
-    fresh, _d = _derive_only(graph)
+    fresh, _d, _n = _derive_only(graph)
     if fresh is None:
         from graphula_spark.literal import empty_df
 
@@ -307,7 +349,7 @@ def materialize(graph) -> "Graph":  # noqa: F821 - avoids circular import
     triples ∪ derivations — a full corpus shuffle per call)."""
     from graphula_spark.graph import Graph
 
-    fresh, d = _derive_only(graph)
+    fresh, d, _n = _derive_only(graph)
     if fresh is None:
         return graph  # no schema loaded — closure is the graph itself
     out = graph.triples.select("s", "p", "o").unionByName(fresh)

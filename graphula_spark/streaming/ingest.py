@@ -160,14 +160,31 @@ def stream_ntriples_ingest(
             _publish(store_dir, {"base": base, "deltas": []}, None)
             return
 
+        from pyspark import StorageLevel
+
         old = load_versioned_graph(spark, store_dir)
         terms = (
             striples.select(F.explode(F.array("s", "p", "o")).alias("value"))
             .where(F.col("value").isNotNull())
             .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        new_terms = terms.join(old.dictionary.df, "value", "left_anti")
-        fresh, fresh_clean = Dictionary._assign_ids(new_terms, old.dictionary.df)
+        # micro-batches are store-small: broadcast the batch against
+        # the STREAMING dictionary/corpus instead of anti-joining with
+        # the store on the right (LEFT ANTI can only broadcast its
+        # right side, so the old shape reshuffled the whole store's
+        # dictionary every batch — tools/probe_r8.py)
+        n_terms = terms.count()
+        if n_terms <= Dictionary.BROADCAST_NEW_TERMS_MAX_ROWS:
+            present = old.dictionary.df.join(
+                F.broadcast(terms), "value", "left_semi"
+            )
+            new_terms = terms.join(F.broadcast(present), "value", "left_anti")
+        else:
+            new_terms = terms.join(old.dictionary.df, "value", "left_anti")
+        fresh, fresh_clean = Dictionary._assign_ids(
+            new_terms, old.dictionary.df, n_terms=n_terms
+        )
         old_exc = old.dictionary._get_exceptions()
         full_dict = Dictionary(
             spark,
@@ -179,15 +196,32 @@ def stream_ntriples_ingest(
         enc = striples
         for c in ("s", "p", "o"):
             enc = full_dict.encode_col(enc, c, f"{c}_id")
-        new_triples = (
+        batch_triples = (
             enc.select(
                 F.col("s_id").alias("s"),
                 F.col("p_id").alias("p"),
                 F.col("o_id").alias("o"),
             )
             .dropDuplicates(["s", "p", "o"])
-            .join(old.triples.select("s", "p", "o"), ["s", "p", "o"], "left_anti")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # dedup against the accumulated store with the batch broadcast
+        # (semi the overlap out of the store, anti the batch against
+        # the batch-bounded overlap) — a direct `batch ANTI store`
+        # shuffles the whole corpus every micro-batch
+        n_batch = batch_triples.count()
+        store_spo = old.triples.select("s", "p", "o")
+        if n_batch <= Dictionary.BROADCAST_NEW_TERMS_MAX_ROWS:
+            seen = store_spo.join(
+                F.broadcast(batch_triples), ["s", "p", "o"], "left_semi"
+            )
+            new_triples = batch_triples.join(
+                F.broadcast(seen), ["s", "p", "o"], "left_anti"
+            )
+        else:
+            new_triples = batch_triples.join(
+                store_spo, ["s", "p", "o"], "left_anti"
+            )
         delta_name = f"delta_{batch_id}"
         delta_g = Graph(
             spark,
