@@ -659,22 +659,372 @@ def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# partsupp — the one TPC-H base table the driver's synthetic testdata
+# does not ship; q2/q9/q11/q16/q20 need it (VERDICT r6/r7 directive).
+# Generated DETERMINISTICALLY from the part × supplier keys (pure
+# key arithmetic, no randomness — identical output for a given sf_dir
+# on every run/engine), written once to a /tmp cache beside the sf1
+# replica, and read back as plain parquet so the DuckDB oracle sees
+# byte-identical data. TPC-H shape: 4 suppliers per part, availqty
+# and supplycost as bounded hashes of the key pair.
+
+AUX_ROOT = "/tmp/graphula_tpch_aux"
+
+#: bump to invalidate previously generated partsupp caches
+_PARTSUPP_V = 2
+
+
+def ensure_partsupp(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the generated partsupp.parquet for `sf_dir`, generating
+    it on first use (marker-cached).
+
+    Pairs = (4 arithmetic suppliers per part) ∪ (every DISTINCT
+    (l_partkey, l_suppkey) in lineitem) — the TPC-H referential
+    invariant that every lineitem line has a partsupp row, without
+    which q9's cost join and q20's excess-stock probe silently drop
+    most lineitem rows. availqty/supplycost are pure key arithmetic,
+    so the SAME pair always gets the SAME values regardless of which
+    source produced it. One-time load-side utility: the lineitem
+    distinct is the only shuffle, paid once per sf_dir."""
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out_dir = f"{AUX_ROOT}/{tag}"
+    path = f"{out_dir}/partsupp.parquet"
+    marker = f"{out_dir}/_PARTSUPP_DONE_v{_PARTSUPP_V}"
+    if os.path.exists(marker):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    n_supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    step = max(n_supp // 4, 1)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey")
+    pairs = (
+        part.select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            "ps_partkey",
+            F.pmod(
+                F.col("ps_partkey") + F.col("i") * step, F.lit(n_supp)
+            ).alias("ps_suppkey"),
+        )
+        .unionByName(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+                F.col("l_partkey").alias("ps_partkey"),
+                F.col("l_suppkey").alias("ps_suppkey"),
+            )
+        )
+        .dropDuplicates(["ps_partkey", "ps_suppkey"])
+    )
+    ps = pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            F.pmod(
+                F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11,
+                F.lit(9999),
+            )
+            + 1
+        )
+        .cast("int")
+        .alias("ps_availqty"),
+        (
+            (
+                F.pmod(
+                    F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 17,
+                    F.lit(99000),
+                )
+                + 100
+            )
+            / F.lit(100.0)
+        ).alias("ps_supplycost"),
+    )
+    ps.write.mode("overwrite").parquet(path)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(ensure_partsupp(spark, sf_dir))
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in a
+    region offering the MINIMUM supply cost (the correlated-min
+    subquery). Columns absent from the synthetic schema (p_mfgr,
+    s_address, s_phone, s_comment) are omitted; predicate literals
+    adapted to the synthetic domains. The min is computed once per
+    part over the region-restricted candidates and joined back —
+    candidates are part-filtered (broadcast) before partsupp ever
+    shuffles, and the ORDER BY key set (s_name, p_partkey is a result
+    key) is total, so LIMIT is deterministic cross-engine."""
+    part_f = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") <= 25) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    nr = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = _t(spark, sf_dir, "supplier").join(
+        nr, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cand = (
+        _ps(spark, sf_dir)
+        .join(part_f, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = cand.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation, per-year profit over a part-name
+    slice — the join-heaviest query in the suite (lineitem ⋈ part ⋈
+    partsupp ⋈ supplier ⋈ orders ⋈ nation). The part filter broadcasts
+    and prunes BOTH facts before their composite-key shuffle
+    (partsupp is 4×parts — fact-scale at 100 TB, so it is never
+    broadcast); orders joins on orderkey with the fact side hinted off
+    broadcast like q3; decimal arithmetic keeps the sums exact and
+    order-insensitive for the cross-engine parity check."""
+    part_f = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%rod%"))
+        .select("p_partkey")
+    )
+    ps = _ps(spark, sf_dir).join(
+        part_f, F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        part_f.select(F.col("p_partkey").alias("pf_key")),
+        F.col("l_partkey") == F.col("pf_key"),
+        "left_semi",
+    )
+    sn = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .hint("shuffle_hash")  # orders is a FACT — never broadcast it
+    )
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    ) - _dec("ps_supplycost") * _dec("l_quantity")
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value in one region, keeping
+    parts above a global threshold (the scalar subquery). Threshold
+    adapted to the synthetic scale as 2× the mean per-part value —
+    computed as ONE 1-row aggregate broadcast into the HAVING, with
+    the decimal sums cast to double BEFORE the division so both
+    engines compute the identical IEEE threshold."""
+    value = (_dec("ps_supplycost") * F.col("ps_availqty").cast("decimal(18,2)")).alias(
+        "v"
+    )
+    nr = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    filtered = (
+        _ps(spark, sf_dir)
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "supplier")
+                .join(nr, F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey")
+            ),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("ps_partkey", value)
+    )
+    grouped = filtered.groupBy("ps_partkey").agg(F.sum("v").alias("v_dec"))
+    thr = F.broadcast(
+        grouped.agg(
+            (
+                F.lit(2.0)
+                * F.sum("v_dec").cast("double")
+                / F.count(F.lit(1))
+            ).alias("thr")
+        )
+    )
+    return (
+        grouped.join(thr)
+        .where(F.col("v_dec").cast("double") > F.col("thr"))
+        .select("ps_partkey", F.col("v_dec").cast("double").alias("value"))
+    )
+
+
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type,
+    size) over a filtered part slice, excluding a supplier blocklist
+    (the spec's complaints-comment scan — no s_comment column in the
+    synthetic schema, so a deterministic key predicate stands in,
+    keeping the NOT-IN anti-join shape). Part filter broadcasts; the
+    blocklist broadcasts into a LEFT ANTI; the countDistinct shuffles
+    once on the 3-part group key."""
+    part_f = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#3")
+            & ~F.col("p_type").like("PROMO%")
+            & F.col("p_size").isin(11, 15, 20, 25, 30, 35, 40, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 37 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        _ps(spark, sf_dir)
+        .join(part_f, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            complaints, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding EXCESS stock
+    (availqty > half the year's shipped quantity) of a part-name
+    slice — the nested IN subqueries compile to: part filter broadcast
+    → prune lineitem BEFORE its (partkey, suppkey) aggregation →
+    partsupp joins the per-key totals → distinct suppkeys semi-join
+    the nation's suppliers. The half-quantity comparison is expressed
+    as 2·availqty > Σqty in exact decimals (no 0.5 rounding skew
+    between engines)."""
+    part_f = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qty = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(part_f, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+    )
+    excess = (
+        _ps(spark, sf_dir)
+        .join(
+            part_f.select(F.col("p_partkey").alias("pf_key")),
+            F.col("ps_partkey") == F.col("pf_key"),
+            "left_semi",
+        )
+        .join(
+            qty,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(
+            (F.col("ps_availqty") * 2).cast("decimal(18,2)") > F.col("q")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 QUERIES = {
     "tpch_q1": q1_pricing_summary,
+    "tpch_q2": q2_min_cost_supplier,
     "tpch_q3": q3_shipping_priority,
     "tpch_q4": q4_order_priority,
     "tpch_q5": q5_local_supplier_volume,
     "tpch_q6": q6_forecast_revenue,
     "tpch_q7": q7_volume_shipping,
     "tpch_q8": q8_market_share,
+    "tpch_q9": q9_product_type_profit,
     "tpch_q10": q10_returned_items,
+    "tpch_q11": q11_important_stock,
     "tpch_q12": q12_shipping_priority_mix,
     "tpch_q13": q13_customer_distribution,
     "tpch_q14": q14_promotion_effect,
     "tpch_q15": q15_top_supplier,
+    "tpch_q16": q16_parts_supplier_relationship,
     "tpch_q17": q17_small_quantity_revenue,
     "tpch_q18": q18_large_volume_customer,
     "tpch_q19": q19_discounted_revenue,
+    "tpch_q20": q20_potential_part_promotion,
     "tpch_q21": q21_waiting_supplier,
     "tpch_q22": q22_lapsed_customers,
 }
@@ -796,6 +1146,77 @@ ORACLE_SQL = {
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY l_returnflag
+    """,
+    "tpch_q2": """
+        SELECT s_acctbal, s_name, n_name, p_partkey, supplycost FROM (
+            SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+                   ps.ps_supplycost AS supplycost,
+                   min(ps.ps_supplycost) OVER (PARTITION BY p.p_partkey) AS mc
+            FROM partsupp ps
+            JOIN part p ON ps.ps_partkey = p.p_partkey
+                       AND p.p_size <= 25 AND p.p_type = 'ECONOMY'
+            JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+                         AND r.r_name = 'ASIA'
+        ) WHERE supplycost = mc
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "tpch_q9": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                        - CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_name LIKE '%rod%'
+        JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    "tpch_q11": """
+        WITH filtered AS (
+            SELECT ps_partkey,
+                   CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(ps_availqty AS DECIMAL(18,2)) AS v
+            FROM partsupp
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+                       AND r_name = 'AFRICA'),
+        grouped AS (
+            SELECT ps_partkey, sum(v) AS v_dec FROM filtered
+            GROUP BY ps_partkey)
+        SELECT ps_partkey, CAST(v_dec AS DOUBLE) AS value FROM grouped
+        WHERE CAST(v_dec AS DOUBLE) >
+              (SELECT 2.0 * CAST(sum(v_dec) AS DOUBLE) / count(*) FROM grouped)
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+               CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        FROM partsupp JOIN part ON p_partkey = ps_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (11, 15, 20, 25, 30, 35, 40, 49)
+          AND ps_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_suppkey % 37 = 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "tpch_q20": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        WHERE s_suppkey IN (
+            SELECT ps_suppkey FROM partsupp
+            JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+            JOIN (SELECT l_partkey, l_suppkey,
+                         sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+                  FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate < TIMESTAMP '1997-01-01'
+                  GROUP BY l_partkey, l_suppkey) ag
+              ON ag.l_partkey = ps_partkey AND ag.l_suppkey = ps_suppkey
+            WHERE CAST(2 * ps_availqty AS DECIMAL(18,2)) > q)
     """,
     "tpch_q13": """
         SELECT CAST(c_count AS BIGINT) AS c_count,

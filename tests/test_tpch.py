@@ -13,10 +13,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineite
 
 
 @pytest.fixture(scope="module")
-def ddb():
+def ddb(spark):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # partsupp is generated (deterministic key arithmetic — the one
+    # base table the synthetic testdata lacks); both engines read the
+    # SAME parquet, so parity is over identical bytes
+    ps_path = tpch.ensure_partsupp(spark, SF_DIR)
+    con.execute(
+        f"CREATE VIEW partsupp AS SELECT * FROM parquet_scan('{ps_path}/*.parquet')"
+    )
     return con
 
 
@@ -66,6 +73,41 @@ def test_q3_never_broadcasts_the_fact_table(spark):
     lineitem_scan_prefix = plan.split("lineitem.parquet")[0]
     last_scan_block = lineitem_scan_prefix.rsplit("FileScan", 1)[-1]
     assert "BroadcastExchange" not in last_scan_block
+
+
+def test_q2_broadcasts_filtered_part_and_prunes_region(spark):
+    """Q2's correlated-min: the size/type-filtered part list and the
+    region-restricted dims must BROADCAST (partsupp streams), and the
+    region filter must reach its parquet scan."""
+    plan = (
+        tpch.q2_min_cost_supplier(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+    # partsupp (fact-scale: 4x parts + lineitem pairs) never broadcasts
+    ps_scan_prefix = plan.split("partsupp.parquet")[0]
+    last_block = ps_scan_prefix.rsplit("FileScan", 1)[-1]
+    assert "BroadcastExchange" not in last_block
+
+
+def test_q9_never_broadcasts_either_fact(spark):
+    """Q9 is the join-heaviest query in the suite (two facts on a
+    composite key + an orderkey join): neither lineitem nor partsupp
+    may end up as a broadcast build side — a filter-estimate mistake
+    here OOMs at cluster scale."""
+    plan = (
+        tpch.q9_product_type_profit(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for fact in ("lineitem.parquet", "partsupp.parquet"):
+        scan_prefix = plan.split(fact)[0]
+        last_block = scan_prefix.rsplit("FileScan", 1)[-1]
+        assert "BroadcastExchange" not in last_block, fact
 
 
 def test_q6_filters_push_to_scan(spark):
