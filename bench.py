@@ -373,6 +373,11 @@ SF1_QUERIES = [
     "tpch_q3",
     "tpch_q18",
     "tpch_q21",
+    # round 8: the partsupp-bearing shapes — q9 is the join-heaviest
+    # query in the suite (two facts on a composite key + an orderkey
+    # join), q2 the correlated-min; both must hold at x10 facts
+    "tpch_q2",
+    "tpch_q9",
 ]
 
 SF1_COPIES = 10
