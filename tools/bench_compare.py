@@ -15,8 +15,33 @@ EXCLUDE = {"graph_build_s", "graph_load", "lubm_load"}
 
 
 def load(path: str) -> dict:
+    import re
+
     with open(path) as fh:
-        return json.load(fh)
+        d = json.load(fh)
+    if "parsed" not in d and "queries" in d:
+        return d  # a raw bench line
+    if d.get("parsed"):
+        return d["parsed"]
+    # driver BENCH_r{N}.json with a truncated, unparseable tail:
+    # regex-recover the "name": number pairs; pairs after '"sf1":'
+    # belong to the sf1 section
+    tail = d.get("tail", "")
+    head, _, sf1_part = tail.partition('"sf1":')
+    meta = {"sf", "warmup_iters", "floor_s", "value", "timed_runs", "prep_s", "copies"}
+
+    def pairs(text):
+        return {
+            k: float(v)
+            for k, v in re.findall(r'"([\w.]+)":\s*([\d.]+)', text)
+            if k not in meta and not k.startswith("store")
+        }
+
+    return {
+        "queries": pairs(head.split('"sections"')[0]),
+        "sections": {},
+        "sf1": {"queries": pairs(sf1_part)} if sf1_part else None,
+    }
 
 
 def main(a_path: str, b_path: str) -> None:
