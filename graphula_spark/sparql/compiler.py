@@ -944,14 +944,23 @@ class Compiler:
             sol, ce = self.compile_expr(sol, a)
             args.append(ce)
 
-        def cmp(op) -> Column:
+        def cmp(op, ordering: bool = False) -> Column:
             l, r = args
-            num_ok = (
-                l.num is not None
-                and r.num is not None
-            )
             ln, rn = l.numeric(), r.numeric()
             both_num = ln.isNotNull() & rn.isNotNull()
+            if ordering:
+                # SPARQL 1.1 §17.3: </<=/>/>= between a numeric and a
+                # non-numeric operand is a TYPE ERROR, not a string
+                # comparison — NULL here so FILTER drops the row
+                # (found by the manifest-runner filter05 case). Both
+                # non-numeric still compare lexically (strings, and
+                # dateTime lexical forms order temporally).
+                one_num = ln.isNotNull() != rn.isNotNull()
+                return (
+                    F.when(both_num, op(ln, rn))
+                    .when(one_num, F.lit(None).cast("boolean"))
+                    .otherwise(op(l.val, r.val))
+                )
             return F.when(both_num, op(ln, rn)).otherwise(op(l.val, r.val))
 
         if f == "&&":
@@ -965,13 +974,13 @@ class Compiler:
         if f == "!=":
             return sol, CE(cmp(lambda a, b: a != b), is_bool=True)
         if f == "<":
-            return sol, CE(cmp(lambda a, b: a < b), is_bool=True)
+            return sol, CE(cmp(lambda a, b: a < b, ordering=True), is_bool=True)
         if f == "<=":
-            return sol, CE(cmp(lambda a, b: a <= b), is_bool=True)
+            return sol, CE(cmp(lambda a, b: a <= b, ordering=True), is_bool=True)
         if f == ">":
-            return sol, CE(cmp(lambda a, b: a > b), is_bool=True)
+            return sol, CE(cmp(lambda a, b: a > b, ordering=True), is_bool=True)
         if f == ">=":
-            return sol, CE(cmp(lambda a, b: a >= b), is_bool=True)
+            return sol, CE(cmp(lambda a, b: a >= b, ordering=True), is_bool=True)
         if f == "IN":
             head, *items = args
             cond = F.lit(False)
