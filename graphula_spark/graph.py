@@ -112,13 +112,32 @@ class Graph:
     ) -> "Graph":
         return cls.from_string_triples(spark, read_ntriples(spark, paths), cache=cache)
 
+    #: counted-broadcast gate for insert batches, same sizing story as
+    #: rdfs.BROADCAST_DERIVED_MAX_ROWS (3-long rows ≈ 48 MB hashed at
+    #: 1M — inside the session's 64 MB broadcast budget)
+    INSERT_BROADCAST_MAX_ROWS = 1_000_000
+
     def add_string_triples(self, striples: DataFrame) -> "Graph":
         """Incremental insert (reference: performAdd, Sparql.scala:115-127).
 
-        Extends the dictionary with unseen terms, unions + dedups.
-        Returns a new immutable Graph (snapshot semantics replace LMDB
-        transactions, SURVEY §1.6/§1.7).
-        """
+        Extends the dictionary with unseen terms, appends the
+        never-asserted remainder. Returns a new immutable Graph
+        (snapshot semantics replace LMDB transactions, SURVEY §1.6/§1.7).
+
+        100 TB shape (round 8): set semantics used to come from a
+        GLOBAL dropDuplicates over corpus ∪ batch — a full corpus
+        shuffle to insert a handful of triples. The batch is now
+        deduped at batch size, counted (the persist makes the count
+        the materialization the joins reuse), and a known-small batch
+        removes its already-asserted overlap with the corpus
+        STREAMING: semi-join the overlap out of the corpus past a
+        broadcast of the batch, anti-join the batch against that
+        batch-bounded overlap, append with a narrow union — the same
+        gated two-step as rdfs._derive_only / Dictionary.union
+        (tools/probe_r8.py). Large batches fall back to the shuffle
+        anti-join, the correct plan when batch ≈ corpus."""
+        from pyspark import StorageLevel
+
         terms = striples.select(
             F.explode(F.array("s", "p", "o")).alias("value")
         )
@@ -126,15 +145,27 @@ class Graph:
         enc = striples
         for c in ("s", "p", "o"):
             enc = d2.encode_col(enc, c, f"{c}_id")
-        new_triples = enc.select(
-            F.col("s_id").alias("s"), F.col("p_id").alias("p"), F.col("o_id").alias("o")
-        )
-        triples = (
-            self.triples.select("s", "p", "o")
-            .unionByName(new_triples)
+        new_triples = (
+            enc.select(
+                F.col("s_id").alias("s"),
+                F.col("p_id").alias("p"),
+                F.col("o_id").alias("o"),
+            )
             .dropDuplicates(["s", "p", "o"])
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        return Graph(self.spark, triples, d2)
+        n_new = new_triples.count()
+        spo = self.triples.select("s", "p", "o")
+        if n_new <= Graph.INSERT_BROADCAST_MAX_ROWS:
+            present = spo.join(
+                F.broadcast(new_triples), ["s", "p", "o"], "left_semi"
+            )
+            fresh = new_triples.join(
+                F.broadcast(present), ["s", "p", "o"], "left_anti"
+            )
+        else:
+            fresh = new_triples.join(spo, ["s", "p", "o"], "left_anti")
+        return Graph(self.spark, spo.unionByName(fresh), d2)
 
     def delete_string_triples(self, striples: DataFrame) -> "Graph":
         """Delete matching triples (extension: the reference is

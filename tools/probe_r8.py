@@ -263,9 +263,66 @@ def probe_broadcast_boundary(spark) -> None:
     g.dictionary.df.unpersist()
 
 
+def probe_insert(spark) -> None:
+    """Round-8 follow-on: Graph.add_string_triples at 20M triples.
+    Inserting a 10k-triple batch must shuffle batch-sized bytes — the
+    old shape global-deduped corpus ∪ batch (a full corpus shuffle per
+    insert)."""
+    from pyspark.sql import functions as F
+
+    g = build_graph(spark, frac_typed_in_hierarchy=25)
+    n_in = g.triples.count()
+    batch = spark.range(10_000).select(
+        F.concat(F.lit("new:"), F.col("id")).alias("s"),
+        F.lit("linked").alias("p"),
+        F.concat(F.lit("e:"), F.col("id")).alias("o"),
+    )
+    print(f"\n=== Graph.add_string_triples: {n_in:,} triples + 10k batch ===")
+
+    def run_new():
+        g2 = g.add_string_triples(batch)
+        assert g2.triples.count() == n_in + 10_000
+
+    def run_old():
+        d2 = g.dictionary.union(
+            batch.select(F.explode(F.array("s", "p", "o")).alias("value"))
+        )
+        enc = batch
+        for c in ("s", "p", "o"):
+            enc = d2.encode_col(enc, c, f"{c}_id")
+        new_t = enc.select(
+            F.col("s_id").alias("s"),
+            F.col("p_id").alias("p"),
+            F.col("o_id").alias("o"),
+        )
+        out = (
+            g.triples.select("s", "p", "o")
+            .unionByName(new_t)
+            .dropDuplicates(["s", "p", "o"])
+        )
+        assert out.count() == n_in + 10_000
+
+    new_s, new_b = measure(spark, "NEW (gated two-step insert)", run_new)
+    old_s, old_b = measure(spark, "OLD (global dedup insert)", run_old)
+    print(
+        f"\nInsert verdict: NEW {new_b/1e6:.1f} MB vs OLD {old_b/1e6:.0f} MB "
+        f"shuffled for a 10k insert."
+    )
+    g.dictionary.df.unpersist()
+
+
 if __name__ == "__main__":
+    import sys
+
     spark = get_probe_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    probe_graph_materialize(spark)
-    probe_dataset_materialize(spark)
-    probe_broadcast_boundary(spark)
+    only = set(sys.argv[1:])
+    probes = {
+        "graph": probe_graph_materialize,
+        "dataset": probe_dataset_materialize,
+        "boundary": probe_broadcast_boundary,
+        "insert": probe_insert,
+    }
+    for name, fn in probes.items():
+        if not only or name in only:
+            fn(spark)
