@@ -344,6 +344,17 @@ def run_case(spark, case: ManifestCase) -> tuple[bool, str]:
         return False, "negative syntax test did not raise"
     g = load_graph(spark, case.data_path)
     df = g.sparql(query)
+    if case.result_path.endswith((".ttl", ".nt")):
+        # CONSTRUCT/DESCRIBE: expected result is a GRAPH — compare the
+        # (s, p, o) term-row multisets under bnode bijection (exact
+        # term forms, no value normalization: "5"^^xsd:integer and
+        # "5.0"^^xsd:decimal are DIFFERENT graph terms)
+        want_rows = [
+            {"s": s, "p": p, "o": o} for s, p, o in _parse_ttl(case.result_path)
+        ]
+        got_rows = [r.asDict() for r in df.collect()]
+        ok = solutions_match(got_rows, want_rows)
+        return ok, "" if ok else f"got={got_rows!r} want={want_rows!r}"
     kind, want = parse_srx(case.result_path)
     if kind == "ask":
         got = bool(df.collect()[0][0])
