@@ -273,6 +273,53 @@ def test_derive_rdfs_dedups_overlapping_rules_and_excludes_asserted(spark):
     assert g2.materialize_rdfs().triples.count() == g2.triples.count()
 
 
+def test_small_derivation_plan_broadcasts_never_shuffles_corpus(spark):
+    """The round-8 gate, plan-asserted: below BROADCAST_DERIVED_MAX_ROWS
+    the corpus-overlap semi/anti pair must plan as BroadcastHashJoin
+    (probed at 20M triples: 10 MB vs 359 MB shuffled, tools/probe_r8.py)
+    — a SortMergeJoin here means the corpus map side shuffle-writes
+    before AQE can convert anything."""
+    from graphula_spark.operators.rdfs import derive_rdfs
+
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(ONTOLOGY + DATA, ["s", "p", "o"])
+    )
+    plan = (
+        derive_rdfs(g)._jdf.queryExecution().executedPlan().toString()
+    )
+    semi_anti = [
+        ln
+        for ln in plan.splitlines()
+        if ("LeftSemi" in ln or "LeftAnti" in ln) and "Join" in ln
+    ]
+    assert semi_anti, plan
+    for ln in semi_anti:
+        assert "BroadcastHashJoin" in ln, ln
+
+
+def test_insert_batch_plan_broadcasts_never_shuffles_corpus(spark):
+    """Same gate on the O2/O3 insert path: a small batch's overlap
+    removal must broadcast the batch, not sort-merge the corpus
+    (probed: 0.6 MB vs 349 MB for a 10k insert at 20M triples)."""
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(DATA, ["s", "p", "o"])
+    )
+    g2 = g.add_string_triples(
+        spark.createDataFrame(
+            [("ex:new", "ex:likes", "ex:alice")], ["s", "p", "o"]
+        )
+    )
+    plan = g2.triples._jdf.queryExecution().executedPlan().toString()
+    semi_anti = [
+        ln
+        for ln in plan.splitlines()
+        if ("LeftSemi" in ln or "LeftAnti" in ln) and "Join" in ln
+    ]
+    assert semi_anti, plan
+    for ln in semi_anti:
+        assert "BroadcastHashJoin" in ln, ln
+
+
 def test_owl_constructs(spark):
     from graphula_spark.operators.rdfs import (
         OWL_INVERSE,
