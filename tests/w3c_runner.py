@@ -201,6 +201,34 @@ def parse_srx(path: str):
     return ("rows", rows)
 
 
+RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
+
+
+def parse_rs_ttl(path: str):
+    """DAWG rs:ResultSet Turtle result format (the SPARQL 1.0 areas of
+    rdf-tests use it; SPARQL 1.1 areas use .srx) ->
+    ("ask", bool) | ("rows", [ {var: storage-term} ])."""
+    triples = _parse_ttl(path)
+    by_subj: dict[str, dict[str, list[str]]] = {}
+    for s, p, o in triples:
+        by_subj.setdefault(s, {}).setdefault(p, []).append(o)
+    for subj, props in by_subj.items():
+        if RS + "ResultSet" not in props.get(RDF + "type", []):
+            continue
+        if RS + "boolean" in props:
+            return ("ask", _lex(props[RS + "boolean"][0]) == "true")
+        rows = []
+        for sol in props.get(RS + "solution", []):
+            row = {}
+            for b in by_subj.get(sol, {}).get(RS + "binding", []):
+                bp = by_subj.get(b, {})
+                var = _lex(bp[RS + "variable"][0])
+                row[var] = bp[RS + "value"][0]
+            rows.append(row)
+        return ("rows", rows)
+    raise ValueError(f"no rs:ResultSet node in {path}")
+
+
 # ---------------------------------------------------------------------
 # comparison: value normalization + blank-node bijection
 # ---------------------------------------------------------------------
@@ -345,17 +373,26 @@ def run_case(spark, case: ManifestCase) -> tuple[bool, str]:
     g = load_graph(spark, case.data_path)
     df = g.sparql(query)
     if case.result_path.endswith((".ttl", ".nt")):
-        # CONSTRUCT/DESCRIBE: expected result is a GRAPH — compare the
-        # (s, p, o) term-row multisets under bnode bijection (exact
-        # term forms, no value normalization: "5"^^xsd:integer and
-        # "5.0"^^xsd:decimal are DIFFERENT graph terms)
-        want_rows = [
-            {"s": s, "p": p, "o": o} for s, p, o in _parse_ttl(case.result_path)
-        ]
-        got_rows = [r.asDict() for r in df.collect()]
-        ok = solutions_match(got_rows, want_rows)
-        return ok, "" if ok else f"got={got_rows!r} want={want_rows!r}"
-    kind, want = parse_srx(case.result_path)
+        # a .ttl result is EITHER a DAWG rs:ResultSet (SELECT/ASK in
+        # the SPARQL 1.0 areas of rdf-tests) or a plain graph
+        # (CONSTRUCT/DESCRIBE)
+        result_triples = _parse_ttl(case.result_path)
+        if any(o == RS + "ResultSet" for _s, p, o in result_triples
+               if p == RDF + "type"):
+            kind, want = parse_rs_ttl(case.result_path)
+        else:
+            # graph compare: (s, p, o) term-row multisets under bnode
+            # bijection, exact term forms (no value normalization:
+            # "5"^^xsd:integer and "5.0"^^xsd:decimal are DIFFERENT
+            # graph terms)
+            want_rows = [
+                {"s": s, "p": p, "o": o} for s, p, o in result_triples
+            ]
+            got_rows = [r.asDict() for r in df.collect()]
+            ok = solutions_match(got_rows, want_rows)
+            return ok, "" if ok else f"got={got_rows!r} want={want_rows!r}"
+    else:
+        kind, want = parse_srx(case.result_path)
     if kind == "ask":
         got = bool(df.collect()[0][0])
         return got == want, f"ask got={got} want={want}"
