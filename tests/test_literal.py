@@ -132,3 +132,24 @@ def test_over_cap_fallback_is_single_partition(spark, monkeypatch):
     # the one-partition contract holds on the fallback path too: this
     # relation exists to be broadcast (ADVICE r6)
     assert df.rdd.getNumPartitions() == 1
+
+
+def test_element_cap_counts_flattened_array_width(spark, monkeypatch):
+    """ADVICE r7 (medium): the guard must count TOTAL scalar elements
+    (rows × flattened array width), not just rows — 4 rows of dim-3
+    arrays is 12 elements, over a cap of 10, so the plan must take the
+    createDataFrame fallback instead of building a per-element CAST
+    string; data round-trips identically either way."""
+    monkeypatch.setattr(L, "MAX_LITERAL_ELEMS", 10)
+    rows = [(i, [float(i), i + 0.5, i + 0.25]) for i in range(4)]
+    df = literal_df(spark, rows, "k long, v array<double>")
+    got = sorted((r.k, tuple(r.v)) for r in df.collect())
+    assert got == [(k, tuple(v)) for k, v in rows]
+    assert df.rdd.getNumPartitions() == 1
+    # the fallback is the parallelized path: no inline(array(...)) SQL
+    # literal in the plan
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "inline" not in plan
+    # under the cap the JVM literal plan is used
+    small = literal_df(spark, rows[:1], "k long, v array<double>")
+    assert "inline" in small._jdf.queryExecution().logical().toString()

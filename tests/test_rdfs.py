@@ -320,6 +320,37 @@ def test_insert_batch_plan_broadcasts_never_shuffles_corpus(spark):
         assert "BroadcastHashJoin" in ln, ln
 
 
+def test_insert_large_batch_fallback_same_result(spark, monkeypatch):
+    """Above INSERT_BROADCAST_MAX_ROWS the insert takes the shuffle
+    anti-join branch; both branches must produce the identical
+    set-semantics snapshot (dedup within batch + against corpus)."""
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(DATA, ["s", "p", "o"])
+    )
+    batch = spark.createDataFrame(
+        [
+            ("ex:new", "ex:likes", "ex:alice"),
+            ("ex:new", "ex:likes", "ex:alice"),  # intra-batch dup
+            ("ex:alice", RDF_TYPE, "ex:Professor"),  # already asserted
+        ],
+        ["s", "p", "o"],
+    )
+
+    def snapshot(graph):
+        return {
+            (r.s, r.p, r.o)
+            for r in graph.decode(
+                graph.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        }
+
+    broadcast_path = snapshot(g.add_string_triples(batch))
+    monkeypatch.setattr(Graph, "INSERT_BROADCAST_MAX_ROWS", 0)
+    shuffle_path = snapshot(g.add_string_triples(batch))
+    want = set(DATA) | {("ex:new", "ex:likes", "ex:alice")}
+    assert broadcast_path == shuffle_path == want
+
+
 def test_owl_constructs(spark):
     from graphula_spark.operators.rdfs import (
         OWL_INVERSE,
