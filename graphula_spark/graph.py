@@ -167,6 +167,58 @@ class Graph:
             fresh = new_triples.join(spo, ["s", "p", "o"], "left_anti")
         return Graph(self.spark, spo.unionByName(fresh), d2)
 
+    def add_materialized_rdfs(
+        self, striples: DataFrame, on_schema_change: str = "full"
+    ) -> "Graph":
+        """Insert with INCREMENTAL ρdf closure maintenance: the batch
+        lands (O(batch), see `add_string_triples`) and only the
+        closure additions it causes are derived — every ρdf rule has
+        exactly one data atom, so running the stratified rule program
+        with the batch as rule input (schema from the whole graph) is
+        complete (`operators/rdfs.py::derive_rdfs_delta`). At 100 TB
+        this replaces a full re-derivation per ingest with O(batch)
+        rule work.
+
+        Precondition: this graph is already ρdf-CLOSED (built via
+        `materialize_rdfs` or this method) — the delta extends a
+        fixpoint. A batch asserting schema-predicate triples makes
+        delta reasoning unsound (new rules can fire over corpus data);
+        `on_schema_change` picks the response: "full" (default)
+        re-materializes the whole extended graph, "error" raises."""
+        from graphula_spark.operators import rdfs as R
+
+        g2 = self.add_string_triples(striples)
+        enc = striples
+        for c in ("s", "p", "o"):
+            enc = g2.dictionary.encode_col(enc, c, f"{c}_id")
+        batch = enc.select(
+            F.col("s_id").alias("s"),
+            F.col("p_id").alias("p"),
+            F.col("o_id").alias("o"),
+        )
+        ids = g2.dictionary.lookup_terms(
+            [R.RDFS_SUBCLASS, R.RDFS_SUBPROP, R.RDFS_DOMAIN, R.RDFS_RANGE]
+        )
+        schema_pids = list(ids.values())
+        if schema_pids and not batch.where(
+            F.col("p").isin(schema_pids)
+        ).isEmpty():
+            if on_schema_change == "error":
+                raise ValueError(
+                    "batch asserts schema-predicate triples — delta "
+                    "reasoning is unsound for schema changes; pass "
+                    'on_schema_change="full" to re-materialize'
+                )
+            return R.materialize(g2)
+        fresh, d, _n = R._derive_only(g2, data=batch, corpus=g2.triples)
+        if fresh is None:
+            return g2  # no schema loaded — nothing derivable
+        return Graph(
+            self.spark,
+            g2.triples.select("s", "p", "o").unionByName(fresh),
+            d,
+        )
+
     def delete_string_triples(self, striples: DataFrame) -> "Graph":
         """Delete matching triples (extension: the reference is
         insert-only — Index.scala has no delete path, SURVEY §2.3).

@@ -111,19 +111,28 @@ def _transitive_closure(edges: set[tuple[int, int]]) -> set[tuple[int, int]]:
     return closure
 
 
-def _derived_frames(graph):
+def _derived_frames(graph, data: DataFrame | None = None):
     """The per-rule ρdf derivation frames of `graph` plus the (possibly
     rdf:type-extended) dictionary. Frames are lazy broadcast-join views
     over the triples scan — narrow, no shuffle — and may overlap each
     other and the asserted triples; callers dedup at DERIVED size
-    (`_derive_only`). Empty list = no schema loaded."""
+    (`_derive_only`). Empty list = no schema loaded.
+
+    ``data`` overrides the RULE-INPUT frame while the schema is still
+    collected from the whole graph — the delta-maintenance hook
+    (`derive_rdfs_delta`): every ρdf rule has exactly ONE data atom,
+    so running the rules over just an inserted batch derives exactly
+    the closure additions that batch causes."""
     spark = graph.spark
     d = graph.dictionary
     ids = d.lookup_terms(
         [RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
     )
     type_id = ids.get(RDF_TYPE)
-    triples = graph.triples.select("s", "p", "o")
+    schema_src = graph.triples.select("s", "p", "o")
+    triples = (
+        schema_src if data is None else data.select("s", "p", "o")
+    )
 
     # ONE driver job fetches all four schema relations (p IN (...)),
     # split driver-side — the previous one-job-per-predicate shape was
@@ -143,7 +152,7 @@ def _derived_frames(graph):
         # spuriously reject a legitimate ontology near the cap
         # (ADVICE r7). The dedup shuffles only the schema slice.
         rows = _bounded_collect(
-            triples.where(F.col("p").isin(schema_pids))
+            schema_src.where(F.col("p").isin(schema_pids))
             .select("p", "s", "o")
             .dropDuplicates(["p", "s", "o"]),
             "RDFS schema predicates",
@@ -250,7 +259,7 @@ def _derived_frames(graph):
     return derived, d
 
 
-def _derive_only(graph):
+def _derive_only(graph, data: DataFrame | None = None, corpus: DataFrame | None = None):
     """(derived-only DataFrame, dictionary) — the triples the ρdf rules
     add that the graph does NOT already assert, deduplicated. Returns
     (None, dictionary) when no schema is loaded.
@@ -286,11 +295,15 @@ def _derive_only(graph):
     (the deduped derived count BEFORE removing asserted overlap) so
     callers can reuse the same broadcast gate for their own landing
     joins without another count job. (None, d, 0) when no schema is
-    loaded."""
+    loaded.
+
+    ``data`` restricts the rule input (delta maintenance — see
+    `derive_rdfs_delta`); ``corpus`` overrides the asserted set the
+    derivations are subtracted against (defaults to the graph)."""
     from pyspark import StorageLevel
 
     spark = graph.spark
-    derived, d = _derived_frames(graph)
+    derived, d = _derived_frames(graph, data=data)
     if not derived:
         return None, d, 0
     u = derived[0]
@@ -308,7 +321,11 @@ def _derive_only(graph):
         StorageLevel.MEMORY_AND_DISK
     )
     n_u = u.count()
-    triples = graph.triples.select("s", "p", "o")
+    triples = (
+        graph.triples.select("s", "p", "o")
+        if corpus is None
+        else corpus.select("s", "p", "o")
+    )
     if n_u <= BROADCAST_DERIVED_MAX_ROWS:
         overlap = triples.join(F.broadcast(u), ["s", "p", "o"], "left_semi")
         fresh = u.join(F.broadcast(overlap), ["s", "p", "o"], "left_anti")
@@ -333,6 +350,56 @@ def derive_rdfs(graph) -> DataFrame:
         from graphula_spark.literal import empty_df
 
         return empty_df(graph.spark, [(c, "long") for c in ("s", "p", "o")])
+    return fresh
+
+
+def derive_rdfs_delta(graph, batch: DataFrame) -> DataFrame:
+    """Closure additions CAUSED BY `batch` over an already-ρdf-closed
+    `graph` — the incremental-maintenance primitive: O(batch) rule
+    work instead of re-deriving the whole closure on every ingest.
+
+    Soundness rests on ρdf's shape: every rule (rdfs2/3/7/9 + the
+    stratified compositions) has exactly ONE data atom, so a new
+    derivation must use at least one batch triple as that atom, and
+    running the full stratified rule program with the batch as the
+    rule input while the schema closure still comes from the WHOLE
+    graph derives exactly the delta. Preconditions (raised on
+    violation where checkable, documented otherwise):
+
+      * `graph` is ρdf-closed (materialize is a fixpoint: closure of
+        closure adds nothing) — otherwise the result extends the
+        batch's consequences only, not the graph's;
+      * `batch` asserts NO schema-predicate triples — a new
+        subClassOf/subPropertyOf/domain/range edge can fire rules
+        over CORPUS data the batch never touches, so delta reasoning
+        is unsound there; callers fall back to full `materialize`
+        (`Graph.add_materialized_rdfs` automates the choice).
+
+    `batch` is an (s, p, o) id frame under `graph.dictionary`; rows
+    already asserted in the graph are harmless (their consequences
+    are already present and fall to the anti-join). Returns the
+    derived-only frame, disjoint from graph ∪ batch, deduped."""
+    spark = graph.spark
+    ids = graph.dictionary.lookup_terms(
+        [RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
+    )
+    schema_pids = [ids[k] for k in ids]
+    if schema_pids and not batch.where(
+        F.col("p").isin(schema_pids)
+    ).isEmpty():
+        raise ValueError(
+            "batch asserts schema-predicate triples — delta reasoning "
+            "is unsound for schema changes; run a full materialize "
+            "(Graph.add_materialized_rdfs does this automatically)"
+        )
+    corpus = graph.triples.select("s", "p", "o").unionByName(
+        batch.select("s", "p", "o")
+    )
+    fresh, _d, _n = _derive_only(graph, data=batch, corpus=corpus)
+    if fresh is None:
+        from graphula_spark.literal import empty_df
+
+        return empty_df(spark, [(c, "long") for c in ("s", "p", "o")])
     return fresh
 
 

@@ -1,6 +1,7 @@
 """RDFS materialization vs an independent plain-Python fixpoint."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from graphula_spark import Graph
 from graphula_spark.operators.rdfs import (
@@ -349,6 +350,128 @@ def test_insert_large_batch_fallback_same_result(spark, monkeypatch):
     shuffle_path = snapshot(g.add_string_triples(batch))
     want = set(DATA) | {("ex:new", "ex:likes", "ex:alice")}
     assert broadcast_path == shuffle_path == want
+
+
+def _snapshot(graph):
+    return {
+        (r.s, r.p, r.o)
+        for r in graph.decode(
+            graph.triples.select("s", "p", "o"), ["s", "p", "o"]
+        ).collect()
+    }
+
+
+def test_incremental_materialize_equals_full_on_random_batches(spark):
+    """`add_materialized_rdfs` (delta maintenance) must produce the
+    SAME closure as a full re-materialization of the extended graph,
+    on randomized closed corpora and schema-free random batches —
+    sound because every ρdf rule has exactly one data atom."""
+    import random
+
+    rnd = random.Random(47)
+    classes = [f"ex:C{i}" for i in range(6)]
+    props = [f"ex:p{i}" for i in range(4)]
+    nodes = [f"ex:n{i}" for i in range(8)]
+    for trial in range(3):
+        base = set()
+        for _ in range(4):
+            a, b = rnd.sample(classes, 2)
+            base.add((a, RDFS_SUBCLASS, b))
+        for _ in range(2):
+            a, b = rnd.sample(props, 2)
+            base.add((a, RDFS_SUBPROP, b))
+            base.add((rnd.choice(props), RDFS_DOMAIN, rnd.choice(classes)))
+            base.add((rnd.choice(props), RDFS_RANGE, rnd.choice(classes)))
+        for _ in range(8):
+            base.add((rnd.choice(nodes), rnd.choice(props), rnd.choice(nodes)))
+            base.add((rnd.choice(nodes), RDF_TYPE, rnd.choice(classes)))
+        closed = Graph.from_string_triples(
+            spark, spark.createDataFrame(sorted(base), ["s", "p", "o"])
+        ).materialize_rdfs()
+        batch = sorted(
+            {
+                (rnd.choice(nodes + ["ex:fresh1", "ex:fresh2"]),
+                 rnd.choice(props),
+                 rnd.choice(nodes))
+                for _ in range(4)
+            }
+            | {("ex:fresh1", RDF_TYPE, rnd.choice(classes))}
+        )
+        batch_df = spark.createDataFrame(batch, ["s", "p", "o"])
+        incremental = closed.add_materialized_rdfs(batch_df)
+        full = closed.add_string_triples(batch_df).materialize_rdfs()
+        assert _snapshot(incremental) == _snapshot(full), f"trial {trial}"
+        # and both equal the independent Python fixpoint
+        assert _snapshot(incremental) == _py_rdfs_closure(
+            base | set(batch)
+        ), f"trial {trial}"
+
+
+def test_incremental_materialize_schema_batch_falls_back_or_raises(spark):
+    """A batch carrying a NEW subClassOf edge must trigger the full
+    re-materialization (its rules fire over corpus data the delta
+    never sees) — and the fallback result is the true closure;
+    on_schema_change='error' raises instead."""
+    import pytest as _pytest
+
+    base = [
+        ("ex:A", RDFS_SUBCLASS, "ex:B"),
+        ("ex:x", RDF_TYPE, "ex:A"),
+        ("ex:y", RDF_TYPE, "ex:B"),
+    ]
+    closed = Graph.from_string_triples(
+        spark, spark.createDataFrame(base, ["s", "p", "o"])
+    ).materialize_rdfs()
+    batch = spark.createDataFrame(
+        [("ex:B", RDFS_SUBCLASS, "ex:C")], ["s", "p", "o"]
+    )
+    out = closed.add_materialized_rdfs(batch)
+    got = _snapshot(out)
+    # the new schema edge retypes CORPUS individuals x and y
+    assert ("ex:x", RDF_TYPE, "ex:C") in got
+    assert ("ex:y", RDF_TYPE, "ex:C") in got
+    assert got == _py_rdfs_closure(
+        set(base) | {("ex:B", RDFS_SUBCLASS, "ex:C")}
+    )
+    with _pytest.raises(ValueError, match="schema"):
+        closed.add_materialized_rdfs(batch, on_schema_change="error")
+
+
+def test_derive_rdfs_delta_is_batch_bounded_and_disjoint(spark):
+    """The delta primitive directly: derivations come only from the
+    batch's consequences, disjoint from graph ∪ batch."""
+    from graphula_spark.operators.rdfs import derive_rdfs_delta
+
+    base = [
+        ("ex:Prof", RDFS_SUBCLASS, "ex:Person"),
+        ("ex:teaches", RDFS_DOMAIN, "ex:Prof"),
+        ("ex:ann", RDF_TYPE, "ex:Prof"),
+    ]
+    closed = Graph.from_string_triples(
+        spark, spark.createDataFrame(base, ["s", "p", "o"])
+    ).materialize_rdfs()
+    # batch: bob teaches a course -> bob is Prof -> bob is Person
+    enc = spark.createDataFrame(
+        [("ex:bob", "ex:teaches", "ex:cs1")], ["s", "p", "o"]
+    )
+    g2 = closed.add_string_triples(enc)
+    batch = enc
+    for c in ("s", "p", "o"):
+        batch = g2.dictionary.encode_col(batch, c, f"{c}_id")
+    batch = batch.select(
+        F.col("s_id").alias("s"),
+        F.col("p_id").alias("p"),
+        F.col("o_id").alias("o"),
+    )
+    delta = derive_rdfs_delta(g2, batch)
+    decoded = {
+        (r.s, r.p, r.o)
+        for r in g2.decode(delta, ["s", "p", "o"]).collect()
+    }
+    assert decoded == {
+        ("ex:bob", RDF_TYPE, "ex:Prof"),
+        ("ex:bob", RDF_TYPE, "ex:Person"),
+    }
 
 
 def test_owl_constructs(spark):

@@ -311,6 +311,46 @@ def probe_insert(spark) -> None:
     g.dictionary.df.unpersist()
 
 
+def probe_delta_materialize(spark) -> None:
+    """Incremental closure maintenance at 20M CLOSED triples: a 10k
+    batch through add_materialized_rdfs must cost O(batch) rule work,
+    vs re-deriving the whole closure (which is itself already
+    derived-sized post-r8 — the delta should beat even that)."""
+    from pyspark.sql import functions as F
+
+    g = build_graph(spark, frac_typed_in_hierarchy=25)
+    closed = g.materialize_rdfs()
+    closed = type(g)(
+        spark, closed.triples.localCheckpoint(eager=True), closed.dictionary
+    )
+    n_closed = closed.triples.count()
+    batch = spark.range(10_000).select(
+        F.concat(F.lit("e:"), F.col("id")).alias("s"),  # existing entities
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("p"),
+        F.lit("seg:0").alias("o"),
+    )
+    print(
+        f"\n=== add_materialized_rdfs (delta): {n_closed:,} closed triples "
+        "+ 10k type batch ==="
+    )
+
+    def run_delta():
+        g2 = closed.add_materialized_rdfs(batch)
+        g2.triples.count()
+
+    def run_full():
+        g2 = closed.add_string_triples(batch).materialize_rdfs()
+        g2.triples.count()
+
+    d_s, d_b = measure(spark, "DELTA (batch rule input)", run_delta)
+    f_s, f_b = measure(spark, "FULL (re-materialize)", run_full)
+    print(
+        f"\nDelta verdict: {d_b/1e6:.1f} MB / {d_s:.1f}s vs full "
+        f"re-materialization {f_b/1e6:.1f} MB / {f_s:.1f}s."
+    )
+    g.dictionary.df.unpersist()
+
+
 if __name__ == "__main__":
     import sys
 
@@ -322,6 +362,7 @@ if __name__ == "__main__":
         "dataset": probe_dataset_materialize,
         "boundary": probe_broadcast_boundary,
         "insert": probe_insert,
+        "delta": probe_delta_materialize,
     }
     for name, fn in probes.items():
         if not only or name in only:
