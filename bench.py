@@ -378,6 +378,10 @@ SF1_QUERIES = [
     # join), q2 the correlated-min; both must hold at x10 facts
     "tpch_q2",
     "tpch_q9",
+    # round 8: the derive-only inference shape (persist+count+gated
+    # broadcast) — the one bench entry whose r7/r8 cost trade is
+    # scale-dependent, so track it at x10 every round
+    "rdfs_closure",
 ]
 
 SF1_COPIES = 10

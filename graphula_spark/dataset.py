@@ -330,7 +330,18 @@ class Dataset:
     # ------------------------------------------------------------------
     def add_string_quads(self, squads: DataFrame) -> "Dataset":
         """Insert (s, p, o, g) term-string rows: unseen terms extend the
-        dictionary (hash-encode — a pure map), quads union + dedup."""
+        dictionary (hash-encode — a pure map), the never-asserted
+        remainder appends.
+
+        100 TB shape (round 8): set semantics used to come from a
+        global dropDuplicates over quads ∪ batch — a full quad-table
+        shuffle per insert. Same counted two-step as
+        `Graph.add_string_triples` (tools/probe_r8.py), with the
+        overlap joins NULL-SAFE on g (default-graph rows carry a null
+        graph id, and a plain equi-join would never match them — the
+        insert would silently duplicate default-graph quads)."""
+        from pyspark import StorageLevel
+
         terms = squads.select(
             F.explode(
                 F.filter(F.array("s", "p", "o", "g"), lambda t: t.isNotNull())
@@ -340,14 +351,35 @@ class Dataset:
         enc = squads
         for c in ("s", "p", "o", "g"):
             enc = d2.encode_col(enc, c, f"{c}_id")
-        new = enc.select(
-            F.col("s_id").alias("s"),
-            F.col("p_id").alias("p"),
-            F.col("o_id").alias("o"),
-            F.col("g_id").alias("g"),
+        new = (
+            enc.select(
+                F.col("s_id").alias("s"),
+                F.col("p_id").alias("p"),
+                F.col("o_id").alias("o"),
+                F.col("g_id").alias("g"),
+            )
+            .dropDuplicates(["s", "p", "o", "g"])
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        quads = self.quads.unionByName(new).dropDuplicates(["s", "p", "o", "g"])
-        return Dataset(self.spark, quads, d2)
+        n_new = new.count()
+
+        def cond(left, right):
+            return (
+                (left["s"] == right["s"])
+                & (left["p"] == right["p"])
+                & (left["o"] == right["o"])
+                & left["g"].eqNullSafe(right["g"])
+            )
+
+        q = self.quads.select("s", "p", "o", "g")
+        if n_new <= Graph.INSERT_BROADCAST_MAX_ROWS:
+            present = q.join(F.broadcast(new), cond(q, new), "left_semi")
+            fresh = new.join(
+                F.broadcast(present), cond(new, present), "left_anti"
+            )
+        else:
+            fresh = new.join(q, cond(new, q), "left_anti")
+        return Dataset(self.spark, q.unionByName(fresh), d2)
 
     def delete_string_quads(self, squads: DataFrame) -> "Dataset":
         """Delete exact (s, p, o, g) rows (g null = default graph) via a

@@ -1960,6 +1960,41 @@ def test_service_queries_bypass_plan_cache(spark):
         unregister_service("http://mut.example/")
 
 
+class TestDatasetQuadInsert:
+    """add_string_quads set semantics via the round-8 counted two-step:
+    the overlap joins must be NULL-SAFE on g (default-graph rows carry
+    null), intra-batch duplicates collapse, and the above-gate shuffle
+    branch produces the identical snapshot."""
+
+    def test_set_semantics_null_safe_both_branches(self, spark, monkeypatch):
+        from graphula_spark.dataset import Dataset
+        from graphula_spark.graph import Graph
+
+        asserted = [
+            ("ex:a", "ex:p", "ex:b", None),  # default graph
+            ("ex:a", "ex:p", "ex:b", "ex:g1"),  # same triple, named graph
+        ]
+        ds = Dataset.from_string_quads(
+            spark, spark.createDataFrame(asserted, ["s", "p", "o", "g"])
+        )
+        batch = spark.createDataFrame(
+            asserted
+            + [
+                ("ex:c", "ex:p", "ex:d", None),
+                ("ex:c", "ex:p", "ex:d", None),  # intra-batch dup
+            ],
+            ["s", "p", "o", "g"],
+        )
+        for gate in (Graph.INSERT_BROADCAST_MAX_ROWS, 0):
+            monkeypatch.setattr(Graph, "INSERT_BROADCAST_MAX_ROWS", gate)
+            out = ds.add_string_quads(batch)
+            # 2 asserted + exactly 1 new quad: a plain (non-null-safe)
+            # equi-join would re-add BOTH null-g rows here
+            assert out.quads.count() == 3, f"gate={gate}"
+            # idempotent: re-adding the same batch adds nothing
+            assert out.add_string_quads(batch).quads.count() == 3
+
+
 class TestDatasetMaterialization:
     """Per-graph inference: ontology in a named graph, data in the
     default graph, derived-only triples landing in a target named
