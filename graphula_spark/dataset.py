@@ -384,7 +384,15 @@ class Dataset:
     def delete_string_quads(self, squads: DataFrame) -> "Dataset":
         """Delete exact (s, p, o, g) rows (g null = default graph) via a
         null-safe anti-join; dictionary entries are retained (ids are
-        content hashes — orphans are harmless, decode stays stable)."""
+        content hashes — orphans are harmless, decode stays stable).
+
+        The delete set is the RIGHT side of the LEFT ANTI — the
+        broadcastable side — but the hint is gated on a count (round
+        8): an unconditional broadcast of a user-provided batch OOMs
+        when someone deletes a corpus-sized slice; above the gate the
+        null-safe equi-join sort-merges, the correct plan there."""
+        from pyspark import StorageLevel
+
         enc = squads
         for c in ("s", "p", "o", "g"):
             enc = self.dictionary.encode_col(enc, c, f"{c}_id")
@@ -393,16 +401,21 @@ class Dataset:
             F.col("p_id").alias("dp"),
             F.col("o_id").alias("do"),
             F.col("g_id").alias("dg"),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         cond = (
             (F.col("s") == F.col("ds"))
             & (F.col("p") == F.col("dp"))
             & (F.col("o") == F.col("do"))
             & F.col("g").eqNullSafe(F.col("dg"))
         )
+        right = (
+            F.broadcast(d)
+            if d.count() <= Graph.INSERT_BROADCAST_MAX_ROWS
+            else d
+        )
         return Dataset(
             self.spark,
-            self.quads.join(F.broadcast(d), cond, "left_anti"),
+            self.quads.join(right, cond, "left_anti"),
             self.dictionary,
         )
 
