@@ -378,10 +378,11 @@ SF1_QUERIES = [
     # join), q2 the correlated-min; both must hold at x10 facts
     "tpch_q2",
     "tpch_q9",
-    # round 8: the derive-only inference shape (persist+count+gated
-    # broadcast) — the one bench entry whose r7/r8 cost trade is
-    # scale-dependent, so track it at x10 every round
-    "rdfs_closure",
+    # rdfs_closure deliberately NOT probed here: its driver entry
+    # derives over the customer DIM, which the sf1 replica copies
+    # rather than replicates, so the x10 run would measure identical
+    # data. The inference shape's scale evidence is tools/probe_r8.py
+    # at 20M triples (10 MB vs 359 MB shuffled).
 ]
 
 SF1_COPIES = 10
