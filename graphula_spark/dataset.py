@@ -295,6 +295,110 @@ class Dataset:
         return Dataset(self.spark, new_quads, d2)
 
     # ------------------------------------------------------------------
+    def add_quads_materialized(
+        self,
+        squads: DataFrame,
+        ontology: str,
+        target: str,
+        data: str | None = None,
+        on_schema_change: str = "full",
+    ) -> "Dataset":
+        """Insert quads AND incrementally maintain the `target`
+        entailment graph: only the ρdf consequences of the batch rows
+        that land in the reasoning input (the `data` graph — default
+        graph when None — or the `ontology` graph) are derived and
+        appended to `target`. The Dataset twin of
+        `Graph.add_materialized_rdfs`: O(batch) rule work per ingest
+        instead of a full re-derivation, sound because every ρdf rule
+        has exactly one data atom.
+
+        Precondition: `target` already holds the closure of the
+        current data∪ontology (a prior `materialize_rdfs` call or this
+        method). A batch asserting schema-predicate triples into the
+        reasoning input changes the rule program — delta reasoning is
+        unsound there, so `on_schema_change` picks the response:
+        "full" (default) re-runs `materialize_rdfs` on the extended
+        dataset (idempotent against the existing target), "error"
+        raises. Batch rows landing in unrelated named graphs are
+        inserted but derive nothing."""
+        from graphula_spark.operators import rdfs as rdfs_mod
+
+        ds2 = self.add_string_quads(squads)
+        enc = squads
+        for c in ("s", "p", "o", "g"):
+            enc = ds2.dictionary.encode_col(enc, c, f"{c}_id")
+        names = ds2.dictionary.lookup_terms(
+            [ontology] + ([data] if data is not None else [])
+        )
+        onto_gid = names.get(ontology)
+        gcol = F.col("g_id")
+        if data is None:
+            in_data = gcol.isNull()
+        else:
+            data_gid = names.get(data)
+            in_data = (
+                (gcol == data_gid) if data_gid is not None else F.lit(False)
+            )
+        in_onto = (
+            (gcol == onto_gid) if onto_gid is not None else F.lit(False)
+        )
+        batch_slice = enc.where(in_data | in_onto).select(
+            F.col("s_id").alias("s"),
+            F.col("p_id").alias("p"),
+            F.col("o_id").alias("o"),
+        )
+        ids = ds2.dictionary.lookup_terms(
+            [
+                rdfs_mod.RDFS_SUBCLASS,
+                rdfs_mod.RDFS_SUBPROP,
+                rdfs_mod.RDFS_DOMAIN,
+                rdfs_mod.RDFS_RANGE,
+            ]
+        )
+        schema_pids = list(ids.values())
+        if schema_pids and not batch_slice.where(
+            F.col("p").isin(schema_pids)
+        ).isEmpty():
+            if on_schema_change == "error":
+                raise ValueError(
+                    "batch asserts schema-predicate triples into the "
+                    "reasoning input — delta reasoning is unsound for "
+                    "schema changes; pass on_schema_change=\"full\" to "
+                    "re-materialize"
+                )
+            return ds2.materialize_rdfs(ontology, target, data=data)
+        data_g = ds2.default_graph if data is None else ds2.graph(data)
+        onto_g = ds2.graph(ontology)
+        combined_triples = data_g.triples.select("s", "p", "o").unionByName(
+            onto_g.triples.select("s", "p", "o")
+        )
+        # register the target graph name (cheap post-r8: a one-term
+        # union streams the dictionary, no shuffle)
+        d2 = ds2.dictionary.union(
+            self.spark.range(0, 1, 1, 1).select(F.lit(target).alias("value"))
+        )
+        gid = d2.lookup_terms([target])[target]
+        existing_target = ds2.quads.where(F.col("g") == F.lit(gid)).select(
+            "s", "p", "o"
+        )
+        # subtract assertions AND the already-landed closure in one
+        # pass: fresh comes out ready to append
+        corpus = combined_triples.unionByName(existing_target)
+        fresh, d3, _n = rdfs_mod._derive_only(
+            Graph(self.spark, combined_triples, d2),
+            data=batch_slice,
+            corpus=corpus,
+        )
+        if fresh is None:
+            return Dataset(self.spark, ds2.quads, d2)
+        new_quads = ds2.quads.unionByName(
+            fresh.withColumn("g", F.lit(gid).cast("long")).select(
+                "s", "p", "o", "g"
+            )
+        )
+        return Dataset(self.spark, new_quads, d3)
+
+    # ------------------------------------------------------------------
     def save(self, path: str, include_ops: bool = False) -> None:
         """Persist the dataset: the union graph goes through Graph.save
         (predicate-bucketed triples + id-bucketed dictionary + meta —

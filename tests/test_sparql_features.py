@@ -2065,6 +2065,68 @@ class TestDatasetMaterialization:
             ("ex:bob", "ex:Person"),
         }
 
+    def _target_snapshot(self, ds):
+        inf = ds.graph(self.INF)
+        return {
+            (r.s, r.p, r.o)
+            for r in inf.decode(
+                inf.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        }
+
+    def test_incremental_quad_ingest_equals_full_rematerialize(self, spark):
+        """add_quads_materialized (the Dataset twin of
+        Graph.add_materialized_rdfs): a schema-free batch into the
+        default graph maintains the target incrementally, and the
+        result equals inserting + fully re-materializing."""
+        from graphula_spark.operators.rdfs import RDF_TYPE
+
+        ds = self._dataset(spark).materialize_rdfs(self.ONTO, self.INF)
+        batch = spark.createDataFrame(
+            [
+                ("ex:carol", RDF_TYPE, "ex:Professor", None),
+                ("ex:dave", RDF_TYPE, "ex:Student", "ex:unrelated"),
+            ],
+            ["s", "p", "o", "g"],
+        )
+        inc = ds.add_quads_materialized(batch, self.ONTO, self.INF)
+        full = ds.add_string_quads(batch).materialize_rdfs(
+            self.ONTO, self.INF
+        )
+        got = self._target_snapshot(inc)
+        assert got == self._target_snapshot(full)
+        # carol (default graph) gains the inherited types...
+        assert ("ex:carol", RDF_TYPE, "ex:Faculty") in got
+        assert ("ex:carol", RDF_TYPE, "ex:Person") in got
+        # ...dave's row landed in an UNRELATED graph: inserted, not
+        # reasoned over
+        assert ("ex:dave", RDF_TYPE, "ex:Person") not in got
+        assert inc.graph("ex:unrelated").triples.count() == 1
+        # asserted graphs untouched
+        assert inc.default_graph.triples.count() == 3
+        assert inc.graph(self.ONTO).triples.count() == 3
+
+    def test_incremental_quad_ingest_schema_batch_falls_back(self, spark):
+        """A batch asserting a NEW subClassOf edge into the ontology
+        graph triggers the full re-materialization (corpus individuals
+        retype); on_schema_change='error' raises."""
+        from graphula_spark.operators.rdfs import RDF_TYPE, RDFS_SUBCLASS
+
+        ds = self._dataset(spark).materialize_rdfs(self.ONTO, self.INF)
+        batch = spark.createDataFrame(
+            [("ex:Person", RDFS_SUBCLASS, "ex:Agent", self.ONTO)],
+            ["s", "p", "o", "g"],
+        )
+        out = ds.add_quads_materialized(batch, self.ONTO, self.INF)
+        got = self._target_snapshot(out)
+        # existing individuals climb the NEW edge
+        assert ("ex:alice", RDF_TYPE, "ex:Agent") in got
+        assert ("ex:bob", RDF_TYPE, "ex:Agent") in got
+        with pytest.raises(ValueError, match="schema"):
+            ds.add_quads_materialized(
+                batch, self.ONTO, self.INF, on_schema_change="error"
+            )
+
     def test_idempotent(self, spark):
         ds = self._dataset(spark).materialize_rdfs(self.ONTO, self.INF)
         again = ds.materialize_rdfs(self.ONTO, self.INF)
