@@ -455,7 +455,9 @@ class Dataset:
         enc = squads
         for c in ("s", "p", "o", "g"):
             enc = d2.encode_col(enc, c, f"{c}_id")
-        new = (
+        from graphula_spark.scratch import track
+
+        new = track(
             enc.select(
                 F.col("s_id").alias("s"),
                 F.col("p_id").alias("p"),
@@ -500,12 +502,16 @@ class Dataset:
         enc = squads
         for c in ("s", "p", "o", "g"):
             enc = self.dictionary.encode_col(enc, c, f"{c}_id")
-        d = enc.select(
-            F.col("s_id").alias("ds"),
-            F.col("p_id").alias("dp"),
-            F.col("o_id").alias("do"),
-            F.col("g_id").alias("dg"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        from graphula_spark.scratch import track
+
+        d = track(
+            enc.select(
+                F.col("s_id").alias("ds"),
+                F.col("p_id").alias("dp"),
+                F.col("o_id").alias("do"),
+                F.col("g_id").alias("dg"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
         cond = (
             (F.col("s") == F.col("ds"))
             & (F.col("p") == F.col("dp"))

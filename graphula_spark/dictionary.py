@@ -145,8 +145,12 @@ class Dictionary:
         """
         from pyspark import StorageLevel
 
-        result = terms.withColumn("id", term_id_col(F.col("value"))).persist(
-            StorageLevel.MEMORY_AND_DISK
+        from graphula_spark.scratch import track
+
+        result = track(
+            terms.withColumn("id", term_id_col(F.col("value"))).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         )
         # the collision probe below materializes the full (id, value)
         # set; persisting it means the store write / decode joins reuse
@@ -266,7 +270,9 @@ class Dictionary:
         """
         from pyspark import StorageLevel
 
-        cand = (
+        from graphula_spark.scratch import track
+
+        cand = track(
             other_terms.select(F.col(other_terms.columns[0]).alias("value"))
             .where(F.col("value").isNotNull())
             .distinct()

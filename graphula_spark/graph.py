@@ -145,7 +145,9 @@ class Graph:
         enc = striples
         for c in ("s", "p", "o"):
             enc = d2.encode_col(enc, c, f"{c}_id")
-        new_triples = (
+        from graphula_spark.scratch import track
+
+        new_triples = track(
             enc.select(
                 F.col("s_id").alias("s"),
                 F.col("p_id").alias("p"),

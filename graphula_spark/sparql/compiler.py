@@ -94,6 +94,33 @@ def rdf_value(term: Column) -> Column:
     return F.when(term.startswith('"'), unescaped).otherwise(term)
 
 
+#: datatype suffix of a *numeric* typed literal (§17.3 operand typing)
+_NUM_DT_RE = (
+    r'\^\^<http://www\.w3\.org/2001/XMLSchema#'
+    r"(integer|decimal|double|float|long|int|short|byte|"
+    r"nonNegativeInteger|nonPositiveInteger|negativeInteger|"
+    r"positiveInteger|unsignedLong|unsignedInt|unsignedShort|"
+    r"unsignedByte)>$"
+)
+
+
+def term_numeric(term: Column, lex: Column) -> Column:
+    """Numeric view of a term, derived from its *datatype* (§17.3), not
+    from whether the lexical form happens to parse: a quoted literal is
+    numeric only when it carries a numeric XSD datatype — a plain or
+    xsd:string literal like ``"5"`` is NOT a number (fn:compare orders
+    it as a string, and number-vs-string ordering is a type error).
+    Unquoted tokens (this engine's relaxed relational-ingest storage,
+    which writes raw column values as bare terms) keep the try_cast
+    behavior; IRIs/bnodes cast to NULL there anyway."""
+    return F.when(
+        term.startswith('"'),
+        F.when(term.rlike(_NUM_DT_RE), lex.try_cast("double")),
+    ).otherwise(lex.try_cast("double"))
+
+
+
+
 @dataclass
 class CE:
     """Compiled expression: value column + optional numeric view + the
@@ -103,8 +130,14 @@ class CE:
     num: Column | None = None
     term: Column | None = None
     is_bool: bool = False
+    #: known non-numeric (string/IRI constants): numeric() yields NULL
+    #: so §17.3 ordering treats number-vs-string as a type error, while
+    #: BIND still stores the string value (num stays None there)
+    non_numeric: bool = False
 
     def numeric(self) -> Column:
+        if self.non_numeric:
+            return F.lit(None).cast("double")
         return self.num if self.num is not None else self.val.try_cast("double")
 
 
@@ -918,7 +951,7 @@ class Compiler:
                 return sol, CE(F.lit(None).cast("string"), None, F.lit(None).cast("string"))
             sol2, term = self.term_col(sol, v)
             val = rdf_value(term)
-            return sol2, CE(val, val.try_cast("double"), term)
+            return sol2, CE(val, term_numeric(term, val), term)
         if isinstance(expr, A.ELit):
             if isinstance(expr.value, bool):
                 return sol, CE(F.lit(expr.value), None, None, is_bool=True)
@@ -928,9 +961,16 @@ class Compiler:
                     F.lit(float(expr.value)),
                     F.lit(str(expr.value)),
                 )
-            return sol, CE(F.lit(expr.value), None, F.lit(f'"{expr.value}"'))
+            # string constants are typed xsd:string — never numeric,
+            # even when the text parses as a number (§17.3)
+            return sol, CE(
+                F.lit(expr.value), None, F.lit(f'"{expr.value}"'),
+                non_numeric=True,
+            )
         if isinstance(expr, A.EIri):
-            return sol, CE(F.lit(expr.iri), None, F.lit(expr.iri))
+            return sol, CE(
+                F.lit(expr.iri), None, F.lit(expr.iri), non_numeric=True
+            )
         if isinstance(expr, A.ECall):
             return self.compile_call(sol, expr)
         if isinstance(expr, A.EAggregate):
@@ -1219,6 +1259,12 @@ class Compiler:
         def typed(lex: Column, dt: str) -> Column:
             return F.concat(F.lit('"'), lex, F.lit(f'"^^<{_XSD}{dt}>'))
 
+        # XPath casting parses the LEXICAL form — xsd:integer("5") is a
+        # valid string→integer cast even though "5" is not a §17.3
+        # numeric operand (CE.numeric() gates on datatype; casts don't)
+        def parse_num() -> Column:
+            return a.val.try_cast("double")
+
         if name == "string":
             return CE(a.val, None, typed(a.val, "string"))
         if name in _XSD_INTEGER_TYPES:
@@ -1227,7 +1273,7 @@ class Compiler:
             else:
                 # double-first parse truncates decimals toward zero
                 # (xsd:integer("4.7") = 4), matching XPath casting
-                n = a.numeric().cast("long")
+                n = parse_num().cast("long")
             lex = n.cast("string")
             # numeric view stays integral so a BIND displays 15, not 15.0
             return CE(lex, n, typed(lex, name))
@@ -1235,14 +1281,14 @@ class Compiler:
             if a.is_bool:
                 n = F.when(a.val, F.lit(1.0)).otherwise(F.lit(0.0))
             else:
-                n = a.numeric()
+                n = parse_num()
             lex = n.cast("string")
             return CE(lex, n, typed(lex, name))
         if name == "boolean":
             if a.is_bool:
                 b = a.val
             else:
-                num = a.numeric()
+                num = parse_num()
                 b = (
                     F.when(a.val.isin("true", "1"), F.lit(True))
                     .when(a.val.isin("false", "0"), F.lit(False))

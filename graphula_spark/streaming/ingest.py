@@ -228,19 +228,28 @@ def stream_ntriples_ingest(
             new_triples,
             Dictionary(spark, fresh, exceptions=[] if fresh_clean else None),
         )
-        delta_g.save(f"{store_dir}/{delta_name}", p_buckets=old.p_buckets)
-        deltas = [*cur["deltas"], delta_name]
-        if len(deltas) >= compact_every:
-            merged = Graph(
-                spark,
-                old.triples.select("s", "p", "o").unionByName(new_triples),
-                full_dict,
-            )
-            base = f"base_{batch_id}"
-            merged.save(f"{store_dir}/{base}", p_buckets=old.p_buckets)
-            _publish(store_dir, {"base": base, "deltas": []}, cur)
-        else:
-            _publish(store_dir, {"base": cur["base"], "deltas": deltas}, cur)
+        try:
+            delta_g.save(f"{store_dir}/{delta_name}", p_buckets=old.p_buckets)
+            deltas = [*cur["deltas"], delta_name]
+            if len(deltas) >= compact_every:
+                merged = Graph(
+                    spark,
+                    old.triples.select("s", "p", "o").unionByName(new_triples),
+                    full_dict,
+                )
+                base = f"base_{batch_id}"
+                merged.save(f"{store_dir}/{base}", p_buckets=old.p_buckets)
+                _publish(store_dir, {"base": base, "deltas": []}, cur)
+            else:
+                _publish(
+                    store_dir, {"base": cur["base"], "deltas": deltas}, cur
+                )
+        finally:
+            # the CacheManager never auto-evicts these per-batch persists;
+            # a long-running stream would accumulate cached blocks without
+            # bound (spilling to executor disk) if they outlived the batch
+            terms.unpersist()
+            batch_triples.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)

