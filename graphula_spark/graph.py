@@ -170,7 +170,10 @@ class Graph:
         return Graph(self.spark, spo.unionByName(fresh), d2)
 
     def add_materialized_rdfs(
-        self, striples: DataFrame, on_schema_change: str = "full"
+        self,
+        striples: DataFrame,
+        on_schema_change: str = "full",
+        owl: bool = False,
     ) -> "Graph":
         """Insert with INCREMENTAL ρdf closure maintenance: the batch
         lands (O(batch), see `add_string_triples`) and only the
@@ -181,12 +184,23 @@ class Graph:
         this replaces a full re-derivation per ingest with O(batch)
         rule work.
 
-        Precondition: this graph is already ρdf-CLOSED (built via
-        `materialize_rdfs` or this method) — the delta extends a
-        fixpoint. A batch asserting schema-predicate triples makes
-        delta reasoning unsound (new rules can fire over corpus data);
-        `on_schema_change` picks the response: "full" (default)
-        re-materializes the whole extended graph, "error" raises."""
+        With ``owl=True`` the delta also maintains the
+        `materialize_owl` constructs (inverseOf / SymmetricProperty /
+        TransitiveProperty — what LUBM's univ-bench ontology declares):
+        inverse/symmetric are single-data-atom like ρdf, and the
+        transitive closure is maintained incrementally via
+        ``(I ∪ G_p) ∘ Δ ∘ (I ∪ G_p)`` chains — O(batch ∪ affected)
+        shuffle, never O(corpus). See
+        `operators/rdfs.py::derive_owl_delta` (VERDICT r8 #1).
+
+        Precondition: this graph is already CLOSED at the matching
+        level (`materialize_rdfs(owl=...)` or this method) — the delta
+        extends a fixpoint. A batch asserting schema-predicate triples
+        (ρdf schema, or with owl=True also inverseOf/Symmetric/
+        Transitive declarations) makes delta reasoning unsound (new
+        rules can fire over corpus data); `on_schema_change` picks the
+        response: "full" (default) re-materializes the whole extended
+        graph, "error" raises."""
         from graphula_spark.operators import rdfs as R
 
         g2 = self.add_string_triples(striples)
@@ -202,19 +216,31 @@ class Graph:
             [R.RDFS_SUBCLASS, R.RDFS_SUBPROP, R.RDFS_DOMAIN, R.RDFS_RANGE]
         )
         schema_pids = list(ids.values())
-        if schema_pids and not batch.where(
-            F.col("p").isin(schema_pids)
-        ).isEmpty():
+        schema_cond = (
+            F.col("p").isin(schema_pids) if schema_pids else F.lit(False)
+        )
+        if owl:
+            owl_cond = R.owl_schema_predicate_cond(g2)
+            if owl_cond is not None:
+                schema_cond = schema_cond | owl_cond
+        if not batch.where(schema_cond).isEmpty():
             if on_schema_change == "error":
                 raise ValueError(
                     "batch asserts schema-predicate triples — delta "
                     "reasoning is unsound for schema changes; pass "
                     'on_schema_change="full" to re-materialize'
                 )
-            return R.materialize(g2)
-        fresh, d, _n = R._derive_only(g2, data=batch, corpus=g2.triples)
-        if fresh is None:
-            return g2  # no schema loaded — nothing derivable
+            return (
+                R.materialize_owl(g2) if owl else R.materialize(g2)
+            )
+        if owl:
+            fresh, d = R.derive_owl_delta(g2, batch)
+        else:
+            fresh, d, _n = R._derive_only(
+                g2, data=batch, corpus=g2.triples
+            )
+            if fresh is None:
+                return g2  # no schema loaded — nothing derivable
         return Graph(
             self.spark,
             g2.triples.select("s", "p", "o").unionByName(fresh),

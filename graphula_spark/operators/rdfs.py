@@ -558,6 +558,335 @@ def materialize_owl(graph, max_rounds: int = 3) -> "Graph":  # noqa: F821
     return g
 
 
+def _collect_owl_schema(graph, triples: DataFrame):
+    """(inv_pairs, sym_props, trans_props, ids) from one bounded
+    schema-sized collect over `triples` — the shared scan shape of
+    materialize_owl (VERDICT r5 #3)."""
+    d = graph.dictionary
+    ids = d.lookup_terms(
+        [RDF_TYPE, OWL_INVERSE, OWL_TRANSITIVE, OWL_SYMMETRIC]
+    )
+    type_id, inv_id = ids.get(RDF_TYPE), ids.get(OWL_INVERSE)
+    sym_id, trans_id = ids.get(OWL_SYMMETRIC), ids.get(OWL_TRANSITIVE)
+    conds = []
+    if inv_id is not None:
+        conds.append(F.col("p") == inv_id)
+    decl_ids = [x for x in (sym_id, trans_id) if x is not None]
+    if type_id is not None and decl_ids:
+        conds.append((F.col("p") == type_id) & F.col("o").isin(decl_ids))
+    schema_rows = []
+    if conds:
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        schema_rows = _bounded_collect(
+            triples.where(cond).select("s", "p", "o").dropDuplicates(),
+            "OWL schema declarations",
+        )
+    inv_pairs = {(r["s"], r["o"]) for r in schema_rows if r["p"] == inv_id}
+    inv_pairs |= {(b, a) for (a, b) in inv_pairs}  # inverseOf is symmetric
+    sym_props = {
+        r["s"]
+        for r in schema_rows
+        if r["p"] == type_id and r["o"] == sym_id
+    }
+    trans_props = sorted(
+        {
+            r["s"]
+            for r in schema_rows
+            if r["p"] == type_id and r["o"] == trans_id
+        }
+    )
+    return inv_pairs, sym_props, trans_props, ids
+
+
+def owl_schema_predicate_cond(graph) -> "Column | None":
+    """Column predicate matching OWL-SCHEMA assertions (an inverseOf
+    edge, or a type declaration of Symmetric/TransitiveProperty) — the
+    triples whose insertion changes the OWL rule program, making delta
+    reasoning unsound. None when no OWL vocabulary term is even in the
+    dictionary (nothing can match)."""
+    ids = graph.dictionary.lookup_terms(
+        [RDF_TYPE, OWL_INVERSE, OWL_TRANSITIVE, OWL_SYMMETRIC]
+    )
+    conds = []
+    if OWL_INVERSE in ids:
+        conds.append(F.col("p") == ids[OWL_INVERSE])
+    decl = [ids[k] for k in (OWL_SYMMETRIC, OWL_TRANSITIVE) if k in ids]
+    if RDF_TYPE in ids and decl:
+        conds.append(
+            (F.col("p") == ids[RDF_TYPE]) & F.col("o").isin(decl)
+        )
+    if not conds:
+        return None
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return cond
+
+
+def derive_owl_delta(graph, batch: DataFrame, max_rounds: int = 8):
+    """OWL(+ρdf) closure additions CAUSED BY `batch` over a graph
+    already closed under `materialize_owl` — incremental OWL
+    maintenance (VERDICT r8 #1). Returns (derived-only id frame
+    disjoint from graph ∪ batch, possibly rdf:type-extended
+    dictionary).
+
+    Rule families and their delta shapes:
+
+      * ρdf rules — ONE data atom each, so running the stratified
+        program with the round's new triples as rule input and the
+        schema from the whole graph derives exactly the delta
+        (`derive_rdfs_delta`'s soundness argument).
+      * `owl:inverseOf` / `owl:SymmetricProperty` — also one data
+        atom: apply to the round's new triples only.
+      * `owl:TransitiveProperty` p — TWO data atoms, so batch-only
+        rule input is incomplete: a new edge composes with paths that
+        run THROUGH corpus edges. But the corpus relation G_p is
+        already transitively closed, so consecutive corpus hops in any
+        new path collapse into a single G_p edge, and every new pair
+        decomposes into a chain of T-steps where
+        ``T = (I ∪ G_p) ∘ Δ_p ∘ (I ∪ G_p)`` (one new edge with an
+        optional closed-corpus hop on each side). The new pairs are
+        exactly ``T⁺ \\ G_p`` — the transitive closure of T, a
+        relation of size O(|Δ_p| · reach), NEVER O(|G_p|): both
+        T-building joins are Δ-keyed (Δ broadcast, corpus streamed),
+        and the semi-naive closure loop runs over T only.
+
+    The families interact (an inverse edge extends a transitive
+    relation; a transitive pair fires a domain rule), so the pass
+    iterates the three families to the batch's fixpoint, each round
+    deriving from the PREVIOUS round's new triples only; graph
+    closedness guarantees any derivation tree with ≥1 batch leaf is
+    reached (induction on tree depth: all non-batch leaves are
+    asserted, all internal nodes over corpus-only children are already
+    in the closed corpus).
+
+    Preconditions mirror `derive_rdfs_delta` (raised where checkable):
+    the graph is materialize_owl-closed, and the batch asserts neither
+    ρdf schema (checked by callers / derive_rdfs_delta) nor OWL schema
+    (`owl_schema_predicate_cond`; checked here) — both change the rule
+    program, so callers fall back to the full pass.
+    """
+    from pyspark import StorageLevel
+
+    from graphula_spark.literal import empty_df
+    from graphula_spark.operators.paths import transitive_closure
+    from graphula_spark.scratch import scratch_scope, track
+
+    spark = graph.spark
+    triples = graph.triples.select("s", "p", "o")
+    owl_cond = owl_schema_predicate_cond(graph)
+    if owl_cond is not None and not batch.where(owl_cond).isEmpty():
+        raise ValueError(
+            "batch asserts OWL schema (inverseOf / Symmetric- or "
+            "TransitiveProperty declarations) — delta reasoning is "
+            "unsound for schema changes; run a full materialize_owl "
+            "(Graph.add_materialized_rdfs(owl=True) does this "
+            "automatically)"
+        )
+    inv_pairs, sym_props, trans_props, _ids = _collect_owl_schema(
+        graph, triples
+    )
+
+    empty = empty_df(spark, [(c, "long") for c in ("s", "p", "o")])
+    d = graph.dictionary
+    acc = empty
+    # seen = graph ∪ batch ∪ acc — what each round's derivations are
+    # subtracted against; grows by frontier-sized unions only
+    seen_extra = batch.select("s", "p", "o")
+    # per-round frontiers are localCheckpoint'ed (not just persisted):
+    # the fixpoint loop's plan otherwise deepens every round and
+    # Catalyst re-analyzes the whole history per job (the cluster.py
+    # lesson); union ACCUMULATORS (acc, seen_extra) stay plain unions
+    # of checkpointed inputs — checkpointing them trips Spark's Union
+    # constraint-rewrite (paths.py:49-52)
+    frontier = (
+        batch.select("s", "p", "o")
+        .dropDuplicates(["s", "p", "o"])
+        .localCheckpoint(eager=True)
+    )
+    n_frontier = frontier.count()
+    for _rnd in range(max_rounds):
+        if n_frontier == 0:
+            break
+        # every per-round persist (here and inside _derive_only /
+        # transitive_closure) is released once the round's output is
+        # checkpointed — a long-ingest loop of OWL deltas would
+        # otherwise accumulate cache entries without bound
+        with scratch_scope():
+            cur_corpus = triples.unionByName(seen_extra)
+            g_round = type(graph)(spark, triples, d)
+            fresh_rdfs, d, _n = _derive_only(
+                g_round, data=frontier, corpus=cur_corpus
+            )
+            if fresh_rdfs is None:
+                fresh_rdfs = empty
+            new_edges = frontier.unionByName(fresh_rdfs)
+
+            derived = []
+            if inv_pairs:
+                im = F.broadcast(
+                    _literal_df(spark, sorted(inv_pairs), ["p_a", "p_b"])
+                )
+                derived.append(
+                    new_edges.join(im, new_edges["p"] == im["p_a"]).select(
+                        F.col("o").alias("s"),
+                        F.col("p_b").alias("p"),
+                        F.col("s").alias("o"),
+                    )
+                )
+            if sym_props:
+                derived.append(
+                    new_edges.where(
+                        F.col("p").isin(sorted(sym_props))
+                    ).select(F.col("o").alias("s"), "p", F.col("s").alias("o"))
+                )
+            if trans_props:
+                # candidate new edges per transitive predicate include this
+                # round's inverse/symmetric derivations (same round order
+                # as materialize_owl's stratified pass — fewer rounds)
+                cand = new_edges
+                for ddf in derived:
+                    cand = cand.unionByName(ddf)
+                for pid in trans_props:
+                    delta_e = track(
+                        cand.where(F.col("p") == pid)
+                        .select(
+                            F.col("s").alias("src"), F.col("o").alias("dst")
+                        )
+                        .dropDuplicates(["src", "dst"])
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
+                    n_delta = delta_e.count()
+                    if n_delta == 0:
+                        delta_e.unpersist()
+                        continue
+                    small = n_delta <= BROADCAST_DERIVED_MAX_ROWS
+                    # G_p must be the CLOSED relation the T-decomposition
+                    # collapses corpus hops with. Round 0: the asserted
+                    # relation minus the batch edges — the batch typically
+                    # ALREADY LANDED via add_string_triples, asserted but
+                    # not yet closed, so leaving it in G_p would both
+                    # wrongly collapse through unclosed hops AND eliminate
+                    # the batch from Δ as "already present". Rounds ≥ 1:
+                    # asserted ∪ batch ∪ acc — round r-1's T⁺ closed every
+                    # new pid edge it saw, so the accumulated relation is
+                    # closed again (the invariant the fixpoint loop keeps).
+                    g_p_all = (
+                        triples.unionByName(seen_extra)
+                        if _rnd > 0
+                        else triples
+                    ).where(F.col("p") == pid).select(
+                        F.col("s").alias("src"), F.col("o").alias("dst")
+                    )
+                    if _rnd == 0:
+                        batch_pid = batch.where(F.col("p") == pid).select(
+                            F.col("s").alias("src"), F.col("o").alias("dst")
+                        )
+                        g_p = g_p_all.join(
+                            F.broadcast(batch_pid)
+                            if small
+                            else batch_pid,
+                            ["src", "dst"],
+                            "left_anti",
+                        )
+                    else:
+                        g_p = g_p_all
+                    # edges already in the closed relation derive nothing
+                    # (G_p ∘ G_p ⊆ G_p): drop them with the broadcast-
+                    # friendly semi/anti two-step so re-ingested data costs
+                    # ~nothing
+                    if small:
+                        overlap = g_p.join(
+                            F.broadcast(delta_e), ["src", "dst"], "left_semi"
+                        ).dropDuplicates(["src", "dst"])
+                        delta_new = delta_e.join(
+                            F.broadcast(overlap), ["src", "dst"], "left_anti"
+                        )
+                    else:
+                        delta_new = delta_e.join(
+                            g_p, ["src", "dst"], "left_anti"
+                        )
+                    dd = F.broadcast(delta_new) if small else delta_new
+                    # T = (I ∪ G_p) ∘ Δ ∘ (I ∪ G_p): both joins Δ-keyed —
+                    # the corpus relation streams past a broadcast of Δ
+                    pre = g_p.alias("g").join(
+                        dd.alias("d"), F.col("g.dst") == F.col("d.src")
+                    ).select(
+                        F.col("g.src").alias("src"), F.col("d.dst").alias("dst")
+                    )
+                    left = track(
+                        delta_new.unionByName(pre)
+                        .dropDuplicates(["src", "dst"])
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
+                    n_left = left.count()
+                    ld = (
+                        F.broadcast(left)
+                        if n_left <= BROADCAST_DERIVED_MAX_ROWS
+                        else left
+                    )
+                    post = ld.alias("l").join(
+                        g_p.alias("g"), F.col("l.dst") == F.col("g.src")
+                    ).select(
+                        F.col("l.src").alias("src"), F.col("g.dst").alias("dst")
+                    )
+                    t_rel = left.unionByName(post)
+                    derived.append(
+                        transitive_closure(t_rel).select(
+                            F.col("src").alias("s"),
+                            F.lit(pid).cast("long").alias("p"),
+                            F.col("dst").alias("o"),
+                        )
+                    )
+
+            # fresh_rdfs is already corpus-subtracted (by _derive_only);
+            # the OWL frames need the same dedup + semi/anti two-step
+            round_new = fresh_rdfs
+            if derived:
+                u = derived[0]
+                for ddf in derived[1:]:
+                    u = u.unionByName(ddf)
+                u = track(
+                    u.dropDuplicates(["s", "p", "o"]).persist(
+                        StorageLevel.MEMORY_AND_DISK
+                    )
+                )
+                n_u = u.count()
+                if n_u > 0:
+                    if n_u <= BROADCAST_DERIVED_MAX_ROWS:
+                        ov = cur_corpus.join(
+                            F.broadcast(u), ["s", "p", "o"], "left_semi"
+                        ).dropDuplicates(["s", "p", "o"])
+                        owl_fresh = u.join(
+                            F.broadcast(ov), ["s", "p", "o"], "left_anti"
+                        )
+                    else:
+                        owl_fresh = u.join(
+                            cur_corpus, ["s", "p", "o"], "left_anti"
+                        )
+                    round_new = round_new.unionByName(owl_fresh)
+
+            frontier = round_new.dropDuplicates(["s", "p", "o"]).localCheckpoint(
+                eager=True
+            )
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        acc = acc.unionByName(frontier)
+        seen_extra = seen_extra.unionByName(frontier)
+    else:
+        raise RuntimeError(
+            f"OWL delta did not reach the batch fixpoint in "
+            f"{max_rounds} rounds"
+        )
+    # the accumulated unions are frontier-of-round frames, mutually
+    # disjoint by construction (each was subtracted against the seen
+    # set including all earlier frontiers) — no final dedup needed
+    return acc, d
+
+
 def _transitive_reduction_removals(e: DataFrame) -> DataFrame:
     """Removable edges of a MATERIALIZED (transitively closed) binary
     relation `e(s, o)` such that the transitive closure of the kept

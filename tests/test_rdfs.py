@@ -682,3 +682,191 @@ class TestSameAsSmushing:
             spark.createDataFrame([("ex:x", "ex:p", "ex:y")], ["s", "p", "o"]),
         )
         assert g.smush_sameas() is g
+
+
+# ---------------------------------------------------------------------
+# incremental OWL maintenance (VERDICT r8 #1)
+# ---------------------------------------------------------------------
+
+def _owl_ns():
+    from graphula_spark.operators.rdfs import (
+        OWL_INVERSE,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+    )
+
+    return OWL_INVERSE, OWL_SYMMETRIC, OWL_TRANSITIVE
+
+
+def test_incremental_owl_bridging_edge_closes_through_corpus(spark):
+    """The case plain batch-input rules CANNOT derive: a single new
+    edge bridges two already-closed corpus chains, and every cross
+    pair (corpus-node -> corpus-node THROUGH the new edge) must
+    appear — including pairs needing TWO new edges separated by a
+    corpus segment (the T+ chaining case)."""
+    OWL_INVERSE, _S, OWL_TRANSITIVE = _owl_ns()
+    rows = [
+        ("ex:part", RDF_TYPE, OWL_TRANSITIVE),
+        ("ex:a", "ex:part", "ex:b"),
+        ("ex:b", "ex:part", "ex:c"),
+        ("ex:x", "ex:part", "ex:y"),
+        ("ex:y", "ex:part", "ex:z"),
+    ]
+    closed = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    ).materialize_rdfs(owl=True)
+    # two new edges: c->x bridges the chains; z->w extends the far end.
+    # a->w needs (corpus a->c) (new c->x) (corpus x->z) (new z->w).
+    batch = spark.createDataFrame(
+        [("ex:c", "ex:part", "ex:x"), ("ex:z", "ex:part", "ex:w")],
+        ["s", "p", "o"],
+    )
+    inc = closed.add_materialized_rdfs(batch, owl=True)
+    full = closed.add_string_triples(batch).materialize_rdfs(owl=True)
+    got, want = _snapshot(inc), _snapshot(full)
+    assert ("ex:a", "ex:part", "ex:w") in got
+    assert ("ex:b", "ex:part", "ex:z") in got
+    assert got == want
+
+
+def test_incremental_owl_equals_full_on_random_batches(spark):
+    """add_materialized_rdfs(owl=True) == full materialize_owl of the
+    extended graph, row-exact, on randomized corpora mixing all three
+    OWL constructs with the ρdf schema (the VERDICT r8 #1 gate)."""
+    import random
+
+    OWL_INVERSE, OWL_SYMMETRIC, OWL_TRANSITIVE = _owl_ns()
+    rnd = random.Random(83)
+    classes = [f"ex:C{i}" for i in range(4)]
+    tprops = ["ex:t0", "ex:t1"]
+    oprops = ["ex:q0", "ex:q1"]
+    nodes = [f"ex:n{i}" for i in range(8)]
+    for trial in range(3):
+        base = {
+            ("ex:t0", RDF_TYPE, OWL_TRANSITIVE),
+            ("ex:t1", RDF_TYPE, OWL_TRANSITIVE),
+            ("ex:q0", RDF_TYPE, OWL_SYMMETRIC),
+            ("ex:q1", OWL_INVERSE, "ex:t0"),  # inverse feeds transitive
+            ("ex:t1", RDFS_SUBPROP, "ex:q0"),  # rdfs feeds symmetric
+            ("ex:t0", RDFS_DOMAIN, rnd.choice(classes)),
+            (rnd.choice(classes), RDFS_SUBCLASS, rnd.choice(classes)),
+        }
+        for _ in range(8):
+            base.add(
+                (rnd.choice(nodes), rnd.choice(tprops + oprops),
+                 rnd.choice(nodes))
+            )
+        closed = Graph.from_string_triples(
+            spark, spark.createDataFrame(sorted(base), ["s", "p", "o"])
+        ).materialize_rdfs(owl=True)
+        batch = sorted(
+            {
+                (rnd.choice(nodes + ["ex:new1", "ex:new2"]),
+                 rnd.choice(tprops + oprops),
+                 rnd.choice(nodes + ["ex:new3"]))
+                for _ in range(4)
+            }
+        )
+        batch_df = spark.createDataFrame(batch, ["s", "p", "o"])
+        inc = closed.add_materialized_rdfs(batch_df, owl=True)
+        full = closed.add_string_triples(batch_df).materialize_rdfs(
+            owl=True
+        )
+        assert _snapshot(inc) == _snapshot(full), f"trial {trial}"
+        # idempotence: re-adding the same batch derives nothing new
+        again = inc.add_materialized_rdfs(batch_df, owl=True)
+        assert _snapshot(again) == _snapshot(inc), f"trial {trial}"
+
+
+def test_incremental_owl_schema_batch_falls_back_or_raises(spark):
+    """A batch declaring a NEW TransitiveProperty (or inverseOf pair)
+    changes the rule program: the default falls back to the full
+    materialize_owl (and matches it); on_schema_change='error'
+    raises."""
+    OWL_INVERSE, _S, OWL_TRANSITIVE = _owl_ns()
+    rows = [
+        ("ex:a", "ex:part", "ex:b"),
+        ("ex:b", "ex:part", "ex:c"),
+    ]
+    closed = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    ).materialize_rdfs(owl=True)
+    batch = spark.createDataFrame(
+        [("ex:part", RDF_TYPE, OWL_TRANSITIVE)], ["s", "p", "o"]
+    )
+    out = closed.add_materialized_rdfs(batch, owl=True)
+    got = _snapshot(out)
+    assert ("ex:a", "ex:part", "ex:c") in got  # corpus data re-closed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema"):
+        closed.add_materialized_rdfs(
+            batch, owl=True, on_schema_change="error"
+        )
+    # an inverseOf assertion is OWL schema too
+    inv_batch = spark.createDataFrame(
+        [("ex:part", OWL_INVERSE, "ex:hasPart")], ["s", "p", "o"]
+    )
+    with _pytest.raises(ValueError, match="schema"):
+        closed.add_materialized_rdfs(
+            inv_batch, owl=True, on_schema_change="error"
+        )
+
+
+def test_incremental_owl_equals_full_on_lubm_store(spark):
+    """The VERDICT r8 #1 done-gate on REAL data: close one university
+    file of the reference's LUBM data under the OWL pass (univ-bench
+    declares owl:TransitiveProperty suborganizationOf — the construct
+    that used to force the full-rematerialize fallback), ingest a
+    data-only slice of a second file through the incremental path, and
+    demand row-exact equality with the full re-materialization."""
+    import glob
+
+    from graphula_spark.operators.rdfs import (
+        OWL_INVERSE,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+    )
+
+    paths = sorted(
+        glob.glob("/root/reference/benchmarks/data/university0_*.nt")
+    )
+    if len(paths) < 2:
+        pytest.skip("reference LUBM data not present")
+    from graphula_spark.sources.ntriples import read_ntriples
+
+    closed = Graph.from_ntriples(spark, paths[:1]).materialize_rdfs(
+        owl=True
+    )
+    # data-only slice: LUBM files carry schema inline, so strip every
+    # schema-predicate row (ρdf + OWL) — the delta path's precondition
+    second = read_ntriples(spark, paths[1:2])
+    schema_terms = [
+        RDFS_SUBCLASS,
+        RDFS_SUBPROP,
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        OWL_INVERSE,
+    ]
+    decl_terms = [OWL_TRANSITIVE, OWL_SYMMETRIC]
+    batch = second.where(
+        ~F.col("p").isin(schema_terms)
+        & ~(
+            (F.col("p") == RDF_TYPE) & F.col("o").isin(decl_terms)
+        )
+    ).limit(2000)
+    batch = spark.createDataFrame(
+        batch.collect(), ["s", "p", "o"]
+    )  # pin the slice (limit is not deterministic across jobs)
+    inc = closed.add_materialized_rdfs(batch, owl=True)
+    full = closed.add_string_triples(batch).materialize_rdfs(owl=True)
+    n_inc, n_full = inc.triples.count(), full.triples.count()
+    missing = full.triples.select("s", "p", "o").join(
+        inc.triples.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
+    ).count()
+    extra = inc.triples.select("s", "p", "o").join(
+        full.triples.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
+    ).count()
+    assert missing == 0 and extra == 0, (missing, extra, n_inc, n_full)

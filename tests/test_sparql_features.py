@@ -2148,3 +2148,85 @@ class TestDatasetMaterialization:
         assert re.search(r"Deduplicate \[[^\]]*\bg#", plan) is None
         # and the result is still exactly idempotent
         assert again.quads.count() == ds.quads.count()
+
+    # -- incremental OWL maintenance at the Dataset level (VERDICT r8 #1)
+
+    def _owl_dataset(self, spark):
+        from graphula_spark.dataset import Dataset
+        from graphula_spark.operators.rdfs import (
+            OWL_TRANSITIVE,
+            RDF_TYPE,
+        )
+
+        rows = [
+            # data: two disjoint suborg chains (default graph)
+            ("ex:dept", "ex:subOrg", "ex:college", None),
+            ("ex:college", "ex:subOrg", "ex:uni", None),
+            ("ex:lab", "ex:subOrg", "ex:institute", None),
+            # ontology: subOrg is transitive
+            ("ex:subOrg", RDF_TYPE, OWL_TRANSITIVE, self.ONTO),
+        ]
+        return Dataset.from_string_quads(
+            spark, spark.createDataFrame(rows, ["s", "p", "o", "g"])
+        )
+
+    def test_incremental_owl_quad_ingest_equals_full(self, spark):
+        """owl=True quad ingest: a bridging edge between two closed
+        corpus chains derives the cross pairs incrementally, row-exact
+        with the full owl re-materialization."""
+        ds = self._owl_dataset(spark).materialize_rdfs(
+            self.ONTO, self.INF, owl=True
+        )
+        # the closure of the first chain landed
+        assert ("ex:dept", "ex:subOrg", "ex:uni") in self._target_snapshot(
+            ds
+        )
+        batch = spark.createDataFrame(
+            [("ex:uni", "ex:subOrg", "ex:lab", None)],
+            "s string, p string, o string, g string",
+        )
+        inc = ds.add_quads_materialized(
+            batch, self.ONTO, self.INF, owl=True
+        )
+        full = ds.add_string_quads(batch).materialize_rdfs(
+            self.ONTO, self.INF, owl=True
+        )
+        got = self._target_snapshot(inc)
+        assert got == self._target_snapshot(full)
+        # new paths THROUGH the bridge, ending across the corpus chain
+        assert ("ex:dept", "ex:subOrg", "ex:lab") in got
+        assert ("ex:dept", "ex:subOrg", "ex:institute") in got
+        assert ("ex:college", "ex:subOrg", "ex:institute") in got
+        # idempotent: re-ingesting the same batch adds nothing
+        again = inc.add_quads_materialized(
+            batch, self.ONTO, self.INF, owl=True
+        )
+        assert self._target_snapshot(again) == got
+
+    def test_incremental_owl_quad_schema_batch_falls_back(self, spark):
+        """An owl:TransitiveProperty declaration arriving in the batch
+        is a schema change: default falls back to the full owl pass
+        (corpus edges close), 'error' raises."""
+        from graphula_spark.operators.rdfs import (
+            OWL_TRANSITIVE,
+            RDF_TYPE,
+        )
+
+        ds = self._owl_dataset(spark).materialize_rdfs(
+            self.ONTO, self.INF, owl=True
+        )
+        batch = spark.createDataFrame(
+            [("ex:memberOf", RDF_TYPE, OWL_TRANSITIVE, self.ONTO)],
+            ["s", "p", "o", "g"],
+        )
+        out = ds.add_quads_materialized(
+            batch, self.ONTO, self.INF, owl=True
+        )
+        # fallback re-closed: first-chain pair still present, no dupes
+        snap = self._target_snapshot(out)
+        assert ("ex:dept", "ex:subOrg", "ex:uni") in snap
+        with pytest.raises(ValueError, match="schema"):
+            ds.add_quads_materialized(
+                batch, self.ONTO, self.INF, owl=True,
+                on_schema_change="error",
+            )
