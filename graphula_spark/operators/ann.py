@@ -102,6 +102,96 @@ def embedding_near_dup_pairs(
     return scored.select("id_a", "id_b", F.round("score", 4).alias("score"))
 
 
+def embedding_near_dup_reps(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """(id, representative) for every input row — the OUTPUT-BOUNDED
+    twin of `embedding_near_dup_pairs` (VERDICT r8 #5).
+
+    Pair emission is quadratic in duplicate multiplicity: a k-member
+    duplicate clique yields k(k-1)/2 pairs (the sf1 probe measured 23×
+    at ×10 replication — output-bound, not compute-bound). For the
+    dedup USE of the operator the pairs are incidental: what callers
+    need is one survivor per duplicate group. This mode emits exactly
+    one row per input (representative = the group's minimum id;
+    representative == id for non-duplicates and survivors) — O(k) per
+    k-clique.
+
+    Same duplicate SEMANTICS as pairs mode (the invariant the test
+    asserts): groups are connected components of the within-block
+    cosine-threshold graph. The collapse borrows `semantic_dedup`'s
+    two-level shape: byte-identical vectors within a block pre-merge
+    with ONE hash shuffle (no pair scoring at all — web-scale corpora
+    repeat embeddings heavily), the components run over unique vectors
+    only, and the labels fan back out with one bounded join.
+    """
+    from graphula_spark.operators.cluster import connected_components
+
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    m = (
+        vectors.repartition(par, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .persist()
+    )
+    # exact collapse per (block, raw vector): identical vectors in one
+    # block always pair in pairs mode (cos = 1 ≥ any threshold ≤ 1);
+    # identical vectors in DIFFERENT blocks are never compared there,
+    # so the collapse is block-scoped too
+    grp = Window.partitionBy("blk", "v")
+    m2 = (
+        m.withColumn("rep", F.min("id").over(grp))
+        .withColumn("cnt", F.count(F.lit(1)).over(grp))
+        .persist()
+    )
+    uniq = m2.where(F.col("id") == F.col("rep")).select("id", "blk", "v")
+    # normalize once per unique vector, score within blocks (bounded
+    # join on the block key — nothing all-pairs across blocks)
+    nv = (
+        uniq.withColumn("n", _norm(F.col("v")))
+        .withColumn("v", F.transform(F.col("v"), lambda x: x / F.col("n")))
+        .drop("n")
+    )
+    a = nv.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"))
+    b = nv.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_dot(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    # group minimum: component label of the exact-rep when the rep is
+    # in a component (labels are component minima over rep ids, and
+    # every rep is its exact clique's minimum → the composition is the
+    # true group minimum); else the rep itself
+    out = (
+        m2.join(
+            comp.select(
+                F.col("node").alias("rep"), F.col("cluster").alias("g")
+            ),
+            "rep",
+            "left",
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("g"), F.col("rep")).alias("representative"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m2.unpersist()
+    m.unpersist()
+    return out
+
+
 class IvfIndex:
     """Persistable IVF index: KMeans centroids + cell-assigned corpus.
 

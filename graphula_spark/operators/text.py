@@ -356,11 +356,14 @@ def decontaminate(
     n-grams|; docs shorter than n tokens have 0 grams and overlap 0.
 
     Scale shape: the benchmark side (eval suites — MBs, not TBs) is
-    distinct-reduced and broadcast, so the probe is a map-side hash
-    join over the exploded doc-gram stream followed by one per-doc
-    hash-agg. Nothing all-pairs; corpus side streams once. If the
-    bench set ever outgrows broadcast, drop the hint and the same plan
-    becomes a bounded shuffle join on the gram key.
+    distinct-reduced and broadcast, and the corpus streams ONCE: each
+    exploded doc gram is hit-marked by a LEFT broadcast join, and a
+    single per-doc hash-agg counts totals and hits together (the old
+    shape ran the explode twice — one pass for totals, one inner-join
+    pass for hits — with two doc-keyed shuffles; r9 watch-list item).
+    Nothing all-pairs. If the bench set ever outgrows broadcast, drop
+    the hint and the same plan becomes a bounded shuffle join on the
+    gram key.
     """
     bcol = bench_text_col or text_col
     doc_grams = df.select(
@@ -375,16 +378,21 @@ def decontaminate(
         )
         .distinct()
     )
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
+    per_doc = (
+        doc_grams.join(
+            F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
+            "gram",
+            "left",
+        )
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hits"),  # count() skips NULLs
+        )
     )
     base = df.select(F.col(id_col)).distinct()
     out = (
-        base.join(totals, id_col, "left")
-        .join(hits, id_col, "left")
+        base.join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),

@@ -447,3 +447,79 @@ def test_minhash_auto_bands_matches_explicit(spark):
         ).collect()
     )
     assert auto == fixed == [(1, 2)]
+
+
+def test_embedding_near_dup_reps_equals_pairs_components(spark):
+    """VERDICT r8 #5 invariant: reps mode ≡ connected components of
+    pairs mode. Random blocked vectors with HEAVY exact duplication
+    (the case whose pair emission is quadratic); representative = the
+    component's minimum id, computed independently with a union-find
+    over the pairs-mode output."""
+    import random
+
+    from graphula_spark.operators.ann import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_reps,
+    )
+
+    rnd = random.Random(11)
+    base = [
+        [rnd.uniform(-1, 1) for _ in range(8)] for _ in range(12)
+    ]
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        blk = i % 3
+        # exact clique of 1..5 copies + a jittered near-dup
+        for _ in range(1 + i % 5):
+            rows.append((vid, blk, v))
+            vid += 1
+        jit = [x + rnd.uniform(-0.01, 0.01) for x in v]
+        rows.append((vid, blk, jit))
+        vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+
+    pairs = embedding_near_dup_pairs(
+        df, "vec_id", "embedding", "label", threshold=0.95
+    ).collect()
+    # independent union-find over the pairs
+    parent = {r: r for r in range(vid)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["id_a"]), find(r["id_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = {i: find(i) for i in range(vid)}
+
+    got = {
+        r["vec_id"]: r["representative"]
+        for r in embedding_near_dup_reps(
+            df, "vec_id", "embedding", "label", threshold=0.95
+        ).collect()
+    }
+    assert len(got) == vid  # one row per input
+    assert got == want
+
+
+def test_embedding_near_dup_reps_no_dups_is_identity(spark):
+    from graphula_spark.operators.ann import embedding_near_dup_reps
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.0, 1.0]),
+        (3, 1, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {
+        r["vec_id"]: r["representative"]
+        for r in embedding_near_dup_reps(
+            df, threshold=0.9
+        ).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}

@@ -870,3 +870,66 @@ def test_incremental_owl_equals_full_on_lubm_store(spark):
         full.triples.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
     ).count()
     assert missing == 0 and extra == 0, (missing, extra, n_inc, n_full)
+
+
+def test_dataset_reduce_rdfs_roundtrip_multigraph(spark):
+    """VERDICT r8 #6: per-graph reduce_rdfs at the Dataset level.
+    Two data graphs + a shared ontology graph; reduction strips the
+    derivable rows from each data graph (ontology kept verbatim), and
+    re-materializing each reduced graph against the ontology
+    reconstructs the original closure exactly."""
+    from graphula_spark.dataset import Dataset
+    from graphula_spark.operators.rdfs import OWL_TRANSITIVE
+
+    ONTO = "http://ex/onto"
+    G1, G2 = "http://ex/g1", "http://ex/g2"
+    quads = [
+        # ontology: class chain + transitive property — PRE-CLOSED
+        # (rdfs11 edge asserted) so the data-graph round-trip is exact:
+        # an unclosed ontology would land its own closure in the target
+        ("ex:Prof", RDFS_SUBCLASS, "ex:Faculty", ONTO),
+        ("ex:Faculty", RDFS_SUBCLASS, "ex:Person", ONTO),
+        ("ex:Prof", RDFS_SUBCLASS, "ex:Person", ONTO),
+        ("ex:subOrg", RDF_TYPE, OWL_TRANSITIVE, ONTO),
+        # g1: CLOSED data (type chain fully asserted)
+        ("ex:ann", RDF_TYPE, "ex:Prof", G1),
+        ("ex:ann", RDF_TYPE, "ex:Faculty", G1),
+        ("ex:ann", RDF_TYPE, "ex:Person", G1),
+        # g2: CLOSED transitive chain
+        ("ex:d", "ex:subOrg", "ex:c", G2),
+        ("ex:c", "ex:subOrg", "ex:u", G2),
+        ("ex:d", "ex:subOrg", "ex:u", G2),
+    ]
+    ds = Dataset.from_string_quads(
+        spark, spark.createDataFrame(quads, ["s", "p", "o", "g"])
+    )
+    red = ds.reduce_rdfs(owl=True, ontology=ONTO)
+    # derivable rows stripped per graph
+    assert red.graph(G1).triples.count() == 1  # only (ann type Prof)
+    assert red.graph(G2).triples.count() == 2  # d->c, c->u
+    # ontology verbatim
+    assert red.graph(ONTO).triples.count() == 4
+
+    def snap(d, name):
+        g = d.graph(name)
+        return {
+            (r.s, r.p, r.o)
+            for r in g.decode(
+                g.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        }
+
+    # round trip: rematerializing each reduced graph against the
+    # ontology reconstructs the original (data ∪ derived lands in a
+    # fresh target; compare data∪target against the original slice)
+    for gname in (G1, G2):
+        out = red.materialize_rdfs(ONTO, "http://ex/t", data=gname, owl=True)
+        rebuilt = snap(out, gname) | snap(out, "http://ex/t")
+        assert rebuilt == snap(ds, gname), gname
+    # per-graph independence: g1's reduction never references g2 rows
+    # (nothing cross-graph) — reduced quads stay in their graphs
+    red_pairs = {
+        (r["g"],)
+        for r in red.quads.select("g").distinct().collect()
+    }
+    assert len(red_pairs) == 3
