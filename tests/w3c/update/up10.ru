@@ -1,0 +1,1 @@
+COPY GRAPH <http://ex/g1> TO GRAPH <http://ex/g2>

@@ -38,27 +38,37 @@ from dataclasses import dataclass, field
 
 MF = "http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#"
 QT = "http://www.w3.org/2001/sw/DataAccess/tests/test-query#"
+UT = "http://www.w3.org/2009/sparql/tests/test-update#"
 RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 SRX = "{http://www.w3.org/2005/sparql-results#}"
 
 EVAL_TYPES = {MF + "QueryEvaluationTest"}
 POS_SYNTAX = {MF + "PositiveSyntaxTest", MF + "PositiveSyntaxTest11"}
 NEG_SYNTAX = {MF + "NegativeSyntaxTest", MF + "NegativeSyntaxTest11"}
+UPDATE_TYPES = {UT + "UpdateEvaluationTest", MF + "UpdateEvaluationTest"}
 
 
 @dataclass
 class ManifestCase:
     name: str
-    kind: str  # "eval" | "pos_syntax" | "neg_syntax"
-    query_path: str
+    kind: str  # "eval" | "pos_syntax" | "neg_syntax" | "update"
+    query_path: str  # the ut:request file for kind="update"
     data_path: str | None = None
     result_path: str | None = None
     graph_data: list[str] = field(default_factory=list)
     comment: str | None = None
+    # ut: UpdateEvaluationTest state — (path, graph-iri) pairs for the
+    # named graphs; data_path is the pre default graph, result_path
+    # (reused) the post default graph; None = empty graph
+    pre_graphs: list[tuple[str, str]] = field(default_factory=list)
+    post_graphs: list[tuple[str, str]] = field(default_factory=list)
 
     @property
     def skip_reason(self) -> str | None:
+        if self.kind == "update":
+            return None  # named graphs are handled via Dataset.update
         if self.graph_data:
             return (
                 "qt:graphData (named-graph dataset) — runner drives "
@@ -147,6 +157,39 @@ def _build_case(by_subj, base_dir, entry) -> ManifestCase:
             name=name,
             kind=kind,
             query_path=_resolve(base_dir, action),
+            comment=_lex(comment[0]) if comment else None,
+        )
+    if any(t in UPDATE_TYPES for t in types):
+        a_props = by_subj.get(action, {})
+        r_props = by_subj.get(result, {}) if result else {}
+
+        def state(props):
+            default = (
+                _resolve(base_dir, props[UT + "data"][0])
+                if UT + "data" in props
+                else None
+            )
+            named = []
+            for gnode in props.get(UT + "graphData", []):
+                gp = by_subj.get(gnode, {})
+                named.append(
+                    (
+                        _resolve(base_dir, gp[UT + "graph"][0]),
+                        _lex(gp[RDFS + "label"][0]),
+                    )
+                )
+            return default, named
+
+        pre_default, pre_named = state(a_props)
+        post_default, post_named = state(r_props)
+        return ManifestCase(
+            name=name,
+            kind="update",
+            query_path=_resolve(base_dir, a_props[UT + "request"][0]),
+            data_path=pre_default,
+            result_path=post_default,
+            pre_graphs=pre_named,
+            post_graphs=post_named,
             comment=_lex(comment[0]) if comment else None,
         )
     a_props = by_subj.get(action, {})
@@ -338,27 +381,113 @@ def load_graph(spark, data_path: str | None):
     from graphula_spark.literal import empty_df
 
     if data_path is None:
-        return Graph.from_string_triples(
+        g = Graph.from_string_triples(
             spark, empty_df(spark, "s string, p string, o string")
         )
-    ext = os.path.splitext(data_path)[1]
-    if ext == ".ttl":
-        rows = _parse_ttl(data_path)
-        from graphula_spark.literal import literal_df
+    else:
+        ext = os.path.splitext(data_path)[1]
+        if ext == ".ttl":
+            rows = _parse_ttl(data_path)
+            from graphula_spark.literal import literal_df
 
-        df = literal_df(
-            spark, rows, "s string, p string, o string"
-        )
-        return Graph.from_string_triples(spark, df)
-    if ext in (".nt", ".ntriples"):
-        from graphula_spark.graph import Graph as G
+            df = literal_df(
+                spark, rows, "s string, p string, o string"
+            )
+            g = Graph.from_string_triples(spark, df)
+        elif ext in (".nt", ".ntriples"):
+            g = Graph.from_ntriples(spark, [data_path])
+        else:
+            raise ValueError(f"unsupported data format: {data_path}")
+    # conformance runs the STRICT zero-length-path domain (all graph
+    # nodes, SPARQL 1.1 §9.3) — same setting as the re-authored
+    # harness; the default restricts zero-length to nodes incident to
+    # the sub-path's edges, a documented scale deviation (graph.py)
+    g.strict_zero_length_paths = True
+    return g
 
-        return G.from_ntriples(spark, [data_path])
-    raise ValueError(f"unsupported data format: {data_path}")
+
+def _ttl_rows(path: str | None) -> list[tuple]:
+    return _parse_ttl(path) if path else []
+
+
+def _graphs_match(got_rows: list[dict], want_rows: list[dict]):
+    ok = solutions_match(got_rows, want_rows)
+    return ok, "" if ok else f"got={got_rows!r} want={want_rows!r}"
+
+
+def run_update_case(spark, case: ManifestCase) -> tuple[bool, str]:
+    """ut:UpdateEvaluationTest: build the pre state, run the request,
+    graph-compare every post graph (default + named, exact term forms,
+    bnode bijection). Default-graph-only cases run Graph.sparql_update
+    (the pattern-form surface); any named graph on either side routes
+    through Dataset.update (the quad/graph-management surface — its
+    documented scope; a real rdf-tests case mixing pattern forms WITH
+    named graphs fails honestly rather than skipping)."""
+    from graphula_spark.literal import literal_df
+
+    with open(case.query_path, encoding="utf-8") as fh:
+        request = fh.read()
+    named = case.pre_graphs or case.post_graphs
+    if not named:
+        from graphula_spark.graph import Graph
+
+        g = load_graph(spark, case.data_path)
+        g2 = g.sparql_update(request)
+        got = [
+            r.asDict()
+            for r in g2.decode(
+                g2.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        ]
+        want = [
+            {"s": s, "p": p, "o": o}
+            for s, p, o in _ttl_rows(case.result_path)
+        ]
+        return _graphs_match(got, want)
+
+    from graphula_spark.dataset import Dataset
+
+    rows = [(s, p, o, None) for s, p, o in _ttl_rows(case.data_path)]
+    for path, label in case.pre_graphs:
+        rows += [(s, p, o, label) for s, p, o in _ttl_rows(path)]
+    ds = Dataset.from_string_quads(
+        spark,
+        literal_df(spark, rows, "s string, p string, o string, g string"),
+    )
+    ds2 = ds.update(request)
+
+    def got_graph(label: str | None) -> list[dict]:
+        g = ds2.default_graph if label is None else ds2.graph(label)
+        return [
+            r.asDict()
+            for r in g.decode(
+                g.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        ]
+
+    checks: list[tuple[str | None, str | None]] = [
+        (None, case.result_path)
+    ] + [(label, path) for path, label in case.post_graphs]
+    post_labels = {lbl for lbl, _ in checks}
+    # graphs present in the RESULT dataset but absent from the post
+    # state must be empty (e.g. after CLEAR/MOVE)
+    for gname, _gid in ds2.graph_names():
+        if gname not in post_labels:
+            checks.append((gname, None))
+    for label, path in checks:
+        want = [
+            {"s": s, "p": p, "o": o} for s, p, o in _ttl_rows(path)
+        ]
+        ok, detail = _graphs_match(got_graph(label), want)
+        if not ok:
+            return False, f"graph {label or 'DEFAULT'}: {detail}"
+    return True, ""
 
 
 def run_case(spark, case: ManifestCase) -> tuple[bool, str]:
     """Execute one manifest case -> (passed, detail)."""
+    if case.kind == "update":
+        return run_update_case(spark, case)
     with open(case.query_path, encoding="utf-8") as fh:
         query = fh.read()
     if case.kind == "pos_syntax":
