@@ -381,8 +381,11 @@ SF1_QUERIES = [
     # rdfs_closure deliberately NOT probed here: its driver entry
     # derives over the customer DIM, which the sf1 replica copies
     # rather than replicates, so the x10 run would measure identical
-    # data. The inference shape's scale evidence is tools/probe_r8.py
-    # at 20M triples (10 MB vs 359 MB shuffled).
+    # data. The DATA-PROPORTIONAL inference row is rdfs_derive_events
+    # (events fact, key-shifted x10 -> x10 derived rows); the byte-level
+    # scale evidence is tools/probe_r8.py (10 MB vs 359 MB shuffled at
+    # 20M triples) and tools/probe_r9.py (OWL delta: 3 MB vs 2.5 GB).
+    "rdfs_derive_events",
 ]
 
 SF1_COPIES = 10
