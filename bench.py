@@ -55,6 +55,7 @@ HEADLINE = [
     "events_temporal_join",
     "rel_window_funcs",
     "rdfs_closure",
+    "rdfs_derive_events",
     "rel_pagerank",
 ]
 

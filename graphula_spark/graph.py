@@ -252,15 +252,41 @@ class Graph:
         insert-only — Index.scala has no delete path, SURVEY §2.3).
         Returns a new snapshot; dictionary entries are retained (ids are
         content-hashes, so orphaned entries are harmless and keep
-        decode stable for concurrent readers)."""
+        decode stable for concurrent readers).
+
+        100 TB shape (round 9, mirroring the r8 quad-level fix): the
+        delete set is the RIGHT side of the LEFT ANTI — broadcastable —
+        but Catalyst cannot SIZE a user-provided batch statically, so
+        the un-hinted join planned as SortMergeJoin and shuffled the
+        whole corpus to delete a handful of rows. The batch is deduped,
+        persisted and counted once; below the insert gate it carries an
+        explicit broadcast hint (corpus streams, zero corpus shuffle).
+        Above the gate the shuffle join stands — the correct plan when
+        deleting a corpus-sized slice."""
+        from pyspark import StorageLevel
+
+        from graphula_spark.scratch import track
+
         enc = striples
         for c in ("s", "p", "o"):
             enc = self.dictionary.encode_col(enc, c, f"{c}_id")
-        victims = enc.select(
-            F.col("s_id").alias("s"), F.col("p_id").alias("p"), F.col("o_id").alias("o")
+        victims = track(
+            enc.select(
+                F.col("s_id").alias("s"),
+                F.col("p_id").alias("p"),
+                F.col("o_id").alias("o"),
+            )
+            .dropDuplicates(["s", "p", "o"])
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_victims = victims.count()
+        right = (
+            F.broadcast(victims)
+            if n_victims <= Graph.INSERT_BROADCAST_MAX_ROWS
+            else victims
         )
         remaining = self.triples.select("s", "p", "o").join(
-            victims, ["s", "p", "o"], "left_anti"
+            right, ["s", "p", "o"], "left_anti"
         )
         return Graph(self.spark, remaining, self.dictionary)
 

@@ -56,7 +56,13 @@ def transitive_closure(
         if old is not base:
             old.unpersist()
         frontier = new
-    return paths
+    # the final accumulator stays persisted for the caller's consumption;
+    # track() lets scoped callers (derive_owl_delta's per-round scope,
+    # long ingest loops) release it instead of leaking a cache entry per
+    # closure call — a no-op for unscoped one-shot callers
+    from graphula_spark.scratch import track
+
+    return track(paths)
 
 
 def reachable_from(

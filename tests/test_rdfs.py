@@ -933,3 +933,29 @@ def test_dataset_reduce_rdfs_roundtrip_multigraph(spark):
         for r in red.quads.select("g").distinct().collect()
     }
     assert len(red_pairs) == 3
+
+
+def test_delete_batch_plan_broadcasts_never_shuffles_corpus(spark):
+    """The delete twin of the insert gate (round 9): a small delete
+    set must broadcast into the LEFT ANTI (the corpus streams) —
+    un-hinted, Catalyst cannot size the user batch and sort-merges
+    the whole corpus to delete one row."""
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(DATA, ["s", "p", "o"])
+    )
+    g2 = g.delete_string_triples(
+        spark.createDataFrame(
+            [("ex:alice", RDF_TYPE, "ex:Professor")], ["s", "p", "o"]
+        )
+    )
+    plan = g2.triples._jdf.queryExecution().executedPlan().toString()
+    anti = [
+        ln
+        for ln in plan.splitlines()
+        if "LeftAnti" in ln and "Join" in ln
+    ]
+    assert anti, plan
+    for ln in anti:
+        assert "BroadcastHashJoin" in ln, ln
+    # and the row is gone, everything else kept
+    assert g2.triples.count() == g.triples.count() - 1
