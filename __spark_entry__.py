@@ -643,6 +643,19 @@ def q_dedup_embedding(spark, sf):
     return embedding_near_dup_pairs(_emb(spark, sf), threshold=0.3)
 
 
+def q_dedup_embedding_reps(spark, sf):
+    """Representative-output embedding dedup (VERDICT r8 #5): one
+    (id, representative) row per vector — representative = the
+    connected component's minimum id over the same block-bounded
+    cosine-threshold graph as `dedup_embedding`, O(k) output per
+    k-clique instead of k(k-1)/2 pairs. Oracle: the pair graph in SQL
+    (list_cosine_similarity within blocks) + a recursive-CTE
+    reachability closure, representative = min(reachable ∪ self)."""
+    from graphula_spark.operators.ann import embedding_near_dup_reps
+
+    return embedding_near_dup_reps(_emb(spark, sf), threshold=0.3)
+
+
 def q_rel_importance(spark, sf):
     """DSIR importance weights driver row (operators/importance.py):
     per-document log-likelihood-ratio weights of the documents table
@@ -1371,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_importance": q_rel_importance,
         "ann_ivf_topk": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_reps": q_dedup_embedding_reps,
         "events_stateful": q_events_stateful,
         "approx_distinct": q_approx_distinct,
         "text_profile": q_text_profile,
@@ -2004,6 +2018,29 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "dedup_embedding_reps": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+            ), edges AS (
+                SELECT u, v FROM pairs
+                UNION ALL
+                SELECT v AS u, u AS v FROM pairs
+            ), reach(node, r) AS (
+                SELECT u AS node, v AS r FROM edges
+                UNION
+                SELECT reach.node, edges.v
+                FROM reach JOIN edges ON reach.r = edges.u
+            )
+            SELECT e.vec_id AS vec_id,
+                   CAST(LEAST(e.vec_id, COALESCE(MIN(reach.r), e.vec_id))
+                        AS BIGINT) AS representative
+            FROM embeddings e LEFT JOIN reach ON reach.node = e.vec_id
+            GROUP BY e.vec_id
         """,
         "events_stateful": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

@@ -43,6 +43,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "rel_importance",
     "dedup_embedding",
+    # dedup_embedding_reps is sf1-probed only: its connected-components
+    # collapse pays ~6 iterative job floors (~2.5s fixed at ANY toy
+    # scale) — the mode exists for high duplicate-multiplicity corpora
+    # where pair emission is the bottleneck, which is exactly what the
+    # x10 section measures (pairs grow 23x there; reps stay output-flat)
     "events_stateful",
     "rel_graph_reach",
     "text_tfidf",
@@ -365,6 +370,10 @@ SF1_QUERIES = [
     "ann_cosine_topk",
     "rel_importance",
     "dedup_embedding",
+    # the output-bounded twin: pair emission is quadratic in duplicate
+    # multiplicity (23x at x10 replication, output-bound) — reps mode
+    # must stay ~flat at x10 (VERDICT r8 #5's motivation, measured)
+    "dedup_embedding_reps",
     "rel_graph_reach",
     "events_temporal_join",
     # relational fact-join shapes (x10 facts, fixed dims): the orderkey
