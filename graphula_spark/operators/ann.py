@@ -27,6 +27,25 @@ def _norm(a):
     )
 
 
+def _cos(a, b):
+    """Cosine similarity, NULL for zero-norm operands: under ANSI mode
+    (the Spark 4 default the driver's vanilla session runs) a plain /
+    THROWS DIVIDE_BY_ZERO on the zero embeddings real corpora contain
+    (empty docs, padding rows). NULL scores fail every threshold and
+    sort last under desc() — the sensible "no similarity" reading of
+    an undefined cosine."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
+def _unit(v, n):
+    """Normalize, zero vectors passed through unchanged (their dot
+    with anything is 0.0 — below every positive threshold — instead of
+    an ANSI division error)."""
+    return F.when(
+        n > 0, F.transform(v, lambda x: x / n)
+    ).otherwise(v)
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -51,7 +70,7 @@ def cosine_topk(
         v.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "score", _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+            "score", _cos(F.col("qv"), F.col("nv"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -87,7 +106,7 @@ def embedding_near_dup_pairs(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
         .withColumn("n", _norm(F.col("v")))
-        .withColumn("v", F.transform(F.col("v"), lambda x: x / F.col("n")))
+        .withColumn("v", _unit(F.col("v"), F.col("n")))
         .drop("n")
         .persist()
     )
@@ -141,14 +160,20 @@ def embedding_near_dup_reps(
         )
         .persist()
     )
-    # exact collapse per (block, raw vector): identical vectors in one
-    # block always pair in pairs mode (cos = 1 ≥ any threshold ≤ 1);
-    # identical vectors in DIFFERENT blocks are never compared there,
-    # so the collapse is block-scoped too
+    # exact collapse per (block, raw vector): identical NONZERO vectors
+    # in one block always pair in pairs mode (cos = 1 ≥ any threshold
+    # ≤ 1); identical vectors in DIFFERENT blocks are never compared
+    # there, so the collapse is block-scoped too — and zero vectors
+    # never collapse (pairs mode scores them NULL/0, below every
+    # positive threshold: they are no one's duplicate)
     grp = Window.partitionBy("blk", "v")
     m2 = (
-        m.withColumn("rep", F.min("id").over(grp))
-        .withColumn("cnt", F.count(F.lit(1)).over(grp))
+        m.withColumn(
+            "rep",
+            F.when(
+                _norm(F.col("v")) > 0, F.min("id").over(grp)
+            ).otherwise(F.col("id")),
+        )
         .persist()
     )
     uniq = m2.where(F.col("id") == F.col("rep")).select("id", "blk", "v")
@@ -156,7 +181,7 @@ def embedding_near_dup_reps(
     # join on the block key — nothing all-pairs across blocks)
     nv = (
         uniq.withColumn("n", _norm(F.col("v")))
-        .withColumn("v", F.transform(F.col("v"), lambda x: x / F.col("n")))
+        .withColumn("v", _unit(F.col("v"), F.col("n")))
         .drop("n")
     )
     a = nv.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"))
@@ -290,8 +315,7 @@ class IvfIndex:
             .where(F.col("query_id") != F.col("neighbor_id"))
             .withColumn(
                 "score",
-                _dot(F.col("qv"), F.col("nv"))
-                / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+                _cos(F.col("qv"), F.col("nv")),
             )
         )
         w2 = Window.partitionBy("query_id").orderBy(
@@ -389,7 +413,7 @@ def seed_ivf_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "score",
-            _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+            _cos(F.col("qv"), F.col("nv")),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -473,7 +497,7 @@ def lsh_bucket_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "score",
-            _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+            _cos(F.col("qv"), F.col("nv")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -568,8 +592,7 @@ def cosine_topk_quantized(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "score",
-            _dot(F.col("qv"), F.col("nv"))
-            / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+            _cos(F.col("qv"), F.col("nv")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -523,3 +523,39 @@ def test_embedding_near_dup_reps_no_dups_is_identity(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_zero_norm_embeddings_never_pair_or_crash(spark):
+    """Zero vectors appear in real corpora (empty docs, padding).
+    Under ANSI mode (the Spark 4 default) the un-guarded normalization
+    THREW DIVIDE_BY_ZERO; now: cosine is NULL/0 for a zero operand, so
+    zero vectors pair with nothing — in pairs mode, reps mode (even
+    byte-identical zero vectors stay singletons, preserving the
+    reps ≡ pairs-components invariant), and cosine_topk (NULL scores
+    rank last, never above a real similarity)."""
+    from graphula_spark.operators.ann import (
+        cosine_topk,
+        embedding_near_dup_pairs,
+        embedding_near_dup_reps,
+    )
+
+    rows = [
+        (1, 0, [0.0, 0.0]),
+        (2, 0, [1.0, 0.0]),
+        (3, 0, [0.0, 0.0]),  # byte-identical to 1
+        (4, 0, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    pairs = embedding_near_dup_pairs(df, threshold=0.3).collect()
+    # the one REAL pair (2, 4); no pair involves a zero vector
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(2, 4)]
+    got = {
+        r["vec_id"]: r["representative"]
+        for r in embedding_near_dup_reps(df, threshold=0.3).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3, 4: 2}
+    topk = cosine_topk(df, df.where("vec_id = 2"), k=3).collect()
+    # the real neighbor (4) ranks first; zero vectors fill the tail
+    # with NULL scores, never above it
+    assert topk[0]["neighbor_id"] == 4 and topk[0]["score"] > 0.9
+    assert all(r["score"] is None for r in topk[1:])
