@@ -371,8 +371,10 @@ SF1_QUERIES = [
     "rel_importance",
     "dedup_embedding",
     # the output-bounded twin: pair emission is quadratic in duplicate
-    # multiplicity (23x at x10 replication, output-bound) — reps mode
-    # must stay ~flat at x10 (VERDICT r8 #5's motivation, measured)
+    # multiplicity (23x at x10 replication) while reps output stays one
+    # row per input — wall-clock here is LINEAR in data (one shuffle of
+    # the vector payloads for the exact collapse), the honest scale
+    # claim the x10 section checks (VERDICT r8 #5's motivation)
     "dedup_embedding_reps",
     "rel_graph_reach",
     "events_temporal_join",

@@ -151,14 +151,10 @@ def embedding_near_dup_reps(
     from graphula_spark.operators.cluster import connected_components
 
     par = vectors.sparkSession.sparkContext.defaultParallelism
-    m = (
-        vectors.repartition(par, id_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(block_col).alias("blk"),
-            F.col(vec_col).cast("array<double>").alias("v"),
-        )
-        .persist()
+    m = vectors.repartition(par, id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
     # exact collapse per (block, raw vector): identical NONZERO vectors
     # in one block always pair in pairs mode (cos = 1 ≥ any threshold
@@ -213,7 +209,6 @@ def embedding_near_dup_reps(
         .localCheckpoint(eager=True)
     )
     m2.unpersist()
-    m.unpersist()
     return out
 
 
