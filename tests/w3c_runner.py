@@ -244,6 +244,62 @@ def parse_srx(path: str):
     return ("rows", rows)
 
 
+def parse_tsv_result(path: str):
+    """SPARQL 1.1 TSV results (the csv-tsv-res area's rich format):
+    header `?x\\t?y`, terms in full SPARQL syntax — <iri>, "lit",
+    "lit"@lang, "lit"^^<dt>, _:b, bare numeric shorthand.
+    -> ("rows", [ {var: storage-term} ])."""
+    with open(path, encoding="utf-8") as fh:
+        lines = [ln.rstrip("\n") for ln in fh]
+    lines = [ln for ln in lines if ln != ""]
+    header = [v.lstrip("?") for v in lines[0].split("\t")]
+    rows = []
+    for ln in lines[1:]:
+        row = {}
+        for var, cell in zip(header, ln.split("\t")):
+            if cell == "":
+                continue  # unbound
+            if cell.startswith("<") and cell.endswith(">"):
+                row[var] = cell[1:-1]  # IRIs store bracket-less
+            else:
+                # literals keep their storage form verbatim; bare
+                # numeric shorthand stays bare (norm_value handles it)
+                row[var] = cell
+        rows.append(row)
+    return ("rows", rows)
+
+
+def parse_csv_result(path: str):
+    """SPARQL 1.1 CSV results: LOSSY by design — every term is its
+    plain string form (IRIs bare, literal lexical text, no datatypes).
+    Comparison therefore goes through the same lossy projection on the
+    engine side (`csv_project`). -> ("csv", [ {var: text} ])."""
+    import csv as _csv
+
+    with open(path, encoding="utf-8", newline="") as fh:
+        reader = _csv.reader(fh)
+        header = next(reader)
+        rows = [
+            {
+                var: cell
+                for var, cell in zip(header, rec)
+            }
+            for rec in reader
+        ]
+    return ("csv", rows)
+
+
+def csv_lossy(v) -> str:
+    """Project an engine value the way the CSV results format does:
+    lexical text only."""
+    n = norm_value(v)
+    if isinstance(n, bool):
+        return "true" if n else "false"
+    if n is None:
+        return ""
+    return str(n)
+
+
 RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
 
 
@@ -520,11 +576,32 @@ def run_case(spark, case: ManifestCase) -> tuple[bool, str]:
             got_rows = [r.asDict() for r in df.collect()]
             ok = solutions_match(got_rows, want_rows)
             return ok, "" if ok else f"got={got_rows!r} want={want_rows!r}"
+    elif case.result_path.endswith(".tsv"):
+        kind, want = parse_tsv_result(case.result_path)
+    elif case.result_path.endswith(".csv"):
+        kind, want = parse_csv_result(case.result_path)
     else:
         kind, want = parse_srx(case.result_path)
     if kind == "ask":
         got = bool(df.collect()[0][0])
         return got == want, f"ask got={got} want={want}"
+    if kind == "csv":
+        # lossy comparison through the CSV projection on both sides
+        got_rows = [
+            {
+                k: csv_lossy(v)
+                for k, v in r.asDict().items()
+                if v is not None
+            }
+            for r in df.collect()
+        ]
+        want_rows = [
+            {k: v for k, v in w.items() if v != ""} for w in want
+        ]
+        ok = sorted(
+            tuple(sorted(r.items())) for r in got_rows
+        ) == sorted(tuple(sorted(r.items())) for r in want_rows)
+        return ok, "" if ok else f"got={got_rows!r} want={want_rows!r}"
     got_rows = [
         {k: norm_value(v) for k, v in r.asDict().items() if v is not None}
         for r in df.collect()
