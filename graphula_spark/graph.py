@@ -247,6 +247,48 @@ class Graph:
             d,
         )
 
+    def delete_materialized_rdfs(
+        self, striples: DataFrame, owl: bool = False
+    ) -> "Graph":
+        """Delete with INCREMENTAL closure maintenance — the
+        decremental twin of `add_materialized_rdfs`: the result is
+        row-exact `materialize_rdfs(owl=...)` of the graph minus the
+        victims, computed with victim-keyed work only.
+
+        Set semantics make this simpler than textbook DRed: derived
+        triples are first-class set members, so removing rows never
+        creates new facts — the only maintenance is that a victim
+        REDERIVABLE from the remainder survives the delete (removing
+        it for real means deleting its remaining derivation sources).
+        `operators/rdfs.py::derive_rdfs_delete` does the check over
+        the remainder slice touching the victims' subjects/objects
+        (broadcast keys, corpus streams), iterated to the keep-set
+        fixpoint; owl:TransitiveProperty victims check their 2-step
+        decompositions against the still-closed remainder. Schema
+        victims need no fallback (the remainder keeps its derived
+        members; the rule program is read from the remaining schema).
+
+        Precondition: this graph is CLOSED at the matching level."""
+        from graphula_spark.operators import rdfs as R
+
+        enc = striples
+        for c in ("s", "p", "o"):
+            enc = self.dictionary.encode_col(enc, c, f"{c}_id")
+        victims = enc.select(
+            F.col("s_id").alias("s"),
+            F.col("p_id").alias("p"),
+            F.col("o_id").alias("o"),
+        )
+        kept = R.derive_rdfs_delete(self, victims, owl=owl)
+        g2 = self.delete_string_triples(striples)
+        if kept.isEmpty():
+            return g2
+        return Graph(
+            self.spark,
+            g2.triples.select("s", "p", "o").unionByName(kept),
+            self.dictionary,
+        )
+
     def delete_string_triples(self, striples: DataFrame) -> "Graph":
         """Delete matching triples (extension: the reference is
         insert-only — Index.scala has no delete path, SURVEY §2.3).

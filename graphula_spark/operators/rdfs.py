@@ -887,6 +887,178 @@ def derive_owl_delta(graph, batch: DataFrame, max_rounds: int = 8):
     return acc, d
 
 
+def derive_rdfs_delete(
+    graph, victims: DataFrame, owl: bool = False, max_rounds: int = 8
+) -> DataFrame:
+    """Victims of a delete that REMAIN DERIVABLE from the remainder —
+    the DECREMENTAL twin of `derive_rdfs_delta`/`derive_owl_delta`.
+
+    Set semantics make deletion maintenance simpler than textbook
+    DRed (Gupta/Mumick/Subrahmanian delete-rederive): this store keeps
+    derived triples as first-class set members with no EDB provenance,
+    so for a CLOSED graph G, ``closure(G ∖ V) ⊆ closure(G) = G`` and
+    ``⊇ G ∖ V`` — removing rows can never create NEW facts, only
+    possibly re-derive removed ones. Hence
+    ``materialize(G ∖ V) = (G ∖ V) ∪ {v ∈ V ∩ G : rederivable}``,
+    and there is NO overdeletion cascade to compute; the entire
+    maintenance problem is the rederivability check. A victim that is
+    rederivable "survives" the delete — removing it for real requires
+    deleting its remaining derivation sources too. Schema victims need
+    no special fallback (unlike the insert path): the remaining
+    derived facts are set members that keep their own membership, and
+    the check below reads the rule program from the REMAINDER's
+    schema, which is exactly ``materialize(G∖V)``'s program.
+
+    Rederivability is judged with VICTIM-KEYED work only — never a
+    corpus re-derivation: every ρdf/OWL rule's data atom shares its
+    subject or object with the conclusion, so one pass of the rules
+    over the remainder SLICE touching the victims' subjects/objects
+    (broadcast the key set, stream the corpus) decides one derivation
+    step; chains whose intermediate atoms are themselves victims
+    resolve by iterating to the keep-set fixpoint (every intermediate
+    of a closure(G∖V) derivation is in G, hence in the remainder or in
+    V). owl:TransitiveProperty uses the closure invariant directly: a
+    victim pair (s, o) is rederivable iff some 2-step decomposition
+    s→x→o exists in remainder ∪ kept (subpath pairs of the closed G
+    are all in G, so 2 steps suffice at the fixpoint).
+
+    `victims` is an (s, p, o) id frame; rows not asserted in the graph
+    are ignored (deleting a non-fact re-adds nothing). Returns the
+    kept frame, ⊆ victims ∩ graph.
+    """
+    from pyspark import StorageLevel
+
+    from graphula_spark.literal import empty_df
+    from graphula_spark.scratch import scratch_scope, track
+
+    spark = graph.spark
+    empty = empty_df(spark, [(c, "long") for c in ("s", "p", "o")])
+    triples = graph.triples.select("s", "p", "o")
+    v = track(
+        victims.select("s", "p", "o")
+        .dropDuplicates(["s", "p", "o"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_v = v.count()
+    if n_v == 0:
+        return empty
+    small = n_v <= BROADCAST_DERIVED_MAX_ROWS
+    vb = F.broadcast(v) if small else v
+    # only asserted victims can be re-derived members
+    present = track(
+        triples.join(vb, ["s", "p", "o"], "left_semi")
+        .dropDuplicates(["s", "p", "o"])
+        .localCheckpoint(eager=True)
+    )
+    remainder = triples.join(vb, ["s", "p", "o"], "left_anti")
+    rem_graph = type(graph)(spark, remainder, graph.dictionary)
+
+    # the affected remainder slice: rows sharing a subject or object
+    # with any victim (the data atoms one rule step away)
+    keys = track(
+        present.select(F.col("s").alias("k"))
+        .unionByName(present.select(F.col("o").alias("k")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_k = keys.count()
+    kb = F.broadcast(keys) if n_k <= BROADCAST_DERIVED_MAX_ROWS else keys
+    slice0 = (
+        remainder.join(kb, remainder["s"] == kb["k"], "left_semi")
+        .unionByName(
+            remainder.join(kb, remainder["o"] == kb["k"], "left_semi")
+        )
+        .dropDuplicates(["s", "p", "o"])
+        .localCheckpoint(eager=True)
+    )
+
+    if owl:
+        inv_pairs, sym_props, trans_props, _ids = _collect_owl_schema(
+            rem_graph, remainder
+        )
+    else:
+        inv_pairs, sym_props, trans_props = set(), set(), []
+
+    kept = empty
+    candidates = present
+    for _rnd in range(max_rounds):
+        if candidates.isEmpty():
+            break
+        with scratch_scope():
+            data = slice0.unionByName(kept)
+            frames, _d = _derived_frames(rem_graph, data=data)
+            if inv_pairs:
+                im = F.broadcast(
+                    _literal_df(spark, sorted(inv_pairs), ["p_a", "p_b"])
+                )
+                frames.append(
+                    data.join(im, data["p"] == im["p_a"]).select(
+                        F.col("o").alias("s"),
+                        F.col("p_b").alias("p"),
+                        F.col("s").alias("o"),
+                    )
+                )
+            if sym_props:
+                frames.append(
+                    data.where(F.col("p").isin(sorted(sym_props))).select(
+                        F.col("o").alias("s"), "p", F.col("s").alias("o")
+                    )
+                )
+            derived = empty
+            for f_ in frames:
+                derived = derived.unionByName(f_)
+            hits = candidates.join(
+                derived.dropDuplicates(["s", "p", "o"]),
+                ["s", "p", "o"],
+                "left_semi",
+            )
+            for pid in trans_props:
+                vp = candidates.where(F.col("p") == pid).select(
+                    F.col("s").alias("vs"), F.col("o").alias("vo")
+                )
+                cur_p = (
+                    remainder.unionByName(kept)
+                    .where(F.col("p") == pid)
+                    .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+                )
+                # 2-step decomposition check, victim-keyed: both joins
+                # broadcast the victim-derived side, the corpus relation
+                # streams (aliased — step1 carries cur_p's lineage, so
+                # the second join is a self-join)
+                step1 = (
+                    cur_p.alias("c1")
+                    .join(F.broadcast(vp), F.col("c1.src") == F.col("vs"))
+                    .select("vs", "vo", F.col("c1.dst").alias("mid"))
+                )
+                hit_pairs = (
+                    cur_p.alias("c2")
+                    .join(
+                        F.broadcast(step1).alias("s1"),
+                        (F.col("s1.mid") == F.col("c2.src"))
+                        & (F.col("s1.vo") == F.col("c2.dst")),
+                        "inner",
+                    )
+                    .select(
+                        F.col("s1.vs").alias("s"),
+                        F.lit(pid).cast("long").alias("p"),
+                        F.col("s1.vo").alias("o"),
+                    )
+                )
+                hits = hits.unionByName(hit_pairs)
+            new_keep = (
+                hits.dropDuplicates(["s", "p", "o"]).localCheckpoint(
+                    eager=True
+                )
+            )
+        if new_keep.isEmpty():
+            break
+        kept = kept.unionByName(new_keep)
+        candidates = candidates.join(
+            F.broadcast(new_keep), ["s", "p", "o"], "left_anti"
+        ).localCheckpoint(eager=True)
+    return kept
+
+
 def _transitive_reduction_removals(e: DataFrame) -> DataFrame:
     """Removable edges of a MATERIALIZED (transitively closed) binary
     relation `e(s, o)` such that the transitive closure of the kept
