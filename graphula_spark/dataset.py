@@ -603,6 +603,186 @@ class Dataset:
             fresh = new.join(q, cond(new, q), "left_anti")
         return Dataset(self.spark, q.unionByName(fresh), d2)
 
+    def delete_quads_materialized(
+        self,
+        squads: DataFrame,
+        ontology: str,
+        target: str,
+        data: str | None = None,
+        on_schema_change: str = "full",
+        owl: bool = False,
+    ) -> "Dataset":
+        """Delete quads AND incrementally maintain the `target`
+        entailment graph — the decremental twin of
+        `add_quads_materialized`, and TRUE DRed this time: unlike the
+        Graph level (where derived triples are set members and deletes
+        never cascade), the target graph provenance-separates derived
+        rows from assertions, so a deleted data row can strand stale
+        target rows. The classic two phases, both victim-keyed:
+
+          * OVERDELETE (`rdfs.overdelete_rdfs`): target rows with SOME
+            derivation through a victim — consequences of the victim
+            frontier under the rule program, intersected with the
+            target, iterated to fixpoint; transitive pairs split their
+            paths at the victim edge into closed-relation 2-step
+            decompositions.
+          * REDERIVE (`rdfs.derive_rdfs_delete` — the machinery the
+            Graph-level delete already uses): overdeleted rows (and
+            deleted assertions) still derivable from the remainder
+            come back INTO THE TARGET (a deleted assertion that stays
+            entailed is a derived fact now, per
+            closure ∖ asserted semantics).
+
+        A victim asserting schema (ρdf, or OWL declarations with
+        owl=True) changes the rule program: "full" (default) drops the
+        target and rematerializes, "error" raises. A victim triple
+        still asserted elsewhere in the reasoning input (e.g. the same
+        triple in both data and ontology graphs, one copy deleted)
+        invalidates nothing. Victims in unrelated named graphs are
+        deleted without reasoning. Result target is row-exact
+        `materialize_rdfs` of the post-delete dataset from scratch."""
+        from graphula_spark.operators import rdfs as rdfs_mod
+
+        ds2 = self.delete_string_quads(squads)
+        enc = squads
+        for c in ("s", "p", "o", "g"):
+            enc = self.dictionary.encode_col(enc, c, f"{c}_id")
+        names = self.dictionary.lookup_terms(
+            [ontology, target] + ([data] if data is not None else [])
+        )
+        onto_gid = names.get(ontology)
+        target_gid = names.get(target)
+        gcol = F.col("g_id")
+        if data is None:
+            in_data = gcol.isNull()
+        else:
+            data_gid = names.get(data)
+            in_data = (
+                (gcol == data_gid) if data_gid is not None else F.lit(False)
+            )
+        in_onto = (
+            (gcol == onto_gid) if onto_gid is not None else F.lit(False)
+        )
+        victims = enc.where(in_data | in_onto).select(
+            F.col("s_id").alias("s"),
+            F.col("p_id").alias("p"),
+            F.col("o_id").alias("o"),
+        )
+        target_triples_post = (
+            ds2.quads.where(F.col("g") == F.lit(target_gid)).select(
+                "s", "p", "o"
+            )
+            if target_gid is not None
+            else ds2.quads.where(F.lit(False)).select("s", "p", "o")
+        )
+        ids = ds2.dictionary.lookup_terms(
+            [
+                rdfs_mod.RDFS_SUBCLASS,
+                rdfs_mod.RDFS_SUBPROP,
+                rdfs_mod.RDFS_DOMAIN,
+                rdfs_mod.RDFS_RANGE,
+            ]
+        )
+        schema_pids = list(ids.values())
+        schema_cond = (
+            F.col("p").isin(schema_pids) if schema_pids else F.lit(False)
+        )
+        if owl:
+            owl_cond = rdfs_mod.owl_schema_predicate_cond(ds2)
+            if owl_cond is not None:
+                schema_cond = schema_cond | owl_cond
+        if not victims.where(schema_cond).isEmpty():
+            if on_schema_change == "error":
+                raise ValueError(
+                    "victims assert schema-predicate triples in the "
+                    "reasoning input — decremental reasoning is unsound "
+                    'for schema changes; pass on_schema_change="full" '
+                    "to rebuild the target"
+                )
+            dropped = (
+                ds2._filtered(
+                    F.col("g").isNull() | (F.col("g") != target_gid)
+                )
+                if target_gid is not None
+                else ds2
+            )
+            return dropped.materialize_rdfs(
+                ontology, target, data=data, owl=owl
+            )
+
+        data_g2 = ds2.default_graph if data is None else ds2.graph(data)
+        onto_g2 = ds2.graph(ontology)
+        asserted_post = data_g2.triples.select("s", "p", "o").unionByName(
+            onto_g2.triples.select("s", "p", "o")
+        )
+        # only victims whose FACT left the reasoning input matter (the
+        # same triple may remain asserted in the other graph)
+        v_eff = victims.dropDuplicates(["s", "p", "o"]).join(
+            asserted_post, ["s", "p", "o"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if v_eff.isEmpty():
+            return ds2
+        # PRE-delete combined closure (for transitive decompositions
+        # and the rederive check) and the rule schema (victims carry no
+        # schema past the guard, so pre == post schema)
+        data_g1 = self.default_graph if data is None else self.graph(data)
+        onto_g1 = self.graph(ontology)
+        target_pre = (
+            self.quads.where(F.col("g") == F.lit(target_gid)).select(
+                "s", "p", "o"
+            )
+            if target_gid is not None
+            else self.quads.where(F.lit(False)).select("s", "p", "o")
+        )
+        combined_pre = (
+            data_g1.triples.select("s", "p", "o")
+            .unionByName(onto_g1.triples.select("s", "p", "o"))
+            .unionByName(target_pre)
+        )
+        schema_graph = Graph(
+            self.spark,
+            data_g1.triples.select("s", "p", "o").unionByName(
+                onto_g1.triples.select("s", "p", "o")
+            ),
+            self.dictionary,
+        )
+        over = rdfs_mod.overdelete_rdfs(
+            schema_graph, combined_pre, target_pre, v_eff, owl=owl
+        )
+        # rederive: overdeleted target rows AND deleted assertions that
+        # the remainder still entails land (back) in the target
+        check_victims = v_eff.unionByName(over)
+        kept = rdfs_mod.derive_rdfs_delete(
+            Graph(self.spark, combined_pre, self.dictionary),
+            check_victims,
+            owl=owl,
+        )
+        # assemble: ds2 minus the overdeleted target rows, plus kept
+        tcol = F.lit(target_gid).cast("long")
+        quads = ds2.quads.join(
+            F.broadcast(
+                over.select(
+                    F.col("s").alias("os"),
+                    F.col("p").alias("op"),
+                    F.col("o").alias("oo"),
+                )
+            ),
+            (F.col("s") == F.col("os"))
+            & (F.col("p") == F.col("op"))
+            & (F.col("o") == F.col("oo"))
+            & (F.col("g") == tcol),
+            "left_anti",
+        )
+        # kept rows may coincide with rows still in the target (an
+        # overdeleted row that rederived) — the anti above removed the
+        # target copy, so the union below is collision-free for those;
+        # kept ∖ over rows (deleted assertions now merely entailed)
+        # were never in the target, by the materialize invariant
+        new_quads = quads.unionByName(
+            kept.withColumn("g", tcol).select("s", "p", "o", "g")
+        )
+        return Dataset(self.spark, new_quads, ds2.dictionary)
+
     def delete_string_quads(self, squads: DataFrame) -> "Dataset":
         """Delete exact (s, p, o, g) rows (g null = default graph) via a
         null-safe anti-join; dictionary entries are retained (ids are

@@ -1059,6 +1059,109 @@ def derive_rdfs_delete(
     return kept
 
 
+def overdelete_rdfs(
+    schema_graph,
+    full: DataFrame,
+    target: DataFrame,
+    victims: DataFrame,
+    owl: bool = False,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """TARGET rows with SOME derivation using at least one victim —
+    the overdeletion half of DRed for the Dataset's maintained
+    entailment graph (where derived rows ARE provenance-separated
+    from assertions, unlike the Graph-level set semantics).
+
+    Victim-keyed: every ρdf/OWL-single-atom rule consequence of the
+    frontier is one broadcast-join pass; owl:TransitiveProperty pairs
+    (s, o) join the frontier against the CLOSED combined relation on
+    either side of a 2-step decomposition (any path through a victim
+    edge splits at that edge into closed-relation pairs, so the
+    O-fixpoint reaches every victim-supported pair). Intersected with
+    the target per round; iterates until no new target row joins the
+    overdeletion. Precondition (caller-guarded): victims assert no
+    schema — a schema victim changes the rule program and the caller
+    falls back to a full target rebuild."""
+    from graphula_spark.literal import empty_df
+    from graphula_spark.scratch import scratch_scope
+
+    spark = schema_graph.spark
+    empty = empty_df(spark, [(c, "long") for c in ("s", "p", "o")])
+    if owl:
+        inv_pairs, sym_props, trans_props, _ids = _collect_owl_schema(
+            schema_graph, schema_graph.triples.select("s", "p", "o")
+        )
+    else:
+        inv_pairs, sym_props, trans_props = set(), set(), []
+    over = empty
+    frontier = victims.select("s", "p", "o").dropDuplicates(
+        ["s", "p", "o"]
+    ).localCheckpoint(eager=True)
+    for _rnd in range(max_rounds):
+        if frontier.isEmpty():
+            break
+        with scratch_scope():
+            frames, _d = _derived_frames(schema_graph, data=frontier)
+            if inv_pairs:
+                im = F.broadcast(
+                    _literal_df(spark, sorted(inv_pairs), ["p_a", "p_b"])
+                )
+                frames.append(
+                    frontier.join(im, frontier["p"] == im["p_a"]).select(
+                        F.col("o").alias("s"),
+                        F.col("p_b").alias("p"),
+                        F.col("s").alias("o"),
+                    )
+                )
+            if sym_props:
+                frames.append(
+                    frontier.where(
+                        F.col("p").isin(sorted(sym_props))
+                    ).select(F.col("o").alias("s"), "p", F.col("s").alias("o"))
+                )
+            cons = empty
+            for f_ in frames:
+                cons = cons.unionByName(f_)
+            for pid in trans_props:
+                fp = frontier.where(F.col("p") == pid).select(
+                    F.col("s").alias("fs"), F.col("o").alias("fo")
+                )
+                full_p = full.where(F.col("p") == pid).select(
+                    F.col("s").alias("src"), F.col("o").alias("dst")
+                )
+                left_ext = (
+                    full_p.alias("f1")
+                    .join(F.broadcast(fp), F.col("f1.dst") == F.col("fs"))
+                    .select(
+                        F.col("f1.src").alias("s"),
+                        F.lit(pid).cast("long").alias("p"),
+                        F.col("fo").alias("o"),
+                    )
+                )
+                right_ext = (
+                    full_p.alias("f2")
+                    .join(F.broadcast(fp), F.col("f2.src") == F.col("fo"))
+                    .select(
+                        F.col("fs").alias("s"),
+                        F.lit(pid).cast("long").alias("p"),
+                        F.col("f2.dst").alias("o"),
+                    )
+                )
+                cons = cons.unionByName(left_ext).unionByName(right_ext)
+            cons = cons.dropDuplicates(["s", "p", "o"])
+            new_over = (
+                target.join(F.broadcast(cons), ["s", "p", "o"], "left_semi")
+                .join(F.broadcast(over), ["s", "p", "o"], "left_anti")
+                .dropDuplicates(["s", "p", "o"])
+                .localCheckpoint(eager=True)
+            )
+        if new_over.isEmpty():
+            break
+        over = over.unionByName(new_over)
+        frontier = new_over
+    return over
+
+
 def _transitive_reduction_removals(e: DataFrame) -> DataFrame:
     """Removable edges of a MATERIALIZED (transitively closed) binary
     relation `e(s, o)` such that the transitive closure of the kept

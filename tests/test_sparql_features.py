@@ -2230,3 +2230,155 @@ class TestDatasetMaterialization:
                 batch, self.ONTO, self.INF, owl=True,
                 on_schema_change="error",
             )
+
+    # -- decremental maintenance at the Dataset level (round 9) -------
+
+    def _rebuild_target(self, ds, owl=False):
+        """The from-scratch answer: drop the target graph, rematerialize."""
+        from pyspark.sql import functions as F
+
+        gid = ds.dictionary.lookup_terms([self.INF]).get(self.INF)
+        dropped = ds._filtered(
+            F.col("g").isNull() | (F.col("g") != gid)
+        ) if gid is not None else ds
+        return dropped.materialize_rdfs(self.ONTO, self.INF, owl=owl)
+
+    def test_decremental_quad_delete_equals_rebuild(self, spark):
+        """delete_quads_materialized == drop-target + rematerialize,
+        row-exact: a victim with surviving support keeps its
+        consequences; a chain-killing victim strands target rows that
+        overdelete and do NOT rederive."""
+        from graphula_spark.operators.rdfs import RDF_TYPE
+
+        ds = self._dataset(spark).materialize_rdfs(self.ONTO, self.INF)
+        # alice loses her Professor assertion: (alice type Faculty) and
+        # (alice type Person) lose their only support and must leave
+        batch = spark.createDataFrame(
+            [("ex:alice", RDF_TYPE, "ex:Professor", None)],
+            "s string, p string, o string, g string",
+        )
+        inc = ds.delete_quads_materialized(batch, self.ONTO, self.INF)
+        want = self._rebuild_target(ds.delete_string_quads(batch))
+        got = self._target_snapshot(inc)
+        assert got == self._target_snapshot(want)
+        assert ("ex:alice", RDF_TYPE, "ex:Faculty") not in got
+        assert ("ex:alice", RDF_TYPE, "ex:Person") not in got
+        assert ("ex:bob", RDF_TYPE, "ex:Person") in got  # untouched
+        # default graph lost exactly the victim
+        assert inc.default_graph.triples.count() == 1
+
+    def test_decremental_owl_delete_partial_support_survives(self, spark):
+        """OWL: deleting one base edge of a transitive chain
+        overdeletes the through-pairs; pairs with an alternative
+        decomposition rederive."""
+        ds = self._owl_dataset(spark).materialize_rdfs(
+            self.ONTO, self.INF, owl=True
+        )
+        # bridge the two chains first so dept reaches institute
+        bridge = spark.createDataFrame(
+            [("ex:uni", "ex:subOrg", "ex:lab", None)],
+            "s string, p string, o string, g string",
+        )
+        ds = ds.add_quads_materialized(
+            bridge, self.ONTO, self.INF, owl=True
+        )
+        assert ("ex:dept", "ex:subOrg", "ex:institute") in (
+            self._target_snapshot(ds)
+        )
+        # now delete the bridge: every pair THROUGH it must leave
+        inc = ds.delete_quads_materialized(
+            bridge, self.ONTO, self.INF, owl=True
+        )
+        want = self._rebuild_target(
+            ds.delete_string_quads(bridge), owl=True
+        )
+        got = self._target_snapshot(inc)
+        assert got == self._target_snapshot(want)
+        assert ("ex:dept", "ex:subOrg", "ex:institute") not in got
+        assert ("ex:dept", "ex:subOrg", "ex:uni") in got  # own chain
+
+    def test_decremental_delete_schema_victim_falls_back(self, spark):
+        """Deleting an ontology edge rebuilds the target (default) or
+        raises (on_schema_change='error'); the rebuilt target drops
+        every consequence of the removed schema edge."""
+        from graphula_spark.operators.rdfs import RDF_TYPE, RDFS_SUBCLASS
+
+        ds = self._dataset(spark).materialize_rdfs(self.ONTO, self.INF)
+        batch = spark.createDataFrame(
+            [("ex:Faculty", RDFS_SUBCLASS, "ex:Person", self.ONTO)],
+            ["s", "p", "o", "g"],
+        )
+        out = ds.delete_quads_materialized(batch, self.ONTO, self.INF)
+        got = self._target_snapshot(out)
+        # alice no longer reaches Person through Faculty
+        assert ("ex:alice", RDF_TYPE, "ex:Person") not in got
+        assert ("ex:alice", RDF_TYPE, "ex:Faculty") in got
+        assert ("ex:bob", RDF_TYPE, "ex:Person") in got  # own edge
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="schema"):
+            ds.delete_quads_materialized(
+                batch, self.ONTO, self.INF, on_schema_change="error"
+            )
+
+    def test_decremental_delete_duplicate_assertion_is_noop(self, spark):
+        """A victim triple asserted in BOTH the data and ontology
+        graphs: deleting one copy leaves the fact asserted — nothing
+        overdeletes."""
+        from graphula_spark.dataset import Dataset
+        from graphula_spark.operators.rdfs import RDF_TYPE, RDFS_SUBCLASS
+
+        rows = [
+            ("ex:x", RDF_TYPE, "ex:A", None),
+            ("ex:x", RDF_TYPE, "ex:A", self.ONTO),  # duplicate copy
+            ("ex:A", RDFS_SUBCLASS, "ex:B", self.ONTO),
+        ]
+        ds = Dataset.from_string_quads(
+            spark,
+            spark.createDataFrame(
+                rows, "s string, p string, o string, g string"
+            ),
+        ).materialize_rdfs(self.ONTO, self.INF)
+        assert ("ex:x", RDF_TYPE, "ex:B") in self._target_snapshot(ds)
+        batch = spark.createDataFrame(
+            [("ex:x", RDF_TYPE, "ex:A", None)],
+            "s string, p string, o string, g string",
+        )
+        inc = ds.delete_quads_materialized(batch, self.ONTO, self.INF)
+        got = self._target_snapshot(inc)
+        assert ("ex:x", RDF_TYPE, "ex:B") in got  # still supported
+        assert inc.default_graph.triples.count() == 0  # copy deleted
+
+    def test_decremental_delete_entailed_assertion_moves_to_target(
+        self, spark
+    ):
+        """Deleting an assertion the remainder still ENTAILS: the fact
+        leaves the data graph but enters the target (closure minus
+        asserted semantics) — exactly what a from-scratch rebuild
+        produces."""
+        from graphula_spark.dataset import Dataset
+        from graphula_spark.operators.rdfs import RDF_TYPE, RDFS_SUBCLASS
+
+        rows = [
+            ("ex:y", RDF_TYPE, "ex:A", None),
+            ("ex:y", RDF_TYPE, "ex:B", None),  # asserted AND derivable
+            ("ex:A", RDFS_SUBCLASS, "ex:B", self.ONTO),
+        ]
+        ds = Dataset.from_string_quads(
+            spark,
+            spark.createDataFrame(
+                rows, "s string, p string, o string, g string"
+            ),
+        ).materialize_rdfs(self.ONTO, self.INF)
+        # while asserted, (y type B) is NOT in the target
+        assert ("ex:y", RDF_TYPE, "ex:B") not in self._target_snapshot(ds)
+        batch = spark.createDataFrame(
+            [("ex:y", RDF_TYPE, "ex:B", None)],
+            "s string, p string, o string, g string",
+        )
+        inc = ds.delete_quads_materialized(batch, self.ONTO, self.INF)
+        want = self._rebuild_target(ds.delete_string_quads(batch))
+        got = self._target_snapshot(inc)
+        assert got == self._target_snapshot(want)
+        assert ("ex:y", RDF_TYPE, "ex:B") in got  # moved to target
+        assert inc.default_graph.triples.count() == 1  # only (y type A)
