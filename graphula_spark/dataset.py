@@ -757,7 +757,18 @@ class Dataset:
             check_victims,
             owl=owl,
         )
-        # assemble: ds2 minus the overdeleted target rows, plus kept
+        # assemble: ds2 minus the overdeleted target rows, plus kept.
+        # A never-materialized target has no gid yet — register the
+        # name so a kept (deleted-but-entailed) row lands in the
+        # TARGET, not in the default graph (one-term union, O(1))
+        d_out = ds2.dictionary
+        if target_gid is None:
+            d_out = d_out.union(
+                self.spark.range(0, 1, 1, 1).select(
+                    F.lit(target).alias("value")
+                )
+            )
+            target_gid = d_out.lookup_terms([target])[target]
         tcol = F.lit(target_gid).cast("long")
         quads = ds2.quads.join(
             F.broadcast(
@@ -781,7 +792,7 @@ class Dataset:
         new_quads = quads.unionByName(
             kept.withColumn("g", tcol).select("s", "p", "o", "g")
         )
-        return Dataset(self.spark, new_quads, ds2.dictionary)
+        return Dataset(self.spark, new_quads, d_out)
 
     def delete_string_quads(self, squads: DataFrame) -> "Dataset":
         """Delete exact (s, p, o, g) rows (g null = default graph) via a
