@@ -1318,6 +1318,71 @@ def q_rdfs_derive_events(spark, sf):
     return g.decode(derive_rdfs(g), ["s", "p", "o"])
 
 
+def q_rdfs_delete_maintain(spark, sf):
+    """DECREMENTAL maintenance driver row (round 9,
+    `Graph.delete_materialized_rdfs`): close the events type graph,
+    then delete (a) every 'click' TYPE ASSERTION — not rederivable,
+    they leave, while their derived Event/Thing memberships remain set
+    members — and (b) every 'view' event's DERIVED Event membership —
+    rederivable from the surviving view assertion, so they all come
+    back. Result is row-exact materialize of (closure ∖ victims),
+    which the oracle states in closed form: the full closure minus the
+    click assertions."""
+    from graphula_spark.graph import Graph
+    from graphula_spark.operators.rdfs import (
+        RDF_TYPE,
+        RDFS_SUBCLASS,
+        derive_rdfs,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    subj = F.concat(F.lit("event:"), F.col("event_id").cast("string"))
+    ety = F.concat(F.lit("etype:"), F.col("event_type"))
+    data = ev.select(
+        subj.alias("s"), F.lit(RDF_TYPE).alias("p"), ety.alias("o")
+    )
+    schema = (
+        ev.select(ety.alias("s")).distinct()
+        .select(
+            "s", F.lit(RDFS_SUBCLASS).alias("p"), F.lit("Event").alias("o")
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("Event", RDFS_SUBCLASS, "Thing")], ["s", "p", "o"]
+            )
+        )
+    )
+    key = ("rdfs_events_closed", sf)
+    if key not in _GRAPH_CACHE:
+        base = Graph.from_string_triples(spark, data.unionByName(schema))
+        base.dictionary.df.persist().count()
+        closed = Graph(
+            spark,
+            base.triples.select("s", "p", "o")
+            .unionByName(derive_rdfs(base))
+            .localCheckpoint(eager=True),
+            base.dictionary,
+        )
+        _GRAPH_CACHE[key] = closed
+    closed = _GRAPH_CACHE[key]
+    victims = (
+        ev.where(F.col("event_type") == "click").select(
+            subj.alias("s"), F.lit(RDF_TYPE).alias("p"), ety.alias("o")
+        )
+        .unionByName(
+            ev.where(F.col("event_type") == "view").select(
+                subj.alias("s"),
+                F.lit(RDF_TYPE).alias("p"),
+                F.lit("Event").alias("o"),
+            )
+        )
+    )
+    out = closed.delete_materialized_rdfs(victims)
+    return out.decode(
+        out.triples.select("s", "p", "o"), ["s", "p", "o"]
+    )
+
+
 def q_pagerank(spark, sf):
     """PageRank driver row (operators/graph_analytics.py): 5 power
     iterations (d=0.85) over a 100-node graph whose edges are a ring
@@ -1407,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "rdfs_closure": q_rdfs_closure,
         "rdfs_derive_events": q_rdfs_derive_events,
+        "rdfs_delete_maintain": q_rdfs_delete_maintain,
         "rel_pagerank": q_pagerank,
     }
 
@@ -2459,6 +2525,49 @@ def oracle_sql() -> dict[str, str]:
                    'http://www.w3.org/2000/01/rdf-schema#subClassOf' AS p,
                    'Thing' AS o
             FROM ty
+        """,
+        "rdfs_delete_maintain": """
+            WITH ev AS (
+                SELECT DISTINCT
+                    'event:' || CAST(event_id AS VARCHAR) AS s,
+                    'etype:' || event_type AS t,
+                    event_type AS raw_t
+                FROM events
+            ), ty AS (
+                SELECT DISTINCT 'etype:' || event_type AS t FROM events
+            )
+            -- surviving assertions: every (event, type, etype) EXCEPT
+            -- the deleted click ones (not rederivable)
+            SELECT s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   t AS o
+            FROM ev WHERE raw_t <> 'click'
+            UNION ALL
+            -- derived memberships stay set members (Event deletions on
+            -- view events REDERIVE from the surviving view assertion)
+            SELECT s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'Event' AS o
+            FROM ev
+            UNION ALL
+            SELECT s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                   'Thing' AS o
+            FROM ev
+            UNION ALL
+            SELECT t AS s,
+                   'http://www.w3.org/2000/01/rdf-schema#subClassOf' AS p,
+                   'Event' AS o
+            FROM ty
+            UNION ALL
+            SELECT t AS s,
+                   'http://www.w3.org/2000/01/rdf-schema#subClassOf' AS p,
+                   'Thing' AS o
+            FROM ty
+            UNION ALL
+            SELECT 'Event' AS s,
+                   'http://www.w3.org/2000/01/rdf-schema#subClassOf' AS p,
+                   'Thing' AS o
         """,
         "rel_pagerank": _pagerank_oracle(),
     }
