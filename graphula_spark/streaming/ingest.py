@@ -137,6 +137,7 @@ def stream_ntriples_ingest(
     checkpoint_dir: str,
     query_name: str = "graphula_ingest",
     compact_every: int = 4,
+    entailment: str | None = None,
 ):
     """Start a streaming ingest of .nt files appearing in `src_dir`.
 
@@ -145,7 +146,19 @@ def stream_ntriples_ingest(
     DELTA dir and republish the manifest. Every `compact_every` deltas
     the store is compacted into a fresh base. Returns the streaming
     query handle; call `.processAllAvailable()` / `.stop()` to drive it.
+
+    ``entailment`` ("rdfs" | "owl") keeps every PUBLISHED snapshot
+    CLOSED under the chosen level — streaming ingest composed with the
+    incremental reasoners (round 9): a data-only micro-batch lands
+    batch ∪ its closure additions (O(batch ∪ affected) —
+    `rdfs._derive_only` for ρdf, `rdfs.derive_owl_delta` for the OWL
+    constructs); a batch asserting SCHEMA triples (where delta
+    reasoning is unsound) triggers a full re-close compacted into a
+    fresh base. Readers always see a consistent closed snapshot (the
+    manifest republish is atomic, as before).
     """
+    if entailment not in (None, "rdfs", "owl"):
+        raise ValueError(f"unknown entailment level {entailment!r}")
 
     stream = spark.readStream.format("text").load(src_dir + "/*.nt")
 
@@ -166,6 +179,14 @@ def stream_ntriples_ingest(
         cur = read_manifest(store_dir)
         if cur is None:
             g = Graph.from_string_triples(spark, striples, cache=False)
+            if entailment is not None:
+                from graphula_spark.operators import rdfs as R
+
+                g = (
+                    R.materialize_owl(g)
+                    if entailment == "owl"
+                    else R.materialize(g)
+                )
             base = f"base_{batch_id}"
             g.save(f"{store_dir}/{base}")
             _publish(store_dir, {"base": base, "deltas": []}, None)
@@ -174,8 +195,23 @@ def stream_ntriples_ingest(
         from pyspark import StorageLevel
 
         old = load_versioned_graph(spark, store_dir)
+        term_src = striples.select(
+            F.explode(F.array("s", "p", "o")).alias("value")
+        )
+        if entailment is not None:
+            # pre-seed rdf:type so domain/range derivations over a
+            # type-free batch never need a mid-derive dictionary
+            # injection (the delta dictionary below carries only
+            # `fresh`, and an injected term would not be in it)
+            from graphula_spark.operators.rdfs import RDF_TYPE
+
+            term_src = term_src.unionByName(
+                spark.range(0, 1, 1, 1).select(
+                    F.lit(RDF_TYPE).alias("value")
+                )
+            )
         terms = (
-            striples.select(F.explode(F.array("s", "p", "o")).alias("value"))
+            term_src
             .where(F.col("value").isNotNull())
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -233,6 +269,59 @@ def stream_ntriples_ingest(
             new_triples = batch_triples.join(
                 store_spo, ["s", "p", "o"], "left_anti"
             )
+        if entailment is not None:
+            from graphula_spark.operators import rdfs as R
+
+            old_full = Graph(spark, old.triples.select("s", "p", "o"),
+                             full_dict)
+            ids = full_dict.lookup_terms(
+                [R.RDFS_SUBCLASS, R.RDFS_SUBPROP, R.RDFS_DOMAIN,
+                 R.RDFS_RANGE]
+            )
+            schema_cond = (
+                F.col("p").isin(list(ids.values()))
+                if ids
+                else F.lit(False)
+            )
+            if entailment == "owl":
+                owl_cond = R.owl_schema_predicate_cond(old_full)
+                if owl_cond is not None:
+                    schema_cond = schema_cond | owl_cond
+            if not new_triples.where(schema_cond).isEmpty():
+                # schema arrived mid-stream: delta reasoning is unsound
+                # — full re-close, compacted into a fresh CLOSED base
+                merged = Graph(
+                    spark,
+                    old.triples.select("s", "p", "o").unionByName(
+                        new_triples
+                    ),
+                    full_dict,
+                )
+                closed = (
+                    R.materialize_owl(merged)
+                    if entailment == "owl"
+                    else R.materialize(merged)
+                )
+                base = f"base_{batch_id}"
+                closed.save(f"{store_dir}/{base}", p_buckets=old.p_buckets)
+                _publish(store_dir, {"base": base, "deltas": []}, cur)
+                return
+            if entailment == "owl":
+                derived, _d2 = R.derive_owl_delta(old_full, new_triples)
+            else:
+                # None when the store carries no schema — plain delta
+                derived, _d2, _n = R._derive_only(
+                    old_full,
+                    data=new_triples,
+                    corpus=old.triples.select("s", "p", "o").unionByName(
+                        new_triples
+                    ),
+                )
+            if derived is not None:
+                # derived is disjoint from store ∪ batch by
+                # construction; the delta lands batch ∪ closure
+                new_triples = new_triples.unionByName(derived)
+
         delta_name = f"delta_{batch_id}"
         delta_g = Graph(
             spark,

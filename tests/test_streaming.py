@@ -317,3 +317,85 @@ def test_interval_join_left_outer(spark, tmp_path):
     got = sorted((r["user_id"], r["l_event_id"], r["r_event_id"])
                  for r in out.collect())
     assert got == [(7, 1, 2), (8, 3, None)]
+
+
+def test_streaming_ingest_with_incremental_entailment(spark, tmp_path):
+    """entailment='rdfs' keeps every published snapshot CLOSED: batch 1
+    (schema + data) closes into the base; a data-only batch 2 lands
+    batch ∪ its closure additions as an O(batch) DELTA; a schema-
+    bearing batch 3 triggers the full re-close into a fresh base.
+    Every snapshot equals materialize() of all strings seen so far."""
+    from graphula_spark.graph import Graph
+    from graphula_spark.operators.rdfs import RDF_TYPE, RDFS_SUBCLASS
+    from graphula_spark.streaming.ingest import (
+        read_manifest,
+        stream_ntriples_ingest,
+    )
+
+    SC = RDFS_SUBCLASS
+    T = RDF_TYPE
+    src = tmp_path / "feed"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def snap(g):
+        return {
+            tuple(r)
+            for r in g.decode(
+                g.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        }
+
+    def full(lines):
+        df = spark.createDataFrame(
+            [tuple(ln.split(" ")[:3]) for ln in lines], ["s", "p", "o"]
+        )
+        return snap(
+            Graph.from_string_triples(
+                spark,
+                df.select(
+                    *[
+                        F.regexp_replace(c, "[<>]", "").alias(c)
+                        for c in ("s", "p", "o")
+                    ]
+                ),
+            ).materialize_rdfs()
+        )
+
+    b1 = [
+        f"<http://e/Prof> <{SC}> <http://e/Person> .",
+        f"<http://e/ann> <{T}> <http://e/Prof> .",
+    ]
+    (src / "b1.nt").write_text("\n".join(b1) + "\n")
+    q = stream_ntriples_ingest(
+        spark, str(src), store, ckpt,
+        query_name="ingest_entail", entailment="rdfs",
+    )
+    q.processAllAvailable()
+    assert snap(Graph.load(spark, store)) == full(b1)  # base is closed
+
+    # data-only batch: delta carries the batch AND its closure rows
+    b2 = [f"<http://e/bob> <{T}> <http://e/Prof> ."]
+    (src / "b2.nt").write_text("\n".join(b2) + "\n")
+    q.processAllAvailable()
+    g2 = Graph.load(spark, store)
+    assert snap(g2) == full(b1 + b2)
+    got2 = snap(g2)
+    assert ("http://e/bob", T, "http://e/Person") in got2  # derived
+    m = read_manifest(store)
+    assert len(m["deltas"]) == 1  # O(batch) delta, no base rewrite
+
+    # schema-bearing batch: full re-close into a fresh base — corpus
+    # individuals climb the NEW edge
+    b3 = [f"<http://e/Person> <{SC}> <http://e/Agent> ."]
+    (src / "b3.nt").write_text("\n".join(b3) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    g3 = Graph.load(spark, store)
+    got3 = snap(g3)
+    assert got3 == full(b1 + b2 + b3)
+    assert ("http://e/ann", T, "http://e/Agent") in got3
+    assert ("http://e/bob", T, "http://e/Agent") in got3
+    m3 = read_manifest(store)
+    assert m3["deltas"] == []  # compacted into a fresh closed base
