@@ -473,11 +473,25 @@ class Dataset:
             slices.append((gid, self.graph_by_id(gid)))
         parts: list[DataFrame] = []
         for gid, g in slices:
-            gt = g.triples.select("s", "p", "o")
+            # localCheckpoint the slice AND the kept output: the input
+            # quads often carry deep lineage (stacked materialize_rdfs
+            # snapshots), and reduce_graph's per-family anti-joins each
+            # re-reference the slice — without the cut, Catalyst
+            # re-analyzes the whole history per family per graph
+            # (measured: 415s for a 5k-row two-graph reduce, seconds
+            # after; the cluster.py lesson). Reduction is a batch
+            # storage-compression op, so materializing per-graph data
+            # is its natural cost.
+            gt = g.triples.select("s", "p", "o").localCheckpoint(
+                eager=True
+            )
             if gt.isEmpty():
                 continue
+            gg = Graph(self.spark, gt, self.dictionary)
             if onto_triples is None:
-                red = reduce_graph(g, owl=owl).triples.select("s", "p", "o")
+                red = reduce_graph(gg, owl=owl).triples.select(
+                    "s", "p", "o"
+                )
                 kept = red
             else:
                 base = Graph(
@@ -499,7 +513,9 @@ class Dataset:
                     F.lit(gid).cast("long")
                     if gid is not None
                     else F.lit(None).cast("long"),
-                ).select("s", "p", "o", "g")
+                )
+                .select("s", "p", "o", "g")
+                .localCheckpoint(eager=True)
             )
         if onto_gid is not None:
             parts.append(

@@ -1118,3 +1118,79 @@ def test_delete_materialized_owl_chained_rederivation(spark):
     # every victim is rederivable here (the base chain survives)
     for v in vic:
         assert v in got, v
+
+
+def test_dataset_reduce_rdfs_on_lubm_multigraph(spark):
+    """Dataset.reduce_rdfs at LUBM scale: one university file split
+    into two named data graphs + the schema slice as the shared
+    ontology graph, each data graph closed per-graph first (the
+    round-trip law is stated on closed graphs). Reduction strips a
+    large derivable fraction per graph; re-materializing each reduced
+    graph against the ontology reconstructs it exactly."""
+    import glob
+
+    from graphula_spark.dataset import Dataset
+    from graphula_spark.operators.rdfs import (
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+    )
+    from graphula_spark.sources.ntriples import read_ntriples
+
+    paths = sorted(
+        glob.glob("/root/reference/benchmarks/data/university0_*.nt")
+    )
+    if not paths:
+        pytest.skip("reference LUBM data not present")
+    tr_full = read_ntriples(spark, paths[:1])
+    ONTO, G1, G2 = "http://ex/onto", "http://ex/g1", "http://ex/g2"
+    schema_preds = [RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
+    is_schema = F.col("p").isin(schema_preds)
+    # deterministic ~1/6 data sample (schema kept whole): six
+    # materialize passes at full file size put the test past the CI
+    # budget; the law under test is scale-free
+    tr = tr_full.where(
+        is_schema | (F.abs(F.xxhash64("s")) % 6 == 0)
+    )
+    quads = tr.select(
+        "s",
+        "p",
+        "o",
+        F.when(is_schema, F.lit(ONTO))
+        .when(F.abs(F.xxhash64("s")) % 2 == 0, F.lit(G1))
+        .otherwise(F.lit(G2))
+        .alias("g"),
+    )
+    ds = Dataset.from_string_quads(spark, quads)
+    # close each data graph against the shared ontology (owl=True —
+    # univ-bench declares TransitiveProperty/inverseOf)
+    for gname, tgt in ((G1, "http://ex/t1"), (G2, "http://ex/t2")):
+        ds = ds.materialize_rdfs(ONTO, gname, data=gname, owl=True)
+        # fold the per-graph closure INTO the graph so each graph is
+        # closed in place (target == data graph): materialize_rdfs
+        # with target=data appends the derived rows to the graph
+    red = ds.reduce_rdfs(owl=True, ontology=ONTO)
+
+    def gsnap(d, name):
+        g = d.graph(name)
+        return {
+            tuple(r)
+            for r in g.decode(
+                g.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        }
+
+    for gname in (G1, G2):
+        n_full = ds.graph(gname).triples.count()
+        n_red = red.graph(gname).triples.count()
+        assert n_red < 0.75 * n_full, (gname, n_red, n_full)
+        out = red.materialize_rdfs(
+            ONTO, "http://ex/rt", data=gname, owl=True
+        )
+        rebuilt = gsnap(out, gname) | gsnap(out, "http://ex/rt")
+        # the rebuilt closure must contain the original graph exactly
+        # up to ontology-closure rows that live in the target
+        orig = gsnap(ds, gname)
+        missing = orig - rebuilt
+        assert not missing, (gname, sorted(missing)[:5])
+    # ontology kept verbatim
+    assert red.graph(ONTO).triples.count() == ds.graph(ONTO).triples.count()
