@@ -138,7 +138,15 @@ def main() -> None:
     spark = get_spark("graphula-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    # bench-only keys (round 10): the driver correctness surface folds
+    # these into part-keyed entries (rdfs_suite, rel_graph_reach) to
+    # fit the 50-row CORRECTNESS cap, but the bench times each part
+    # separately so per-key history stays comparable round-over-round
+    queries["rel_graph_reach"] = entry_mod.q_graph_reach
+    queries["rdfs_closure"] = entry_mod.q_rdfs_closure
+    queries["rdfs_derive_events"] = entry_mod.q_rdfs_derive_events
+    queries["rel_pagerank"] = entry_mod.q_pagerank
     from concurrent.futures import ThreadPoolExecutor
 
     # store BUILD, forced cold into a scratch dir every run: the old

@@ -786,14 +786,20 @@ class Dataset:
             )
             target_gid = d_out.lookup_terms([target])[target]
         tcol = F.lit(target_gid).cast("long")
+        # count-gate: a bulk delete can overdelete a corpus-scale slice
+        # of the target — broadcast only under the cap (round 10)
+        over_sel = over.select(
+            F.col("s").alias("os"),
+            F.col("p").alias("op"),
+            F.col("o").alias("oo"),
+        ).localCheckpoint(eager=True)
+        over_b = (
+            F.broadcast(over_sel)
+            if over_sel.count() <= rdfs_mod.BROADCAST_DERIVED_MAX_ROWS
+            else over_sel
+        )
         quads = ds2.quads.join(
-            F.broadcast(
-                over.select(
-                    F.col("s").alias("os"),
-                    F.col("p").alias("op"),
-                    F.col("o").alias("oo"),
-                )
-            ),
+            over_b,
             (F.col("s") == F.col("os"))
             & (F.col("p") == F.col("op"))
             & (F.col("o") == F.col("oo"))

@@ -147,6 +147,10 @@ def embedding_near_dup_reps(
     with ONE hash shuffle (no pair scoring at all — web-scale corpora
     repeat embeddings heavily), the components run over unique vectors
     only, and the labels fan back out with one bounded join.
+
+    Any ORDERABLE id type works (string doc ids included) — the
+    component step propagates min labels natively per type, matching
+    pairs mode's `id_a < id_b` ordering (ADVICE r9).
     """
     from graphula_spark.operators.cluster import connected_components
 

@@ -37,10 +37,20 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """(node, cluster) for every node incident to an edge; cluster is
-    the minimum node id in the component."""
-    e = edges.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).where(F.col("a") != F.col("b"))
+    the minimum node id in the component.
+
+    Min-label propagation needs only an ORDERING on node ids, so any
+    orderable id type works (string doc ids included — ADVICE r9).
+    Integral ids are normalized to long (the historical contract:
+    callers join the labels back against long keys); other types pass
+    through natively."""
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    dt = dict(edges.dtypes)
+    sc = F.col(src).cast("long") if dt.get(src) in integral else F.col(src)
+    dc = F.col(dst).cast("long") if dt.get(dst) in integral else F.col(dst)
+    e = edges.select(sc.alias("a"), dc.alias("b")).where(
+        F.col("a") != F.col("b")
+    )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     # localCheckpoint (not persist): an iterative loop must TRUNCATE the
     # logical plan each round, or Catalyst re-analyzes a tree that grows

@@ -1022,18 +1022,30 @@ def derive_rdfs_delete(
                     .select(F.col("s").alias("src"), F.col("o").alias("dst"))
                 )
                 # 2-step decomposition check, victim-keyed: both joins
-                # broadcast the victim-derived side, the corpus relation
-                # streams (aliased — step1 carries cur_p's lineage, so
-                # the second join is a self-join)
-                step1 = (
+                # prefer the victim-derived side for broadcast, the
+                # corpus relation streams (aliased — step1 carries
+                # cur_p's lineage, so the second join is a self-join).
+                # vp ⊆ victims, so the n_v gate covers it; step1 is a
+                # join PRODUCT (hub-keyed fan-out can exceed n_v), so
+                # it gets its own persist+count gate
+                step1 = track(
                     cur_p.alias("c1")
-                    .join(F.broadcast(vp), F.col("c1.src") == F.col("vs"))
+                    .join(
+                        F.broadcast(vp) if small else vp,
+                        F.col("c1.src") == F.col("vs"),
+                    )
                     .select("vs", "vo", F.col("c1.dst").alias("mid"))
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                s1b = (
+                    F.broadcast(step1)
+                    if step1.count() <= BROADCAST_DERIVED_MAX_ROWS
+                    else step1
                 )
                 hit_pairs = (
                     cur_p.alias("c2")
                     .join(
-                        F.broadcast(step1).alias("s1"),
+                        s1b.alias("s1"),
                         (F.col("s1.mid") == F.col("c2.src"))
                         & (F.col("s1.vo") == F.col("c2.dst")),
                         "inner",
@@ -1053,9 +1065,22 @@ def derive_rdfs_delete(
         if new_keep.isEmpty():
             break
         kept = kept.unionByName(new_keep)
+        # new_keep ⊆ candidates ⊆ victims: the n_v gate covers it
         candidates = candidates.join(
-            F.broadcast(new_keep), ["s", "p", "o"], "left_anti"
+            F.broadcast(new_keep) if small else new_keep,
+            ["s", "p", "o"],
+            "left_anti",
         ).localCheckpoint(eager=True)
+    else:
+        # mirror derive_owl_delta: a victim-dependency chain deeper
+        # than the round budget must FAIL, not silently drop
+        # rederivable triples (the row-exact materialize(G ∖ V)
+        # contract)
+        if not candidates.isEmpty():
+            raise RuntimeError(
+                f"decremental rederivability check did not reach its "
+                f"fixpoint in {max_rounds} rounds"
+            )
     return kept
 
 
@@ -1082,8 +1107,10 @@ def overdelete_rdfs(
     overdeletion. Precondition (caller-guarded): victims assert no
     schema — a schema victim changes the rule program and the caller
     falls back to a full target rebuild."""
+    from pyspark import StorageLevel
+
     from graphula_spark.literal import empty_df
-    from graphula_spark.scratch import scratch_scope
+    from graphula_spark.scratch import scratch_scope, track
 
     spark = schema_graph.spark
     empty = empty_df(spark, [(c, "long") for c in ("s", "p", "o")])
@@ -1094,12 +1121,18 @@ def overdelete_rdfs(
     else:
         inv_pairs, sym_props, trans_props = set(), set(), []
     over = empty
+    n_over = 0
     frontier = victims.select("s", "p", "o").dropDuplicates(
         ["s", "p", "o"]
     ).localCheckpoint(eager=True)
+    n_frontier = frontier.count()
     for _rnd in range(max_rounds):
-        if frontier.isEmpty():
+        if n_frontier == 0:
             break
+        # frontier/over/cons are caller- and corpus-scale-controlled
+        # (bulk deletes, hub fan-out) — every broadcast below is
+        # count-gated like the insert paths' (_derive_only)
+        f_small = n_frontier <= BROADCAST_DERIVED_MAX_ROWS
         with scratch_scope():
             frames, _d = _derived_frames(schema_graph, data=frontier)
             if inv_pairs:
@@ -1129,9 +1162,11 @@ def overdelete_rdfs(
                 full_p = full.where(F.col("p") == pid).select(
                     F.col("s").alias("src"), F.col("o").alias("dst")
                 )
+                # fp ⊆ frontier: the per-round frontier count gates it
+                fpb = F.broadcast(fp) if f_small else fp
                 left_ext = (
                     full_p.alias("f1")
-                    .join(F.broadcast(fp), F.col("f1.dst") == F.col("fs"))
+                    .join(fpb, F.col("f1.dst") == F.col("fs"))
                     .select(
                         F.col("f1.src").alias("s"),
                         F.lit(pid).cast("long").alias("p"),
@@ -1140,7 +1175,7 @@ def overdelete_rdfs(
                 )
                 right_ext = (
                     full_p.alias("f2")
-                    .join(F.broadcast(fp), F.col("f2.src") == F.col("fo"))
+                    .join(fpb, F.col("f2.src") == F.col("fo"))
                     .select(
                         F.col("fs").alias("s"),
                         F.lit(pid).cast("long").alias("p"),
@@ -1148,17 +1183,46 @@ def overdelete_rdfs(
                     )
                 )
                 cons = cons.unionByName(left_ext).unionByName(right_ext)
-            cons = cons.dropDuplicates(["s", "p", "o"])
+            # cons is a join PRODUCT (rule consequences of the
+            # frontier) — own persist+count gate before the semi
+            cons = track(
+                cons.dropDuplicates(["s", "p", "o"]).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+            )
+            cb = (
+                F.broadcast(cons)
+                if cons.count() <= BROADCAST_DERIVED_MAX_ROWS
+                else cons
+            )
+            ob = (
+                F.broadcast(over)
+                if n_over <= BROADCAST_DERIVED_MAX_ROWS
+                else over
+            )
             new_over = (
-                target.join(F.broadcast(cons), ["s", "p", "o"], "left_semi")
-                .join(F.broadcast(over), ["s", "p", "o"], "left_anti")
+                target.join(cb, ["s", "p", "o"], "left_semi")
+                .join(ob, ["s", "p", "o"], "left_anti")
                 .dropDuplicates(["s", "p", "o"])
                 .localCheckpoint(eager=True)
             )
-        if new_over.isEmpty():
+        n_new = new_over.count()
+        if n_new == 0:
             break
         over = over.unionByName(new_over)
+        n_over += n_new
         frontier = new_over
+        n_frontier = n_new
+    else:
+        # mirror derive_owl_delta: exhausting the round budget with a
+        # live frontier means target rows that should be overdeleted
+        # were never reached — fail loudly instead of leaving stale
+        # rows (the row-exact delete_quads_materialized contract)
+        if n_frontier > 0:
+            raise RuntimeError(
+                f"DRed overdeletion did not reach its fixpoint in "
+                f"{max_rounds} rounds"
+            )
     return over
 
 

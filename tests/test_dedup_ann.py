@@ -525,6 +525,35 @@ def test_embedding_near_dup_reps_no_dups_is_identity(spark):
     assert got == {1: 1, 2: 2, 3: 3}
 
 
+def test_embedding_near_dup_reps_string_ids(spark):
+    """ADVICE r9: reps mode must accept NON-integral id columns the
+    way pairs mode always has — the component step used to cast node
+    ids to long, silently NULLing string doc ids. Representative =
+    the group's lexicographic-minimum id, same ordering as pairs
+    mode's id_a < id_b."""
+    from graphula_spark.operators.ann import embedding_near_dup_reps
+
+    rows = [
+        ("doc-a", 0, [1.0, 0.0]),
+        ("doc-b", 0, [1.0, 0.0]),  # exact dup of doc-a
+        ("doc-c", 0, [0.999, 0.01]),  # near-dup of both
+        ("doc-d", 0, [0.0, 1.0]),  # unrelated
+        ("doc-e", 1, [1.0, 0.0]),  # same vector, other block
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {
+        r["vec_id"]: r["representative"]
+        for r in embedding_near_dup_reps(df, threshold=0.95).collect()
+    }
+    assert got == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "doc-d": "doc-d",
+        "doc-e": "doc-e",
+    }
+
+
 def test_zero_norm_embeddings_never_pair_or_crash(spark):
     """Zero vectors appear in real corpora (empty docs, padding).
     Under ANSI mode (the Spark 4 default) the un-guarded normalization

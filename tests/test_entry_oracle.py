@@ -82,6 +82,14 @@ def test_every_entry_has_an_oracle():
     assert set(QUERIES) == set(ORACLES)
 
 
+def test_queries_fit_driver_correctness_cap():
+    """The driver records at most 50 CORRECTNESS rows in insertion
+    order — entry 51+ silently loses its oracle row (VERDICT r9 #1:
+    53 entries left three unrecorded). Fold related operators into a
+    part-keyed entry instead of growing past the cap."""
+    assert len(QUERIES) <= 50
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

@@ -1120,6 +1120,90 @@ def test_delete_materialized_owl_chained_rederivation(spark):
         assert v in got, v
 
 
+def _enc_triples(g, rows_df):
+    enc = rows_df
+    for c in ("s", "p", "o"):
+        enc = g.dictionary.encode_col(enc, c, f"{c}_id")
+    return enc.select(
+        F.col("s_id").alias("s"),
+        F.col("p_id").alias("p"),
+        F.col("o_id").alias("o"),
+    )
+
+
+def test_derive_rdfs_delete_raises_when_rounds_exhausted(spark):
+    """ADVICE r9: a victim-dependency chain deeper than the round
+    budget must RAISE (mirroring derive_owl_delta), not silently drop
+    rederivable triples. Deleting every span≥2 pair of a closed
+    transitive chain rederives ~doubling spans per round — 2 rounds
+    cannot finish an 8-edge chain; the default budget can (and keeps
+    every victim, since the base chain survives)."""
+    from graphula_spark.operators import rdfs as R
+
+    _I, _S, OWL_TRANSITIVE = _owl_ns()
+    n = 8
+    rows = [("ex:part", RDF_TYPE, OWL_TRANSITIVE)] + [
+        (f"ex:a{i}", "ex:part", f"ex:a{i + 1}") for i in range(n)
+    ]
+    closed = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    ).materialize_rdfs(owl=True)
+    vic_rows = [
+        (f"ex:a{i}", "ex:part", f"ex:a{j}")
+        for i in range(n + 1)
+        for j in range(i + 2, n + 1)
+    ]
+    victims = _enc_triples(
+        closed, spark.createDataFrame(vic_rows, ["s", "p", "o"])
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        R.derive_rdfs_delete(closed, victims, owl=True, max_rounds=2)
+    kept = R.derive_rdfs_delete(closed, victims, owl=True)
+    assert kept.count() == len(vic_rows)
+
+
+def test_overdelete_rdfs_raises_when_rounds_exhausted(spark):
+    """ADVICE r9, the overdeletion twin: a consequence chain longer
+    than the round budget raises instead of leaving stale target
+    rows. Deleting a mid-chain base edge of a closed transitive
+    relation overdeletes hop-by-hop outward (round 0 reaches the
+    victim's direct extensions, round 1 the two-sided spans, round 2
+    verifies the fixpoint) — a 2-round budget exhausts mid-frontier."""
+    from graphula_spark.operators import rdfs as R
+
+    _I, _S, OWL_TRANSITIVE = _owl_ns()
+    n = 5
+    rows = [("ex:part", RDF_TYPE, OWL_TRANSITIVE)] + [
+        (f"ex:a{i}", "ex:part", f"ex:a{i + 1}") for i in range(n)
+    ]
+    closed = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    ).materialize_rdfs(owl=True)
+    derived_rows = [
+        (f"ex:a{i}", "ex:part", f"ex:a{j}")
+        for i in range(n + 1)
+        for j in range(i + 2, n + 1)
+    ]
+    target = _enc_triples(
+        closed, spark.createDataFrame(derived_rows, ["s", "p", "o"])
+    )
+    victims = _enc_triples(
+        closed,
+        spark.createDataFrame(
+            [("ex:a2", "ex:part", "ex:a3")], ["s", "p", "o"]
+        ),
+    )
+    full = closed.triples.select("s", "p", "o")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        R.overdelete_rdfs(
+            closed, full, target, victims, owl=True, max_rounds=2
+        )
+    over = R.overdelete_rdfs(closed, full, target, victims, owl=True)
+    # every derived pair whose span crosses the deleted edge: s ≤ a2,
+    # o ≥ a3, minus the base victim itself
+    assert over.count() == 8
+
+
 def test_dataset_reduce_rdfs_on_lubm_multigraph(spark):
     """Dataset.reduce_rdfs at LUBM scale: one university file split
     into two named data graphs + the schema slice as the shared

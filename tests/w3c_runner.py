@@ -251,7 +251,11 @@ def parse_tsv_result(path: str):
     -> ("rows", [ {var: storage-term} ])."""
     with open(path, encoding="utf-8") as fh:
         lines = [ln.rstrip("\n") for ln in fh]
-    lines = [ln for ln in lines if ln != ""]
+    # an INTERIOR empty line is a legal solution row with every
+    # variable unbound — only strip the artifact of a file-final
+    # newline (ADVICE r9)
+    if lines and lines[-1] == "":
+        lines = lines[:-1]
     header = [v.lstrip("?") for v in lines[0].split("\t")]
     rows = []
     for ln in lines[1:]:
@@ -279,10 +283,12 @@ def parse_csv_result(path: str):
     with open(path, encoding="utf-8", newline="") as fh:
         reader = _csv.reader(fh)
         header = next(reader)
+        # pad short records: a row of all-unbound tail fields may be
+        # serialized with fewer cells than the header
         rows = [
             {
-                var: cell
-                for var, cell in zip(header, rec)
+                var: (rec[i] if i < len(rec) else "")
+                for i, var in enumerate(header)
             }
             for rec in reader
         ]
@@ -586,18 +592,19 @@ def run_case(spark, case: ManifestCase) -> tuple[bool, str]:
         got = bool(df.collect()[0][0])
         return got == want, f"ask got={got} want={want}"
     if kind == "csv":
-        # lossy comparison through the CSV projection on both sides
+        # lossy comparison of the CSV SERIALIZATIONS on both sides:
+        # unbound and the empty-string literal both serialize as an
+        # empty field (the format conflates them), so the projection
+        # must be symmetric — emit "" for unbound rather than dropping
+        # cells on one side only (ADVICE r9)
         got_rows = [
             {
-                k: csv_lossy(v)
+                k: ("" if v is None else csv_lossy(v))
                 for k, v in r.asDict().items()
-                if v is not None
             }
             for r in df.collect()
         ]
-        want_rows = [
-            {k: v for k, v in w.items() if v != ""} for w in want
-        ]
+        want_rows = [dict(w) for w in want]
         ok = sorted(
             tuple(sorted(r.items())) for r in got_rows
         ) == sorted(tuple(sorted(r.items())) for r in want_rows)
