@@ -97,6 +97,62 @@ def timed_median(run, warmup: int, name: str) -> tuple[float, int]:
     return med, n
 
 
+def _ds_reduce_thunk(spark, sf_dir: str):
+    """Data-proportional `Dataset.reduce_rdfs` probe (VERDICT r9 #6):
+    the events fact triple-ized into two CLOSED data graphs (each event
+    asserts type etype/Event/Thing) against a pre-closed shared
+    ontology graph — reduction must strip the two derivable rows per
+    event from each graph. The Dataset BUILD (dictionary encode) runs
+    once outside the timed thunk; the thunk times reduce + count, the
+    recurring cost a nightly compaction would pay."""
+    from pyspark.sql import functions as F
+
+    from graphula_spark.dataset import Dataset
+    from graphula_spark.operators.rdfs import RDF_TYPE, RDFS_SUBCLASS
+
+    ONTO, G1, G2 = "g:onto", "g:a", "g:b"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    subj = F.concat(F.lit("event:"), F.col("event_id").cast("string"))
+    ety = F.concat(F.lit("etype:"), F.col("event_type"))
+    gcol = F.when(F.col("event_id") % 2 == 0, F.lit(G1)).otherwise(F.lit(G2))
+    t = F.lit(RDF_TYPE).alias("p")
+    data = (
+        ev.select(subj.alias("s"), t, ety.alias("o"), gcol.alias("g"))
+        .unionByName(
+            ev.select(subj.alias("s"), t, F.lit("Event").alias("o"),
+                      gcol.alias("g"))
+        )
+        .unionByName(
+            ev.select(subj.alias("s"), t, F.lit("Thing").alias("o"),
+                      gcol.alias("g"))
+        )
+    )
+    sc = F.lit(RDFS_SUBCLASS).alias("p")
+    types = ev.select(ety.alias("t")).distinct()
+    onto = (
+        types.select(F.col("t").alias("s"), sc, F.lit("Event").alias("o"),
+                     F.lit(ONTO).alias("g"))
+        .unionByName(
+            types.select(F.col("t").alias("s"), sc,
+                         F.lit("Thing").alias("o"), F.lit(ONTO).alias("g"))
+        )
+        .unionByName(
+            spark.range(0, 1, 1, 1).select(
+                F.lit("Event").alias("s"), sc, F.lit("Thing").alias("o"),
+                F.lit(ONTO).alias("g")
+            )
+        )
+    )
+    ds = Dataset.from_string_quads(spark, data.unionByName(onto))
+    ds.quads.persist().count()
+    ds.dictionary.df.persist().count()
+
+    def run():
+        return ds.reduce_rdfs(ontology=ONTO).quads.count()
+
+    return run
+
+
 def _timed_cold_build(spark, sf_dir: str) -> float:
     """Build both shared stores (triple-ized TPC-H star + lineitem)
     from raw parquet into a throwaway scratch dir and time it — the
@@ -213,6 +269,14 @@ def main() -> None:
         )
         per_query[name] = round(dt, 3)
         total += dt
+
+    # Dataset.reduce_rdfs probe (VERDICT r9 #6): multi-graph
+    # inference-aware compression over the events fact — the ×10
+    # regression row lives in the sf1 section below
+    run_reduce = _ds_reduce_thunk(spark, sf_dir)
+    dt, _ = timed_median(run_reduce, warmup, "ds_reduce_rdfs")
+    per_query["ds_reduce_rdfs"] = round(dt, 3)
+    total += dt
 
     per_query["graph_build_s"] = round(graph_build_s, 3)
     per_query["graph_load"] = round(graph_load, 3)
@@ -472,6 +536,11 @@ def run_sf1_probe(spark, base_dir, queries, warmup) -> dict:
             lambda fn=fn: fn(spark, sf1_dir).count(), warmup, f"sf1 {name}"
         )
         out[name] = round(dt, 3)
+    # Dataset.reduce_rdfs at ×10 events (VERDICT r9 #6): the standing
+    # multi-graph compression regression row
+    run_reduce = _ds_reduce_thunk(spark, sf1_dir)
+    dt, _ = timed_median(run_reduce, warmup, "sf1 ds_reduce_rdfs")
+    out["ds_reduce_rdfs"] = round(dt, 3)
     return {"queries": out, "prep_s": round(prep_s, 3), "copies": SF1_COPIES}
 
 

@@ -496,7 +496,9 @@ class Graph:
             )
 
             m = read_manifest(path)
-            if m is not None and m["deltas"]:
+            if m is not None and m.get("log"):
+                # any pending log entry (add OR del delta) needs the
+                # ordered fold
                 return load_versioned_graph(spark, path)
             if m is not None:
                 path = f"{path}/{m['base']}"
@@ -526,7 +528,16 @@ class Graph:
                 ["p_bucket"] if "p_bucket" in ops.columns else []
             )
             ops = ops.select(*cols)
-        dict_raw = spark.read.parquet(f"{path}/dict")
+        try:
+            dict_raw = spark.read.parquet(f"{path}/dict")
+        except Exception:
+            # an EMPTY dictionary parquet (a streaming delta whose
+            # batch carried no fresh terms) writes only _SUCCESS — no
+            # part files to infer a schema from; supply it explicitly
+            schema = "id long, value string" + (
+                ", id_bucket int" if dict_buckets else ""
+            )
+            dict_raw = spark.read.schema(schema).parquet(f"{path}/dict")
         if dict_buckets:
             d = Dictionary(
                 spark,

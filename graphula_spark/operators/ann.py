@@ -13,6 +13,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: vector-hash hook for the reps-mode fan-back join. Module-level so
+#: tests can swap in a degenerate hash (everything collides) and prove
+#: the collision-exception path is exact — the dictionary's forced-
+#: collision test discipline.
+def _vec_hash(c):
+    return F.xxhash64(c)
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -143,10 +151,20 @@ def embedding_near_dup_reps(
     Same duplicate SEMANTICS as pairs mode (the invariant the test
     asserts): groups are connected components of the within-block
     cosine-threshold graph. The collapse borrows `semantic_dedup`'s
-    two-level shape: byte-identical vectors within a block pre-merge
-    with ONE hash shuffle (no pair scoring at all — web-scale corpora
-    repeat embeddings heavily), the components run over unique vectors
-    only, and the labels fan back out with one bounded join.
+    two-level shape — byte-identical vectors within a block pre-merge,
+    the components run over unique vectors only, and the labels fan
+    back out with one bounded join.
+
+    100 TB shape (round 10, VERDICT r9 #5): the exact collapse is a
+    map-side-combined `groupBy(blk, v).agg(min(id))` — duplicate
+    vectors dedup INSIDE each map task, so the one wide shuffle
+    carries ~unique vectors instead of every raw row (the r9 window
+    shape shuffled and sorted every vector); the member fan-back joins
+    on `xxhash64(v)` and never moves a vector. Hash collisions get the
+    dictionary's exception discipline (Dictionary.scala:187-211's
+    pattern): a hash key owning >1 distinct unique vector is detected
+    EXACTLY (counted over the already-exact unique set) and its
+    members re-resolve against raw vectors on that ~0-row slice.
 
     Any ORDERABLE id type works (string doc ids included) — the
     component step propagates min labels natively per type, matching
@@ -154,38 +172,61 @@ def embedding_near_dup_reps(
     """
     from graphula_spark.operators.cluster import connected_components
 
-    par = vectors.sparkSession.sparkContext.defaultParallelism
-    m = vectors.repartition(par, id_col).select(
+    # no repartition: the exact collapse below shuffles on its own
+    # keys anyway — a pre-shuffle of the raw vector payload is a pure
+    # extra exchange (pairs mode keeps one to spread its fan-out)
+    m = vectors.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    # exact collapse per (block, raw vector): identical NONZERO vectors
-    # in one block always pair in pairs mode (cos = 1 ≥ any threshold
-    # ≤ 1); identical vectors in DIFFERENT blocks are never compared
-    # there, so the collapse is block-scoped too — and zero vectors
-    # never collapse (pairs mode scores them NULL/0, below every
-    # positive threshold: they are no one's duplicate)
-    grp = Window.partitionBy("blk", "v")
-    m2 = (
-        m.withColumn(
-            "rep",
-            F.when(
-                _norm(F.col("v")) > 0, F.min("id").over(grp)
-            ).otherwise(F.col("id")),
-        )
-        .persist()
+    # zero vectors never collapse (pairs mode scores them NULL/0,
+    # below every positive threshold: they are no one's duplicate);
+    # identical vectors in DIFFERENT blocks are never compared in
+    # pairs mode, so the collapse is block-scoped too
+    flagged = m.withColumn(
+        "nz", F.coalesce(_norm(F.col("v")) > 0, F.lit(False))
     )
-    uniq = m2.where(F.col("id") == F.col("rep")).select("id", "blk", "v")
+    nz = flagged.where(F.col("nz")).drop("nz")
+    zr = flagged.where(~F.col("nz")).drop("nz")
+    # exact collapse per (block, raw vector) with map-side combine
+    uniq = (
+        nz.groupBy("blk", "v").agg(F.min("id").alias("rep")).persist()
+    )
+    # hash-keyed fan-back: detect collisions over the (exact) unique
+    # set — ids and hashes only, no vectors in this shuffle
+    keyg = uniq.groupBy("blk", _vec_hash(F.col("v")).alias("h")).agg(
+        F.count(F.lit(1)).alias("nv"), F.min("rep").alias("rep0")
+    )
+    clean = keyg.where(F.col("nv") == 1).select(
+        "blk", "h", F.col("rep0").alias("rep")
+    )
+    coll_keys = keyg.where(F.col("nv") > 1).select("blk", "h")
+    members_h = nz.select("id", "blk", _vec_hash(F.col("v")).alias("h"))
+    assign = members_h.join(clean, ["blk", "h"], "inner").select("id", "rep")
+    # exception slice, composed LAZILY (no eager emptiness probe — one
+    # extra driver job per call would outweigh the ~0-row slice):
+    # members of colliding hash keys re-resolve against raw vectors
+    exc = nz.withColumn("h", _vec_hash(F.col("v"))).join(
+        F.broadcast(coll_keys), ["blk", "h"], "left_semi"
+    )
+    exc_assign = exc.groupBy("blk", "v").agg(F.min("id").alias("rep"))
+    assign = assign.unionByName(
+        exc.join(exc_assign, ["blk", "v"]).select("id", "rep")
+    )
+    assign = assign.unionByName(
+        zr.select("id", F.col("id").alias("rep"))
+    )
     # normalize once per unique vector, score within blocks (bounded
     # join on the block key — nothing all-pairs across blocks)
-    nv = (
-        uniq.withColumn("n", _norm(F.col("v")))
+    nrm = (
+        uniq.select(F.col("rep").alias("id"), "blk", "v")
+        .withColumn("n", _norm(F.col("v")))
         .withColumn("v", _unit(F.col("v"), F.col("n")))
         .drop("n")
     )
-    a = nv.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"))
-    b = nv.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"))
+    a = nrm.select(F.col("id").alias("id_a"), "blk", F.col("v").alias("va"))
+    b = nrm.select(F.col("id").alias("id_b"), "blk", F.col("v").alias("vb"))
     pairs = (
         a.join(b, "blk")
         .where(F.col("id_a") < F.col("id_b"))
@@ -199,7 +240,7 @@ def embedding_near_dup_reps(
     # every rep is its exact clique's minimum → the composition is the
     # true group minimum); else the rep itself
     out = (
-        m2.join(
+        assign.join(
             comp.select(
                 F.col("node").alias("rep"), F.col("cluster").alias("g")
             ),
@@ -212,7 +253,7 @@ def embedding_near_dup_reps(
         )
         .localCheckpoint(eager=True)
     )
-    m2.unpersist()
+    uniq.unpersist()
     return out
 
 

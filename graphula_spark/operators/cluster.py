@@ -29,6 +29,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: edge count under which the component computation collapses to a
+#: driver-side union-find over one bounded collect. The distributed
+#: min-label loop pays ~2 shuffle joins × O(log d) rounds × the
+#:  per-job floor — at toy scale that is SECONDS of fixed cost to
+#: label a graph Python folds in milliseconds. 100 TB inputs (edges
+#: past the gate) keep the distributed loop; the gate is one count on
+#: an already-checkpointed frame. Labels return through ONE Arrow
+#: createDataFrame (a single Python-worker task, off every hot path).
+CC_DRIVER_MAX_EDGES = 200_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -62,6 +72,9 @@ def connected_components(
     # reliable .checkpoint() here. Superseded rounds' blocks are freed
     # by the ContextCleaner once unreferenced.
     sym = sym.localCheckpoint(eager=True)
+
+    if sym.count() <= 2 * CC_DRIVER_MAX_EDGES:  # sym carries both directions
+        return _driver_union_find(edges.sparkSession, sym)
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -109,6 +122,47 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster"))
+
+
+def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
+    """Exact (node, cluster) labels of a BOUNDED symmetric edge frame
+    via one collect + path-compressed union-find — the small-graph
+    fast path of `connected_components` (gate: CC_DRIVER_MAX_EDGES).
+    Cluster = min node id in the component, identical to the
+    distributed loop's labels."""
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id keeps the root the component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(n, find(n)) for n in parent]
+    if not labels:
+        return sym.select(
+            F.col("a").alias("node"), F.col("b").alias("cluster")
+        ).limit(0)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(labels, columns=["node", "cluster"])
+    )
 
 
 def dedup_clusters(

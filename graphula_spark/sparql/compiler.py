@@ -44,6 +44,12 @@ class Solution:
     #: UNDEF. Joins touching these use SPARQL compatibility semantics
     #: (unbound matches anything) instead of plain equi-joins.
     maybe_unbound: set[str] = field(default_factory=set)
+    #: val vars holding COMPUTED VALUES (BIND / SELECT expressions —
+    #: a double, or a lexical string from STR() etc.) rather than
+    #: storage-form term strings. Joining one against a pattern/VALUES
+    #: var needs value-domain alignment (round 10, SPARQL §10.1: the
+    #: BIND var joins what follows in the group).
+    computed_vars: set[str] = field(default_factory=set)
 
     @property
     def vars(self) -> set[str]:
@@ -170,7 +176,10 @@ class Compiler:
             tmp,
             F.coalesce(F.col(tmp), F.concat(F.lit("_:"), F.col(var).cast("string"))),
         )
-        return Solution(df, sol.id_vars, sol.val_vars, sol.maybe_unbound), F.col(tmp)
+        return Solution(
+            df, sol.id_vars, sol.val_vars, sol.maybe_unbound,
+            sol.computed_vars,
+        ), F.col(tmp)
 
     def materialize(self, sol: Solution, vars_: list[str]) -> Solution:
         """Replace id columns with decoded term strings for `vars_`."""
@@ -183,6 +192,7 @@ class Compiler:
             sol.id_vars - set(vars_),
             sol.val_vars | (set(vars_) & sol.id_vars) | (sol.val_vars & set(vars_)),
             sol.maybe_unbound,
+            sol.computed_vars,
         )
 
     # ------------------------------------------------------------------
@@ -377,6 +387,35 @@ class Compiler:
         if mixed:
             left = self.materialize(left, [v for v in mixed if v in left.id_vars])
             right = self.materialize(right, [v for v in mixed if v in right.id_vars])
+        # value-domain alignment (round 10, SPARQL §10.1): a computed
+        # var (BIND/SELECT expression) holds a VALUE — a double, or a
+        # lexical string — while pattern/VALUES vars hold STORAGE TERM
+        # strings ('"4"^^<…integer>'). Raw equality between the two
+        # either never matches or trips an ANSI cast; normalize the
+        # term side into the computed side's value domain.
+        for v in shared:
+            l_comp = v in left.computed_vars
+            r_comp = v in right.computed_vars
+            if l_comp == r_comp:
+                continue
+            comp, term_side = (left, right) if l_comp else (right, left)
+            dtype = dict(comp.df.dtypes).get(v, "string")
+            tcol = F.col(v).cast("string")
+            if dtype in ("double", "float", "bigint", "int", "decimal"):
+                conv = term_numeric(tcol, rdf_value(tcol))
+            else:
+                conv = rdf_value(tcol)
+            aligned = Solution(
+                term_side.df.withColumn(v, conv),
+                term_side.id_vars,
+                term_side.val_vars,
+                term_side.maybe_unbound,
+                term_side.computed_vars | {v},
+            )
+            if l_comp:
+                right = aligned
+            else:
+                left = aligned
         return left, right, shared
 
     def _compat_join(
@@ -439,6 +478,7 @@ class Compiler:
             (left.id_vars | right.id_vars) - (left.val_vars | right.val_vars),
             left.val_vars | right.val_vars,
             mu,
+            left.computed_vars | right.computed_vars,
         )
 
     def compile_optional(
@@ -513,6 +553,7 @@ class Compiler:
             left.id_vars,
             left.val_vars,
             left.maybe_unbound,
+            left.computed_vars,
         )
         joined = self.join(tagged, right)
         for f in correlated:
@@ -536,6 +577,7 @@ class Compiler:
             joined.id_vars,
             joined.val_vars,
             joined.maybe_unbound | (joined.vars - left.vars),
+            joined.computed_vars,
         )
 
     def left_join(self, left: Solution | None, right: Solution) -> Solution:
@@ -550,7 +592,7 @@ class Compiler:
         keep = [c for c in right.df.columns if c in right.vars]
         rsol = Solution(
             right.df.select(*keep), right.id_vars, right.val_vars,
-            right.maybe_unbound,
+            right.maybe_unbound, right.computed_vars,
         )
         if shared and not nullable:
             df = left.df.join(rsol.df, on=shared, how="left_outer")
@@ -568,6 +610,7 @@ class Compiler:
             (left.id_vars | right.id_vars) - (left.val_vars | right.val_vars),
             left.val_vars | right.val_vars,
             mu,
+            left.computed_vars | right.computed_vars,
         )
 
     def minus(self, left: Solution | None, right: Solution) -> Solution:
@@ -602,6 +645,7 @@ class Compiler:
             left2.id_vars,
             left2.val_vars,
             left2.maybe_unbound,
+            left2.computed_vars,
         )
 
     def union_all(self, branches: list[Solution]) -> Solution:
@@ -623,7 +667,8 @@ class Compiler:
         mu = set().union(*(b.maybe_unbound for b in branches))
         for b in branches:
             mu |= all_vars - b.vars  # missing in this branch → NULL rows
-        return Solution(out, all_id, all_val, mu)
+        cv = set().union(*(b.computed_vars for b in branches))
+        return Solution(out, all_id, all_val, mu, cv)
 
     # -- subqueries ------------------------------------------------------
     def compile_subselect(self, q) -> Solution:
@@ -863,31 +908,52 @@ class Compiler:
     def compile_values(self, v: A.InlineValues) -> Solution:
         terms = [t for row in v.rows for t in row if t is not None]
         ids = self.graph.dictionary.lookup_terms(terms)
-        sentinel = -1
-        data = []
-        for row in v.rows:
-            out_row = []
-            for t in row:
-                if t is None:
-                    out_row.append(None)  # UNDEF → unbound (compat join)
-                elif t in ids:
-                    out_row.append(ids[t])
-                else:
-                    sentinel -= 1
-                    out_row.append(sentinel)  # unknown term: joins with nothing
-            data.append(tuple(out_row))
         from graphula_spark.literal import literal_df
 
-        # JVM-side literal plan: a VALUES block is part of every
-        # execution of the query — a parallelized DataFrame here would
-        # add a Python-worker task per run (see literal.py)
-        df = literal_df(self.spark, data, [(name, "long") for name in v.vars])
         undef_vars = {
             name
             for i, name in enumerate(v.vars)
             if any(row[i] is None for row in v.rows)
         }
-        return Solution(df, id_vars=set(v.vars), maybe_unbound=undef_vars)
+        # per-var domain choice: a var whose terms ALL resolve stays an
+        # ID column (fast path — pattern joins compare longs, unknown
+        # constants short-circuit, O19); a var carrying any term the
+        # store has never seen keeps TERM STRINGS instead, so it can
+        # still join a computed (BIND) var by value (round 10, bs06) —
+        # an id sentinel would decode to a blank node and match nothing
+        id_ok = {
+            name
+            for i, name in enumerate(v.vars)
+            if all(row[i] is None or row[i] in ids for row in v.rows)
+        }
+        data = []
+        for row in v.rows:
+            out_row = []
+            for name, t in zip(v.vars, row):
+                if t is None:
+                    out_row.append(None)  # UNDEF → unbound (compat join)
+                elif name in id_ok:
+                    out_row.append(ids[t])
+                else:
+                    out_row.append(t)  # verbatim storage term string
+            data.append(tuple(out_row))
+        # JVM-side literal plan: a VALUES block is part of every
+        # execution of the query — a parallelized DataFrame here would
+        # add a Python-worker task per run (see literal.py)
+        df = literal_df(
+            self.spark,
+            data,
+            [
+                (name, "long" if name in id_ok else "string")
+                for name in v.vars
+            ],
+        )
+        return Solution(
+            df,
+            id_vars=set(v.vars) & id_ok,
+            val_vars=set(v.vars) - id_ok,
+            maybe_unbound=undef_vars,
+        )
 
     # -- BIND -----------------------------------------------------------
     def bind(self, sol: Solution | None, b: A.Bind) -> Solution:
@@ -899,6 +965,7 @@ class Compiler:
         return Solution(
             df, sol2.id_vars, sol2.val_vars | {b.var},
             sol2.maybe_unbound | {b.var},
+            sol2.computed_vars | {b.var},
         )
 
     # -- FILTER ---------------------------------------------------------

@@ -100,6 +100,48 @@ _BUILTINS = {
 }
 
 
+def _in_scope_vars(elements) -> set[str]:
+    """Variables in scope after the given group elements (SPARQL 1.1
+    §18.2.1's in-scope table): triple/path patterns, earlier BINDs,
+    VALUES, sub-groups/UNION/OPTIONAL/GRAPH groups, and a subquery's
+    projection — but NOT a MINUS body (its vars do not escape) and NOT
+    FILTER expressions (they bind nothing)."""
+    from graphula_spark.sparql.algebra import (
+        GraphGraphPattern,
+        PathPattern,
+        ServicePattern,
+        SubSelect,
+    )
+
+    out: set[str] = set()
+    for el in elements:
+        if isinstance(el, Bgp):
+            for pat in el.patterns:
+                out |= {v for _, v in pat.vars()}
+        elif isinstance(el, Bind):
+            out.add(el.var)
+        elif isinstance(el, InlineValues):
+            out |= set(el.vars)
+        elif isinstance(el, (SubGroup, Optional_)):
+            out |= _in_scope_vars(el.group.elements)
+        elif isinstance(el, Union):
+            for b in el.groups:
+                out |= _in_scope_vars(b.elements)
+        elif isinstance(el, GraphGraphPattern):
+            if isinstance(el.term, Var):
+                out.add(el.term.name)
+            out |= _in_scope_vars(el.group.elements)
+        elif isinstance(el, ServicePattern):
+            out |= _in_scope_vars(el.group.elements)
+        elif isinstance(el, PathPattern):
+            for t in (el.s, el.o):
+                if isinstance(t, Var):
+                    out.add(t.name)
+        elif isinstance(el, SubSelect):
+            out |= {name for name, _ in el.query.variables}
+    return out
+
+
 class Parser:
     def __init__(self, text: str):
         self.text = text
@@ -439,7 +481,15 @@ class Parser:
                 self.expect_kw("AS")
                 v = self.next()
                 self.expect_op(")")
-                g.elements.append(Bind(e, v.text[1:]))
+                var = v.text[1:]
+                # §19.8 grammar note: the BINDed variable must not be
+                # already in scope at this point of the group
+                if var in _in_scope_vars(g.elements):
+                    raise SyntaxError(
+                        f"BIND(... AS ?{var}): ?{var} is already in "
+                        "scope in this group (SPARQL 1.1 §19.8)"
+                    )
+                g.elements.append(Bind(e, var))
             elif w == "VALUES":
                 self.next()
                 g.elements.append(self.parse_values())

@@ -554,6 +554,36 @@ def test_embedding_near_dup_reps_string_ids(spark):
     }
 
 
+def test_embedding_near_dup_reps_forced_hash_collision(spark, monkeypatch):
+    """Round 10: the reps fan-back joins on xxhash64(vector) instead of
+    shuffling raw vectors; collisions take an exception path that
+    re-resolves against raw vectors. Force EVERY key to collide (a
+    constant hash, the dictionary's forced-collision discipline) — the
+    result must be identical to the healthy-hash run."""
+    from graphula_spark.operators import ann
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),  # exact dup of 1
+        (3, 0, [0.0, 1.0]),  # distinct vector, SAME forced hash key
+        (4, 0, [0.0, 1.0]),  # exact dup of 3
+        (5, 1, [1.0, 0.0]),  # other block
+        (6, 0, [0.0, 0.0]),  # zero vector: never collapses
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    want = {
+        r["vec_id"]: r["representative"]
+        for r in ann.embedding_near_dup_reps(df, threshold=0.95).collect()
+    }
+    assert want == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 6}
+    monkeypatch.setattr(ann, "_vec_hash", lambda c: F.lit(7).cast("long"))
+    got = {
+        r["vec_id"]: r["representative"]
+        for r in ann.embedding_near_dup_reps(df, threshold=0.95).collect()
+    }
+    assert got == want
+
+
 def test_zero_norm_embeddings_never_pair_or_crash(spark):
     """Zero vectors appear in real corpora (empty docs, padding).
     Under ANSI mode (the Spark 4 default) the un-guarded normalization

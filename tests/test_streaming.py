@@ -399,3 +399,187 @@ def test_streaming_ingest_with_incremental_entailment(spark, tmp_path):
     assert ("http://e/bob", T, "http://e/Agent") in got3
     m3 = read_manifest(store)
     assert m3["deltas"] == []  # compacted into a fresh closed base
+
+
+def test_streaming_delete_feed_ordered_log(spark, tmp_path):
+    """Streaming DELETE feed (round 10): del micro-batches publish
+    `del_<id>` entries in the manifest's ORDERED log, readers fold
+    base → adds → dels in order, and a delete-then-reinsert survives
+    (the case unordered adds∖dels set algebra gets wrong)."""
+    from graphula_spark.graph import Graph
+    from graphula_spark.streaming.ingest import (
+        read_manifest,
+        stream_ntriples_delete,
+        stream_ntriples_ingest,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    dsrc = tmp_path / "dfeed"
+    dsrc.mkdir()
+    store = str(tmp_path / "store")
+
+    def snap():
+        g = Graph.load(spark, store)
+        return {
+            tuple(r)
+            for r in g.decode(
+                g.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        }
+
+    t = lambda s, p, o: (f"http://e/{s}", f"http://e/{p}", f"http://e/{o}")  # noqa: E731
+    line = lambda tr: f"<{tr[0]}> <{tr[1]}> <{tr[2]}> ."  # noqa: E731
+
+    base = [t("a", "p", "b"), t("b", "p", "c"), t("c", "p", "d")]
+    (src / "b1.nt").write_text("\n".join(line(x) for x in base) + "\n")
+    q = stream_ntriples_ingest(
+        spark, str(src), store, str(tmp_path / "ck1"), query_name="ing1"
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert snap() == set(base)
+
+    # delete one triple; also one NON-asserted victim (ignored)
+    (dsrc / "d1.nt").write_text(
+        line(t("b", "p", "c")) + "\n" + line(t("x", "p", "y")) + "\n"
+    )
+    dq = stream_ntriples_delete(
+        spark, str(dsrc), store, str(tmp_path / "ck2"), query_name="del1",
+        compact_every=10,
+    )
+    dq.processAllAvailable()
+    dq.stop()
+    assert snap() == set(base) - {t("b", "p", "c")}
+    m = read_manifest(store)
+    assert [e["op"] for e in m["log"]] == ["del"]
+
+    # REINSERT the deleted triple via a fresh ingest stream — the
+    # ordered log must let it survive (add lands AFTER the del)
+    (src / "b2.nt").write_text(line(t("b", "p", "c")) + "\n")
+    q2 = stream_ntriples_ingest(
+        spark, str(src), store, str(tmp_path / "ck3"), query_name="ing2"
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert snap() == set(base)
+    m2 = read_manifest(store)
+    assert [e["op"] for e in m2["log"]] == ["del", "add"]
+
+    # another delete batch triggers compaction (compact_every=3): the
+    # folded view lands in a fresh base, log resets, rows exact.
+    # NOTE: same checkpoint as del1 — a fresh one would re-process
+    # d1.nt (streaming-source semantics), re-deleting the reinserted
+    # triple
+    (dsrc / "d2.nt").write_text(line(t("a", "p", "b")) + "\n")
+    dq2 = stream_ntriples_delete(
+        spark, str(dsrc), store, str(tmp_path / "ck2"), query_name="del2",
+        compact_every=3,
+    )
+    dq2.processAllAvailable()
+    dq2.stop()
+    assert snap() == {t("b", "p", "c"), t("c", "p", "d")}
+    m3 = read_manifest(store)
+    assert m3["log"] == [] and m3["deltas"] == []
+
+
+def test_streaming_delete_with_entailment(spark, tmp_path):
+    """VERDICT r9 #4: a delete feed against a published CLOSED
+    snapshot, composed with decremental maintenance — 3 micro-batches,
+    each published snapshot row-exact vs REMATERIALIZE-FROM-SCRATCH of
+    (previous snapshot ∖ victims), and closed after every batch:
+      d1 deletes a DERIVED row that rederives (no-op on the closure);
+      d2 deletes its derivation SOURCE (source leaves, derived row
+         stays a set member);
+      d3 bulk-deletes another individual's assertion AND its derived
+         memberships (all leave)."""
+    from graphula_spark.graph import Graph
+    from graphula_spark.operators.rdfs import RDF_TYPE, RDFS_SUBCLASS
+    from graphula_spark.streaming.ingest import (
+        stream_ntriples_delete,
+        stream_ntriples_ingest,
+    )
+
+    SC, T = RDFS_SUBCLASS, RDF_TYPE
+    src = tmp_path / "feed"
+    src.mkdir()
+    dsrc = tmp_path / "dfeed"
+    dsrc.mkdir()
+    store = str(tmp_path / "store")
+
+    def snap():
+        g = Graph.load(spark, store)
+        return {
+            tuple(r)
+            for r in g.decode(
+                g.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        }
+
+    def rematerialize(strings: set) -> set:
+        g = Graph.from_string_triples(
+            spark, spark.createDataFrame(sorted(strings), ["s", "p", "o"])
+        ).materialize_rdfs()
+        return {
+            tuple(r)
+            for r in g.decode(
+                g.triples.select("s", "p", "o"), ["s", "p", "o"]
+            ).collect()
+        }
+
+    b1 = [
+        f"<http://e/Prof> <{SC}> <http://e/Person> .",
+        f"<http://e/ann> <{T}> <http://e/Prof> .",
+        f"<http://e/bob> <{T}> <http://e/Prof> .",
+    ]
+    (src / "b1.nt").write_text("\n".join(b1) + "\n")
+    q = stream_ntriples_ingest(
+        spark, str(src), store, str(tmp_path / "cki"),
+        query_name="ing_e", entailment="rdfs",
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = snap()  # closed base
+    assert ("http://e/ann", T, "http://e/Person") in state
+
+    dq = stream_ntriples_delete(
+        spark, str(dsrc), store, str(tmp_path / "ckd"),
+        query_name="del_e", entailment="rdfs", compact_every=10,
+    )
+
+    # d1: derived & rederivable — the published closure is UNCHANGED
+    (dsrc / "d1.nt").write_text(
+        f"<http://e/ann> <{T}> <http://e/Person> .\n"
+    )
+    dq.processAllAvailable()
+    v1 = {("http://e/ann", T, "http://e/Person")}
+    assert snap() == rematerialize(state - v1) == state
+
+    # d2: the derivation source — it leaves, the derived row stays
+    (dsrc / "d2.nt").write_text(f"<http://e/ann> <{T}> <http://e/Prof> .\n")
+    dq.processAllAvailable()
+    v2 = {("http://e/ann", T, "http://e/Prof")}
+    state2 = snap()
+    assert state2 == rematerialize(state - v2)
+    assert ("http://e/ann", T, "http://e/Prof") not in state2
+    assert ("http://e/ann", T, "http://e/Person") in state2
+
+    # d3: bulk delete of bob's assertion AND derived membership
+    (dsrc / "d3.nt").write_text(
+        f"<http://e/bob> <{T}> <http://e/Prof> .\n"
+        f"<http://e/bob> <{T}> <http://e/Person> .\n"
+    )
+    dq.processAllAvailable()
+    dq.stop()
+    v3 = {
+        ("http://e/bob", T, "http://e/Prof"),
+        ("http://e/bob", T, "http://e/Person"),
+    }
+    state3 = snap()
+    assert state3 == rematerialize(state2 - v3)
+    assert not any(s == "http://e/bob" for s, _p, _o in state3)
+    # closure invariant after every batch: materialize is a fixpoint
+    g3 = Graph.load(spark, store)
+    from graphula_spark.operators.rdfs import materialize
+
+    assert materialize(g3).triples.count() == g3.triples.count()

@@ -251,11 +251,10 @@ def parse_tsv_result(path: str):
     -> ("rows", [ {var: storage-term} ])."""
     with open(path, encoding="utf-8") as fh:
         lines = [ln.rstrip("\n") for ln in fh]
-    # an INTERIOR empty line is a legal solution row with every
-    # variable unbound — only strip the artifact of a file-final
-    # newline (ADVICE r9)
-    if lines and lines[-1] == "":
-        lines = lines[:-1]
+    # EVERY empty line is a legal solution row with all variables
+    # unbound (ADVICE r9): TSV rows are newline-TERMINATED, and Python
+    # line iteration yields no phantom line after a final newline, so
+    # nothing is stripped — a trailing empty line is a real row.
     header = [v.lstrip("?") for v in lines[0].split("\t")]
     rows = []
     for ln in lines[1:]:
