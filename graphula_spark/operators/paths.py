@@ -19,6 +19,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: edge count under which iterative path operators collapse to one
+#: driver-side semi-naive fold over a bounded collect: the distributed
+#: loop pays 2 joins × O(path length) rounds × the per-job floor —
+#: seconds of fixed latency to close graphs Python folds in
+#: milliseconds (the cluster.py CC fast-path argument). Inputs past
+#: the gate — the 100 TB regime, e.g. the 6M-pair relation in the
+#: OWL-delta probe — keep the distributed loop unchanged. The gate is
+#: one count on an already-checkpointed frame.
+PATH_DRIVER_MAX_EDGES = 20_000
+#: densities where even a small edge set explodes quadratically fall
+#: back to the distributed loop mid-fold
+PATH_DRIVER_MAX_PAIRS = 2_000_000
+
+
+def _driver_closure(spark, base: DataFrame):
+    """Driver-side transitive closure of a BOUNDED edge frame; None if
+    the closure outgrows PATH_DRIVER_MAX_PAIRS mid-fold."""
+    succ: dict = {}
+    for r in base.collect():
+        succ.setdefault(r["src"], set()).add(r["dst"])
+    reached = {a: set(bs) for a, bs in succ.items()}
+    frontier = {a: set(bs) for a, bs in succ.items()}
+    total = sum(len(v) for v in reached.values())
+    while frontier:
+        nf: dict = {}
+        for a, bs in frontier.items():
+            step: set = set()
+            for b in bs:
+                step |= succ.get(b, set())
+            fresh = step - reached[a]
+            if fresh:
+                reached[a] |= fresh
+                nf[a] = fresh
+                total += len(fresh)
+                if total > PATH_DRIVER_MAX_PAIRS:
+                    return None
+        frontier = nf
+    import pandas as pd
+
+    # NO persist: the frame's data lives on the driver (Arrow local
+    # relation) — recomputation is a local copy, and the persist's
+    # materialization job would cost more than every re-read
+    pairs = [(a, b) for a, bs in reached.items() for b in bs]
+    return spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "src",
@@ -32,6 +78,13 @@ def transitive_closure(
     base = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct().localCheckpoint(eager=True)
+    n_base = base.count()
+    if n_base == 0:
+        return base
+    if n_base <= PATH_DRIVER_MAX_EDGES:
+        out = _driver_closure(edges.sparkSession, base)
+        if out is not None:
+            return out
     paths = base
     frontier = base
     for _ in range(max_iter):
@@ -65,6 +118,40 @@ def transitive_closure(
     return track(paths)
 
 
+def _driver_reach(spark, base: DataFrame, seeds: DataFrame):
+    """Driver-side BFS over a BOUNDED edge frame; None when the seed
+    set is itself unbounded, the result explodes, or no seed reaches
+    anything (the distributed loop handles the empty case lazily)."""
+    seed_rows = seeds.limit(PATH_DRIVER_MAX_EDGES + 1).collect()
+    if len(seed_rows) > PATH_DRIVER_MAX_EDGES:
+        return None
+    succ: dict = {}
+    for r in base.collect():
+        succ.setdefault(r["src"], set()).add(r["dst"])
+    total = 0
+    pairs = []
+    for sr in seed_rows:
+        start = sr["start"]
+        reached: set = set()
+        frontier = set(succ.get(start, ()))
+        while frontier:
+            reached |= frontier
+            total += len(frontier)
+            if total > PATH_DRIVER_MAX_PAIRS:
+                return None
+            nxt: set = set()
+            for n in frontier:
+                nxt |= succ.get(n, set())
+            frontier = nxt - reached
+        pairs.extend((start, n) for n in reached)
+    if not pairs:
+        return None
+    import pandas as pd
+
+    # NO persist — driver-local Arrow relation, see _driver_closure
+    return spark.createDataFrame(pd.DataFrame(pairs, columns=["start", "node"]))
+
+
 def reachable_from(
     edges: DataFrame,
     sources: DataFrame,
@@ -78,6 +165,10 @@ def reachable_from(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct().localCheckpoint(eager=True)
     seeds = sources.select(F.col(sources.columns[0]).alias("start"))
+    if base.count() <= PATH_DRIVER_MAX_EDGES:
+        out = _driver_reach(edges.sparkSession, base, seeds)
+        if out is not None:
+            return out
     frontier = (
         seeds.join(base, seeds["start"] == base["src"])
         .select("start", F.col("dst").alias("node"))
