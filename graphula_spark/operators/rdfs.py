@@ -997,11 +997,19 @@ def derive_rdfs_delete(
     remainder = triples.join(vb, ["s", "p", "o"], "left_anti")
     rem_graph = type(graph)(spark, remainder, graph.dictionary)
 
-    # the affected remainder slice: rows sharing a subject or object
-    # with any victim (the data atoms one rule step away)
+    # the affected remainder slice: rows carrying a victim's SUBJECT on
+    # either side. Subjects suffice (round 10, probe_r10 finding —
+    # victim OBJECTS are hub classes for type victims, and keying on
+    # them pulled the whole (… type C) slice = corpus-sized shuffle):
+    # every rule atom that can ground a victim conclusion (vs, vp, vo)
+    # contains vs — rdfs2/7/9 and symmetric/inverse atoms as subject
+    # or object ((vo, p', vs) rows are caught by the o-side semi),
+    # rdfs3's atom carries vs as its object, schema victims rederive
+    # from the driver-collected schema closure (slice-independent),
+    # and owl:TransitiveProperty victims use their own cur_p
+    # decomposition below, never slice0.
     keys = track(
         present.select(F.col("s").alias("k"))
-        .unionByName(present.select(F.col("o").alias("k")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
