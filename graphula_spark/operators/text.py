@@ -361,10 +361,15 @@ def decontaminate(
     single per-doc hash-agg counts totals and hits together (the old
     shape ran the explode twice — one pass for totals, one inner-join
     pass for hits — with two doc-keyed shuffles; r9 watch-list item).
-    Nothing all-pairs. If the bench set ever outgrows broadcast, drop
-    the hint and the same plan becomes a bounded shuffle join on the
-    gram key.
+    Nothing all-pairs. The broadcast is COUNT-GATED (round 10, the
+    ADVICE-r9 discipline): a caller-supplied eval set past the 1M-gram
+    cap degrades to the same plan as a bounded shuffle join on the
+    gram key instead of risking an OOM.
     """
+    from pyspark import StorageLevel
+
+    from graphula_spark.scratch import track
+
     bcol = bench_text_col or text_col
     doc_grams = df.select(
         F.col(id_col),
@@ -372,15 +377,19 @@ def decontaminate(
             "gram"
         ),
     )
-    bench_grams = (
+    bench_grams = track(
         bench_df.select(
             F.explode(word_ngrams(F.col(bcol), n)).alias("gram")
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    bench_hits = bench_grams.withColumn("__hit", F.lit(1))
+    if bench_grams.count() <= 1_000_000:
+        bench_hits = F.broadcast(bench_hits)
     per_doc = (
         doc_grams.join(
-            F.broadcast(bench_grams.withColumn("__hit", F.lit(1))),
+            bench_hits,
             "gram",
             "left",
         )
