@@ -1040,9 +1040,71 @@ class Compiler:
             )
         if isinstance(expr, A.ECall):
             return self.compile_call(sol, expr)
+        if isinstance(expr, A.EExists):
+            # EXISTS/NOT EXISTS as an EXPRESSION (BIND/IF/SELECT expr —
+            # SPARQL 1.1 §17.4.1.4; the FILTER position has its own
+            # semi/anti path in apply_filter). Round 10.
+            sol2, flag = self._exists_flag(sol, expr)
+            if expr.negated:
+                flag = ~flag
+            return sol2, CE(flag, None, None, is_bool=True)
         if isinstance(expr, A.EAggregate):
             raise NotImplementedError("aggregate outside GROUP BY projection")
         raise NotImplementedError(f"expression {type(expr).__name__}")
+
+    def _exists_flag(self, sol: Solution, ex) -> tuple[Solution, Column]:
+        """Per-row boolean column: does the EXISTS group have a
+        compatible solution for this row? Multiset-exact via the
+        compile_optional row-tag discipline — a left row's flag is
+        computed against the DISTINCT shared projection of the group,
+        so duplicate group solutions never duplicate left rows."""
+        from pyspark.sql.window import Window
+
+        right = self.compile_group(ex.group)
+        left2, right2, shared = self._align_for_join(sol, right)
+        if not shared:
+            # constant: the group either has solutions or it doesn't
+            nonempty = right2.df.limit(1).count() > 0
+            return left2, F.lit(nonempty)
+        flag_col = self.fresh("exflag")
+        left_cols = sorted(left2.vars)
+        rdf = right2.df.select(*shared).dropDuplicates(shared)
+        nullable = [
+            v for v in shared
+            if v in left2.maybe_unbound or v in right2.maybe_unbound
+        ]
+        tag = self.fresh("exrow")
+        part = left_cols if left_cols else [F.lit(1)]
+        dup_w = Window.partitionBy(*part).orderBy(F.lit(1))
+        tagged = left2.df.withColumn(tag, F.row_number().over(dup_w))
+        keys = tagged.select(tag, *left_cols)
+        if not nullable:
+            matched = keys.join(rdf, on=shared, how="left_semi")
+        else:
+            rdf2 = rdf.select(
+                *[F.col(v).alias(f"__rj_{v}") for v in shared]
+            )
+            cond = None
+            for v in shared:
+                r = F.col(f"__rj_{v}")
+                cl = F.col(v).isNull() | r.isNull() | (F.col(v) == r)
+                cond = cl if cond is None else cond & cl
+            matched = keys.join(rdf2, cond, "left_semi")
+        out = tagged.join(
+            matched.withColumn(flag_col, F.lit(True)),
+            on=[tag, *left_cols],
+            how="left",
+        ).drop(tag)
+        return (
+            Solution(
+                out,
+                left2.id_vars,
+                left2.val_vars,
+                left2.maybe_unbound,
+                left2.computed_vars,
+            ),
+            F.coalesce(F.col(flag_col), F.lit(False)),
+        )
 
     def compile_call(self, sol: Solution, call: A.ECall) -> tuple[Solution, CE]:
         f = call.func

@@ -2382,3 +2382,57 @@ class TestDatasetMaterialization:
         assert got == self._target_snapshot(want)
         assert ("ex:y", RDF_TYPE, "ex:B") in got  # moved to target
         assert inc.default_graph.triples.count() == 1  # only (y type A)
+
+
+def test_exists_as_expression_multiset_exact(spark):
+    """EXISTS in BIND/IF/SELECT expressions (round 10, §17.4.1.4):
+    per-row flags, DUPLICATE solutions preserved (the row-tag
+    discipline), correlated and constant groups, and NOT EXISTS."""
+    from graphula_spark.graph import Graph
+
+    rows = [
+        ("http://e/a", "http://e/p", "http://e/b"),
+        ("http://e/b", "http://e/q", "http://e/c"),
+        ("http://e/d", "http://e/p", "http://e/e"),
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    )
+    got = sorted(
+        tuple(r)
+        for r in g.sparql(
+            """PREFIX ex: <http://e/>
+               SELECT ?s ?has WHERE {
+                 ?s ex:p ?o BIND(EXISTS { ?o ex:q ?z } AS ?has) }"""
+        ).collect()
+    )
+    assert got == [("http://e/a", True), ("http://e/d", False)]
+    # multiset: a UNION duplicating the left rows must keep BOTH copies
+    got2 = sorted(
+        tuple(r)
+        for r in g.sparql(
+            """PREFIX ex: <http://e/>
+               SELECT ?s ?has WHERE {
+                 { ?s ex:p ?o } UNION { ?s ex:p ?o }
+                 BIND(EXISTS { ?o ex:q ?z } AS ?has) }"""
+        ).collect()
+    )
+    assert got2 == [
+        ("http://e/a", True), ("http://e/a", True),
+        ("http://e/d", False), ("http://e/d", False),
+    ]
+    # IF + NOT EXISTS + constant group
+    got3 = sorted(
+        tuple(r)
+        for r in g.sparql(
+            """PREFIX ex: <http://e/>
+               SELECT ?s ?lab ?c WHERE {
+                 ?s ex:p ?o
+                 BIND(IF(NOT EXISTS { ?o ex:q ?z }, "leaf", "linked") AS ?lab)
+                 BIND(EXISTS { ex:b ex:q ex:c } AS ?c) }"""
+        ).collect()
+    )
+    assert got3 == [
+        ("http://e/a", "linked", True),
+        ("http://e/d", "leaf", True),
+    ]
