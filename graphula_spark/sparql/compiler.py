@@ -1013,7 +1013,20 @@ class Compiler:
             v = expr.name
             if v in sol.val_vars:
                 col = F.col(v)
-                return sol, CE(col.cast("string"), col.try_cast("double"), col.cast("string"))
+                s = col.cast("string")
+                # a val var may hold a storage-form TERM string (an
+                # aggregate over term columns, a VALUES/SERVICE var) or
+                # a computed lexical value (BIND/STR). Term-shaped
+                # strings go through the same lexical/datatype views a
+                # decoded id var gets — try_cast on '"5"^^<…integer>'
+                # was NULL, so HAVING (MAX(?v) > 3) over typed literals
+                # silently dropped every group (round 10)
+                is_term = s.startswith('"')
+                val = F.when(is_term, rdf_value(s)).otherwise(s)
+                num = F.when(
+                    is_term, term_numeric(s, rdf_value(s))
+                ).otherwise(col.try_cast("double"))
+                return sol, CE(val, num, s)
             if v not in sol.id_vars:
                 return sol, CE(F.lit(None).cast("string"), None, F.lit(None).cast("string"))
             sol2, term = self.term_col(sol, v)

@@ -2436,3 +2436,29 @@ def test_exists_as_expression_multiset_exact(spark):
         ("http://e/a", "linked", True),
         ("http://e/d", "leaf", True),
     ]
+
+
+def test_having_aggregate_over_typed_literals(spark):
+    """Round 10: HAVING referencing an aggregate of a TYPED-literal
+    variable (not in the projection) — the val-var numeric view used
+    to try_cast the storage term string and NULL out every group."""
+    from graphula_spark.graph import Graph
+
+    XI = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        ("http://e/a", "http://e/p", f'"2"^^<{XI}>'),
+        ("http://e/a", "http://e/p", f'"3"^^<{XI}>'),
+        ("http://e/b", "http://e/p", f'"5"^^<{XI}>'),
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    )
+    got = sorted(
+        (r[0], float(r[1]))
+        for r in g.sparql(
+            """PREFIX ex: <http://e/>
+               SELECT ?s (SUM(?v) AS ?t) WHERE { ?s ex:p ?v }
+               GROUP BY ?s HAVING (MAX(?v) > 3)"""
+        ).collect()
+    )
+    assert got == [("http://e/b", 5.0)]
