@@ -870,6 +870,19 @@ class Compiler:
             )
         return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
 
+    @staticmethod
+    def _zero_including(p) -> bool:
+        """Does this path admit the zero-length match at the top level?"""
+        if isinstance(p, A.PMod) and p.mod in ("?", "*"):
+            return True
+        if isinstance(p, A.PRange) and p.lo == 0:
+            return True
+        if isinstance(p, A.PAlt):
+            return Compiler._zero_including(p.a) or Compiler._zero_including(
+                p.b
+            )
+        return False
+
     def compile_path(self, el: A.PathPattern) -> Solution:
         """`s <path> o` over the evaluated pair set."""
         df = self._path_pairs(el.path)
@@ -877,6 +890,28 @@ class Compiler:
         consts = self.graph.dictionary.lookup_terms(
             [t for t in (el.s, el.o) if not isinstance(t, Var)]
         )
+        if self._zero_including(el.path):
+            # zero-length with a BOUND endpoint needs no node domain at
+            # all (§9.3 ZeroOrOnePath/ZeroOrMorePath with a bound term:
+            # the term pairs with itself) — the identity-domain pairs
+            # only cover nodes incident to the sub-path's edges
+            # (round 10; the documented pragmatic domain deviation is
+            # about the both-var case, not this one)
+            extra = [
+                (consts[t], consts[t])
+                for t in (el.s, el.o)
+                if not isinstance(t, Var) and consts.get(t) is not None
+            ]
+            if extra:
+                from graphula_spark.literal import literal_df
+
+                df = df.unionByName(
+                    literal_df(
+                        self.spark,
+                        sorted(set(extra)),
+                        [("src", "long"), ("dst", "long")],
+                    )
+                ).distinct()
         if isinstance(el.s, Var):
             df = df.withColumnRenamed("src", el.s.name)
             out_vars.add(el.s.name)

@@ -231,10 +231,10 @@ def test_property_path_plus(g):
 
 def test_property_path_star(g):
     df = g.sparql("SELECT ?y WHERE { <dave> <knows>* ?y }")
-    # dave has no knows edges; zero-length over incident nodes only —
-    # dave is not incident, so no rows (documented deviation from the
-    # all-graph-terms SPARQL zero-path domain)
-    assert df.count() == 0
+    # dave has no knows edges, but the zero-length match pairs the
+    # BOUND term with itself (§9.3 — round 10 fix; the documented
+    # incident-nodes deviation now applies only to the both-var case)
+    assert {r["y"] for r in df.collect()} == {"dave"}
     df2 = g.sparql("SELECT ?y WHERE { <bob> <knows>* ?y }")
     assert {r["y"] for r in df2.collect()} == {"alice", "bob", "carol"}
 
