@@ -864,15 +864,27 @@ class Dataset:
     def update(self, update_str: str) -> "Dataset":
         """Quad-aware SPARQL 1.1 Update: INSERT DATA / DELETE DATA with
         GRAPH blocks, CLEAR (GRAPH <g> | DEFAULT | NAMED | ALL), DROP
-        (same semantics here — graphs need no existence registry), and
-        ADD / COPY / MOVE between graphs (§3.2.3-3.2.5)."""
+        (same semantics here — graphs need no existence registry),
+        ADD / COPY / MOVE between graphs (§3.2.3-3.2.5), and (round 10)
+        the PATTERN forms [WITH <g>] DELETE/INSERT ... WHERE with GRAPH
+        blocks in templates and WHERE (engine.execute_dataset_update)."""
         from graphula_spark.sparql.parser import Parser
 
         p = Parser(update_str)
         p.parse_prologue()
         word = p.kw()
+        if word == "WITH":
+            from graphula_spark.sparql.engine import execute_dataset_update
+
+            return execute_dataset_update(self, update_str)
         if word in ("INSERT", "DELETE"):
             p.next()
+            if p.kw() != "DATA":
+                from graphula_spark.sparql.engine import (
+                    execute_dataset_update,
+                )
+
+                return execute_dataset_update(self, update_str)
             p.expect_kw("DATA")
             rows = _parse_quad_data(p)
             from graphula_spark.literal import literal_df

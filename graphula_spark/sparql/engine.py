@@ -160,6 +160,157 @@ def _parse_quad_template(p):
     return patterns
 
 
+def execute_dataset_update(ds, update: str):
+    """Pattern-form SPARQL 1.1 Update over a quad Dataset (round 10 —
+    the Graph-level surface covers the default-graph-only cases):
+
+      [WITH <g>] DELETE {quads} [INSERT {quads}] WHERE {...}
+      [WITH <g>] INSERT {quads} WHERE {...}
+      [WITH <g>] DELETE WHERE {...}
+
+    Templates and DELETE WHERE groups may carry ``GRAPH <g> { ... }``
+    blocks; bare triples land in (or leave) the WITH graph, or the
+    default graph without WITH. The WHERE clause evaluates against the
+    WITH graph (default graph otherwise) with GRAPH patterns resolved
+    through the dataset (§3.1.3; USING is not supported — raise)."""
+    from graphula_spark.sparql.parser import Parser
+
+    p = Parser(update)
+    p.parse_prologue()
+    with_g = None
+    if p.kw() == "WITH":
+        p.next()
+        t = p.parse_term()
+        if not isinstance(t, str) or t.startswith('"'):
+            raise SyntaxError("WITH expects an IRI")
+        with_g = t
+    word = p.kw()
+    if word == "USING":
+        raise NotImplementedError("USING [NAMED] dataset clauses")
+    if word == "DELETE":
+        p.next()
+        if p.kw() == "WHERE":
+            p.next()
+            grp = p.parse_group()
+            tmpl = _quads_from_group(grp, with_g)
+            return _dataset_pattern_update(ds, grp, tmpl, None, with_g)
+        del_t = _parse_ds_quad_template(p, with_g)
+        ins_t = None
+        if p.kw() == "INSERT":
+            p.next()
+            ins_t = _parse_ds_quad_template(p, with_g)
+        p.expect_kw("WHERE")
+        return _dataset_pattern_update(
+            ds, p.parse_group(), del_t, ins_t, with_g
+        )
+    if word == "INSERT":
+        p.next()
+        ins_t = _parse_ds_quad_template(p, with_g)
+        p.expect_kw("WHERE")
+        return _dataset_pattern_update(
+            ds, p.parse_group(), None, ins_t, with_g
+        )
+    raise SyntaxError(f"unsupported dataset update form at {p.peek()}")
+
+
+def _parse_ds_quad_template(p, with_g):
+    """{ triples (GRAPH <g> { triples })* ... } → [(pattern, gname)]."""
+    out = []
+    p.expect_op("{")
+    while True:
+        if p.kw() == "GRAPH":
+            p.next()
+            t = p.parse_term()
+            if not isinstance(t, str) or t.startswith('"'):
+                raise SyntaxError("GRAPH in an update template needs an IRI")
+            p.expect_op("{")
+            patterns, paths = p.parse_triples_block()
+            if paths:
+                raise SyntaxError(
+                    "property paths not allowed in update templates"
+                )
+            p.eat_op(".")
+            p.expect_op("}")
+            out += [(pat, t) for pat in patterns]
+            p.eat_op(".")
+            continue
+        if p.peek().kind == "OP" and p.peek().text == "}":
+            p.next()
+            return out
+        patterns, paths = p.parse_triples_block()
+        if paths:
+            raise SyntaxError("property paths not allowed in update templates")
+        p.eat_op(".")
+        out += [(pat, with_g) for pat in patterns]
+
+
+def _quads_from_group(grp: A.GroupGraphPattern, with_g):
+    """DELETE WHERE: the group doubles as the template — Bgp patterns
+    under the WITH/default graph, GRAPH <iri> blocks under theirs."""
+    from graphula_spark.plans.bgp import Var
+
+    tmpl = []
+    for el in grp.elements:
+        if isinstance(el, A.Bgp):
+            tmpl += [(pat, with_g) for pat in el.patterns]
+        elif isinstance(el, A.GraphGraphPattern):
+            if isinstance(el.term, Var):
+                raise NotImplementedError(
+                    "DELETE WHERE with GRAPH ?var template"
+                )
+            for inner in el.group.elements:
+                if isinstance(inner, A.Bgp):
+                    tmpl += [(pat, el.term) for pat in inner.patterns]
+                else:
+                    raise SyntaxError(
+                        "DELETE WHERE GRAPH blocks must be plain triples"
+                    )
+        else:
+            raise SyntaxError("DELETE WHERE groups must be plain triples")
+    return tmpl
+
+
+def _dataset_pattern_update(ds, where, delete_t, insert_t, with_g):
+    """Evaluate WHERE once against the pre-state, instantiate both quad
+    templates, delete then insert (SPARQL 1.1 Update §3.1.3)."""
+    base_graph = ds.graph(with_g) if with_g is not None else ds.default_graph
+    c = Compiler(base_graph, dataset=ds)
+    sol = c.compile_group(where)
+    out = ds
+    if delete_t:
+        out = out.delete_string_quads(
+            _instantiate_quads(base_graph, c, sol, delete_t)
+        )
+    if insert_t:
+        out = out.add_string_quads(
+            _instantiate_quads(base_graph, c, sol, insert_t)
+        )
+    return out
+
+
+def _instantiate_quads(graph, c: Compiler, sol: Solution, template) -> DataFrame:
+    """[(pattern, gname)] × solutions → distinct (s,p,o,g) string quads
+    (g NULL = default graph)."""
+    by_g: dict = {}
+    for pat, gname in template:
+        by_g.setdefault(gname, []).append(pat)
+    parts = []
+    for gname, pats in by_g.items():
+        triples = _instantiate_template(graph, c, sol, pats)
+        parts.append(
+            triples.withColumn(
+                "g",
+                F.lit(gname).cast("string")
+                if gname is not None
+                else F.lit(None).cast("string"),
+            )
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.distinct()
+
+
 def _pattern_update(graph, where: A.GroupGraphPattern, delete_t, insert_t):
     """Evaluate WHERE once, instantiate both templates against the
     pre-state, delete then insert (SPARQL 1.1 Update §3.1.3)."""
