@@ -799,7 +799,7 @@ def q_text_tfidf(spark, sf):
     return tfidf_topk(_docs(spark, sf), "doc_id", "text", k=3)
 
 
-def q_text_decontam(spark, sf):
+def q_text_decontam_ngram(spark, sf):
     """Benchmark decontamination: flag documents whose distinct word
     8-gram overlap with a (deterministic, doc_id % 25 == 0) eval subset
     exceeds 10% — eval-set n-gram collision checking, with the bench
@@ -809,6 +809,38 @@ def q_text_decontam(spark, sf):
     d = _docs(spark, sf)
     bench = d.where(F.col("doc_id") % 25 == 0)
     return decontaminate(d, bench, "doc_id", "text", n=8, threshold=0.1)
+
+
+def q_text_decontam(spark, sf):
+    """Part-keyed decontamination fold (round 10): part='ngram' is the
+    8-gram collision check over documents, part='semantic' the
+    embedding-cosine check (`ann.semantic_decontaminate`) over the
+    embeddings table vs a deterministic vec_id % 50 eval slice —
+    paraphrased leakage carries no shared n-grams, so a real pipeline
+    runs BOTH. Oracle: the existing closed-form gram SQL UNION ALL a
+    cross-join max(list_cosine_similarity) per vector. bench times the
+    parts separately (text_decontam keeps the ngram-only history)."""
+    from graphula_spark.operators.ann import semantic_decontaminate
+
+    ng = q_text_decontam_ngram(spark, sf).select(
+        F.lit("ngram").alias("part"),
+        F.col("doc_id").alias("id"),
+        "n_grams",
+        "n_hits",
+        F.col("overlap").alias("score"),
+        "contaminated",
+    )
+    emb = _emb(spark, sf)
+    bench = emb.where(F.col("vec_id") % 50 == 0)
+    sem = semantic_decontaminate(emb, bench, threshold=0.5).select(
+        F.lit("semantic").alias("part"),
+        F.col("vec_id").alias("id"),
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("long").alias("n_hits"),
+        F.round("max_sim", 4).alias("score"),
+        "contaminated",
+    )
+    return ng.unionByName(sem)
 
 
 def q_text_kgram_fp(spark, sf):
@@ -2274,18 +2306,36 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
             hit AS (SELECT g.doc_id, count(*) AS n_hits
                     FROM g JOIN bench USING (gram) GROUP BY g.doc_id)
-            SELECT d.doc_id,
+            SELECT 'ngram' AS part,
+                   d.doc_id AS id,
                    CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
                    CAST(coalesce(hit.n_hits, 0) AS BIGINT) AS n_hits,
                    floor(CAST(coalesce(hit.n_hits, 0) AS DOUBLE)
                          / greatest(coalesce(tot.n_grams, 0), 1)
-                         * 10000) / 10000 AS overlap,
+                         * 10000) / 10000 AS score,
                    floor(CAST(coalesce(hit.n_hits, 0) AS DOUBLE)
                          / greatest(coalesce(tot.n_grams, 0), 1)
                          * 10000) / 10000 >= 0.1 AS contaminated
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN tot ON d.doc_id = tot.doc_id
             LEFT JOIN hit ON d.doc_id = hit.doc_id
+            UNION ALL
+            SELECT 'semantic' AS part,
+                   mx.vec_id AS id,
+                   CAST(NULL AS BIGINT) AS n_grams,
+                   CAST(NULL AS BIGINT) AS n_hits,
+                   round(mx.m, 4) AS score,
+                   mx.m >= 0.5 AS contaminated
+            FROM (
+              SELECT e.vec_id,
+                     max(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[]))) AS m
+              FROM embeddings e
+              CROSS JOIN (SELECT embedding FROM embeddings
+                          WHERE vec_id % 50 = 0) b
+              GROUP BY e.vec_id
+            ) mx
         """,
         "text_kgram_fp": """
             WITH g AS (

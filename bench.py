@@ -203,6 +203,7 @@ def main() -> None:
     queries["rdfs_closure"] = entry_mod.q_rdfs_closure
     queries["rdfs_derive_events"] = entry_mod.q_rdfs_derive_events
     queries["rel_pagerank"] = entry_mod.q_pagerank
+    queries["text_decontam"] = entry_mod.q_text_decontam_ngram
     from concurrent.futures import ThreadPoolExecutor
 
     # store BUILD, forced cold into a scratch dir every run: the old

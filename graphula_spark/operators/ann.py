@@ -781,3 +781,67 @@ def semantic_dedup(
     )
     v.unpersist()
     return out
+
+
+def semantic_decontaminate(
+    vectors: DataFrame,
+    bench_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: (id, max_sim,
+    contaminated) per corpus vector — contaminated when its cosine
+    against ANY benchmark vector reaches `threshold`. The semantic
+    complement of `text.decontaminate`'s n-gram collision check
+    (paraphrased eval leakage carries no shared n-grams).
+
+    Scale shape: eval sets are MBs — the bench side normalizes once,
+    is count-gated onto a broadcast, and the corpus streams ONCE
+    through a map-side crossJoin; the only shuffle is the per-id max
+    aggregation (map-side combined to ~one row per corpus id). A
+    bench set past the gate degrades to a shuffle join; for a bench
+    that is itself corpus-scale, bucket first (hyperplane_lsh) — this
+    operator is the exact path, not the ANN path. Zero-norm vectors
+    score NULL (no similarity) on either side, max ignores NULLs, and
+    an all-NULL id is not contaminated."""
+    from pyspark import StorageLevel
+
+    from graphula_spark.scratch import track
+
+    v = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("n", _norm(F.col("v")))
+        .withColumn("v", _unit(F.col("v"), F.col("n")))
+    )
+    b = track(
+        bench_vectors.select(
+            F.col(vec_col).cast("array<double>").alias("bv")
+        )
+        .withColumn("bn", _norm(F.col("bv")))
+        .withColumn("bv", _unit(F.col("bv"), F.col("bn")))
+        .dropDuplicates(["bv"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bb = F.broadcast(b) if b.count() <= 1_000_000 else b
+    scored = v.crossJoin(bb).withColumn(
+        "score",
+        F.when(
+            (F.col("n") > 0) & (F.col("bn") > 0),
+            _dot(F.col("v"), F.col("bv")),
+        ),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.max("score").alias("max_sim"))
+        .select(
+            F.col("id").alias(id_col),
+            "max_sim",
+            F.coalesce(
+                F.col("max_sim") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
+    )

@@ -618,3 +618,44 @@ def test_zero_norm_embeddings_never_pair_or_crash(spark):
     # with NULL scores, never above it
     assert topk[0]["neighbor_id"] == 4 and topk[0]["score"] > 0.9
     assert all(r["score"] is None for r in topk[1:])
+
+
+def test_semantic_decontaminate_vs_bruteforce(spark):
+    """Round 10: embedding-level benchmark decontamination — per-id
+    max cosine vs ANY eval vector, threshold flag, zero vectors score
+    NULL and never contaminate."""
+    import math
+
+    from graphula_spark.operators.ann import semantic_decontaminate
+
+    corpus = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [0.0, 0.0]),  # zero vector: max_sim NULL, not contaminated
+    ]
+    bench = [(100, [1.0, 0.0]), (101, [0.0, 0.0])]  # zero bench row ignored
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    bdf = spark.createDataFrame(bench, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: (
+            None if r["max_sim"] is None else round(r["max_sim"], 6),
+            r["contaminated"],
+        )
+        for r in semantic_decontaminate(cdf, bdf, threshold=0.95).collect()
+    }
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return None
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    for vid, v in corpus:
+        sims = [cos(v, bv) for _, bv in bench]
+        sims = [s for s in sims if s is not None]
+        want = round(max(sims), 6) if sims else None
+        assert got[vid][0] == want, vid
+        assert got[vid][1] == (want is not None and want >= 0.95), vid
+    assert len(got) == len(corpus)  # one row per corpus vector
