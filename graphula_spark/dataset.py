@@ -453,16 +453,24 @@ class Dataset:
         (bounded like `graph_names`); per graph, the reduction families
         are broadcast joins + anti-joins over that graph's slice only —
         nothing cross-graph, nothing corpus-global."""
+        from graphula_spark.operators import rdfs as rdfs_mod
         from graphula_spark.operators.rdfs import reduce_graph
 
         onto_gid = None
         onto_triples = None
+        onto_small = False
         if ontology is not None:
             onto_gid = self.dictionary.lookup_terms([ontology]).get(
                 ontology
             )
-            onto_triples = self.graph(ontology).triples.select(
-                "s", "p", "o"
+            onto_triples = (
+                self.graph(ontology)
+                .triples.select("s", "p", "o")
+                .localCheckpoint(eager=True)
+            )
+            onto_small = (
+                onto_triples.count()
+                <= rdfs_mod.BROADCAST_DERIVED_MAX_ROWS
             )
         slices: list[tuple[int | None, Graph]] = [
             (None, self.default_graph)
@@ -494,11 +502,27 @@ class Dataset:
                 )
                 kept = red
             else:
+                if onto_small:
+                    # dedup gt ∪ onto WITHOUT shuffling the data slice
+                    # (round 10): gt is set-semantic distinct already,
+                    # so base = gt ∪ (onto ∖ gt) — overlap via the
+                    # broadcast semi/anti two-step, ≤ |onto| rows moved
+                    overlap = gt.join(
+                        F.broadcast(onto_triples),
+                        ["s", "p", "o"],
+                        "left_semi",
+                    ).dropDuplicates(["s", "p", "o"])
+                    onto_extra = onto_triples.join(
+                        F.broadcast(overlap), ["s", "p", "o"], "left_anti"
+                    )
+                    base_df = gt.unionByName(onto_extra)
+                else:
+                    base_df = gt.unionByName(onto_triples).dropDuplicates(
+                        ["s", "p", "o"]
+                    )
                 base = Graph(
                     self.spark,
-                    gt.unionByName(onto_triples).dropDuplicates(
-                        ["s", "p", "o"]
-                    ),
+                    base_df,
                     self.dictionary,
                 )
                 red = reduce_graph(base, owl=owl).triples.select(
