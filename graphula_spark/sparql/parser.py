@@ -356,6 +356,15 @@ class Parser:
                         self.next()
                         order_by.append((self.parse_expr(), True))
                         self.expect_op(")")
+                    elif (
+                        self.peek().kind in ("KW", "IRI", "PNAME")
+                        and self.peek(1).kind == "OP"
+                        and self.peek(1).text == "("
+                    ):
+                        # bare Constraint key: BuiltInCall / FunctionCall
+                        # without ASC/DESC or brackets (§18.2.5.1
+                        # OrderCondition) — round 10
+                        order_by.append((self.parse_expr(), True))
                     else:
                         break
                 if not order_by:

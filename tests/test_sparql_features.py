@@ -2462,3 +2462,26 @@ def test_having_aggregate_over_typed_literals(spark):
         ).collect()
     )
     assert got == [("http://e/b", 5.0)]
+
+
+def test_order_by_bare_expression_key(spark):
+    """§18.2.5.1 OrderCondition: a bare BuiltInCall is a legal ordering
+    key without ASC/DESC or brackets (round 10)."""
+    from graphula_spark.graph import Graph
+
+    rows = [
+        ("http://e/long-name", "http://e/p", "http://e/x"),
+        ("http://e/a", "http://e/p", "http://e/x"),
+        ("http://e/mid", "http://e/p", "http://e/x"),
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    )
+    got = [
+        r["s"]
+        for r in g.sparql(
+            """PREFIX ex: <http://e/>
+               SELECT ?s WHERE { ?s ex:p ?o } ORDER BY STRLEN(STR(?s)) ?s"""
+        ).collect()
+    ]
+    assert got == ["http://e/a", "http://e/mid", "http://e/long-name"]
