@@ -873,14 +873,28 @@ class Compiler:
     @staticmethod
     def _zero_including(p) -> bool:
         """Does this path admit the zero-length match at the top level?"""
-        if isinstance(p, A.PMod) and p.mod in ("?", "*"):
-            return True
-        if isinstance(p, A.PRange) and p.lo == 0:
-            return True
+        if isinstance(p, A.PMod):
+            if p.mod in ("?", "*"):
+                return True
+            # (zero-including)+ still admits zero: one iteration that
+            # matches the empty path (round 11, advisor-reported)
+            return Compiler._zero_including(p.path)
+        if isinstance(p, A.PRange):
+            if p.lo == 0:
+                return True
+            return Compiler._zero_including(p.path)
         if isinstance(p, A.PAlt):
             return Compiler._zero_including(p.a) or Compiler._zero_including(
                 p.b
             )
+        if isinstance(p, A.PSeq):
+            # a sequence admits zero iff BOTH parts do, e.g. (p?/q?)
+            # (round 11, advisor-reported)
+            return Compiler._zero_including(p.a) and Compiler._zero_including(
+                p.b
+            )
+        if isinstance(p, A.PInv):
+            return Compiler._zero_including(p.path)
         return False
 
     def compile_path(self, el: A.PathPattern) -> Solution:
@@ -1138,11 +1152,21 @@ class Compiler:
                 cl = F.col(v).isNull() | r.isNull() | (F.col(v) == r)
                 cond = cl if cond is None else cond & cl
             matched = keys.join(rdf2, cond, "left_semi")
-        out = tagged.join(
-            matched.withColumn(flag_col, F.lit(True)),
-            on=[tag, *left_cols],
-            how="left",
-        ).drop(tag)
+        # fan back with NULL-SAFE equality: left rows may carry unbound
+        # (NULL) vars (e.g. after OPTIONAL), and a plain `on=` list join
+        # would never match them — EXISTS came back false for every row
+        # with an unbound var even when the group matched (round 11,
+        # advisor-reported)
+        m = matched.select(
+            F.col(tag).alias("__ex_tag"),
+            *[F.col(v).alias(f"__ex_{v}") for v in left_cols],
+        ).withColumn(flag_col, F.lit(True))
+        cond = F.col(tag) == F.col("__ex_tag")
+        for v in left_cols:
+            cond = cond & F.col(v).eqNullSafe(F.col(f"__ex_{v}"))
+        out = tagged.join(m, cond, "left").drop(
+            tag, "__ex_tag", *[f"__ex_{v}" for v in left_cols]
+        )
         return (
             Solution(
                 out,

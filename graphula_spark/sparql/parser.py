@@ -360,6 +360,14 @@ class Parser:
                         self.peek().kind in ("KW", "IRI", "PNAME")
                         and self.peek(1).kind == "OP"
                         and self.peek(1).text == "("
+                        # a clause-starting keyword followed by "(" is
+                        # the NEXT solution modifier, not an ordering
+                        # key — e.g. a trailing multi-var
+                        # VALUES (?x ?y) { ... } (round 11,
+                        # advisor-reported)
+                        and self.peek().text.upper()
+                        not in ("VALUES", "LIMIT", "OFFSET", "GROUP",
+                                "HAVING", "ORDER")
                     ):
                         # bare Constraint key: BuiltInCall / FunctionCall
                         # without ASC/DESC or brackets (§18.2.5.1

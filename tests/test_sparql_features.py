@@ -2438,6 +2438,61 @@ def test_exists_as_expression_multiset_exact(spark):
     ]
 
 
+def test_exists_expression_after_optional_null_vars(spark):
+    """Round 11 (advisor-reported): EXISTS as an expression evaluated
+    over rows that carry UNBOUND (NULL) vars — e.g. after OPTIONAL —
+    must still flag true when the group matches. The fan-back join
+    used plain equality on the left columns, so any NULL var made the
+    flag false."""
+    from graphula_spark.graph import Graph
+
+    rows = [
+        ("http://e/a", "http://e/email", "http://e/a_at_x"),
+        ("http://e/a", "http://e/likes", "http://e/pizza"),
+        ("http://e/b", "http://e/likes", "http://e/pasta"),
+        ("http://e/c", "http://e/email", "http://e/c_at_x"),
+        ("http://e/a", "http://e/type", "http://e/Person"),
+        ("http://e/b", "http://e/type", "http://e/Person"),
+        ("http://e/c", "http://e/type", "http://e/Person"),
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    )
+    got = sorted(
+        tuple(r)
+        for r in g.sparql(
+            """PREFIX ex: <http://e/>
+               SELECT ?x ?e ?has WHERE {
+                 ?x ex:type ex:Person
+                 OPTIONAL { ?x ex:email ?e }
+                 BIND(EXISTS { ?x ex:likes ?l } AS ?has) }"""
+        ).collect()
+    )
+    # b has no email (NULL ?e) but DOES like something -> has=True
+    assert got == [
+        ("http://e/a", "http://e/a_at_x", True),
+        ("http://e/b", None, True),
+        ("http://e/c", "http://e/c_at_x", False),
+    ]
+    # NOT EXISTS through the same path, plus an unbound SHARED var:
+    # ?e is unbound for b, and unbound is compatible with anything
+    got2 = sorted(
+        tuple(r)
+        for r in g.sparql(
+            """PREFIX ex: <http://e/>
+               SELECT ?x ?none WHERE {
+                 ?x ex:type ex:Person
+                 OPTIONAL { ?x ex:email ?e }
+                 BIND(NOT EXISTS { ?x ex:likes ?l } AS ?none) }"""
+        ).collect()
+    )
+    assert got2 == [
+        ("http://e/a", False),
+        ("http://e/b", False),
+        ("http://e/c", True),
+    ]
+
+
 def test_having_aggregate_over_typed_literals(spark):
     """Round 10: HAVING referencing an aggregate of a TYPED-literal
     variable (not in the projection) — the val-var numeric view used
@@ -2485,3 +2540,63 @@ def test_order_by_bare_expression_key(spark):
         ).collect()
     ]
     assert got == ["http://e/a", "http://e/mid", "http://e/long-name"]
+
+
+def test_order_by_then_trailing_values(spark):
+    """Round 11 (advisor-reported): a trailing multi-var VALUES clause
+    after a bare ORDER BY key must not be consumed as an ordering
+    key (VALUES looks like KW followed by '(')."""
+    from graphula_spark.graph import Graph
+
+    rows = [
+        ("http://e/a", "http://e/p", "http://e/x"),
+        ("http://e/b", "http://e/p", "http://e/y"),
+        ("http://e/c", "http://e/p", "http://e/z"),
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    )
+    got = [
+        (r["s"], r["o"])
+        for r in g.sparql(
+            """PREFIX ex: <http://e/>
+               SELECT ?s ?o WHERE { ?s ex:p ?o }
+               ORDER BY STRLEN(STR(?s))
+               VALUES (?s ?o) {
+                 (ex:b ex:y) (ex:a ex:x)
+               }"""
+        ).collect()
+    ]
+    assert sorted(got) == [
+        ("http://e/a", "http://e/x"),
+        ("http://e/b", "http://e/y"),
+    ]
+
+
+def test_zero_length_seq_path_bound_endpoints(spark):
+    """Round 11 (advisor-reported): a SEQUENCE path whose parts all
+    admit zero length (p?/q?) is itself zero-including, so a bound
+    endpoint pairs with itself even when not incident to p/q edges;
+    same through inverse (^)."""
+    from graphula_spark.graph import Graph
+
+    # ex:z exists in the graph but is NOT incident to p or q edges
+    rows = [
+        ("http://e/a", "http://e/p", "http://e/b"),
+        ("http://e/b", "http://e/q", "http://e/c"),
+        ("http://e/z", "http://e/r", "http://e/w"),
+    ]
+    g = Graph.from_string_triples(
+        spark, spark.createDataFrame(rows, ["s", "p", "o"])
+    )
+    def ask(q):
+        return g.sparql(q).collect()[0]["ask"]
+
+    assert ask("""PREFIX ex: <http://e/>
+                  ASK { ex:z (ex:p?/ex:q?) ex:z }""") is True
+    # inverse of a zero-including path is zero-including
+    assert ask("""PREFIX ex: <http://e/>
+                  ASK { ex:z ^(ex:p?) ex:z }""") is True
+    # and the non-zero part of the sequence still works
+    assert ask("""PREFIX ex: <http://e/>
+                  ASK { ex:a (ex:p?/ex:q?) ex:c }""") is True

@@ -583,3 +583,57 @@ def test_streaming_delete_with_entailment(spark, tmp_path):
     from graphula_spark.operators.rdfs import materialize
 
     assert materialize(g3).triples.count() == g3.triples.count()
+
+
+def test_store_lock_serializes_concurrent_publishes(tmp_path):
+    """Round 11 (advisor-reported): concurrent ingest and delete
+    streams each did an unlocked read-modify-write of CURRENT, so one
+    log entry could be silently lost. `_store_lock` must serialize the
+    whole read→modify→publish section across threads."""
+    import json
+    import threading
+
+    from graphula_spark.streaming.ingest import (
+        _publish,
+        _store_lock,
+        read_manifest,
+    )
+
+    store = str(tmp_path / "store")
+    with _store_lock(store):
+        # read_manifest validates the base dir exists
+        (tmp_path / "store" / "base_0").mkdir()
+        _publish(store, {"base": "base_0", "deltas": [], "log": []}, None)
+
+    n_writers, n_appends = 8, 10
+    barrier = threading.Barrier(n_writers)
+
+    def writer(wid: int):
+        barrier.wait()
+        for i in range(n_appends):
+            with _store_lock(store):
+                cur = read_manifest(store)
+                log = [*cur["log"], {"dir": f"w{wid}_{i}", "op": "add"}]
+                _publish(
+                    store,
+                    {"base": cur["base"], "deltas": cur["deltas"],
+                     "log": log},
+                    cur,
+                )
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    final = read_manifest(store)
+    # every append survived: no lost updates
+    assert len(final["log"]) == n_writers * n_appends
+    dirs = [e["dir"] for e in final["log"]]
+    assert len(set(dirs)) == n_writers * n_appends
+    # per-writer order preserved (each writer appended under the lock)
+    for w in range(n_writers):
+        mine = [d for d in dirs if d.startswith(f"w{w}_")]
+        assert mine == [f"w{w}_{i}" for i in range(n_appends)]
