@@ -203,7 +203,6 @@ def embedding_near_dup_reps(
     )
     coll_keys = keyg.where(F.col("nv") > 1).select("blk", "h")
     members_h = nz.select("id", "blk", _vec_hash(F.col("v")).alias("h"))
-    assign = members_h.join(clean, ["blk", "h"], "inner").select("id", "rep")
     # exception slice, composed LAZILY (no eager emptiness probe — one
     # extra driver job per call would outweigh the ~0-row slice):
     # members of colliding hash keys re-resolve against raw vectors
@@ -211,12 +210,6 @@ def embedding_near_dup_reps(
         F.broadcast(coll_keys), ["blk", "h"], "left_semi"
     )
     exc_assign = exc.groupBy("blk", "v").agg(F.min("id").alias("rep"))
-    assign = assign.unionByName(
-        exc.join(exc_assign, ["blk", "v"]).select("id", "rep")
-    )
-    assign = assign.unionByName(
-        zr.select("id", F.col("id").alias("rep"))
-    )
     # normalize once per unique vector, score within blocks (bounded
     # join on the block key — nothing all-pairs across blocks)
     nrm = (
@@ -238,18 +231,30 @@ def embedding_near_dup_reps(
     # group minimum: component label of the exact-rep when the rep is
     # in a component (labels are component minima over rep ids, and
     # every rep is its exact clique's minimum → the composition is the
-    # true group minimum); else the rep itself
+    # true group minimum); else the rep itself.
+    #
+    # SINGLE-PASS fan-back (round 11, VERDICT r10 #2): compose the
+    # component label onto the UNIQUE side first — rep-keyed rows are
+    # ~unique vectors, not members — so member ids cross exactly ONE
+    # exchange (the (blk, h) join). The old shape joined members on
+    # (blk, h) and then re-shuffled the whole assign union on rep.
+    rep_label = comp.select(
+        F.col("node").alias("rep"), F.col("cluster").alias("g")
+    )
+    clean_lab = clean.join(rep_label, "rep", "left").select(
+        "blk", "h", F.coalesce(F.col("g"), F.col("rep")).alias("r")
+    )
+    exc_lab = exc_assign.join(rep_label, "rep", "left").select(
+        "blk", "v", F.coalesce(F.col("g"), F.col("rep")).alias("r")
+    )
     out = (
-        assign.join(
-            comp.select(
-                F.col("node").alias("rep"), F.col("cluster").alias("g")
-            ),
-            "rep",
-            "left",
-        )
+        members_h.join(clean_lab, ["blk", "h"], "inner")
+        .select("id", "r")
+        .unionByName(exc.join(exc_lab, ["blk", "v"]).select("id", "r"))
+        .unionByName(zr.select("id", F.col("id").alias("r")))
         .select(
             F.col("id").alias(id_col),
-            F.coalesce(F.col("g"), F.col("rep")).alias("representative"),
+            F.col("r").alias("representative"),
         )
         .localCheckpoint(eager=True)
     )
