@@ -195,6 +195,114 @@ def range_join_count(
     )
 
 
+def asof_range_profile(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_id: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    asof_name: str = "asof_id",
+    count_name: str = "n_in_range",
+) -> DataFrame:
+    """Fused as-of + range-count in ONE window pass: for each left row,
+    the latest right row with right.on <= left.on (same `by` group) AND
+    the count of right rows with unix_timestamp(right.on) in
+    [unix_timestamp(left.on) - lower, ... + upper] (both inclusive,
+    second-truncated — exactly `range_join_count`'s bounds).
+
+    Composing `asof_join` + `range_join_count` + a join on the left key
+    pays two independent scans of each input, each op's shuffles, AND a
+    final key shuffle to stitch the halves. This fused shape pays TWO
+    exchanges total: one window shuffle on `by` (the union carries one
+    click row plus three O(1) probe rows per left row), one groupBy on
+    the left columns. Semantics are asserted equal to the composition
+    (tests) and to the DuckDB ASOF JOIN + correlated-count oracle.
+
+    Boundary mechanics: the cumulative click count at a probe row
+    counts clicks strictly BEFORE it in (ts, rank) order, so the low
+    probe sits at timestamp_seconds(lt - lower) (clicks at exactly the
+    low bound sort after it — included in the window count) and the
+    high probe at timestamp_seconds(lt + upper + 1) (clicks at exactly
+    the high bound sort before it — included). The as-of probe sits at
+    the left row's FULL timestamp with ties ordered right-before-left,
+    matching `asof_join`'s <= semantics.
+    """
+    lcols = list(left.columns)
+    lt = F.unix_timestamp(F.col(on))
+    lstruct = F.struct(*lcols).alias("__l")
+    null_l = F.lit(None).cast(
+        left.select(F.struct(*lcols).alias("x")).schema["x"].dataType
+    ).alias("__l")
+    probes = left.select(
+        F.col(by).alias("__by"),
+        lstruct,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.timestamp_seconds(lt - lower_seconds).alias("__t"),
+                    F.lit(0).alias("__rank"),
+                    F.lit("lo").alias("__kind"),
+                ),
+                F.struct(
+                    F.timestamp_seconds(lt + upper_seconds + 1).alias("__t"),
+                    F.lit(0).alias("__rank"),
+                    F.lit("hi").alias("__kind"),
+                ),
+                F.struct(
+                    F.col(on).alias("__t"),
+                    F.lit(2).alias("__rank"),
+                    F.lit("asof").alias("__kind"),
+                ),
+            )
+        ).alias("__p"),
+    ).select(
+        "__by", "__l",
+        F.col("__p.__t").alias("__t"),
+        F.col("__p.__rank").alias("__rank"),
+        F.col("__p.__kind").alias("__kind"),
+        F.lit(0).alias("__incr"),
+        F.lit(None).cast(dict(right.dtypes)[right_id]).alias("__rid"),
+    )
+    clicks = right.select(
+        F.col(by).alias("__by"),
+        null_l,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__rank"),
+        F.lit(None).cast("string").alias("__kind"),
+        F.lit(1).alias("__incr"),
+        F.col(right_id).alias("__rid"),
+    )
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(F.col("__t").asc(), F.col("__rank").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = (
+        probes.unionByName(clicks)
+        .withColumn("__cum", F.sum("__incr").over(w))
+        .withColumn("__last", F.last("__rid", ignorenulls=True).over(w))
+        .where(F.col("__kind").isNotNull())
+    )
+    kind = F.col("__kind")
+    return (
+        scanned.groupBy("__l")
+        .agg(
+            F.max(F.when(kind == "asof", F.col("__last"))).alias(asof_name),
+            (
+                F.max(F.when(kind == "hi", F.col("__cum")))
+                - F.max(F.when(kind == "lo", F.col("__cum")))
+            ).alias(count_name),
+        )
+        .select(
+            *[F.col(f"__l.{c}").alias(c) for c in lcols],
+            asof_name,
+            count_name,
+        )
+    )
+
+
 def sample_by_weight(
     df: DataFrame,
     key_col: str,

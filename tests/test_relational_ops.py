@@ -233,3 +233,68 @@ def test_triangle_count_matches_bruteforce(spark):
                 want[n] = want.get(n, 0) + 1
     assert got == want
     assert sum(got.values()) % 3 == 0
+
+
+def test_asof_range_profile_equals_composition(spark):
+    """Round 11 (VERDICT r10 #3): the fused single-window-pass operator
+    must match asof_join + range_join_count + a stitch join exactly —
+    including rows landing precisely ON the +/-600 s second-truncated
+    bounds and left rows with no as-of match."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphula_spark.operators.relational import (
+        asof_join,
+        asof_range_profile,
+        range_join_count,
+    )
+
+    rng = random.Random(5)
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(sec, us=0):
+        return base + datetime.timedelta(seconds=sec, microseconds=us)
+
+    lefts, rights = [], []
+    for i in range(60):
+        u = rng.randrange(6)
+        lefts.append((f"p{i}", ts(rng.randrange(5000), rng.randrange(10)), u))
+    for j in range(300):
+        u = rng.randrange(6)
+        rights.append((ts(rng.randrange(5000), rng.randrange(10)), u, f"c{j}"))
+    # planted boundary cases: clicks exactly at lt-600 and lt+600
+    # (second-truncated), and a left row with NO prior click (user 9)
+    lefts.append(("pb", ts(3000), 7))
+    rights.append((ts(2400), 7, "cb_lo"))   # exactly lt-600: in range
+    rights.append((ts(3600), 7, "cb_hi"))   # exactly lt+600: in range
+    rights.append((ts(3601), 7, "cb_out"))  # lt+601: out
+    lefts.append(("pn", ts(100), 9))        # user 9 has no clicks
+
+    purchases = spark.createDataFrame(lefts, ["event_id", "ts", "user_id"])
+    clicks = spark.createDataFrame(rights, ["ts", "user_id", "click_id"])
+
+    out_asof = asof_join(purchases, clicks, on="ts", by="user_id").select(
+        "event_id", "user_id", "click_id"
+    )
+    rj = range_join_count(
+        purchases, clicks.select("ts", "user_id"),
+        "ts", "ts", "user_id", 600, 600, "n_clicks_near",
+    ).select("event_id", "n_clicks_near")
+    want = {
+        (r["event_id"], r["user_id"], r["click_id"], r["n_clicks_near"])
+        for r in out_asof.join(rj, "event_id").collect()
+    }
+    got = {
+        tuple(r)
+        for r in asof_range_profile(
+            purchases, clicks, on="ts", by="user_id", right_id="click_id",
+            lower_seconds=600, upper_seconds=600,
+            asof_name="click_id", count_name="n_clicks_near",
+        ).select("event_id", "user_id", "click_id", "n_clicks_near").collect()
+    }
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id["pb"][3] == 2  # cb_lo + cb_hi in range, cb_out not
+    assert by_id["pn"][2] is None and by_id["pn"][3] == 0
