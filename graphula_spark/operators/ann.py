@@ -794,6 +794,10 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    bucketed: bool = False,
+    num_bands: int = 4,
+    planes_per_band: int = 6,
+    bucket_dims: int = 64,
 ) -> DataFrame:
     """Embedding-level benchmark decontamination: (id, max_sim,
     contaminated) per corpus vector — contaminated when its cosine
@@ -805,11 +809,26 @@ def semantic_decontaminate(
     is count-gated onto a broadcast, and the corpus streams ONCE
     through a map-side crossJoin; the only shuffle is the per-id max
     aggregation (map-side combined to ~one row per corpus id). A
-    bench set past the gate degrades to a shuffle join; for a bench
-    that is itself corpus-scale, bucket first (hyperplane_lsh) — this
-    operator is the exact path, not the ANN path. Zero-norm vectors
-    score NULL (no similarity) on either side, max ignores NULLs, and
-    an all-NULL id is not contaminated."""
+    bench set past the gate degrades to a shuffle join — for a bench
+    that is itself corpus-scale pass ``bucketed=True`` (round 11,
+    VERDICT r10 #4): both sides band `num_bands` independent sign-bit
+    sketches of `planes_per_band` fixed hyperplanes (same banding
+    logic as MinHash LSH — candidate iff ANY band matches), the join
+    runs on (band, bits) instead of a cross product, and scoring stays
+    EXACT on candidates. The bucketed result is one-sided approximate:
+    flagged ids are truly >= threshold (no false positives), but a
+    near-dup pair landing in no shared band is missed — at the 0.95
+    default, P[band match] ~ (1 - theta/pi)^planes ~ 0.53 and
+    P[candidate] ~ 1 - 0.47^4 ~ 0.95 (recall-gated vs the exact path
+    in tests). Corpus rows explode x num_bands into the bucket join;
+    a corpus id with no candidate keeps max_sim NULL via the left
+    join. Zero-norm vectors score NULL (no similarity) on either
+    side, max ignores NULLs, and an all-NULL id is not contaminated."""
+    if bucketed:
+        return _semantic_decontaminate_bucketed(
+            vectors, bench_vectors, id_col, vec_col, threshold,
+            num_bands, planes_per_band, bucket_dims,
+        )
     from pyspark import StorageLevel
 
     from graphula_spark.scratch import track
@@ -838,6 +857,91 @@ def semantic_decontaminate(
             (F.col("n") > 0) & (F.col("bn") > 0),
             _dot(F.col("v"), F.col("bv")),
         ),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.max("score").alias("max_sim"))
+        .select(
+            F.col("id").alias(id_col),
+            "max_sim",
+            F.coalesce(
+                F.col("max_sim") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
+
+
+def _semantic_decontaminate_bucketed(
+    vectors: DataFrame,
+    bench_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_bands: int,
+    planes_per_band: int,
+    bucket_dims: int,
+) -> DataFrame:
+    """Banded-LSH candidate generation for `semantic_decontaminate`
+    (see there). One (band, bits) equi-join + one per-id max — never
+    a cross product; scoring is exact on candidates."""
+
+    def banded(vec, norm):
+        # fixed sketch arity (`bucket_dims` leading components, the
+        # lsh_bucket_topk convention) so hyperplane constants are
+        # engine-reproducible; scoring always uses the full vector
+        dim_planes = [
+            _hyperplane(bucket_dims, b * planes_per_band + p)
+            for b in range(num_bands)
+            for p in range(planes_per_band)
+        ]
+        bands = []
+        for b in range(num_bands):
+            bits = None
+            for p in range(planes_per_band):
+                plane = dim_planes[b * planes_per_band + p]
+                arr = F.array(*[F.lit(x) for x in plane])
+                d = _dot(F.slice(vec, 1, bucket_dims), arr)
+                bit = (
+                    F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+                    * F.lit(2**p)
+                )
+                bits = bit if bits is None else bits + bit
+            bands.append(
+                F.struct(F.lit(b).alias("band"), bits.alias("bits"))
+            )
+        # zero-norm vectors get no bands: never candidates, score NULL
+        return F.when(norm > 0, F.array(*bands)).otherwise(
+            F.array().cast("array<struct<band:int,bits:int>>")
+        )
+
+    v = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("n", _norm(F.col("v")))
+        .withColumn("v", _unit(F.col("v"), F.col("n")))
+    )
+    b = (
+        bench_vectors.select(
+            F.col(vec_col).cast("array<double>").alias("bv")
+        )
+        .withColumn("bn", _norm(F.col("bv")))
+        .withColumn("bv", _unit(F.col("bv"), F.col("bn")))
+        .dropDuplicates(["bv"])
+    )
+    bexp = b.select(
+        F.explode(banded(F.col("bv"), F.col("bn"))).alias("bk"), "bv"
+    ).select("bk.band", "bk.bits", "bv")
+    vexp = v.select(
+        "id",
+        # posexplode_outer keeps band-less (zero-norm) corpus rows so
+        # every input id appears in the output
+        F.explode_outer(banded(F.col("v"), F.col("n"))).alias("vk"),
+        "v",
+    ).select("id", "vk.band", "vk.bits", "v")
+    scored = vexp.join(bexp, ["band", "bits"], "left").withColumn(
+        "score", F.when(F.col("bv").isNotNull(), _dot(F.col("v"), F.col("bv")))
     )
     return (
         scored.groupBy("id")
