@@ -172,7 +172,14 @@ def execute_dataset_update(ds, update: str):
     blocks; bare triples land in (or leave) the WITH graph, or the
     default graph without WITH. The WHERE clause evaluates against the
     WITH graph (default graph otherwise) with GRAPH patterns resolved
-    through the dataset (§3.1.3; USING is not supported — raise)."""
+    through the dataset (§3.1.3).
+
+    ``USING <g>`` / ``USING NAMED <g>`` clauses (round 11, VERDICT r10
+    #5 — the last §3.1.3 surface) re-scope the WHERE evaluation the
+    way FROM/FROM NAMED re-scope a query: default graph = merge of the
+    USING graphs, named graphs = exactly the USING NAMED set. They
+    override WITH for the WHERE clause only — templates still land in
+    (or leave) the WITH/default graph."""
     from graphula_spark.sparql.parser import Parser
 
     p = Parser(update)
@@ -185,11 +192,10 @@ def execute_dataset_update(ds, update: str):
             raise SyntaxError("WITH expects an IRI")
         with_g = t
     word = p.kw()
-    if word == "USING":
-        raise NotImplementedError("USING [NAMED] dataset clauses")
     if word == "DELETE":
         p.next()
         if p.kw() == "WHERE":
+            # DeleteWhere takes no USING clauses (§19.8 grammar)
             p.next()
             grp = p.parse_group()
             tmpl = _quads_from_group(grp, with_g)
@@ -199,18 +205,41 @@ def execute_dataset_update(ds, update: str):
         if p.kw() == "INSERT":
             p.next()
             ins_t = _parse_ds_quad_template(p, with_g)
+        using, using_named = _parse_using_clauses(p)
         p.expect_kw("WHERE")
         return _dataset_pattern_update(
-            ds, p.parse_group(), del_t, ins_t, with_g
+            ds, p.parse_group(), del_t, ins_t, with_g, using, using_named
         )
     if word == "INSERT":
         p.next()
         ins_t = _parse_ds_quad_template(p, with_g)
+        using, using_named = _parse_using_clauses(p)
         p.expect_kw("WHERE")
         return _dataset_pattern_update(
-            ds, p.parse_group(), None, ins_t, with_g
+            ds, p.parse_group(), None, ins_t, with_g, using, using_named
         )
     raise SyntaxError(f"unsupported dataset update form at {p.peek()}")
+
+
+def _parse_using_clauses(p):
+    """( USING ( IRIref | NAMED IRIref ) )* — returns (using,
+    using_named), both None when no clause appears (so the caller can
+    tell "no USING" from "USING of an empty set")."""
+    using = using_named = None
+    while p.kw() == "USING":
+        p.next()
+        named = False
+        if p.kw() == "NAMED":
+            p.next()
+            named = True
+        t = p.parse_term()
+        if not isinstance(t, str) or t.startswith('"'):
+            raise SyntaxError("USING expects an IRI")
+        if named:
+            using_named = [*(using_named or []), t]
+        else:
+            using = [*(using or []), t]
+    return using, using_named
 
 
 def _parse_ds_quad_template(p, with_g):
@@ -270,11 +299,22 @@ def _quads_from_group(grp: A.GroupGraphPattern, with_g):
     return tmpl
 
 
-def _dataset_pattern_update(ds, where, delete_t, insert_t, with_g):
+def _dataset_pattern_update(
+    ds, where, delete_t, insert_t, with_g, using=None, using_named=None
+):
     """Evaluate WHERE once against the pre-state, instantiate both quad
-    templates, delete then insert (SPARQL 1.1 Update §3.1.3)."""
-    base_graph = ds.graph(with_g) if with_g is not None else ds.default_graph
-    c = Compiler(base_graph, dataset=ds)
+    templates, delete then insert (SPARQL 1.1 Update §3.1.3). USING
+    [NAMED] re-scopes the WHERE dataset only (overriding WITH there);
+    the templates and the mutation always apply to the full store."""
+    if using is not None or using_named is not None:
+        where_graph, where_ds = ds.scoped(using or [], using_named or [])
+    else:
+        where_graph = (
+            ds.graph(with_g) if with_g is not None else ds.default_graph
+        )
+        where_ds = ds
+    base_graph = where_graph
+    c = Compiler(base_graph, dataset=where_ds)
     sol = c.compile_group(where)
     out = ds
     if delete_t:
