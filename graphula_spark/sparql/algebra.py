@@ -50,6 +50,10 @@ class EAggregate:
     expr: Any | None  # None for COUNT(*)
     distinct: bool = False
     separator: str = " "
+    #: GROUP_CONCAT(e; ORDER BY k [ASC|DESC]; ...) — ARQ-style ordered
+    #: concatenation (SPARQL 1.1 leaves group order undefined);
+    #: (key_expr, ascending) or None
+    order: Any | None = None
 
 
 # ---- graph patterns --------------------------------------------------

@@ -1620,6 +1620,29 @@ class Compiler:
             src = ce.term if ce.term is not None else ce.val
             return sol, F.min(src).alias(name)
         if agg.func == "GROUP_CONCAT":
+            if agg.order is not None:
+                # ARQ-style GROUP_CONCAT(e; ORDER BY k [ASC|DESC]):
+                # collect (key, value) structs, sort by the key (struct
+                # ordering is field-by-field; value breaks key ties
+                # deterministically), project values, then dedup AFTER
+                # ordering for DISTINCT (keeps the first occurrence in
+                # key order — round 11)
+                key_expr, asc = agg.order
+                sol, kce = self.compile_expr(sol, key_expr)
+                kn = kce.numeric()
+                packed = F.struct(
+                    kn.isNull().cast("int").alias("k0"),
+                    F.coalesce(kn, F.lit(0.0)).alias("k1"),
+                    kce.val.alias("k2"),
+                    ce.val.alias("v"),
+                )
+                arr = F.transform(
+                    F.sort_array(F.collect_list(packed), asc=asc),
+                    lambda s: s.getField("v"),
+                )
+                if agg.distinct:
+                    arr = F.array_distinct(arr)
+                return sol, F.array_join(arr, agg.separator).alias(name)
             lst = F.collect_set(ce.val) if agg.distinct else F.collect_list(ce.val)
             return sol, F.array_join(F.sort_array(lst), agg.separator).alias(name)
         raise NotImplementedError(f"aggregate {agg.func}")

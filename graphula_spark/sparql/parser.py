@@ -935,12 +935,30 @@ class Parser:
         else:
             expr = self.parse_expr()
         sep = " "
-        if self.eat_op(";"):
-            self.expect_kw("SEPARATOR")
-            self.expect_op("=")
-            sep = self.next().text[1:-1]
+        order = None
+        # `;`-separated modifiers: SEPARATOR= (spec) and ORDER BY
+        # (ARQ-style extension — the reference inherits it from Jena;
+        # spec group order is undefined, so an explicit key is the
+        # only portable way to an ordered GROUP_CONCAT)
+        while self.eat_op(";"):
+            if self.eat_kw("ORDER"):
+                self.expect_kw("BY")
+                asc = True
+                if self.eat_kw("DESC"):
+                    asc = False
+                else:
+                    self.eat_kw("ASC")
+                bracketed = self.eat_op("(")
+                key = self.parse_expr()
+                if bracketed:
+                    self.expect_op(")")
+                order = (key, asc)
+            else:
+                self.expect_kw("SEPARATOR")
+                self.expect_op("=")
+                sep = self.next().text[1:-1]
         self.expect_op(")")
-        return EAggregate(func, expr, distinct, sep)
+        return EAggregate(func, expr, distinct, sep, order)
 
 
 def parse_sparql(text: str):
