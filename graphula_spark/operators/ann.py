@@ -795,8 +795,8 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucketed: bool = False,
-    num_bands: int = 4,
-    planes_per_band: int = 6,
+    num_bands: int = 8,
+    planes_per_band: int = 16,
     bucket_dims: int = 64,
 ) -> DataFrame:
     """Embedding-level benchmark decontamination: (id, max_sim,
@@ -817,13 +817,19 @@ def semantic_decontaminate(
     runs on (band, bits) instead of a cross product, and scoring stays
     EXACT on candidates. The bucketed result is one-sided approximate:
     flagged ids are truly >= threshold (no false positives), but a
-    near-dup pair landing in no shared band is missed — at the 0.95
-    default, P[band match] ~ (1 - theta/pi)^planes ~ 0.53 and
-    P[candidate] ~ 1 - 0.47^4 ~ 0.95 (recall-gated vs the exact path
-    in tests). Corpus rows explode x num_bands into the bucket join;
-    a corpus id with no candidate keeps max_sim NULL via the left
-    join. Zero-norm vectors score NULL (no similarity) on either
-    side, max ignores NULLs, and an all-NULL id is not contaminated."""
+    near-dup pair landing in no shared band is missed. Band width
+    trades candidate volume against borderline recall: UNRELATED pairs
+    collide at ~num_bands/2^planes (the term that must stay tiny — at
+    1M x 200k even a 1% pair rate is 2 billion scorings; the 16-plane
+    default keeps it at 0.012%, probe_r11 D), while a pair at cosine c
+    matches a band at (1 - acos(c)/pi)^planes — ~0.66/band at c=0.997
+    (true dups), ~0.19 at exactly c=0.95, so recall is ~1.0 for
+    real duplicates and degrades toward the threshold boundary
+    (recall-gated >= 0.9 vs the exact path on planted near-dups in
+    tests). Corpus rows explode x num_bands into the bucket join; a
+    corpus id with no candidate keeps max_sim NULL via the left join.
+    Zero-norm vectors score NULL (no similarity) on either side, max
+    ignores NULLs, and an all-NULL id is not contaminated."""
     if bucketed:
         return _semantic_decontaminate_bucketed(
             vectors, bench_vectors, id_col, vec_col, threshold,
@@ -883,36 +889,41 @@ def _semantic_decontaminate_bucketed(
 ) -> DataFrame:
     """Banded-LSH candidate generation for `semantic_decontaminate`
     (see there). One (band, bits) equi-join + one per-id max — never
-    a cross product; scoring is exact on candidates."""
+    a cross product; scoring is exact on candidates.
 
-    def banded(vec, norm):
-        # fixed sketch arity (`bucket_dims` leading components, the
-        # lsh_bucket_topk convention) so hyperplane constants are
-        # engine-reproducible; scoring always uses the full vector
-        dim_planes = [
-            _hyperplane(bucket_dims, b * planes_per_band + p)
-            for b in range(num_bands)
-            for p in range(planes_per_band)
+    The sketch (num_bands × planes_per_band sign bits per vector) is
+    an Arrow-batched Pandas UDF doing ONE numpy matmul per batch —
+    128 hyperplane dot products per row as Catalyst HOF expressions
+    blew up whole-stage codegen and ran minutes at 1M rows
+    (probe_r11 D caught it); the matmul is milliseconds per batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplane(bucket_dims, i)
+            for i in range(num_bands * planes_per_band)
         ]
-        bands = []
-        for b in range(num_bands):
-            bits = None
-            for p in range(planes_per_band):
-                plane = dim_planes[b * planes_per_band + p]
-                arr = F.array(*[F.lit(x) for x in plane])
-                d = _dot(F.slice(vec, 1, bucket_dims), arr)
-                bit = (
-                    F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
-                    * F.lit(2**p)
-                )
-                bits = bit if bits is None else bits + bit
-            bands.append(
-                F.struct(F.lit(b).alias("band"), bits.alias("bits"))
-            )
-        # zero-norm vectors get no bands: never candidates, score NULL
-        return F.when(norm > 0, F.array(*bands)).otherwise(
-            F.array().cast("array<struct<band:int,bits:int>>")
-        )
+    )  # (B*P, bucket_dims)
+    weights = (2 ** np.arange(planes_per_band)).astype("int64")
+    nb, ppb, bd = num_bands, planes_per_band, bucket_dims
+
+    # NB: module-wide `from __future__ import annotations` turns hints
+    # into strings pandas_udf cannot resolve against local imports, so
+    # the signature is declared via real (non-string) annotations set
+    # after definition
+    def _sketch(col):
+        m = np.zeros((len(col), bd))
+        for i, vec in enumerate(col.values):
+            a = np.asarray(vec[:bd], dtype="float64")
+            m[i, : len(a)] = a
+        bits = (m @ planes.T >= 0).reshape(len(col), nb, ppb)
+        bands = bits @ weights  # (n, nb) int64 bucket ids per band
+        return pd.Series(list(bands))
+
+    _sketch.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    banded_sketch = pandas_udf(_sketch, "array<long>")
 
     v = (
         vectors.select(
@@ -929,28 +940,32 @@ def _semantic_decontaminate_bucketed(
         .withColumn("bn", _norm(F.col("bv")))
         .withColumn("bv", _unit(F.col("bv"), F.col("bn")))
         .dropDuplicates(["bv"])
+        # zero-norm bench rows are no one's contamination source
+        .where(F.col("bn") > 0)
     )
     bexp = b.select(
-        F.explode(banded(F.col("bv"), F.col("bn"))).alias("bk"), "bv"
-    ).select("bk.band", "bk.bits", "bv")
-    vexp = v.select(
+        F.posexplode(banded_sketch(F.col("bv"))).alias("band", "bits"),
+        "bv",
+    )
+    nzv = v.where(F.col("n") > 0)
+    # zero-norm corpus rows get no bands: never candidates, score NULL
+    zrv = v.where(~(F.col("n") > 0)).select("id")
+    vexp = nzv.select(
         "id",
-        # posexplode_outer keeps band-less (zero-norm) corpus rows so
-        # every input id appears in the output
-        F.explode_outer(banded(F.col("v"), F.col("n"))).alias("vk"),
+        F.posexplode(banded_sketch(F.col("v"))).alias("band", "bits"),
         "v",
-    ).select("id", "vk.band", "vk.bits", "v")
+    )
     scored = vexp.join(bexp, ["band", "bits"], "left").withColumn(
         "score", F.when(F.col("bv").isNotNull(), _dot(F.col("v"), F.col("bv")))
     )
-    return (
-        scored.groupBy("id")
-        .agg(F.max("score").alias("max_sim"))
-        .select(
-            F.col("id").alias(id_col),
-            "max_sim",
-            F.coalesce(
-                F.col("max_sim") >= F.lit(threshold), F.lit(False)
-            ).alias("contaminated"),
-        )
+    agg = scored.groupBy("id").agg(F.max("score").alias("max_sim"))
+    out = agg.unionByName(
+        zrv.select("id", F.lit(None).cast("double").alias("max_sim"))
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "max_sim",
+        F.coalesce(
+            F.col("max_sim") >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
     )
