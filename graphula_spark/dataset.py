@@ -497,10 +497,9 @@ class Dataset:
                 continue
             gg = Graph(self.spark, gt, self.dictionary)
             if onto_triples is None:
-                red = reduce_graph(gg, owl=owl).triples.select(
+                kept = reduce_graph(gg, owl=owl).triples.select(
                     "s", "p", "o"
                 )
-                kept = red
             else:
                 if onto_small:
                     # dedup gt ∪ onto WITHOUT shuffling the data slice
@@ -525,12 +524,18 @@ class Dataset:
                     base_df,
                     self.dictionary,
                 )
-                red = reduce_graph(base, owl=owl).triples.select(
-                    "s", "p", "o"
+                # removals-only path (round 11): only this graph's OWN
+                # rows can be stripped (schema rows living in the
+                # ontology graph stay there), and gt ⊆ base means
+                # gt ∖ removals == gt ∩ reduced-base — so ONE anti-join
+                # on the slice replaces reduce_graph's base
+                # materialization + checkpoint + the semi join back
+                rm = rdfs_mod.reduce_graph_removals(base, owl=owl)
+                kept = (
+                    gt
+                    if rm is None
+                    else gt.join(rm, ["s", "p", "o"], "left_anti")
                 )
-                # only this graph's OWN rows can be stripped; schema
-                # rows living in the ontology graph stay there
-                kept = gt.join(red, ["s", "p", "o"], "left_semi")
             parts.append(
                 kept.withColumn(
                     "g",

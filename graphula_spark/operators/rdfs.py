@@ -1372,33 +1372,14 @@ def _transitive_reduction_removals(e: DataFrame) -> DataFrame:
     return e.join(keep, ["s", "o"], "left_anti")
 
 
-def reduce_graph(graph, owl: bool = True) -> "Graph":  # noqa: F821
-    """The lossless inverse of materialization: strip every triple the
-    ρdf(+OWL) rules re-derive from the remainder, keeping a minimal
-    generating base. `materialize_owl(reduce_graph(g))` reconstructs
-    `g` exactly (set equality) — driven on the reference's full
-    LUBM(1) data, where 45.9% of the shipped triples are derivable.
-
-    Use it as inference-aware storage compression: persist the base,
-    materialize after load. Each reduction family is one broadcast
-    join + anti-join over the data:
-
-      * non-minimal types: (s type C) goes when (s type D) with D a
-        STRICTLY lower class survives (rdfs9 re-derives). Pairs inside
-        an equivalence cycle (owl:equivalentClass expands to mutual
-        subClassOf — LUBM's Chair <-> restriction blank node) are NOT
-        strict: stripping both directions would lose the fact, so
-        cycle members keep their types.
-      * super-property edges: (s q o) goes when a strictly-lower (s p
-        o) survives (rdfs7).
-      * transitive reduction per owl:TransitiveProperty: a 2-hop
-        decomposable edge goes (DAG-safe; by induction minimal edges
-        remain).
-      * inverse pairs: the higher-id direction goes when the canonical
-        direction is present (the inverse rule restores it).
-    """
-    from graphula_spark.graph import Graph
-
+def reduce_graph_removals(graph, owl: bool = True):
+    """The removal set `reduce_graph` strips — exposed separately so a
+    caller reducing a SLICE against a shared schema (Dataset.reduce_rdfs)
+    can apply `slice ∖ removals` with ONE anti-join instead of
+    materializing the reduced base and semi-joining the slice back
+    against it (round 11 — two full passes + a checkpoint write saved
+    per graph). Returns a deduped (s, p, o) DataFrame, or None when no
+    rule family applies."""
     spark, d = graph.spark, graph.dictionary
     ids = d.lookup_terms(
         [RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP, OWL_INVERSE, OWL_TRANSITIVE]
@@ -1479,14 +1460,49 @@ def reduce_graph(graph, owl: bool = True) -> "Graph":  # noqa: F821
             removals.append(T.join(dropd, ["s", "p", "o"], "left_semi"))
 
     if not removals:
-        return graph
+        return None
     rm = removals[0]
     for r in removals[1:]:
         rm = rm.unionByName(r)
-    base = T.join(
-        rm.dropDuplicates(["s", "p", "o"]), ["s", "p", "o"], "left_anti"
+    return rm.dropDuplicates(["s", "p", "o"])
+
+
+def reduce_graph(graph, owl: bool = True) -> "Graph":  # noqa: F821
+    """The lossless inverse of materialization: strip every triple the
+    ρdf(+OWL) rules re-derive from the remainder, keeping a minimal
+    generating base. `materialize_owl(reduce_graph(g))` reconstructs
+    `g` exactly (set equality) — driven on the reference's full
+    LUBM(1) data, where 45.9% of the shipped triples are derivable.
+
+    Use it as inference-aware storage compression: persist the base,
+    materialize after load. Each reduction family is one broadcast
+    join + anti-join over the data:
+
+      * non-minimal types: (s type C) goes when (s type D) with D a
+        STRICTLY lower class survives (rdfs9 re-derives). Pairs inside
+        an equivalence cycle (owl:equivalentClass expands to mutual
+        subClassOf — LUBM's Chair <-> restriction blank node) are NOT
+        strict: stripping both directions would lose the fact, so
+        cycle members keep their types.
+      * super-property edges: (s q o) goes when a strictly-lower (s p
+        o) survives (rdfs7).
+      * transitive reduction per owl:TransitiveProperty: a 2-hop
+        decomposable edge goes (DAG-safe; by induction minimal edges
+        remain).
+      * inverse pairs: the higher-id direction goes when the canonical
+        direction is present (the inverse rule restores it).
+    """
+    from graphula_spark.graph import Graph
+
+    rm = reduce_graph_removals(graph, owl=owl)
+    if rm is None:
+        return graph
+    base = graph.triples.select("s", "p", "o").join(
+        rm, ["s", "p", "o"], "left_anti"
     )
-    return Graph(spark, base.localCheckpoint(eager=True), d)
+    return Graph(
+        graph.spark, base.localCheckpoint(eager=True), graph.dictionary
+    )
 
 
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
