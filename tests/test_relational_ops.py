@@ -298,3 +298,68 @@ def test_asof_range_profile_equals_composition(spark):
     by_id = {t[0]: t for t in got}
     assert by_id["pb"][3] == 2  # cb_lo + cb_hi in range, cb_out not
     assert by_id["pn"][2] is None and by_id["pn"][3] == 0
+
+
+def test_asof_range_profile_property_random(spark):
+    """Property breadth for the fused operator (round 11): random
+    tie-free datasets (the as-of tie winner is unspecified in BOTH
+    shapes, so (by, ts) pairs are unique per side), checked against a
+    pure-Python oracle — second-truncated inclusive bounds, <= as-of,
+    NULL as-of when no prior right row, every left row present."""
+    import datetime
+    import math
+    import random
+
+    from graphula_spark.operators.relational import asof_range_profile
+
+    base = datetime.datetime(2024, 3, 1)
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        lo, hi = rng.choice([(600, 600), (120, 900), (0, 300)])
+
+        def ts(sec_us):
+            return base + datetime.timedelta(
+                seconds=sec_us // 1_000_000, microseconds=sec_us % 1_000_000
+            )
+
+        # unique (user, ts) per side, microsecond jitter, clustered so
+        # ranges actually overlap
+        def uniq_times(n):
+            out = set()
+            while len(out) < n:
+                out.add(rng.randrange(4000) * 1_000_000 + rng.randrange(50))
+            return sorted(out)
+
+        lefts, rights = [], []
+        for u in range(4):
+            for i, t in enumerate(uniq_times(rng.randrange(1, 15))):
+                lefts.append((f"p{u}_{i}", ts(t), u))
+            for j, t in enumerate(uniq_times(rng.randrange(0, 40))):
+                rights.append((ts(t), u, f"c{u}_{j}"))
+        purchases = spark.createDataFrame(
+            lefts, ["event_id", "ts", "user_id"]
+        )
+        clicks = spark.createDataFrame(rights, ["ts", "user_id", "click_id"])
+        got = {
+            r["event_id"]: (r["asof_id"], r["n_in_range"])
+            for r in asof_range_profile(
+                purchases, clicks, on="ts", by="user_id",
+                right_id="click_id", lower_seconds=lo, upper_seconds=hi,
+            ).collect()
+        }
+
+        def oracle(eid, pts, u):
+            cands = [(cts, cid) for cts, uu, cid in rights if uu == u]
+            before = [(cts, cid) for cts, cid in cands if cts <= pts]
+            asof = max(before)[1] if before else None
+            lt = math.floor(pts.timestamp())
+            n = sum(
+                1
+                for cts, _ in cands
+                if lt - lo <= math.floor(cts.timestamp()) <= lt + hi
+            )
+            return asof, n
+
+        assert len(got) == len(lefts)
+        for eid, pts, u in lefts:
+            assert got[eid] == oracle(eid, pts, u), (seed, eid, lo, hi)
