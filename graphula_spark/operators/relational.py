@@ -107,6 +107,7 @@ def asof_join(
     on: str,
     by: str,
     suffix: str = "_right",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right.on <= left.on within the same `by` group.
@@ -115,32 +116,80 @@ def asof_join(
     a per-row correlated lookup: one shuffle on `by`, ordered scan —
     scales linearly, no broadcast nested loop. (DuckDB expresses the
     same as ASOF JOIN; that is the correctness oracle.)
+
+    ``bucket_seconds`` is the SKEW lever (round 11): the plain window
+    partitions on the bare `by` key, so one hub key (a power user with
+    100M events) becomes a single sort task at 100 TB. With a bucket
+    width, the window partitions on (by, time-bucket) — bounded rows
+    per partition — and correctness across bucket borders comes from a
+    CARRY-IN row per (by, bucket): the latest right row of all EARLIER
+    buckets, computed on the per-bucket tails (one tiny window over
+    #buckets-sized rows per key, then joined back). Semantics are
+    identical to the unbucketed shape (equivalence-tested); ties at a
+    bucket boundary stay interior because a carry-in's timestamp is
+    strictly below the bucket start.
     """
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns if c not in (on, by)]
+    r_struct_t = right.select(F.struct(*rcols).alias("x")).schema["x"].dataType
+    l_struct_t = left.select(F.struct(*lcols).alias("x")).schema["x"].dataType
     l_tag = left.select(
         F.lit(1).alias("__is_left"),
         F.col(on).alias("__t"),
         F.col(by).alias("__by"),
         F.struct(*lcols).alias("__l"),
-        F.lit(None).cast(
-            right.select(F.struct(*rcols).alias("x")).schema["x"].dataType
-        ).alias("__r"),
+        F.lit(None).cast(r_struct_t).alias("__r"),
     )
     r_tag = right.select(
         F.lit(0).alias("__is_left"),
         F.col(on).alias("__t"),
         F.col(by).alias("__by"),
-        F.lit(None).cast(
-            left.select(F.struct(*lcols).alias("x")).schema["x"].dataType
-        ).alias("__l"),
+        F.lit(None).cast(l_struct_t).alias("__l"),
         F.struct(*rcols).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
+    part_cols = ["__by"]
+    if bucket_seconds is not None:
+        bkt = F.floor(F.unix_timestamp(F.col("__t")) / bucket_seconds)
+        unioned = unioned.withColumn("__bkt", bkt)
+        part_cols = ["__by", "__bkt"]
+        # per (by, bucket) tail of the RIGHT rows: latest (t, r); the
+        # carry-in for bucket b is the cumulative-latest tail over all
+        # buckets < b. Carry rows must land in EVERY occupied bucket
+        # (incl. left-only buckets with no right rows), so the bucket
+        # list comes from both sides; the cumulative window runs over
+        # #buckets-sized rows per key, not data (rangeBetween, not
+        # rows: left-only buckets carry NULL tails that must not
+        # truncate the lookback)
+        tails = (
+            r_tag.withColumn("__bkt", bkt)
+            .groupBy("__by", "__bkt")
+            .agg(F.max(F.struct(F.col("__t"), F.col("__r"))).alias("__tail"))
+        )
+        all_bkts = unioned.select("__by", "__bkt").distinct()
+        wb = (
+            Window.partitionBy("__by")
+            .orderBy(F.col("__bkt").asc())
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            all_bkts.join(tails, ["__by", "__bkt"], "left")
+            .withColumn("__cin", F.max("__tail").over(wb))
+            .where(F.col("__cin").isNotNull())
+            .select(
+                F.lit(0).alias("__is_left"),
+                F.col("__cin.__t").alias("__t"),
+                "__by",
+                F.lit(None).cast(l_struct_t).alias("__l"),
+                F.col("__cin.__r").alias("__r"),
+                "__bkt",
+            )
+        )
+        unioned = unioned.unionByName(carry)
     # right rows sort before left rows at equal timestamps so a
     # same-instant right row is visible to the left row (<= semantics)
     w = (
-        Window.partitionBy("__by")
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -363,3 +363,58 @@ def test_asof_range_profile_property_random(spark):
         assert len(got) == len(lefts)
         for eid, pts, u in lefts:
             assert got[eid] == oracle(eid, pts, u), (seed, eid, lo, hi)
+
+
+def test_asof_join_bucketed_equivalence(spark):
+    """Round 11: bucket_seconds partitions the as-of window on
+    (by, time-bucket) — the hub-key skew lever — and must be row-exact
+    vs the plain shape, including left-only buckets, empty-bucket
+    gaps longer than the width, and keys with no right rows at all."""
+    import datetime
+    import random
+
+    from graphula_spark.operators.relational import asof_join
+
+    base = datetime.datetime(2024, 5, 1)
+
+    def ts(sec_us):
+        return base + datetime.timedelta(
+            seconds=sec_us // 1_000_000, microseconds=sec_us % 1_000_000
+        )
+
+    for seed, width in [(11, 60), (12, 7), (13, 3600)]:
+        rng = random.Random(seed)
+
+        def uniq(n):
+            out = set()
+            while len(out) < n:
+                out.add(rng.randrange(8000) * 1_000_000 + rng.randrange(20))
+            return sorted(out)
+
+        lefts, rights = [], []
+        for u in range(5):
+            for i, tv in enumerate(uniq(rng.randrange(1, 12))):
+                lefts.append((f"p{u}_{i}", ts(tv), u))
+            # user 4 gets NO right rows (every as-of NULL)
+            nr = 0 if u == 4 else rng.randrange(0, 25)
+            for j, tv in enumerate(uniq(nr) if nr else []):
+                rights.append((ts(tv), u, f"c{u}_{j}"))
+        purchases = spark.createDataFrame(
+            lefts, ["event_id", "ts", "user_id"]
+        )
+        clicks = spark.createDataFrame(rights, ["ts", "user_id", "click_id"])
+        plain = {
+            (r["event_id"], r["click_id"])
+            for r in asof_join(
+                purchases, clicks, on="ts", by="user_id"
+            ).collect()
+        }
+        bucketed = {
+            (r["event_id"], r["click_id"])
+            for r in asof_join(
+                purchases, clicks, on="ts", by="user_id",
+                bucket_seconds=width,
+            ).collect()
+        }
+        assert bucketed == plain, (seed, width)
+        assert len(bucketed) == len(lefts)
