@@ -254,6 +254,7 @@ def asof_range_profile(
     upper_seconds: int,
     asof_name: str = "asof_id",
     count_name: str = "n_in_range",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Fused as-of + range-count in ONE window pass: for each left row,
     the latest right row with right.on <= left.on (same `by` group) AND
@@ -277,6 +278,16 @@ def asof_range_profile(
     the high bound sort before it — included). The as-of probe sits at
     the left row's FULL timestamp with ties ordered right-before-left,
     matching `asof_join`'s <= semantics.
+
+    ``bucket_seconds`` is the same hub-key skew lever as `asof_join`'s
+    (round 11): the window partitions on (by, time-bucket) — every row
+    (click or probe) buckets by its OWN sort timestamp — and one
+    carry-in row per occupied (by, bucket) restores cross-border
+    state: __incr = the click count of all earlier buckets (so the
+    cumulative count at any probe stays global) and __rid = their
+    latest click (so the as-of fill stays global), sorted first via
+    rank -1 (a carry summarizes strictly-earlier rows). Row-exact vs
+    the unbucketed shape in tests.
     """
     lcols = list(left.columns)
     lt = F.unix_timestamp(F.col(on))
@@ -311,7 +322,7 @@ def asof_range_profile(
         F.col("__p.__t").alias("__t"),
         F.col("__p.__rank").alias("__rank"),
         F.col("__p.__kind").alias("__kind"),
-        F.lit(0).alias("__incr"),
+        F.lit(0).cast("long").alias("__incr"),
         F.lit(None).cast(dict(right.dtypes)[right_id]).alias("__rid"),
     )
     clicks = right.select(
@@ -320,16 +331,61 @@ def asof_range_profile(
         F.col(on).alias("__t"),
         F.lit(1).alias("__rank"),
         F.lit(None).cast("string").alias("__kind"),
-        F.lit(1).alias("__incr"),
+        # long, not int: a carry-in row's __incr is an earlier-bucket
+        # click COUNT, which can pass 2^31 for one hub key at 100 TB
+        F.lit(1).cast("long").alias("__incr"),
         F.col(right_id).alias("__rid"),
     )
+    unioned = probes.unionByName(clicks)
+    part_cols = ["__by"]
+    if bucket_seconds is not None:
+        bkt = F.floor(F.unix_timestamp(F.col("__t")) / bucket_seconds)
+        unioned = unioned.withColumn("__bkt", bkt)
+        part_cols = ["__by", "__bkt"]
+        tails = (
+            clicks.withColumn("__bkt", bkt)
+            .groupBy("__by", "__bkt")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.max(F.struct(F.col("__t"), F.col("__rid"))).alias(
+                    "__tail"
+                ),
+            )
+        )
+        all_bkts = unioned.select("__by", "__bkt").distinct()
+        wb = (
+            Window.partitionBy("__by")
+            .orderBy(F.col("__bkt").asc())
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        joined = all_bkts.join(tails, ["__by", "__bkt"], "left")
+        carry = (
+            joined.withColumn(
+                "__cn", F.coalesce(F.sum("__n").over(wb), F.lit(0))
+            )
+            .withColumn("__cin", F.max("__tail").over(wb))
+            .where(F.col("__cn") > 0)
+            .select(
+                "__by",
+                null_l,
+                F.timestamp_seconds(
+                    F.col("__bkt") * bucket_seconds
+                ).alias("__t"),
+                F.lit(-1).alias("__rank"),
+                F.lit(None).cast("string").alias("__kind"),
+                F.col("__cn").cast("long").alias("__incr"),
+                F.col("__cin.__rid").alias("__rid"),
+                "__bkt",
+            )
+        )
+        unioned = unioned.unionByName(carry)
     w = (
-        Window.partitionBy("__by")
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("__t").asc(), F.col("__rank").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     scanned = (
-        probes.unionByName(clicks)
+        unioned
         .withColumn("__cum", F.sum("__incr").over(w))
         .withColumn("__last", F.last("__rid", ignorenulls=True).over(w))
         .where(F.col("__kind").isNotNull())

@@ -347,6 +347,18 @@ def test_asof_range_profile_property_random(spark):
                 right_id="click_id", lower_seconds=lo, upper_seconds=hi,
             ).collect()
         }
+        # the bucketed (skew-lever) shape must agree exactly — width
+        # chosen small enough that probes, clicks, and carries cross
+        # many bucket borders
+        got_b = {
+            r["event_id"]: (r["asof_id"], r["n_in_range"])
+            for r in asof_range_profile(
+                purchases, clicks, on="ts", by="user_id",
+                right_id="click_id", lower_seconds=lo, upper_seconds=hi,
+                bucket_seconds=97,
+            ).collect()
+        }
+        assert got_b == got, seed
 
         def oracle(eid, pts, u):
             cands = [(cts, cid) for cts, uu, cid in rights if uu == u]
