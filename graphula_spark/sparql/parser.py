@@ -212,6 +212,30 @@ class Parser:
             from graphula_spark.sparql.algebra import ConstructQuery
 
             self.next()
+            if self.kw() == "WHERE":
+                # CONSTRUCT WHERE shorthand (§10.2.2): the WHERE group
+                # doubles as the template — triples only, no FILTER /
+                # OPTIONAL / paths (round 11)
+                self.next()
+                self.expect_op("{")
+                template, paths = self.parse_triples_block()
+                if paths:
+                    raise SyntaxError(
+                        "CONSTRUCT WHERE allows only plain triple "
+                        "patterns (§10.2.2)"
+                    )
+                self.eat_op(".")
+                if not (self.peek().kind == "OP" and self.peek().text == "}"):
+                    raise SyntaxError(
+                        "CONSTRUCT WHERE allows only plain triple "
+                        "patterns (§10.2.2)"
+                    )
+                self.expect_op("}")
+                limit, offset = self.parse_limit_offset()
+                grp = GroupGraphPattern([Bgp(template)])
+                return ConstructQuery(
+                    template, grp, limit=limit, offset=offset
+                )
             self.expect_op("{")
             template, paths = self.parse_triples_block()
             if paths:
