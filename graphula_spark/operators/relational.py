@@ -101,6 +101,24 @@ def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") 
     return fact.join(F.broadcast(dim), on, how)
 
 
+def _payload_tiebreak(df: DataFrame, cols: list[str]) -> Column:
+    """Deterministic per-row tiebreak for as-of ties: xxhash64 over the
+    HASHABLE payload columns (map-bearing columns are excluded — Spark
+    cannot hash or order maps). Two right rows sharing (by, ts) then
+    resolve by max hash: a pure function of row content, so the winner
+    is stable across runs, partitionings, and cluster shapes (the
+    driver's hash_match gate relies on exactly this). Residual
+    nondeterminism only if two tied rows also share every hashable
+    column (identical payloads, or payloads differing only inside a
+    map) — documented, not detectable without orderability.
+    """
+    dtypes = dict(df.dtypes)
+    hashable = [c for c in cols if "map<" not in dtypes[c]]
+    if not hashable:
+        return F.lit(0).cast("long")
+    return F.xxhash64(*[F.col(c) for c in hashable])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -117,6 +135,14 @@ def asof_join(
     scales linearly, no broadcast nested loop. (DuckDB expresses the
     same as ASOF JOIN; that is the correctness oracle.)
 
+    Tie semantics (round 12): when two right rows share (by, on), the
+    winner is the one with the greatest payload hash (`_payload_tiebreak`)
+    — a deterministic, partition-layout-independent choice, identical
+    between the plain and bucketed shapes. NULL `by` keys follow
+    equi-join semantics: a NULL-keyed right row matches nothing and a
+    NULL-keyed left row gets a NULL fill (matching the DuckDB ASOF
+    JOIN oracle, whose equality predicate never matches NULL).
+
     ``bucket_seconds`` is the SKEW lever (round 11): the plain window
     partitions on the bare `by` key, so one hub key (a power user with
     100M events) becomes a single sort task at 100 TB. With a bucket
@@ -128,17 +154,30 @@ def asof_join(
     identical to the unbucketed shape (equivalence-tested); ties at a
     bucket boundary stay interior because a carry-in's timestamp is
     strictly below the bucket start.
+
+    Choosing the width: per-partition rows ≈ hub-key events per bucket
+    + 1 carry row per occupied bucket, so pick width ≈ (target rows per
+    task) / (hub key's peak events per second); too narrow a width
+    makes carry rows (one per occupied bucket per key) the dominant
+    cost for the LONG TAIL of quiet keys. See PLANS.md §33 for the
+    measured hub-key probe.
     """
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns if c not in (on, by)]
+    # NULL-keyed right rows can never match under equi semantics; drop
+    # them up front so the NULL window partition (Spark groups NULL
+    # keys together) cannot leak fills into NULL-keyed left rows
+    right = right.where(F.col(by).isNotNull())
     r_struct_t = right.select(F.struct(*rcols).alias("x")).schema["x"].dataType
     l_struct_t = left.select(F.struct(*lcols).alias("x")).schema["x"].dataType
+    rtb = _payload_tiebreak(right, rcols)
     l_tag = left.select(
         F.lit(1).alias("__is_left"),
         F.col(on).alias("__t"),
         F.col(by).alias("__by"),
         F.struct(*lcols).alias("__l"),
         F.lit(None).cast(r_struct_t).alias("__r"),
+        F.lit(None).cast("long").alias("__tb"),
     )
     r_tag = right.select(
         F.lit(0).alias("__is_left"),
@@ -146,6 +185,7 @@ def asof_join(
         F.col(by).alias("__by"),
         F.lit(None).cast(l_struct_t).alias("__l"),
         F.struct(*rcols).alias("__r"),
+        rtb.alias("__tb"),
     )
     unioned = l_tag.unionByName(r_tag)
     part_cols = ["__by"]
@@ -153,18 +193,29 @@ def asof_join(
         bkt = F.floor(F.unix_timestamp(F.col("__t")) / bucket_seconds)
         unioned = unioned.withColumn("__bkt", bkt)
         part_cols = ["__by", "__bkt"]
-        # per (by, bucket) tail of the RIGHT rows: latest (t, r); the
-        # carry-in for bucket b is the cumulative-latest tail over all
-        # buckets < b. Carry rows must land in EVERY occupied bucket
-        # (incl. left-only buckets with no right rows), so the bucket
-        # list comes from both sides; the cumulative window runs over
-        # #buckets-sized rows per key, not data (rangeBetween, not
-        # rows: left-only buckets carry NULL tails that must not
-        # truncate the lookback)
+        # per (by, bucket) tail of the RIGHT rows: latest (t, tb, r) by
+        # (t, tb) — max_by keyed on scalars only, so the payload struct
+        # never needs to be orderable (map-typed columns work); the
+        # (t, tb) key matches the window's tie convention exactly. The
+        # carry-in for bucket b is the latest tail over all buckets
+        # < b — per-bucket tail timestamps are strictly increasing
+        # across buckets (bucket = floor(t/width)), so "latest" is
+        # simply the LAST non-null tail in bucket order. Carry rows
+        # must land in EVERY occupied bucket (incl. left-only buckets
+        # with no right rows), so the bucket list comes from both
+        # sides; the cumulative window runs over #buckets-sized rows
+        # per key, not data (rangeBetween, not rows: left-only
+        # buckets carry NULL tails that must not truncate the
+        # lookback)
         tails = (
             r_tag.withColumn("__bkt", bkt)
             .groupBy("__by", "__bkt")
-            .agg(F.max(F.struct(F.col("__t"), F.col("__r"))).alias("__tail"))
+            .agg(
+                F.max_by(
+                    F.struct(F.col("__t"), F.col("__tb"), F.col("__r")),
+                    F.struct(F.col("__t"), F.col("__tb")),
+                ).alias("__tail")
+            )
         )
         all_bkts = unioned.select("__by", "__bkt").distinct()
         wb = (
@@ -174,7 +225,7 @@ def asof_join(
         )
         carry = (
             all_bkts.join(tails, ["__by", "__bkt"], "left")
-            .withColumn("__cin", F.max("__tail").over(wb))
+            .withColumn("__cin", F.last("__tail", ignorenulls=True).over(wb))
             .where(F.col("__cin").isNotNull())
             .select(
                 F.lit(0).alias("__is_left"),
@@ -182,15 +233,19 @@ def asof_join(
                 "__by",
                 F.lit(None).cast(l_struct_t).alias("__l"),
                 F.col("__cin.__r").alias("__r"),
+                F.col("__cin.__tb").alias("__tb"),
                 "__bkt",
             )
         )
         unioned = unioned.unionByName(carry)
     # right rows sort before left rows at equal timestamps so a
-    # same-instant right row is visible to the left row (<= semantics)
+    # same-instant right row is visible to the left row (<= semantics);
+    # __tb makes the order TOTAL across right rows sharing (by, t) —
+    # F.last then deterministically picks the max-hash row, the same
+    # row the bucketed tail's max_by(…, struct(t, tb)) keeps
     w = (
         Window.partitionBy(*part_cols)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
@@ -218,13 +273,21 @@ def range_join_count(
     bins, join on (by, bin) then exact range filter — avoids the
     broadcast-nested-loop a plain interval join would produce, and
     shuffles on (by, bin) which stays balanced at scale.
+
+    Duplicate left rows are preserved with INDEPENDENT counts (round
+    12): the fold-back groups on a per-row uid attached before the bin
+    explode, not on the raw left columns — grouping on content alone
+    would both collapse N identical left rows to one AND inflate its
+    count N-fold.
     """
     width = lower_seconds + upper_seconds
     lb = F.floor(F.unix_timestamp(F.col(left_ts)) / width)
     rb = F.floor(F.unix_timestamp(F.col(right_ts)) / width)
-    l2 = left.withColumn(
-        "__bin", F.explode(F.array(lb - 1, lb, lb + 1))
-    ).withColumn("__lt", F.unix_timestamp(F.col(left_ts)))
+    l2 = (
+        left.withColumn("__luid", F.monotonically_increasing_id())
+        .withColumn("__bin", F.explode(F.array(lb - 1, lb, lb + 1)))
+        .withColumn("__lt", F.unix_timestamp(F.col(left_ts)))
+    )
     r2 = right.select(
         F.col(by).alias("__rby"),
         rb.alias("__bin"),
@@ -239,8 +302,9 @@ def range_join_count(
         "left",
     )
     return (
-        joined.groupBy(*[F.col(c) for c in left.columns])
+        joined.groupBy("__luid", *[F.col(c) for c in left.columns])
         .agg(F.count("__rt").alias(count_name))
+        .drop("__luid")
     )
 
 
@@ -279,6 +343,19 @@ def asof_range_profile(
     the left row's FULL timestamp with ties ordered right-before-left,
     matching `asof_join`'s <= semantics.
 
+    Tie + NULL-key semantics (round 12): right rows sharing (by, on)
+    resolve deterministically to the MAX `right_id` — the same row the
+    bucketed carry-in's max(struct(ts, id)) tail keeps, so the plain
+    and bucketed shapes agree on ties at a bucket border. (`asof_join`
+    has no id column, so its deterministic tie-break is the payload
+    hash; on tied inputs the two operators may pick different — but
+    each individually stable — winners.) NULL `by` rows follow equi-join
+    semantics: NULL-keyed right rows match nothing; NULL-keyed left
+    rows return (NULL asof, 0 count), exactly what the composed
+    asof_join + range_join_count produces. Duplicate left rows are
+    PRESERVED (one output row each, identical profiles) via a per-row
+    uid attached before the probe explode.
+
     ``bucket_seconds`` is the same hub-key skew lever as `asof_join`'s
     (round 11): the window partitions on (by, time-bucket) — every row
     (click or probe) buckets by its OWN sort timestamp — and one
@@ -287,7 +364,8 @@ def asof_range_profile(
     cumulative count at any probe stays global) and __rid = their
     latest click (so the as-of fill stays global), sorted first via
     rank -1 (a carry summarizes strictly-earlier rows). Row-exact vs
-    the unbucketed shape in tests.
+    the unbucketed shape in tests. Width guidance: see `asof_join`'s
+    docstring and PLANS.md §33.
     """
     lcols = list(left.columns)
     lt = F.unix_timestamp(F.col(on))
@@ -295,9 +373,13 @@ def asof_range_profile(
     null_l = F.lit(None).cast(
         left.select(F.struct(*lcols).alias("x")).schema["x"].dataType
     ).alias("__l")
-    probes = left.select(
+    right = right.where(F.col(by).isNotNull())
+    probes = left.withColumn(
+        "__luid", F.monotonically_increasing_id()
+    ).select(
         F.col(by).alias("__by"),
         lstruct,
+        F.col("__luid"),
         F.explode(
             F.array(
                 F.struct(
@@ -318,7 +400,7 @@ def asof_range_profile(
             )
         ).alias("__p"),
     ).select(
-        "__by", "__l",
+        "__by", "__l", "__luid",
         F.col("__p.__t").alias("__t"),
         F.col("__p.__rank").alias("__rank"),
         F.col("__p.__kind").alias("__kind"),
@@ -328,6 +410,7 @@ def asof_range_profile(
     clicks = right.select(
         F.col(by).alias("__by"),
         null_l,
+        F.lit(None).cast("long").alias("__luid"),
         F.col(on).alias("__t"),
         F.lit(1).alias("__rank"),
         F.lit(None).cast("string").alias("__kind"),
@@ -359,15 +442,20 @@ def asof_range_profile(
             .rangeBetween(Window.unboundedPreceding, -1)
         )
         joined = all_bkts.join(tails, ["__by", "__bkt"], "left")
+        # per-bucket tail timestamps strictly increase across buckets,
+        # so the latest earlier-bucket tail is the LAST non-null one in
+        # bucket order; within a bucket max(struct(__t, __rid)) keeps
+        # the max-id row at a timestamp tie — the window's convention
         carry = (
             joined.withColumn(
                 "__cn", F.coalesce(F.sum("__n").over(wb), F.lit(0))
             )
-            .withColumn("__cin", F.max("__tail").over(wb))
+            .withColumn("__cin", F.last("__tail", ignorenulls=True).over(wb))
             .where(F.col("__cn") > 0)
             .select(
                 "__by",
                 null_l,
+                F.lit(None).cast("long").alias("__luid"),
                 F.timestamp_seconds(
                     F.col("__bkt") * bucket_seconds
                 ).alias("__t"),
@@ -379,9 +467,13 @@ def asof_range_profile(
             )
         )
         unioned = unioned.unionByName(carry)
+    # __rid makes the sort total where it matters: only click rows can
+    # tie in (__t, __rank) (probe ranks 0/2 vs click rank 1, one carry
+    # per partition at rank -1), and F.last then deterministically
+    # fills the MAX right_id — the same row the bucketed tail keeps
     w = (
         Window.partitionBy(*part_cols)
-        .orderBy(F.col("__t").asc(), F.col("__rank").asc())
+        .orderBy(F.col("__t").asc(), F.col("__rank").asc(), F.col("__rid").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     scanned = (
@@ -392,7 +484,7 @@ def asof_range_profile(
     )
     kind = F.col("__kind")
     return (
-        scanned.groupBy("__l")
+        scanned.groupBy("__l", "__luid")
         .agg(
             F.max(F.when(kind == "asof", F.col("__last"))).alias(asof_name),
             (

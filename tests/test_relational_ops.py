@@ -301,11 +301,14 @@ def test_asof_range_profile_equals_composition(spark):
 
 
 def test_asof_range_profile_property_random(spark):
-    """Property breadth for the fused operator (round 11): random
-    tie-free datasets (the as-of tie winner is unspecified in BOTH
-    shapes, so (by, ts) pairs are unique per side), checked against a
-    pure-Python oracle — second-truncated inclusive bounds, <= as-of,
-    NULL as-of when no prior right row, every left row present."""
+    """Property breadth for the fused operator (round 11; ties planted
+    round 12): random datasets WITH exact (by, ts) collisions — within
+    clicks, within purchases, and across the two sides — checked
+    against a pure-Python oracle. The round-12 tie contract: the as-of
+    winner among clicks sharing (by, ts) is the MAX click_id, which is
+    exactly what max() over (ts, id) tuples yields in the oracle.
+    Second-truncated inclusive bounds, <= as-of, NULL as-of when no
+    prior right row, every left row present."""
     import datetime
     import math
     import random
@@ -322,19 +325,17 @@ def test_asof_range_profile_property_random(spark):
                 seconds=sec_us // 1_000_000, microseconds=sec_us % 1_000_000
             )
 
-        # unique (user, ts) per side, microsecond jitter, clustered so
-        # ranges actually overlap
-        def uniq_times(n):
-            out = set()
-            while len(out) < n:
-                out.add(rng.randrange(4000) * 1_000_000 + rng.randrange(50))
-            return sorted(out)
+        # coarse second-granularity times drawn WITH replacement from a
+        # small range: exact ties are frequent on purpose (in-side and
+        # cross-side), and ranges overlap heavily
+        def times(n):
+            return sorted(rng.randrange(2000) * 1_000_000 for _ in range(n))
 
         lefts, rights = [], []
         for u in range(4):
-            for i, t in enumerate(uniq_times(rng.randrange(1, 15))):
+            for i, t in enumerate(times(rng.randrange(1, 15))):
                 lefts.append((f"p{u}_{i}", ts(t), u))
-            for j, t in enumerate(uniq_times(rng.randrange(0, 40))):
+            for j, t in enumerate(times(rng.randrange(0, 40))):
                 rights.append((ts(t), u, f"c{u}_{j}"))
         purchases = spark.createDataFrame(
             lefts, ["event_id", "ts", "user_id"]
@@ -378,10 +379,13 @@ def test_asof_range_profile_property_random(spark):
 
 
 def test_asof_join_bucketed_equivalence(spark):
-    """Round 11: bucket_seconds partitions the as-of window on
-    (by, time-bucket) — the hub-key skew lever — and must be row-exact
-    vs the plain shape, including left-only buckets, empty-bucket
-    gaps longer than the width, and keys with no right rows at all."""
+    """Round 11 (ties planted round 12): bucket_seconds partitions the
+    as-of window on (by, time-bucket) — the hub-key skew lever — and
+    must be row-exact vs the plain shape, including left-only buckets,
+    empty-bucket gaps longer than the width, keys with no right rows
+    at all, and exact (by, ts) ties (coarse times drawn with
+    replacement): both shapes resolve a tie to the max-payload-hash
+    row, so they must agree even when the tie sits at a bucket tail."""
     import datetime
     import random
 
@@ -398,10 +402,9 @@ def test_asof_join_bucketed_equivalence(spark):
         rng = random.Random(seed)
 
         def uniq(n):
-            out = set()
-            while len(out) < n:
-                out.add(rng.randrange(8000) * 1_000_000 + rng.randrange(20))
-            return sorted(out)
+            # coarse second-granularity, drawn WITH replacement: exact
+            # ties within and across sides are frequent on purpose
+            return sorted(rng.randrange(4000) * 1_000_000 for _ in range(n))
 
         lefts, rights = [], []
         for u in range(5):
@@ -430,3 +433,176 @@ def test_asof_join_bucketed_equivalence(spark):
         }
         assert bucketed == plain, (seed, width)
         assert len(bucketed) == len(lefts)
+
+
+def test_asof_join_tie_deterministic_across_partitionings(spark):
+    """Round 12 (VERDICT r11 #1): two right rows sharing (by, ts) must
+    resolve to ONE deterministic winner — the max-payload-hash row —
+    regardless of input partitioning (the old F.last over a non-total
+    sort was partition-layout-dependent), and the bucketed shape must
+    pick the SAME winner even when the tie sits at a bucket tail."""
+    from graphula_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "u1")], ["id", "ts", "user"]
+    )
+    # tie exactly at a 60 s bucket border minus 1 s => the tied pair is
+    # the tail of its bucket and feeds the next bucket's carry-in
+    tied = [
+        (ts("2024-01-01T09:59:59"), "u1", "tagA"),
+        (ts("2024-01-01T09:59:59"), "u1", "tagB"),
+        (ts("2024-01-01T09:00:00"), "u1", "older"),
+    ]
+    right = spark.createDataFrame(tied, ["ts", "user", "tag"])
+    winners = set()
+    for nparts in (1, 3, 13):
+        r = right.repartition(nparts)
+        out = asof_join(left, r, on="ts", by="user").collect()
+        assert len(out) == 1
+        winners.add(out[0]["tag"])
+        outb = asof_join(
+            left, r, on="ts", by="user", bucket_seconds=60
+        ).collect()
+        assert len(outb) == 1
+        winners.add(outb[0]["tag"])
+    # every partitioning and both shapes agree on one tied winner
+    assert len(winners) == 1
+    assert winners.pop() in {"tagA", "tagB"}
+
+
+def test_asof_range_profile_tie_resolves_to_max_right_id(spark):
+    """Round 12: the fused profile's documented tie contract — clicks
+    sharing (by, ts) resolve to the MAX right_id, identically in the
+    plain and bucketed shapes."""
+    from graphula_spark.operators.relational import asof_range_profile
+
+    left = spark.createDataFrame(
+        [("p1", ts("2024-01-01T10:00:30"), "u1")], ["event_id", "ts", "user_id"]
+    )
+    clicks = spark.createDataFrame(
+        [
+            (ts("2024-01-01T10:00:30"), "u1", "c2"),  # tie at left ts
+            (ts("2024-01-01T10:00:30"), "u1", "c9"),  # max id wins
+            (ts("2024-01-01T10:00:30"), "u1", "c5"),
+            (ts("2024-01-01T09:00:00"), "u1", "c1"),
+        ],
+        ["ts", "user_id", "click_id"],
+    )
+    for bw in (None, 60, 7):
+        got = asof_range_profile(
+            left, clicks.repartition(5), on="ts", by="user_id",
+            right_id="click_id", lower_seconds=600, upper_seconds=600,
+            bucket_seconds=bw,
+        ).collect()
+        assert len(got) == 1
+        assert got[0]["asof_id"] == "c9", bw
+        assert got[0]["n_in_range"] == 3, bw
+
+
+def test_asof_range_profile_preserves_duplicate_left_rows(spark):
+    """Round 12 (VERDICT r11 #2 / ADVICE): N fully-identical left rows
+    produce N output rows with identical profiles — the old
+    groupBy(left-struct) collapsed them; range_join_count likewise
+    keeps per-row counts independent instead of collapsing AND
+    N-folding the count."""
+    from graphula_spark.operators.relational import (
+        asof_range_profile,
+        range_join_count,
+    )
+
+    dup = (ts("2024-01-01T10:00:00"), "u1")
+    left = spark.createDataFrame(
+        [dup, dup, dup, (ts("2024-01-01T11:00:00"), "u1")], ["ts", "user_id"]
+    )
+    clicks = spark.createDataFrame(
+        [
+            (ts("2024-01-01T09:58:00"), "u1", "c1"),
+            (ts("2024-01-01T10:05:00"), "u1", "c2"),
+        ],
+        ["ts", "user_id", "click_id"],
+    )
+    rows = asof_range_profile(
+        left, clicks, on="ts", by="user_id", right_id="click_id",
+        lower_seconds=600, upper_seconds=600,
+    ).collect()
+    assert len(rows) == 4
+    trip = [r for r in rows if r["ts"] == dup[0]]
+    assert len(trip) == 3
+    assert all(r["asof_id"] == "c1" and r["n_in_range"] == 2 for r in trip)
+
+    rj = range_join_count(
+        left, clicks.select("ts", "user_id"), "ts", "ts", "user_id", 600, 600
+    ).collect()
+    assert len(rj) == 4
+    assert sorted(r["n_in_range"] for r in rj) == [0, 2, 2, 2]
+
+
+def test_asof_null_by_matches_equi_join_semantics(spark):
+    """Round 12 (ADVICE): NULL `by` keys follow equi-join semantics in
+    both as-of operators — a NULL-keyed right row matches nothing (the
+    window's NULL partition must not leak fills), and a NULL-keyed
+    left row gets (NULL fill, 0 count), exactly what the composed
+    equi-join shapes produce."""
+    from graphula_spark.operators.relational import asof_join, asof_range_profile
+
+    left = spark.createDataFrame(
+        [
+            ("p1", ts("2024-01-01T10:00:00"), None),
+            ("p2", ts("2024-01-01T10:00:00"), "u1"),
+        ],
+        ["event_id", "ts", "user_id"],
+    )
+    clicks = spark.createDataFrame(
+        [
+            (ts("2024-01-01T09:00:00"), None, "cnull"),
+            (ts("2024-01-01T09:00:00"), "u1", "c1"),
+        ],
+        ["ts", "user_id", "click_id"],
+    )
+    for bw in (None, 3600):
+        aj = {
+            r["event_id"]: r["click_id"]
+            for r in asof_join(
+                left, clicks, on="ts", by="user_id", bucket_seconds=bw
+            ).collect()
+        }
+        assert aj == {"p1": None, "p2": "c1"}, bw
+        pr = {
+            r["event_id"]: (r["asof_id"], r["n_in_range"])
+            for r in asof_range_profile(
+                left, clicks, on="ts", by="user_id", right_id="click_id",
+                lower_seconds=7200, upper_seconds=7200, bucket_seconds=bw,
+            ).collect()
+        }
+        assert pr == {"p1": (None, 0), "p2": ("c1", 1)}, bw
+
+
+def test_asof_join_map_payload_bucketed(spark):
+    """Round 12 (ADVICE): a right side carrying a map-typed payload
+    column works under bucket_seconds — the per-bucket tail is keyed
+    with max_by on (ts, payload-hash-of-hashable-cols), never ordering
+    the payload struct itself (maps are not orderable in Spark)."""
+    from graphula_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "u1"), (2, ts("2024-01-01T12:00:00"), "u1")],
+        ["id", "ts", "user"],
+    )
+    right = spark.createDataFrame(
+        [
+            (ts("2024-01-01T09:30:00"), "u1", "a", {"k": 1}),
+            (ts("2024-01-01T11:00:00"), "u1", "b", {"k": 2}),
+        ],
+        ["ts", "user", "tag", "attrs"],
+    )
+    plain = {
+        (r["id"], r["tag"], tuple(sorted((r["attrs"] or {}).items())))
+        for r in asof_join(left, right, on="ts", by="user").collect()
+    }
+    bucketed = {
+        (r["id"], r["tag"], tuple(sorted((r["attrs"] or {}).items())))
+        for r in asof_join(
+            left, right, on="ts", by="user", bucket_seconds=60
+        ).collect()
+    }
+    assert plain == bucketed == {(1, "a", (("k", 1),)), (2, "b", (("k", 2),))}
