@@ -788,6 +788,40 @@ def semantic_dedup(
     return out
 
 
+def choose_decontam_bands(
+    threshold: float,
+    planes_per_band: int = 16,
+    target_recall: float = 0.95,
+    max_bands: int = 64,
+) -> int:
+    """Number of sign-bit bands needed so a pair at EXACTLY the
+    threshold cosine is caught with `target_recall` probability — the
+    hyperplane-LSH analogue of `dedup.choose_lsh_params` (round 12,
+    VERDICT r11 #5: the 8-band default's band-match probability is
+    ~0.19 at c=0.95, i.e. ~81% recall right AT the boundary).
+
+    Standard amplification arithmetic (SimHash / random-hyperplane
+    LSH, Charikar 2002): a pair at cosine c agrees on one plane with
+    probability 1 - acos(c)/pi, on a whole band with
+    p = (1 - acos(c)/pi)^planes, and across B independent bands with
+    1 - (1-p)^B — so B = ceil(ln(1-target) / ln(1-p)). The cost of
+    more bands is linear candidate volume AND the unrelated-pair
+    collision term B/2^planes (the term that must stay tiny: at
+    16-plane bands, B=15 keeps it at 0.023% of pairs; halving
+    planes_per_band would put even B=8 at 6% — raise bands, never
+    shrink bands' width, when chasing boundary recall)."""
+    import math
+
+    p_plane = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_band = p_plane ** planes_per_band
+    if p_band >= 1.0:
+        return 1
+    if p_band <= 0.0:
+        return max_bands
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return max(1, min(max_bands, b))
+
+
 def semantic_decontaminate(
     vectors: DataFrame,
     bench_vectors: DataFrame,
@@ -795,7 +829,7 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     bucketed: bool = False,
-    num_bands: int = 8,
+    num_bands: int | str = 8,
     planes_per_band: int = 16,
     bucket_dims: int = 64,
 ) -> DataFrame:
@@ -826,11 +860,20 @@ def semantic_decontaminate(
     (true dups), ~0.19 at exactly c=0.95, so recall is ~1.0 for
     real duplicates and degrades toward the threshold boundary
     (recall-gated >= 0.9 vs the exact path on planted near-dups in
-    tests). Corpus rows explode x num_bands into the bucket join; a
-    corpus id with no candidate keeps max_sim NULL via the left join.
-    Zero-norm vectors score NULL (no similarity) on either side, max
-    ignores NULLs, and an all-NULL id is not contaminated."""
+    tests). For borderline regimes pass ``num_bands="auto"`` (round
+    12): `choose_decontam_bands` sizes the band count so a pair AT the
+    threshold cosine is still caught with ~0.95 probability (15 bands
+    at c=0.95/16 planes, unrelated-pair collision 0.023%) — the
+    default stays 8 for the true-duplicate regime where band volume
+    buys nothing. Corpus rows explode x num_bands into the bucket
+    join; a corpus id with no candidate keeps max_sim NULL via the
+    left join. Zero-norm OR NULL vectors score NULL (no similarity)
+    on either side, max ignores NULLs, and an all-NULL id is not
+    contaminated — every corpus id yields exactly one output row in
+    both paths."""
     if bucketed:
+        if num_bands == "auto":
+            num_bands = choose_decontam_bands(threshold, planes_per_band)
         return _semantic_decontaminate_bucketed(
             vectors, bench_vectors, id_col, vec_col, threshold,
             num_bands, planes_per_band, bucket_dims,
@@ -947,9 +990,16 @@ def _semantic_decontaminate_bucketed(
         F.posexplode(banded_sketch(F.col("bv"))).alias("band", "bits"),
         "bv",
     )
-    nzv = v.where(F.col("n") > 0)
-    # zero-norm corpus rows get no bands: never candidates, score NULL
-    zrv = v.where(~(F.col("n") > 0)).select("id")
+    # null-SAFE split (round 12, ADVICE): a NULL embedding has NULL
+    # norm, which fails BOTH `n > 0` and `~(n > 0)` — the row would
+    # silently vanish, breaking the one-row-per-corpus-id contract the
+    # exact path keeps (it returns such rows with max_sim NULL,
+    # contaminated false). Coalesce routes NULL/zero-norm rows to the
+    # no-candidate union branch, same as embedding_near_dup_reps does.
+    nz = F.coalesce(F.col("n") > 0, F.lit(False))
+    nzv = v.where(nz)
+    # zero/NULL-norm corpus rows get no bands: never candidates, NULL
+    zrv = v.where(~nz).select("id")
     vexp = nzv.select(
         "id",
         F.posexplode(banded_sketch(F.col("v"))).alias("band", "bits"),

