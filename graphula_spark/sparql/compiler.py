@@ -92,11 +92,24 @@ def unregister_function(iri: str) -> None:
 def rdf_value(term: Column) -> Column:
     """Lexical form of a term string (reference keeps terms verbatim,
     Transformations.scala:21-23; value extraction happens only inside
-    FILTER-style evaluation)."""
+    FILTER-style evaluation).
+
+    Escape decoding (round 12): sequential regexp passes cannot decode
+    overlapping escapes correctly (after `\\\\` -> `\\`, a following `n`
+    would wrongly read as `\\n`), so `\\\\` is first swapped to a \\x00
+    sentinel, the single-char ECHARs decoded, then the sentinel
+    restored — a correct left-to-right simulation in pure Catalyst
+    expressions. \\uXXXX stays undecoded JVM-side (no per-match
+    computed replacement in regexp_replace); the driver-side
+    serializers (`results.nt_unescape`) handle it."""
     lex = F.regexp_extract(term, _LEX_RE, 1)
-    unescaped = F.regexp_replace(
-        F.regexp_replace(lex, r'\\"', '"'), r"\\\\", r"\\"
-    )
+    u = F.regexp_replace(lex, r"\\\\", "\x00")
+    for pat, rep in (
+        (r'\\"', '"'), (r"\\t", "\t"), (r"\\n", "\n"),
+        (r"\\r", "\r"), (r"\\b", "\b"), (r"\\f", "\f"), (r"\\'", "'"),
+    ):
+        u = F.regexp_replace(u, pat, rep)
+    unescaped = F.regexp_replace(u, "\x00", r"\\")
     return F.when(term.startswith('"'), unescaped).otherwise(term)
 
 

@@ -21,6 +21,44 @@ import json
 from pyspark.sql import DataFrame
 
 
+_NT_UNESCAPES = {
+    "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def nt_unescape(lex: str) -> str:
+    """Decode N-Triples string escapes to raw characters — the storage
+    convention keeps literals in escaped lexical form (O25 verbatim
+    identity), but the JSON/XML/CSV results formats carry the ACTUAL
+    value text (each applies its own encoding at write time). Single
+    left-to-right pass, so `\\\\n` correctly yields backslash+n, not a
+    newline; handles ECHAR plus \\uXXXX / \\UXXXXXXXX."""
+    if "\\" not in lex:
+        return lex
+    out: list[str] = []
+    i = 0
+    while i < len(lex):
+        ch = lex[i]
+        if ch == "\\" and i + 1 < len(lex):
+            nxt = lex[i + 1]
+            if nxt in _NT_UNESCAPES:
+                out.append(_NT_UNESCAPES[nxt])
+                i += 2
+                continue
+            if nxt == "u" and i + 6 <= len(lex):
+                out.append(chr(int(lex[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if nxt == "U" and i + 10 <= len(lex):
+                out.append(chr(int(lex[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _term_to_json(term) -> dict | None:
     if term is None:
         return None
@@ -28,9 +66,11 @@ def _term_to_json(term) -> dict | None:
     if s.startswith("_:"):
         return {"type": "bnode", "value": s[2:]}
     if s.startswith('"'):
-        # N-Triples literal: "lex"(@lang | ^^<dt>)?
+        # N-Triples literal: "lex"(@lang | ^^<dt>)? — the stored lex
+        # is escaped; the results value is the raw text (round 12, a
+        # manifest case caught CSV emitting literal backslash-n)
         end = s.rfind('"')
-        lex = s[1:end]
+        lex = nt_unescape(s[1:end])
         rest = s[end + 1 :]
         out: dict = {"type": "literal", "value": lex}
         if rest.startswith("@"):
@@ -80,7 +120,7 @@ def to_sparql_csv(df: DataFrame, limit: int | None = None) -> str:
             s = str(v)
             if s.startswith('"'):
                 end = s.rfind('"')
-                s = s[1:end]
+                s = nt_unescape(s[1:end])
             out.append(s)
         w.writerow(out)
     return buf.getvalue()

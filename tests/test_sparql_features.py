@@ -2600,3 +2600,77 @@ def test_zero_length_seq_path_bound_endpoints(spark):
     # and the non-zero part of the sequence still works
     assert ask("""PREFIX ex: <http://e/>
                   ASK { ex:a (ex:p?/ex:q?) ex:c }""") is True
+
+
+def test_results_serializers_decode_storage_escapes(spark):
+    """Round 12 (found by manifest case csvres05): the storage form
+    keeps N-Triples escapes verbatim, but the JSON/XML/CSV results
+    formats carry RAW text (each applies its own encoding at write
+    time) — a stored \\n must serialize as a real newline, not
+    backslash+n. TSV stays verbatim by design (its cells ARE SPARQL
+    term syntax)."""
+    import csv as _csv
+    import io
+    import json
+
+    from graphula_spark.graph import Graph
+    from graphula_spark.sparql.results import nt_unescape, serialize_results
+
+    assert nt_unescape(r"a\nb") == "a\nb"
+    assert nt_unescape(r"say \"hi\"") == 'say "hi"'
+    assert nt_unescape(r"x\\ny") == "x\\ny"  # escaped backslash, then n
+    assert nt_unescape(r"A\t") == "A\t"
+
+    ttl = r'''@prefix ex: <http://e/> .
+ex:a ex:v "line1\nline2" .
+ex:a ex:w "say \"hi\"" .
+'''
+    from graphula_spark.literal import literal_df
+    from graphula_spark.sources.turtle import _parse_turtle_text
+
+    rows = _parse_turtle_text(ttl)
+    g = Graph.from_string_triples(
+        spark, literal_df(spark, rows, "s string, p string, o string")
+    )
+    df = g.sparql(
+        "PREFIX ex: <http://e/> SELECT ?v ?w WHERE "
+        "{ ex:a ex:v ?v . ex:a ex:w ?w }"
+    )
+    j = json.loads(serialize_results(df, "json"))
+    b = j["results"]["bindings"][0]
+    assert b["v"]["value"] == "line1\nline2"
+    assert b["w"]["value"] == 'say "hi"'
+    rec = list(_csv.reader(io.StringIO(serialize_results(df, "csv"))))[1]
+    assert rec == ["line1\nline2", 'say "hi"']
+    assert "line1\nline2" in serialize_results(df, "xml")
+    # TSV keeps the escaped SPARQL term syntax verbatim
+    tsv = serialize_results(df, "tsv").splitlines()[1]
+    assert tsv.split("\t")[0] == '"line1\\nline2"'
+
+
+def test_rdf_value_decodes_overlapping_escapes(spark):
+    """Round 12: FILTER-level lexical view decodes ECHARs in one
+    correct left-to-right simulation — an escaped backslash followed
+    by 'n' stays backslash+n (the old sequential passes got the order
+    right only for quote/backslash)."""
+    from pyspark.sql import functions as F
+
+    from graphula_spark.literal import literal_df
+    from graphula_spark.sparql.compiler import rdf_value
+
+    rows = [
+        (r'"a\nb"',),       # real newline after decode
+        (r'"x\\ny"',),      # backslash then literal n
+        (r'"t\tab"',),
+        (r'"q\"end"',),
+        ("plainiri",),
+    ]
+    df = literal_df(spark, rows, "t string").select(
+        F.col("t"), rdf_value(F.col("t")).alias("v")
+    )
+    got = {r["t"]: r["v"] for r in df.collect()}
+    assert got[r'"a\nb"'] == "a\nb"
+    assert got[r'"x\\ny"'] == "x\\ny"
+    assert got[r'"t\tab"'] == "t\tab"
+    assert got[r'"q\"end"'] == 'q"end'
+    assert got["plainiri"] == "plainiri"

@@ -59,6 +59,10 @@ class ManifestCase:
     result_path: str | None = None
     graph_data: list[str] = field(default_factory=list)
     comment: str | None = None
+    # qt:serviceData — (endpoint IRI, data path) pairs, the SPARQL 1.1
+    # federation-test vocabulary: each endpoint's data loads into an
+    # in-process Graph registered under the IRI for the case's duration
+    service_data: list[tuple[str, str]] = field(default_factory=list)
     # ut: UpdateEvaluationTest state — (path, graph-iri) pairs for the
     # named graphs; data_path is the pre default graph, result_path
     # (reused) the post default graph; None = empty graph
@@ -193,6 +197,15 @@ def _build_case(by_subj, base_dir, entry) -> ManifestCase:
             comment=_lex(comment[0]) if comment else None,
         )
     a_props = by_subj.get(action, {})
+    service_data = []
+    for snode in a_props.get(QT + "serviceData", []):
+        sp = by_subj.get(snode, {})
+        service_data.append(
+            (
+                sp[QT + "endpoint"][0],
+                _resolve(base_dir, sp[QT + "data"][0]),
+            )
+        )
     return ManifestCase(
         name=name,
         kind="eval",
@@ -207,6 +220,7 @@ def _build_case(by_subj, base_dir, entry) -> ManifestCase:
         ],
         result_path=_resolve(base_dir, result) if result else None,
         comment=_lex(comment[0]) if comment else None,
+        service_data=service_data,
     )
 
 
@@ -247,8 +261,13 @@ def parse_srx(path: str):
 def parse_tsv_result(path: str):
     """SPARQL 1.1 TSV results (the csv-tsv-res area's rich format):
     header `?x\\t?y`, terms in full SPARQL syntax — <iri>, "lit",
-    "lit"@lang, "lit"^^<dt>, _:b, bare numeric shorthand.
-    -> ("rows", [ {var: storage-term} ])."""
+    "lit"@lang, "lit"^^<dt>, _:b, bare numeric shorthand. Literal
+    cells keep their SPARQL escapes VERBATIM: the repo's storage
+    convention is the N-Triples-escaped lexical form (O25 verbatim
+    identity — a newline is stored as the two characters \\n), so the
+    escaped TSV cell and the engine's storage string already meet at
+    the same level; term_to_storage applies the same escaping to the
+    .srx side. -> ("rows", [ {var: storage-term} ])."""
     with open(path, encoding="utf-8") as fh:
         lines = [ln.rstrip("\n") for ln in fh]
     # EVERY empty line is a legal solution row with all variables
@@ -296,7 +315,14 @@ def parse_csv_result(path: str):
 
 def csv_lossy(v) -> str:
     """Project an engine value the way the CSV results format does:
-    lexical text only."""
+    lexical text only, with the storage form's N-Triples escapes
+    decoded to RAW characters (the format carries actual text and
+    re-quotes per RFC 4180 — same projection `to_sparql_csv` makes)."""
+    from graphula_spark.sparql.results import nt_unescape
+
+    if isinstance(v, str) and v.startswith('"'):
+        end = v.rfind('"')
+        v = f'"{nt_unescape(v[1:end])}"{v[end + 1:]}'
     n = norm_value(v)
     if isinstance(n, bool):
         return "true" if n else "false"
@@ -561,7 +587,27 @@ def run_case(spark, case: ManifestCase) -> tuple[bool, str]:
             return True, "raised as required"
         return False, "negative syntax test did not raise"
     g = load_graph(spark, case.data_path)
-    df = g.sparql(query)
+    if case.service_data:
+        # SPARQL 1.1 federation vocabulary: each qt:serviceData
+        # endpoint's data becomes an in-process Graph registered under
+        # the endpoint IRI for this case only (the module's no-network
+        # policy: SERVICE resolves to loaded data, never a socket)
+        from graphula_spark.sparql.service import (
+            register_service,
+            unregister_service,
+        )
+
+        for endpoint, path in case.service_data:
+            register_service(endpoint, load_graph(spark, path))
+        try:
+            return _check_result(spark, case, g.sparql(query))
+        finally:
+            for endpoint, _path in case.service_data:
+                unregister_service(endpoint)
+    return _check_result(spark, case, g.sparql(query))
+
+
+def _check_result(spark, case: ManifestCase, df) -> tuple[bool, str]:
     if case.result_path.endswith((".ttl", ".nt")):
         # a .ttl result is EITHER a DAWG rs:ResultSet (SELECT/ASK in
         # the SPARQL 1.0 areas of rdf-tests) or a plain graph
