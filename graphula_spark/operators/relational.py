@@ -126,14 +126,26 @@ def asof_join(
     by: str,
     suffix: str = "_right",
     bucket_seconds: int | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    right.on <= left.on within the same `by` group.
+    right.on <= left.on within the same `by` group
+    (``direction="backward"``, the default), or the EARLIEST right row
+    with right.on >= left.on (``direction="forward"`` — "the next
+    event after this one", e.g. purchase → next support ticket).
+    ``tolerance_seconds`` additionally bounds the match distance:
+    fills farther than the tolerance come back NULL, exactly pandas
+    merge_asof's contract.
 
     Spark-first implementation via union + window last_value instead of
     a per-row correlated lookup: one shuffle on `by`, ordered scan —
     scales linearly, no broadcast nested loop. (DuckDB expresses the
-    same as ASOF JOIN; that is the correctness oracle.)
+    backward case as ASOF JOIN; that is the correctness oracle.)
+    Internally time is SIGNED epoch microseconds (negated for
+    forward), so one ordered-scan implementation serves both
+    directions — including the bucketed skew lever, whose carry-in
+    machinery is direction-agnostic in signed time.
 
     Tie semantics (round 12): when two right rows share (by, on), the
     winner is the one with the greatest payload hash (`_payload_tiebreak`)
@@ -148,12 +160,12 @@ def asof_join(
     100M events) becomes a single sort task at 100 TB. With a bucket
     width, the window partitions on (by, time-bucket) — bounded rows
     per partition — and correctness across bucket borders comes from a
-    CARRY-IN row per (by, bucket): the latest right row of all EARLIER
-    buckets, computed on the per-bucket tails (one tiny window over
-    #buckets-sized rows per key, then joined back). Semantics are
-    identical to the unbucketed shape (equivalence-tested); ties at a
-    bucket boundary stay interior because a carry-in's timestamp is
-    strictly below the bucket start.
+    CARRY-IN row per (by, bucket): the latest (in signed time) right
+    row of all EARLIER buckets, computed on the per-bucket tails (one
+    tiny window over #buckets-sized rows per key, then joined back).
+    Semantics are identical to the unbucketed shape
+    (equivalence-tested); ties at a bucket boundary stay interior
+    because a carry-in's timestamp is strictly below the bucket start.
 
     Choosing the width: per-partition rows ≈ hub-key events per bucket
     + 1 carry row per occupied bucket, so pick width ≈ (target rows per
@@ -162,57 +174,68 @@ def asof_join(
     cost for the LONG TAIL of quiet keys. See PLANS.md §33 for the
     measured hub-key probe.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    sign = 1 if direction == "backward" else -1
     lcols = [c for c in left.columns]
     rcols = [c for c in right.columns if c not in (on, by)]
     # NULL-keyed right rows can never match under equi semantics; drop
     # them up front so the NULL window partition (Spark groups NULL
     # keys together) cannot leak fills into NULL-keyed left rows
     right = right.where(F.col(by).isNotNull())
-    r_struct_t = right.select(F.struct(*rcols).alias("x")).schema["x"].dataType
     l_struct_t = left.select(F.struct(*lcols).alias("x")).schema["x"].dataType
     rtb = _payload_tiebreak(right, rcols)
+    # fill payload carries its own signed time (__st) so the tolerance
+    # check can measure the match distance after the window fill
+    rv = F.struct(
+        (F.unix_micros(F.col(on)) * sign).alias("__st"),
+        F.struct(*rcols).alias("__r"),
+    )
+    rv_t = right.select(rv.alias("x")).schema["x"].dataType
     l_tag = left.select(
         F.lit(1).alias("__is_left"),
-        F.col(on).alias("__t"),
+        (F.unix_micros(F.col(on)) * sign).alias("__t"),
         F.col(by).alias("__by"),
         F.struct(*lcols).alias("__l"),
-        F.lit(None).cast(r_struct_t).alias("__r"),
+        F.lit(None).cast(rv_t).alias("__rv"),
         F.lit(None).cast("long").alias("__tb"),
     )
     r_tag = right.select(
         F.lit(0).alias("__is_left"),
-        F.col(on).alias("__t"),
+        (F.unix_micros(F.col(on)) * sign).alias("__t"),
         F.col(by).alias("__by"),
         F.lit(None).cast(l_struct_t).alias("__l"),
-        F.struct(*rcols).alias("__r"),
+        rv.alias("__rv"),
         rtb.alias("__tb"),
     )
     unioned = l_tag.unionByName(r_tag)
     part_cols = ["__by"]
     if bucket_seconds is not None:
-        bkt = F.floor(F.unix_timestamp(F.col("__t")) / bucket_seconds)
+        # signed micros bucket identically to floor(unix_timestamp/w)
+        # in the backward case (floor-division composition) and stay
+        # time-contiguous in the forward (negated) case
+        bkt = F.floor(F.col("__t") / (bucket_seconds * 1_000_000))
         unioned = unioned.withColumn("__bkt", bkt)
         part_cols = ["__by", "__bkt"]
-        # per (by, bucket) tail of the RIGHT rows: latest (t, tb, r) by
-        # (t, tb) — max_by keyed on scalars only, so the payload struct
-        # never needs to be orderable (map-typed columns work); the
-        # (t, tb) key matches the window's tie convention exactly. The
-        # carry-in for bucket b is the latest tail over all buckets
-        # < b — per-bucket tail timestamps are strictly increasing
-        # across buckets (bucket = floor(t/width)), so "latest" is
-        # simply the LAST non-null tail in bucket order. Carry rows
-        # must land in EVERY occupied bucket (incl. left-only buckets
-        # with no right rows), so the bucket list comes from both
-        # sides; the cumulative window runs over #buckets-sized rows
-        # per key, not data (rangeBetween, not rows: left-only
-        # buckets carry NULL tails that must not truncate the
-        # lookback)
+        # per (by, bucket) tail of the RIGHT rows: latest (t, tb, rv)
+        # by (t, tb) — max_by keyed on scalars only, so the payload
+        # struct never needs to be orderable (map-typed columns work);
+        # the (t, tb) key matches the window's tie convention exactly.
+        # The carry-in for bucket b is the latest tail over all buckets
+        # < b — per-bucket tail times are strictly increasing across
+        # buckets (bucket = floor(t/width)), so "latest" is simply the
+        # LAST non-null tail in bucket order. Carry rows must land in
+        # EVERY occupied bucket (incl. left-only buckets with no right
+        # rows), so the bucket list comes from both sides; the
+        # cumulative window runs over #buckets-sized rows per key, not
+        # data (rangeBetween, not rows: left-only buckets carry NULL
+        # tails that must not truncate the lookback)
         tails = (
             r_tag.withColumn("__bkt", bkt)
             .groupBy("__by", "__bkt")
             .agg(
                 F.max_by(
-                    F.struct(F.col("__t"), F.col("__tb"), F.col("__r")),
+                    F.struct(F.col("__t"), F.col("__tb"), F.col("__rv")),
                     F.struct(F.col("__t"), F.col("__tb")),
                 ).alias("__tail")
             )
@@ -232,26 +255,39 @@ def asof_join(
                 F.col("__cin.__t").alias("__t"),
                 "__by",
                 F.lit(None).cast(l_struct_t).alias("__l"),
-                F.col("__cin.__r").alias("__r"),
+                F.col("__cin.__rv").alias("__rv"),
                 F.col("__cin.__tb").alias("__tb"),
                 "__bkt",
             )
         )
         unioned = unioned.unionByName(carry)
     # right rows sort before left rows at equal timestamps so a
-    # same-instant right row is visible to the left row (<= semantics);
-    # __tb makes the order TOTAL across right rows sharing (by, t) —
-    # F.last then deterministically picks the max-hash row, the same
-    # row the bucketed tail's max_by(…, struct(t, tb)) keeps
+    # same-instant right row is visible to the left row (<= / >=
+    # semantics); __tb makes the order TOTAL across right rows sharing
+    # (by, t) — F.last then deterministically picks the max-hash row,
+    # the same row the bucketed tail's max_by(…, struct(t, tb)) keeps
     w = (
         Window.partitionBy(*part_cols)
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    filled = unioned.withColumn("__last", F.last("__rv", ignorenulls=True).over(w))
     out = filled.where(F.col("__is_left") == 1)
+    fill = F.col("__last")
+    if tolerance_seconds is not None:
+        # match distance in signed space = left __t - fill __st =
+        # |left.on - right.on| in micros for either direction
+        fill = F.when(
+            (F.col("__t") - F.col("__last.__st"))
+            <= int(tolerance_seconds * 1_000_000),
+            F.col("__last"),
+        )
+    out = out.withColumn("__fill", fill)
     sel = [F.col(f"__l.{c}").alias(c) for c in lcols]
-    sel += [F.col(f"__last_r.{c}").alias(f"{c}{suffix}" if c in lcols else c) for c in rcols]
+    sel += [
+        F.col(f"__fill.__r.{c}").alias(f"{c}{suffix}" if c in lcols else c)
+        for c in rcols
+    ]
     return out.select(*sel)
 
 

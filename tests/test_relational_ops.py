@@ -606,3 +606,112 @@ def test_asof_join_map_payload_bucketed(spark):
         ).collect()
     }
     assert plain == bucketed == {(1, "a", (("k", 1),)), (2, "b", (("k", 2),))}
+
+
+def test_asof_join_forward_and_tolerance_property(spark):
+    """Round 12 extension: direction='forward' (earliest right row at
+    or after the left row — pandas merge_asof's forward contract) and
+    tolerance_seconds (fills farther than the bound come back NULL),
+    both directions, plain AND bucketed, random data WITH ties,
+    checked against a pure-Python oracle."""
+    import datetime
+    import random
+
+    from graphula_spark.operators.relational import asof_join
+
+    base = datetime.datetime(2024, 7, 1)
+
+    def ts(sec_us):
+        return base + datetime.timedelta(
+            seconds=sec_us // 1_000_000, microseconds=sec_us % 1_000_000
+        )
+
+    for seed in (21, 22):
+        rng = random.Random(seed)
+        lefts, rights = [], []
+        for u in range(4):
+            for i in range(rng.randrange(1, 10)):
+                lefts.append((f"p{u}_{i}", ts(rng.randrange(3000) * 1_000_000), u))
+            for j in range(rng.randrange(0, 25)):
+                rights.append((ts(rng.randrange(3000) * 1_000_000), u, f"c{u}_{j}"))
+        purchases = spark.createDataFrame(lefts, ["event_id", "ts", "user_id"])
+        clicks = spark.createDataFrame(rights, ["ts", "user_id", "click_id"])
+
+        for direction in ("backward", "forward"):
+            for tol in (None, 300):
+                def oracle(pts, u):
+                    if direction == "backward":
+                        cand = [(cts, cid) for cts, uu, cid in rights
+                                if uu == u and cts <= pts]
+                        best = max(cand) if cand else None
+                    else:
+                        cand = [(cts, cid) for cts, uu, cid in rights
+                                if uu == u and cts >= pts]
+                        # earliest ts; at a tie the engine picks the
+                        # max-hash payload — with single-column string
+                        # payloads the oracle cannot predict which, so
+                        # compare the (ts, matched?) shape at ties and
+                        # the exact id off ties
+                        best = min(cand) if cand else None
+                    if best is not None and tol is not None:
+                        if abs((best[0] - pts).total_seconds()) > tol:
+                            best = None
+                    return best
+
+                got = {
+                    r["event_id"]: r["click_id"]
+                    for r in asof_join(
+                        purchases, clicks, on="ts", by="user_id",
+                        direction=direction, tolerance_seconds=tol,
+                    ).collect()
+                }
+                got_b = {
+                    r["event_id"]: r["click_id"]
+                    for r in asof_join(
+                        purchases, clicks, on="ts", by="user_id",
+                        direction=direction, tolerance_seconds=tol,
+                        bucket_seconds=97,
+                    ).collect()
+                }
+                assert got_b == got, (seed, direction, tol)
+                assert len(got) == len(lefts)
+                click_ts = {
+                    (u, cid): cts for cts, u, cid in rights
+                }
+                for eid, pts, u in lefts:
+                    want = oracle(pts, u)
+                    if want is None:
+                        assert got[eid] is None, (seed, direction, tol, eid)
+                    else:
+                        assert got[eid] is not None, (seed, direction, tol, eid)
+                        # matched timestamp must equal the oracle's
+                        # (ties differ only in which same-ts id won)
+                        assert click_ts[(u, got[eid])] == want[0], (
+                            seed, direction, tol, eid
+                        )
+
+
+def test_asof_join_forward_basic_and_tolerance(spark):
+    from graphula_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "u1"), (2, ts("2024-01-01T23:30:00"), "u1")],
+        ["id", "ts", "user"],
+    )
+    right = spark.createDataFrame(
+        [
+            (ts("2024-01-01T09:00:00"), "u1", "past"),
+            (ts("2024-01-01T10:00:00"), "u1", "now"),   # >= counts
+            (ts("2024-01-01T11:00:00"), "u1", "later"),
+        ],
+        ["ts", "user", "tag"],
+    )
+    fwd = {(r["id"], r["tag"]) for r in asof_join(
+        left, right, on="ts", by="user", direction="forward"
+    ).collect()}
+    assert fwd == {(1, "now"), (2, None)}
+    # tolerance voids matches farther than the bound
+    back_tol = {(r["id"], r["tag"]) for r in asof_join(
+        left, right, on="ts", by="user", tolerance_seconds=3600
+    ).collect()}
+    assert back_tol == {(1, "now"), (2, None)}  # 11:00 is 12.5h before 23:30
