@@ -1104,9 +1104,17 @@ class Compiler:
                     F.lit(str(expr.value)),
                 )
             # string constants are typed xsd:string — never numeric,
-            # even when the text parses as a number (§17.3)
+            # even when the text parses as a number (§17.3). The parser
+            # keeps the query text's escapes verbatim (the storage/term
+            # convention, right for term equality); the VALUE view must
+            # decode them so CONTAINS(?v, "\\n") matches a real newline
+            # the same way the variable side's rdf_value does (round 12,
+            # manifest case fn09)
+            from graphula_spark.sparql.results import nt_unescape
+
             return sol, CE(
-                F.lit(expr.value), None, F.lit(f'"{expr.value}"'),
+                F.lit(nt_unescape(expr.value)), None,
+                F.lit(f'"{expr.value}"'),
                 non_numeric=True,
             )
         if isinstance(expr, A.EIri):
