@@ -36,14 +36,11 @@ def test_manifest_discovers_all_areas():
     assert len(CASES) == len(names)  # unique names
 
 
-def test_skip_list_is_exactly_the_graphdata_cases():
+def test_skip_list_is_empty():
+    """Round 12: the one historical skip (qt:graphData) now executes
+    through Dataset.sparql — every vendored case runs."""
     skipped = {c.name: c.skip_reason for c in CASES if c.skip_reason}
-    assert skipped == {
-        "gd01 - named-graph dataset (runner skip)": (
-            "qt:graphData (named-graph dataset) — runner drives "
-            "Graph.sparql; FROM NAMED has Dataset-level tests"
-        )
-    }
+    assert skipped == {}
 
 
 @pytest.mark.parametrize("case", CASES, ids=[c.name for c in CASES])

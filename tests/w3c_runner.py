@@ -19,9 +19,17 @@ the standard format); a real rdf-tests checkout drops in by pointing
 `collect_cases` at its directory, unmodified.
 
 Scope / documented limitations:
-  * qt:graphData (named-graph datasets) entries are reported as
-    skips — the runner drives `Graph.sparql` (default graph); the
-    Dataset/FROM-NAMED surface has its own tests.
+  * qt:graphData (named-graph dataset) entries execute through
+    `Dataset.sparql` (round 12): each graphData file becomes a named
+    graph whose IRI is the VERBATIM manifest reference — the engine
+    keeps relative IRIs verbatim on both sides, so GRAPH <g.ttl>
+    matches when the query uses the manifest's reference text (true
+    of the vendored cases and the usual rdf-tests layout where query
+    and manifest share a directory; a checkout whose queries spell
+    absolute IRIs for relative graph refs would need base resolution
+    the engine deliberately does not do).
+  * qt:serviceData entries register each endpoint's data as an
+    in-process Graph for the case's duration (no-network policy).
   * ORDER BY answers are compared as multisets (the srx reader does
     not enforce row order).
   * A literal whose text is exactly an IRI in the same column could
@@ -71,13 +79,13 @@ class ManifestCase:
 
     @property
     def skip_reason(self) -> str | None:
-        if self.kind == "update":
-            return None  # named graphs are handled via Dataset.update
-        if self.graph_data:
-            return (
-                "qt:graphData (named-graph dataset) — runner drives "
-                "Graph.sparql; FROM NAMED has Dataset-level tests"
-            )
+        # qt:graphData cases execute through Dataset.sparql (round 12):
+        # named graphs take their VERBATIM manifest reference as the
+        # graph IRI — the engine keeps relative IRIs verbatim on both
+        # the data and query sides, so GRAPH <graph1.ttl> matches as
+        # long as the query uses the same reference text the manifest
+        # does (true of the vendored cases and the common rdf-tests
+        # layout where query and manifest share a directory)
         if self.kind == "eval" and self.result_path is None:
             return "no mf:result file"
         return None
@@ -216,7 +224,8 @@ def _build_case(by_subj, base_dir, entry) -> ManifestCase:
             else None
         ),
         graph_data=[
-            _resolve(base_dir, g) for g in a_props.get(QT + "graphData", [])
+            (_resolve(base_dir, g), g)
+            for g in a_props.get(QT + "graphData", [])
         ],
         result_path=_resolve(base_dir, result) if result else None,
         comment=_lex(comment[0]) if comment else None,
@@ -586,6 +595,24 @@ def run_case(spark, case: ManifestCase) -> tuple[bool, str]:
         except Exception:
             return True, "raised as required"
         return False, "negative syntax test did not raise"
+    if case.graph_data:
+        # named-graph dataset (round 12): default graph from qt:data,
+        # one named graph per qt:graphData file, named by its verbatim
+        # manifest reference; the query runs over the quad Dataset so
+        # GRAPH / FROM NAMED see the named graphs and the default
+        # graph excludes them
+        from graphula_spark.dataset import Dataset
+        from graphula_spark.literal import literal_df
+
+        rows = [(s, p, o, None) for s, p, o in _ttl_rows(case.data_path)]
+        for path, gname in case.graph_data:
+            rows += [(s, p, o, gname) for s, p, o in _ttl_rows(path)]
+        ds = Dataset.from_string_quads(
+            spark,
+            literal_df(spark, rows, "s string, p string, o string, g string"),
+        )
+        ds.default_graph.strict_zero_length_paths = True
+        return _check_result(spark, case, ds.sparql(query))
     g = load_graph(spark, case.data_path)
     if case.service_data:
         # SPARQL 1.1 federation vocabulary: each qt:serviceData
