@@ -650,6 +650,255 @@ def cosine_topk_quantized(
     )
 
 
+class PqModel:
+    """Product-quantization codebooks: `m` subspaces × `kc` centroids
+    each, trained driver-side on a bounded sample (deterministic
+    seeded Lloyd iterations in numpy) and closed over by the encode /
+    score UDFs — codebook bytes are m·kc·dsub·8, a few hundred KB at
+    the classic m=8/kc=256, broadcast-class by construction.
+
+    The 100 TB story PQ adds next to the int8 path
+    (`quantize_embeddings`, 4×): a 64-dim float32 corpus drops from
+    256 B to `m` bytes of codes per row (32× at m=8) while ADC scoring
+    stays a table lookup per subspace — the memory/IO regime where
+    whole-corpus scans of raw vectors stop being an option. (Jégou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011.)"""
+
+    def __init__(self, codebooks):
+        import numpy as np
+
+        self.codebooks = np.asarray(codebooks, dtype="float64")
+        self.m, self.kc, self.dsub = self.codebooks.shape
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+
+def pq_train(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_centroids: int = 256,
+    sample_rows: int = 50_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> PqModel:
+    """Train PQ codebooks on a BOUNDED corpus sample (`limit
+    sample_rows` — the one deliberate driver-side collect of this
+    family; codebook quality saturates long before corpus size, the
+    standard PQ training regime). Vectors are unit-normalized first
+    (cosine scoring), zero/NULL rows dropped; each subspace runs
+    `iters` Lloyd rounds from a seeded choice of sample points, so
+    training is deterministic. `k_centroids` clamps to the sample
+    size."""
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .where(F.col("v").isNotNull())
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype="float64")
+    if X.ndim != 2 or not len(X):
+        raise ValueError("pq_train: empty or ragged vector sample")
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    kc = min(k_centroids, len(X))
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        Xs = np.ascontiguousarray(X[:, s * dsub : (s + 1) * dsub])
+        C = Xs[rng.choice(len(Xs), size=kc, replace=False)].copy()
+        for _ in range(iters):
+            # ||x-c||² argmin == (-2x·c + ||c||²) argmin (matmul form —
+            # never materializes the (n, kc, dsub) difference tensor)
+            d = -2.0 * (Xs @ C.T) + (C * C).sum(axis=1)
+            assign = d.argmin(axis=1)
+            for j in range(kc):
+                pts = Xs[assign == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+        books.append(C)
+    return PqModel(np.stack(books))
+
+
+def pq_encode(
+    vectors: DataFrame,
+    model: PqModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as `m` centroid indices (`codes array<int>`,
+    `m` bytes per row on disk after parquet dictionary encoding) — one
+    Arrow-batched numpy matmul per subspace per batch, never a Python
+    loop per row. Zero/NULL vectors encode to NULL codes (they have no
+    cosine direction); every input row keeps exactly one output row."""
+    import numpy as np
+
+    id_type = dict(vectors.dtypes)[id_col]
+    books = model.codebooks
+    m, dsub = model.m, model.dsub
+    cnorm = [(books[s] * books[s]).sum(axis=1) for s in range(m)]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf["__v"].values
+            n = len(pdf)
+            X = np.zeros((n, m * dsub))
+            ok = np.zeros(n, dtype=bool)
+            for i, vec in enumerate(vecs):
+                if vec is None:
+                    continue
+                a = np.asarray(vec, dtype="float64")
+                nv = np.linalg.norm(a)
+                if len(a) == m * dsub and nv > 0:
+                    X[i] = a / nv
+                    ok[i] = True
+            codes = np.zeros((n, m), dtype="int64")
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                d = -2.0 * (Xs @ books[s].T) + cnorm[s]
+                codes[:, s] = d.argmin(axis=1)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": [
+                        list(map(int, codes[i])) if ok[i] else None
+                        for i in range(n)
+                    ],
+                }
+            )
+            yield out
+
+    src = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    return src.mapInPandas(encode, f"{id_col} {id_type}, codes array<int>")
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    model: PqModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    rerank_vectors: DataFrame | None = None,
+    candidates_per_batch: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via ADC (asymmetric
+    distance computation): each query precomputes an (m × kc)
+    lookup table of subspace dot products, so scoring a corpus row is
+    `m` table lookups — the raw vectors are never read. Per Arrow
+    batch each query keeps only its local top-`candidates_per_batch`
+    (default max(4k, 32)) via argpartition, so the emitted candidate
+    stream is O(batches × queries × C), never O(corpus × queries);
+    a final window takes the global top-k.
+
+    Pass `rerank_vectors` (the original vector table) to exact-rescore
+    the surviving candidates — the standard PQ + re-rank shape: ADC
+    prunes 100 TB down to candidate ids, the exact pass touches only
+    those rows (broadcast-side join on id). Queries are collected
+    driver-side (bounded query sets are this family's contract, same
+    as `cosine_topk_quantized`'s id list)."""
+    import numpy as np
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    qids, luts = [], []
+    for r in qrows:
+        a = np.asarray(r["qv"], dtype="float64")
+        nv = np.linalg.norm(a)
+        if nv == 0 or len(a) != model.dim:
+            continue
+        a = a / nv
+        lut = np.stack(
+            [
+                model.codebooks[s]
+                @ a[s * model.dsub : (s + 1) * model.dsub]
+                for s in range(model.m)
+            ]
+        )  # (m, kc)
+        qids.append(r["qid"])
+        luts.append(lut)
+    if not qids:
+        from graphula_spark.literal import empty_df
+
+        id_type = dict(codes.dtypes)[id_col]
+        return empty_df(
+            codes.sparkSession,
+            f"query_id {id_type}, neighbor_id {id_type}, score double",
+        )
+    luts_arr = np.stack(luts)  # (nq, m, kc)
+    cpb = candidates_per_batch or max(4 * k, 32)
+    id_type = dict(codes.dtypes)[id_col]
+    m = model.m
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = pdf[pdf["codes"].notna()]
+            if not len(rows):
+                continue
+            cm = np.array([list(c) for c in rows["codes"].values])  # (n, m)
+            ids = rows[id_col].values
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                s = luts_arr[qi][np.arange(m), cm].sum(axis=1)  # (n,)
+                top = (
+                    np.argpartition(-s, cpb)[:cpb]
+                    if len(s) > cpb
+                    else np.arange(len(s))
+                )
+                out_q.extend([qid] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(s[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    cand = codes.mapInPandas(
+        score,
+        f"query_id {id_type}, neighbor_id {id_type}, score double",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    if rerank_vectors is not None:
+        nv = rerank_vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        cand = (
+            cand.drop("score")
+            .join(nv, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn("score", _cos(F.col("qv"), F.col("nv")))
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"))
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",

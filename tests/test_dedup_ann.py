@@ -823,3 +823,98 @@ def test_semantic_decontaminate_bucketed_boundary_recall(spark):
     assert b_flag <= e_flag   # one-sided: no false positives
     recall = len(b_flag & e_flag) / len(e_flag)
     assert recall >= 0.9, recall
+
+
+def test_pq_encode_contract(spark):
+    """Round 12: product quantization — codes are m centroid indices,
+    deterministic across runs, one output row per input (zero/NULL
+    vectors encode NULL codes)."""
+    import random
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from graphula_spark.operators.ann import pq_encode, pq_train
+
+    rng = random.Random(5)
+    dim = 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(200)]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    vdf = spark.createDataFrame(
+        rows + [(900, [0.0] * dim), (901, None)], schema
+    )
+    model = pq_train(vdf, m=4, k_centroids=16, iters=5)
+    assert model.codebooks.shape == (4, 16, 4)
+    enc = {r["vec_id"]: r["codes"] for r in pq_encode(vdf, model).collect()}
+    assert len(enc) == 202
+    assert enc[900] is None and enc[901] is None
+    for i, _v in rows:
+        assert len(enc[i]) == 4
+        assert all(0 <= c < 16 for c in enc[i])
+    enc2 = {r["vec_id"]: r["codes"] for r in pq_encode(vdf, model).collect()}
+    assert enc == enc2
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ ADC top-k with exact re-rank must recover the exact top-k
+    neighbors (the candidate stream covers them; the re-rank scores
+    are exact cosine); ADC-only ranking is approximate but planted
+    near-duplicates must surface at rank 1."""
+    import math
+    import random
+
+    from graphula_spark.operators.ann import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = random.Random(11)
+    dim = 32
+
+    def rand_unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def perturb(v, eps=0.05):
+        w = [x + rng.gauss(0, eps / math.sqrt(dim)) for x in v]
+        n = math.sqrt(sum(x * x for x in w))
+        return [x / n for x in w]
+
+    base = [rand_unit() for _ in range(150)]
+    corpus = [(i, base[i]) for i in range(150)]
+    # ids 1000+i are near-duplicates of corpus rows 0..9
+    corpus += [(1000 + i, perturb(base[i])) for i in range(10)]
+    vdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    queries = vdf.where(F.col("vec_id") >= 1000)
+
+    model = pq_train(vdf, m=8, k_centroids=32, iters=8)
+    codes = pq_encode(vdf, model)
+
+    exact = {}
+    for r in cosine_topk(vdf, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got_rr = {}
+    rank1 = {}
+    for r in pq_topk(
+        codes, queries, model, k=5, rerank_vectors=vdf,
+        candidates_per_batch=64,
+    ).collect():
+        got_rr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rank1.setdefault(r["query_id"], (r["score"], r["neighbor_id"]))
+    # re-ranked PQ recovers the exact neighbor sets almost entirely
+    hits = sum(len(got_rr[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.9, (hits, total)
+    # ADC-only: the planted near-duplicate still surfaces in the top-k
+    adc = {}
+    for r in pq_topk(codes, queries, model, k=5).collect():
+        adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    found = sum(1 for i in range(10) if (1000 + i) in adc and i in adc[1000 + i])
+    assert found >= 8, found
