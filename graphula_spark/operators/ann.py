@@ -675,6 +675,24 @@ class PqModel:
     def dim(self) -> int:
         return self.m * self.dsub
 
+    def save(self, path: str) -> None:
+        """Persist the codebooks as JSON (a few hundred KB at the
+        classic m=8/kc=256) — train once per corpus, encode/query in
+        any later session, the `IvfIndex.save` discipline."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/pq_codebooks.json", "w") as fh:
+            json.dump(self.codebooks.tolist(), fh)
+
+    @classmethod
+    def load(cls, path: str) -> "PqModel":
+        import json
+
+        with open(f"{path}/pq_codebooks.json") as fh:
+            return cls(json.load(fh))
+
 
 def pq_train(
     vectors: DataFrame,

@@ -918,3 +918,24 @@ def test_pq_topk_recall_vs_exact(spark):
         adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     found = sum(1 for i in range(10) if (1000 + i) in adc and i in adc[1000 + i])
     assert found >= 8, found
+
+
+def test_pq_model_save_load_roundtrip(spark, tmp_path):
+    import random
+
+    import numpy as np
+
+    from graphula_spark.operators.ann import PqModel, pq_encode, pq_train
+
+    rng = random.Random(3)
+    vdf = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    model = pq_train(vdf, m=2, k_centroids=8, iters=3)
+    model.save(str(tmp_path))
+    back = PqModel.load(str(tmp_path))
+    assert np.array_equal(back.codebooks, model.codebooks)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(vdf, model).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(vdf, back).collect()}
+    assert a == b

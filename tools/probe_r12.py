@@ -139,6 +139,72 @@ def checksum(df) -> tuple:
     return (row["cs"], row["n"])
 
 
+def pq_bytes_probe(spark) -> None:
+    """Section B: PQ compression + ADC query wall at 2M × 64-dim —
+    on-disk bytes raw-float vs int8 codes vs PQ codes, and an ADC
+    top-k (re-ranked) over the code table only."""
+    import os
+    import shutil
+
+    from graphula_spark.operators.ann import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+        quantize_embeddings,
+    )
+
+    dim, n = 64, 2_000_000
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(F.xxhash64(F.col("id"), d), F.lit(2000)) - 1000.0
+            )
+            / 1000.0,
+        ).alias("embedding"),
+    ).persist()
+    vecs.count()
+    base = "/tmp/probe_r12_pq"
+    shutil.rmtree(base, ignore_errors=True)
+
+    def du(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(p)
+            for f in fs
+        )
+
+    t0 = time.time()
+    vecs.write.mode("overwrite").parquet(f"{base}/raw")
+    raw_b = du(f"{base}/raw")
+    q8, _scales = quantize_embeddings(vecs)
+    q8.write.mode("overwrite").parquet(f"{base}/int8")
+    int8_b = du(f"{base}/int8")
+    model = pq_train(vecs, m=8, k_centroids=256, sample_rows=50_000)
+    codes = pq_encode(vecs, model)
+    codes.write.mode("overwrite").parquet(f"{base}/pq")
+    pq_b = du(f"{base}/pq")
+    print(
+        f"\nPQ bytes @ {n:,}×{dim}: raw {raw_b/1e6:.1f} MB, "
+        f"int8 {int8_b/1e6:.1f} MB ({raw_b/int8_b:.1f}×), "
+        f"pq {pq_b/1e6:.1f} MB ({raw_b/pq_b:.1f}×)  "
+        f"[prep {time.time()-t0:.0f}s]"
+    )
+    codes_disk = spark.read.parquet(f"{base}/pq")
+    queries = vecs.limit(8)
+    t0 = time.time()
+    nrows = pq_topk(
+        codes_disk, queries, model, k=10, rerank_vectors=vecs
+    ).count()
+    print(
+        f"ADC top-10 (8 queries, re-ranked) over the code table: "
+        f"{time.time()-t0:.1f}s, {nrows} rows"
+    )
+    vecs.unpersist()
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from graphula_spark.operators.relational import (
         asof_join,
@@ -146,6 +212,9 @@ def main() -> None:
     )
 
     spark = get_probe_spark()
+    if "--pq" in sys.argv:
+        pq_bytes_probe(spark)
+        return
     purchases, clicks = build_inputs(spark)
     width = 3600
 
