@@ -917,6 +917,69 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    index: "IvfIndex",
+    codes: DataFrame,
+    queries: DataFrame,
+    model: PqModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    rerank_vectors: DataFrame | None = None,
+    candidates_per_batch: int | None = None,
+) -> DataFrame:
+    """IVF × PQ composition — the two scale levers stacked the way a
+    100 TB similarity service runs them: IVF cell probing prunes the
+    READ to n_probe/n_cells of the corpus (partition-pruned when the
+    index is persisted), and within the probed slice scoring runs over
+    PQ CODES via ADC (m table lookups per row, raw vectors untouched),
+    optionally exact-re-ranked on the surviving candidate ids.
+
+    `codes` is `pq_encode`'s output for the same corpus. The scored
+    slice is the UNION of all queries' probed cells (one corpus pass
+    for the whole bounded query batch; a query may thus see candidates
+    from another query's cells — a recall superset, never a miss
+    source). Pass `rerank_vectors` for the exact tail — standard
+    IVFADC + re-rank (Jégou et al. 2011 §IV)."""
+    probed_cells = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .crossJoin(F.broadcast(index.centroids))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cell").asc()
+    )
+    cells = (
+        probed_cells.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select("cell")
+        .distinct()
+    )
+    slice_ids = (
+        index.assigned.join(F.broadcast(cells), "cell", "left_semi")
+        .select(F.col("neighbor_id").alias(id_col))
+    )
+    sliced_codes = codes.join(slice_ids, id_col, "left_semi")
+    return pq_topk(
+        sliced_codes, queries, model, id_col=id_col, vec_col=vec_col,
+        k=k, rerank_vectors=rerank_vectors,
+        candidates_per_batch=candidates_per_batch,
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",

