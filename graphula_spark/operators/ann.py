@@ -968,11 +968,19 @@ def ivfpq_topk(
         .select("cell")
         .distinct()
     )
-    slice_ids = (
-        index.assigned.join(F.broadcast(cells), "cell", "left_semi")
-        .select(F.col("neighbor_id").alias(id_col))
-    )
-    sliced_codes = codes.join(slice_ids, id_col, "left_semi")
+    if "cell" in codes.columns:
+        # codes carrying their cell assignment (join it once at encode
+        # time and persist partitionBy("cell")) prune by a broadcast
+        # semi-join on the cell id — partition pruning at read time,
+        # ZERO shuffle of the code table; the id-keyed fallback below
+        # shuffles the (already m-bytes-per-row) codes instead
+        sliced_codes = codes.join(F.broadcast(cells), "cell", "left_semi")
+    else:
+        slice_ids = (
+            index.assigned.join(F.broadcast(cells), "cell", "left_semi")
+            .select(F.col("neighbor_id").alias(id_col))
+        )
+        sliced_codes = codes.join(slice_ids, id_col, "left_semi")
     return pq_topk(
         sliced_codes, queries, model, id_col=id_col, vec_col=vec_col,
         k=k, rerank_vectors=rerank_vectors,

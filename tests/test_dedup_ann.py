@@ -1020,3 +1020,22 @@ def test_ivfpq_topk_recall_and_pruning(spark):
         ).collect()
     }
     assert all_cells == full
+    # the cell-carrying codes path (persist-partitioned-by-cell shape:
+    # prunes by cell, never shuffles the code table) returns the same
+    # rows as the id-semi-join fallback
+    cell_codes = codes.join(
+        index.assigned.select(
+            F.col("neighbor_id").alias("vec_id"), "cell"
+        ),
+        "vec_id",
+    )
+    via_cells = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            index, cell_codes, queries, model, k=5, n_probe=3,
+            rerank_vectors=vdf, candidates_per_batch=64,
+        ).collect()
+    }
+    assert via_cells == {
+        (q, n) for q, ns in got.items() for n in ns
+    }
