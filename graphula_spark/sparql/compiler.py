@@ -1608,16 +1608,39 @@ class Compiler:
                 F.countDistinct(src_term) if agg.distinct else F.count(src_term)
             )
             return sol, col.alias(name)
+        # SPARQL 1.1 §18.5.1 error propagation (round 12): Sum/Avg use
+        # op:numeric-add, so a group containing a BOUND non-numeric
+        # element makes the whole aggregate an error — the group row
+        # survives with the variable UNBOUND (the official agg error
+        # tests' shape), never a silent sum of the numeric subset.
+        # Min/Max error when the group mixes numeric and non-numeric
+        # bound elements (the §17.3 comparison between them is a type
+        # error); an all-string or all-numeric group still aggregates.
+        # UNBOUND elements stay skipped (ARQ's lenient treatment; our
+        # OPTIONAL-heavy join machinery relies on it) — documented
+        # deviation from the strictest reading.
+        bound = src_term.isNotNull()
+        bad_numeric = F.max(
+            (bound & ce.numeric().isNull()).cast("int")
+        ) == F.lit(1)
         if agg.func == "SUM":
             col = F.sum_distinct(ce.numeric()) if agg.distinct else F.sum(ce.numeric())
-            return sol, col.alias(name)
+            return sol, F.when(bad_numeric, F.lit(None).cast("double")).otherwise(
+                col
+            ).alias(name)
         if agg.func == "AVG":
             if agg.distinct:
-                return sol, (
-                    F.sum_distinct(ce.numeric()) / F.count_distinct(ce.numeric())
-                ).alias(name)
-            return sol, F.avg(ce.numeric()).alias(name)
+                col = F.sum_distinct(ce.numeric()) / F.count_distinct(ce.numeric())
+            else:
+                col = F.avg(ce.numeric())
+            return sol, F.when(bad_numeric, F.lit(None).cast("double")).otherwise(
+                col
+            ).alias(name)
         if agg.func in ("MIN", "MAX"):
+            mixed = (
+                F.max((bound & ce.numeric().isNotNull()).cast("int"))
+                == F.lit(1)
+            ) & bad_numeric
             fn = F.min if agg.func == "MIN" else F.max
             # numeric-first composite ordering: numeric rows order
             # numerically, non-numeric lexically (SPARQL ORDER
@@ -1634,7 +1657,9 @@ class Compiler:
                 ce.val.alias("k2"),
                 (ce.term if ce.term is not None else ce.val).alias("k3"),
             )
-            return sol, fn(packed).getField("k3").alias(name)
+            return sol, F.when(
+                mixed, F.lit(None).cast("string")
+            ).otherwise(fn(packed).getField("k3")).alias(name)
         if agg.func == "SAMPLE":
             # any element of the group (spec §18.5.1.8); term form, like
             # MIN/MAX — min over term strings keeps it deterministic
