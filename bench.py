@@ -409,23 +409,53 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             print(f"# sf1 probe failed: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sections": section_sums(per_query),
-                "sf": sf,
-                "warmup_iters": warmup,
-                "timed_runs": TIMED_RUNS,
-                "floor_s": round(floor_s, 3),
-                "store_bytes": store_sizes(sf_dir),
-                "sf1": sf1_section,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sections": section_sums(per_query),
+        "sf": sf,
+        "warmup_iters": warmup,
+        "timed_runs": TIMED_RUNS,
+        "floor_s": round(floor_s, 3),
+        "store_bytes": store_sizes(sf_dir),
+        "sf1": sf1_section,
+    }
+    # The driver archives only the LAST 2000 stdout chars; rounds 4-12
+    # lost every alphabetically-early query key to that window because
+    # this line carried sections/store_bytes/sf1 inline (VERDICT r12
+    # "What's missing" #1). Full record -> BENCH_local.json + stderr;
+    # stdout gets one compact line (metric/value/unit/sf/floor/queries)
+    # with a hard length guard so the archive parses again.
+    side = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
+    try:
+        with open(side, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:  # pragma: no cover - read-only checkout
+        print(f"# BENCH_local.json not written: {e}", file=sys.stderr)
+    print("# full record (sections/store_bytes/sf1): "
+          + json.dumps(full), file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "floor_s": round(floor_s, 3),
+        "queries": per_query,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1950:  # ms precision is enough for the archive
+        compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1990:  # last resort: never exceed the tail window
+        compact["queries"] = {
+            k: round(v, 2) for k, v in per_query.items() if v >= 0.05
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 #: per-family prefixes for the sections rollup — regressions then
