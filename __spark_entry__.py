@@ -1059,11 +1059,24 @@ def q_text_mix_sources(spark, sf):
 
 
 def q_events_temporal_join(spark, sf):
-    """Both temporal-join operators in one row: as-of join (last click
-    at-or-before each purchase, union+window — no per-row lookup) and
-    the bucketed range join (clicks within ±600 s, bucketed equi-join —
-    no BNLJ), joined on the purchase id."""
-    from graphula_spark.operators.relational import asof_range_profile
+    """Temporal-join operators in one part-keyed row (round 13 folds
+    the forward direction and the tolerance bound under the same
+    DuckDB oracle — VERDICT r12 #2):
+
+    - part='profile': fused backward as-of (last click at-or-before
+      each purchase) + range count (clicks within ±600 s), one window
+      pass (round 11's fused operator).
+    - part='forward': `asof_join(direction="forward")` — the FIRST
+      click at-or-after each purchase.
+    - part='fwd_tol' / 'bwd_tol': same with `tolerance_seconds=86400`
+      — fills farther than a day come back NULL (pandas merge_asof's
+      tolerance contract), exercising the signed-micros distance check
+      in both directions (~half the sf0.01 fills land each side).
+    """
+    from graphula_spark.operators.relational import (
+        asof_join,
+        asof_range_profile,
+    )
 
     # round 11 (VERDICT r10 #3): the composed asof_join +
     # range_join_count + event_id stitch join paid 4 events scans,
@@ -1079,11 +1092,33 @@ def q_events_temporal_join(spark, sf):
         F.col("ts").alias("ts"), F.col("user_id").alias("user_id"),
         F.col("event_id").alias("click_id"),
     )
-    return asof_range_profile(
+    prof = asof_range_profile(
         purchases, clicks, on="ts", by="user_id", right_id="click_id",
         lower_seconds=600, upper_seconds=600,
         asof_name="click_id", count_name="n_clicks_near",
-    ).select("event_id", "user_id", "click_id", "n_clicks_near")
+    ).select(
+        F.lit("profile").alias("part"),
+        "event_id", "user_id", "click_id", "n_clicks_near",
+    )
+    nullcnt = F.lit(None).cast("long").alias("n_clicks_near")
+
+    def _asof_part(label, **kw):
+        return asof_join(
+            purchases, clicks, on="ts", by="user_id", **kw
+        ).select(
+            F.lit(label).alias("part"),
+            "event_id", "user_id", "click_id", nullcnt,
+        )
+
+    return (
+        prof.unionByName(_asof_part("forward", direction="forward"))
+        .unionByName(
+            _asof_part(
+                "fwd_tol", direction="forward", tolerance_seconds=86400
+            )
+        )
+        .unionByName(_asof_part("bwd_tol", tolerance_seconds=86400))
+    )
 
 
 def _belongs_edges(spark, sf):
@@ -2541,13 +2576,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 <> 0
         """,
         "events_temporal_join": """
-            WITH a AS (
-              SELECT p.event_id, p.user_id, c.click_id
-              FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') p
-              ASOF LEFT JOIN
-                   (SELECT event_id AS click_id, ts, user_id FROM events WHERE event_type = 'click') c
+            WITH p AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS click_id, ts, user_id FROM events
+                  WHERE event_type = 'click'),
+            bwd AS (
+              SELECT p.event_id, p.user_id, p.ts AS pts, c.click_id, c.ts AS cts
+              FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
-            ), r AS (
+            ),
+            fwd AS (
+              SELECT p.event_id, p.user_id, p.ts AS pts, c.click_id, c.ts AS cts
+              FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts <= c.ts
+            ),
+            r AS (
               SELECT p.event_id,
                      CAST((SELECT count(*) FROM events c
                            WHERE c.event_type = 'click' AND c.user_id = p.user_id
@@ -2555,8 +2598,22 @@ def oracle_sql() -> dict[str, str]:
                              AND epoch(c.ts) <= epoch(p.ts) + 600) AS BIGINT) AS n_clicks_near
               FROM events p WHERE p.event_type = 'purchase'
             )
-            SELECT a.event_id, a.user_id, a.click_id, r.n_clicks_near
-            FROM a JOIN r USING (event_id)
+            SELECT 'profile' AS part, bwd.event_id, bwd.user_id, bwd.click_id,
+                   r.n_clicks_near
+            FROM bwd JOIN r USING (event_id)
+            UNION ALL
+            SELECT 'forward', event_id, user_id, click_id,
+                   CAST(NULL AS BIGINT) FROM fwd
+            UNION ALL
+            SELECT 'fwd_tol', event_id, user_id,
+                   CASE WHEN epoch_us(cts) - epoch_us(pts)
+                             <= 86400000000 THEN click_id END,
+                   CAST(NULL AS BIGINT) FROM fwd
+            UNION ALL
+            SELECT 'bwd_tol', event_id, user_id,
+                   CASE WHEN epoch_us(pts) - epoch_us(cts)
+                             <= 86400000000 THEN click_id END,
+                   CAST(NULL AS BIGINT) FROM bwd
         """,
         "rel_graph_reach": f"""
             SELECT kind, a, b, CAST(NULL AS DOUBLE) AS rank FROM (

@@ -119,6 +119,38 @@ def _payload_tiebreak(df: DataFrame, cols: list[str]) -> Column:
     return F.xxhash64(*[F.col(c) for c in hashable])
 
 
+def _time_micros(df: DataFrame, on: str) -> Column:
+    """Epoch-microsecond view of an as-of time column, by dtype.
+
+    timestamp -> unix_micros; date -> midnight (session tz) cast to
+    timestamp first; numeric (int/long/float/double/decimal) ->
+    interpreted as epoch SECONDS — so ``bucket_seconds`` /
+    ``tolerance_seconds`` keep their units — scaled to micros (exact
+    for values < ~9.2e12, i.e. any real epoch). Anything else raises a
+    clear TypeError up front instead of unix_micros' opaque
+    AnalysisException mid-plan (ADVICE r12: the round-12 signed-micros
+    rework silently narrowed the accepted types to TimestampType).
+    """
+    dt = dict(df.dtypes)[on]
+    if dt == "timestamp":
+        return F.unix_micros(F.col(on))
+    if dt == "timestamp_ntz" or dt == "date":
+        # parquet timestamps commonly read back as TIMESTAMP_NTZ, which
+        # unix_micros rejects; the cast interprets the wall clock in the
+        # session time zone (UTC in get_spark() — a DST-observing
+        # session tz can fold/skip an hour at transitions, so keep the
+        # session on UTC for deterministic as-of ordering)
+        return F.unix_micros(F.col(on).cast("timestamp"))
+    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+        "decimal"
+    ):
+        return (F.col(on).cast("double") * 1_000_000).cast("long")
+    raise TypeError(
+        f"asof time column {on!r} has dtype {dt}; expected timestamp, "
+        "date, or a numeric epoch-seconds column"
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -145,7 +177,9 @@ def asof_join(
     Internally time is SIGNED epoch microseconds (negated for
     forward), so one ordered-scan implementation serves both
     directions — including the bucketed skew lever, whose carry-in
-    machinery is direction-agnostic in signed time.
+    machinery is direction-agnostic in signed time. ``on`` may be a
+    timestamp, a date, or a numeric epoch-SECONDS column (see
+    `_time_micros`); other dtypes raise TypeError up front.
 
     Tie semantics (round 12): when two right rows share (by, on), the
     winner is the one with the greatest payload hash (`_payload_tiebreak`)
@@ -188,13 +222,13 @@ def asof_join(
     # fill payload carries its own signed time (__st) so the tolerance
     # check can measure the match distance after the window fill
     rv = F.struct(
-        (F.unix_micros(F.col(on)) * sign).alias("__st"),
+        (_time_micros(right, on) * sign).alias("__st"),
         F.struct(*rcols).alias("__r"),
     )
     rv_t = right.select(rv.alias("x")).schema["x"].dataType
     l_tag = left.select(
         F.lit(1).alias("__is_left"),
-        (F.unix_micros(F.col(on)) * sign).alias("__t"),
+        (_time_micros(left, on) * sign).alias("__t"),
         F.col(by).alias("__by"),
         F.struct(*lcols).alias("__l"),
         F.lit(None).cast(rv_t).alias("__rv"),
@@ -202,7 +236,7 @@ def asof_join(
     )
     r_tag = right.select(
         F.lit(0).alias("__is_left"),
-        (F.unix_micros(F.col(on)) * sign).alias("__t"),
+        (_time_micros(right, on) * sign).alias("__t"),
         F.col(by).alias("__by"),
         F.lit(None).cast(l_struct_t).alias("__l"),
         rv.alias("__rv"),

@@ -715,3 +715,57 @@ def test_asof_join_forward_basic_and_tolerance(spark):
         left, right, on="ts", by="user", tolerance_seconds=3600
     ).collect()}
     assert back_tol == {(1, "now"), (2, None)}  # 11:00 is 12.5h before 23:30
+
+def test_asof_join_time_dtypes(spark):
+    """ADVICE r12: the signed-micros rework narrowed the accepted `on`
+    dtypes to TimestampType. `_time_micros` restores date, numeric
+    epoch-seconds, and TIMESTAMP_NTZ columns, and raises a clear
+    TypeError for anything else."""
+    from datetime import date
+
+    from graphula_spark.operators.relational import asof_join
+
+    # date columns: midnight-of-day ordering
+    left = spark.createDataFrame(
+        [(1, date(2024, 1, 10), "u")], ["id", "ts", "user"]
+    )
+    right = spark.createDataFrame(
+        [(date(2024, 1, 5), "u", "early"), (date(2024, 1, 20), "u", "late")],
+        ["ts", "user", "tag"],
+    )
+    got = {(r["id"], r["tag"]) for r in asof_join(
+        left, right, on="ts", by="user"
+    ).collect()}
+    assert got == {(1, "early")}
+
+    # numeric epoch-seconds: tolerance keeps its seconds unit
+    nleft = spark.createDataFrame([(1, 1000.0, "u")], ["id", "ts", "user"])
+    nright = spark.createDataFrame(
+        [(900.0, "u", "near"), (10.0, "u", "far")], ["ts", "user", "tag"]
+    )
+    got = {(r["id"], r["tag"]) for r in asof_join(
+        nleft, nright, on="ts", by="user", tolerance_seconds=200
+    ).collect()}
+    assert got == {(1, "near")}
+    got = {(r["id"], r["tag"]) for r in asof_join(
+        nleft, nright, on="ts", by="user", tolerance_seconds=50
+    ).collect()}
+    assert got == {(1, None)}
+
+    # timestamp_ntz (how parquet timestamps commonly read back)
+    zleft = left.select(
+        "id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user"
+    )
+    zright = right.select(
+        F.col("ts").cast("timestamp_ntz").alias("ts"), "user", "tag"
+    )
+    assert dict(zleft.dtypes)["ts"] == "timestamp_ntz"
+    got = {(r["id"], r["tag"]) for r in asof_join(
+        zleft, zright, on="ts", by="user"
+    ).collect()}
+    assert got == {(1, "early")}
+
+    # unsupported dtype: clear error, not an AnalysisException mid-plan
+    sleft = spark.createDataFrame([(1, "x", "u")], ["id", "ts", "user"])
+    with pytest.raises(TypeError, match="epoch-seconds"):
+        asof_join(sleft, sleft, on="ts", by="user")
