@@ -605,8 +605,27 @@ def q_ann_ivf(spark, sf):
       10 probe queries is >= 0.6 (observed 0.82-0.92 across
       partitionings at n_probe=8 of 16 cells; the oracle hash-matches
       the literal 1.0, so a recall regression turns the row red).
+    - part='ivfpq_exact' (round 13, VERDICT r12 #4): the full IVF×PQ
+      pipeline — `pq_train` → `pq_encode` → `ivfpq_topk` with exact
+      re-rank — probing ALL cells with no candidate pruning, which
+      must reproduce exact cosine top-5 VALUE-exactly (the DuckDB
+      oracle recomputes it); this hash-anchors every stage's plumbing
+      (ids, dedup, re-rank arithmetic) even though the ADC scores
+      themselves are not SQL-expressible.
+    - part='ivfpq_recall': the same pipeline at the realistic
+      operating point (n_probe=4 of 16 cells, default pruning), gated
+      in-Spark at mean recall@5 >= 0.6 vs exact, literal 1.0 oracle —
+      same pattern as kmeans_recall.
     """
-    from graphula_spark.operators.ann import cosine_topk, ivf_topk, seed_ivf_topk
+    from graphula_spark.operators.ann import (
+        IvfIndex,
+        cosine_topk,
+        ivf_topk,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+        seed_ivf_topk,
+    )
 
     emb = _emb(spark, sf)
     q10 = emb.where(F.col("vec_id") < 10)
@@ -634,7 +653,37 @@ def q_ann_ivf(spark, sf):
     lsh = q_ann_lsh(spark, sf).select(
         F.lit("lsh_topk").alias("part"), "query_id", "neighbor_id", "score"
     )
-    return seed.unionByName(recall_row).unionByName(lsh)
+    # round-13 fold: IVF×PQ (see docstring). One index + one model +
+    # one code table serve both parts — train/encode once.
+    index = IvfIndex.build(emb, n_cells=16, seed=42)
+    model = pq_train(emb, m=8, k_centroids=64, iters=8)
+    codes = pq_encode(emb, model)
+    ivfpq_exact = ivfpq_topk(
+        index, codes, q10, model, k=5, n_probe=16,
+        rerank_vectors=emb, candidates_per_batch=10_000_000,
+    ).select(
+        F.lit("ivfpq_exact").alias("part"), "query_id", "neighbor_id", "score"
+    )
+    approx_pq = ivfpq_topk(
+        index, codes, q10, model, k=5, n_probe=4, rerank_vectors=emb
+    ).select("query_id", "neighbor_id")
+    pq_hits = exact.join(
+        approx_pq, ["query_id", "neighbor_id"], "inner"
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    pq_recall_row = pq_hits.crossJoin(denom).select(
+        F.lit("ivfpq_recall").alias("part"),
+        F.lit(-1).cast("long").alias("query_id"),
+        F.lit(-1).cast("long").alias("neighbor_id"),
+        F.when(F.col("hits") / F.col("n") >= 0.6, 1.0)
+        .otherwise(0.0)
+        .alias("score"),
+    )
+    return (
+        seed.unionByName(recall_row)
+        .unionByName(lsh)
+        .unionByName(ivfpq_exact)
+        .unionByName(pq_recall_row)
+    )
 
 
 def q_dedup_embedding(spark, sf):
@@ -1716,6 +1765,25 @@ _IVF_ORACLE = """
     -- the KMeans production path's recall gate: Spark emits 1.0 only if
     -- measured mean recall@5 vs the exact operator is >= 0.6
     SELECT 'kmeans_recall', -1, -1, 1.0
+    UNION ALL
+    -- IVF x PQ probing all cells with exact re-rank and no candidate
+    -- pruning must reproduce exact cosine top-5 value-exactly
+    SELECT 'ivfpq_exact', query_id, neighbor_id, round(score, 4)
+    FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(n.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(n.embedding AS DOUBLE[])) DESC,
+                        n.vec_id ASC) AS rn
+      FROM embeddings q CROSS JOIN embeddings n
+      WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+    ) WHERE rn <= 5
+    UNION ALL
+    -- the realistic IVFADC operating point's recall gate (n_probe=4/16)
+    SELECT 'ivfpq_recall', -1, -1, 1.0
 """
 
 

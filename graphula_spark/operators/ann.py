@@ -704,19 +704,27 @@ def pq_train(
     iters: int = 10,
     seed: int = 7,
 ) -> PqModel:
-    """Train PQ codebooks on a BOUNDED corpus sample (`limit
-    sample_rows` — the one deliberate driver-side collect of this
-    family; codebook quality saturates long before corpus size, the
-    standard PQ training regime). Vectors are unit-normalized first
-    (cosine scoring), zero/NULL rows dropped; each subspace runs
-    `iters` Lloyd rounds from a seeded choice of sample points, so
-    training is deterministic. `k_centroids` clamps to the sample
-    size."""
+    """Train PQ codebooks on a BOUNDED corpus sample — the one
+    deliberate driver-side collect of this family; codebook quality
+    saturates long before corpus size, the standard PQ training
+    regime. The sample is hash-ordered (`orderBy(xxhash64(id))` —
+    Spark plans orderBy+limit as TakeOrdered, a per-partition top-k
+    merge, never a full sort), so it is content-seeded and unbiased on
+    sorted/clustered corpora, where a bare `limit()` would train on
+    the first file's neighborhood (ADVICE r12). Vectors are
+    unit-normalized first (cosine scoring), zero/NULL rows dropped;
+    each subspace runs `iters` Lloyd rounds from a seeded choice of
+    sample points, so training is deterministic. `k_centroids` clamps
+    to the sample size."""
     import numpy as np
 
     rows = (
-        vectors.select(F.col(vec_col).cast("array<double>").alias("v"))
+        vectors.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
         .where(F.col("v").isNotNull())
+        .orderBy(F.xxhash64(F.col("i"), F.lit(seed)))
         .limit(sample_rows)
         .collect()
     )
@@ -725,6 +733,11 @@ def pq_train(
         raise ValueError("pq_train: empty or ragged vector sample")
     norms = np.linalg.norm(X, axis=1)
     X = X[norms > 0] / norms[norms > 0, None]
+    if not len(X):
+        raise ValueError(
+            "pq_train: every sampled vector is zero-norm — nothing to "
+            "train cosine codebooks on"
+        )
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")

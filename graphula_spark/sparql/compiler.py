@@ -89,6 +89,77 @@ def unregister_function(iri: str) -> None:
     FUNCTION_REGISTRY.pop(iri, None)
 
 
+def _u16be_char(h4: Column) -> Column:
+    """Single BMP character from 4 hex digits, JVM-side: the UTF-16BE
+    byte encoding of a BMP code point IS its two big-endian bytes, so
+    `decode(unhex(h4), 'UTF-16BE')` is a pure-Catalyst chr(). Lone
+    surrogates come back verbatim (sentinel-masked backslash, matching
+    `results.nt_unescape`'s malformed-escape contract)."""
+    return F.when(
+        h4.rlike("^[dD][89a-fA-F]"), F.concat(F.lit("\x00u"), h4)
+    ).otherwise(F.decode(F.unhex(h4), "UTF-16BE"))
+
+
+def _u32_char(h8: Column) -> Column:
+    """Character from 8 hex digits (\\U escapes): BMP points reuse the
+    UTF-16BE trick on the low 4 digits; astral points are converted to
+    a surrogate pair arithmetically and decoded as 4 UTF-16BE bytes.
+    Out-of-range / surrogate code points come back verbatim."""
+    cp = F.conv(h8, 16, 10).cast("long")
+    v = cp - 0x10000
+    hi = F.lit(0xD800) + F.shiftright(v, 10)
+    lo = F.lit(0xDC00) + v.bitwiseAND(F.lit(0x3FF))
+    pair = F.decode(
+        F.unhex(
+            F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+        ),
+        "UTF-16BE",
+    )
+    bmp = F.decode(F.unhex(F.substring(h8, 5, 4)), "UTF-16BE")
+    verbatim = F.concat(F.lit("\x00U"), h8)
+    return (
+        F.when(cp > 0x10FFFF, verbatim)
+        .when((cp >= 0xD800) & (cp <= 0xDFFF), verbatim)
+        .when(cp <= 0xFFFF, bmp)
+        .otherwise(pair)
+    )
+
+
+def _decode_u_form(s: Column, marker: str, width: int, char_fn) -> Column:
+    """Decode every ``\\<marker><width hex digits>`` escape in `s`
+    (which is sentinel-masked: no ``\\\\`` pairs remain, so every match
+    is a genuine escape): split on the escape pattern, map the captured
+    hex payloads through `char_fn`, and interleave. A decoded backslash
+    (\\u005C) is emitted as the sentinel so later passes cannot misread
+    it as starting a new escape — the left-to-right contract."""
+    pat = rf"\\{marker}([0-9a-fA-F]{{{width}}})"
+    split_pat = rf"\\{marker}[0-9a-fA-F]{{{width}}}"
+    parts = F.split(s, split_pat, -1)
+    # regexp_replace, NOT translate: translate's internal delete-marker
+    # is U+0000, so mapping a char to the NUL sentinel would delete it
+    chars = F.transform(
+        F.regexp_extract_all(s, F.lit(pat), F.lit(1)),
+        lambda h: F.regexp_replace(char_fn(h), r"\\", "\x00"),
+    )
+    rebuilt = F.concat(
+        F.element_at(parts, 1),
+        F.coalesce(
+            F.array_join(
+                F.zip_with(
+                    chars,
+                    F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(1))),
+                    lambda d, p: F.concat(d, p),
+                ),
+                "",
+            ),
+            F.lit(""),
+        ),
+    )
+    # the rlike guard keeps the split/extract/zip machinery off rows
+    # with no such escape (the overwhelmingly common case)
+    return F.when(s.rlike(rf"\\{marker}"), rebuilt).otherwise(s)
+
+
 def rdf_value(term: Column) -> Column:
     """Lexical form of a term string (reference keeps terms verbatim,
     Transformations.scala:21-23; value extraction happens only inside
@@ -99,9 +170,12 @@ def rdf_value(term: Column) -> Column:
     would wrongly read as `\\n`), so `\\\\` is first swapped to a \\x00
     sentinel, the single-char ECHARs decoded, then the sentinel
     restored — a correct left-to-right simulation in pure Catalyst
-    expressions. \\uXXXX stays undecoded JVM-side (no per-match
-    computed replacement in regexp_replace); the driver-side
-    serializers (`results.nt_unescape`) handle it."""
+    expressions. \\uXXXX / \\UXXXXXXXX decode JVM-side too (round 13,
+    ADVICE r12: the constant side decoded them via `nt_unescape` but
+    the variable side didn't, so CONTAINS(?v, "\\u00E9") disagreed with
+    stored "Caf\\u00E9") — see `_decode_u_form`: UTF-16BE byte decoding
+    stands in for the chr() Catalyst lacks. NUL (\\u0000) in literals
+    is unsupported (it collides with the sentinel)."""
     lex = F.regexp_extract(term, _LEX_RE, 1)
     u = F.regexp_replace(lex, r"\\\\", "\x00")
     for pat, rep in (
@@ -109,6 +183,8 @@ def rdf_value(term: Column) -> Column:
         (r"\\r", "\r"), (r"\\b", "\b"), (r"\\f", "\f"), (r"\\'", "'"),
     ):
         u = F.regexp_replace(u, pat, rep)
+    u = _decode_u_form(u, "U", 8, _u32_char)
+    u = _decode_u_form(u, "u", 4, _u16be_char)
     unescaped = F.regexp_replace(u, "\x00", r"\\")
     return F.when(term.startswith('"'), unescaped).otherwise(term)
 

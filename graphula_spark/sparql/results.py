@@ -27,6 +27,20 @@ _NT_UNESCAPES = {
 }
 
 
+def _hex_cp(h: str) -> int | None:
+    """Parse a \\u/\\U hex payload to a code point, or None if it is
+    not valid hex, beyond U+10FFFF, or a lone surrogate (chr() accepts
+    surrogates but utf-8 encoding of the serialized output would then
+    crash downstream)."""
+    try:
+        cp = int(h, 16)
+    except ValueError:
+        return None
+    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        return None
+    return cp
+
+
 def nt_unescape(lex: str) -> str:
     """Decode N-Triples string escapes to raw characters — the storage
     convention keeps literals in escaped lexical form (O25 verbatim
@@ -46,14 +60,21 @@ def nt_unescape(lex: str) -> str:
                 out.append(_NT_UNESCAPES[nxt])
                 i += 2
                 continue
+            # malformed hex (user-built graphs can carry any term text)
+            # falls through to emitting the characters verbatim rather
+            # than crashing serialization of the whole result set
             if nxt == "u" and i + 6 <= len(lex):
-                out.append(chr(int(lex[i + 2 : i + 6], 16)))
-                i += 6
-                continue
+                cp = _hex_cp(lex[i + 2 : i + 6])
+                if cp is not None:
+                    out.append(chr(cp))
+                    i += 6
+                    continue
             if nxt == "U" and i + 10 <= len(lex):
-                out.append(chr(int(lex[i + 2 : i + 10], 16)))
-                i += 10
-                continue
+                cp = _hex_cp(lex[i + 2 : i + 10])
+                if cp is not None:
+                    out.append(chr(cp))
+                    i += 10
+                    continue
         out.append(ch)
         i += 1
     return "".join(out)

@@ -2674,3 +2674,61 @@ def test_rdf_value_decodes_overlapping_escapes(spark):
     assert got[r'"t\tab"'] == "t\tab"
     assert got[r'"q\"end"'] == 'q"end'
     assert got["plainiri"] == "plainiri"
+
+
+def test_rdf_value_decodes_u_escapes_jvm_side(spark):
+    """Round 13 (ADVICE r12): \\uXXXX / \\UXXXXXXXX decode JVM-side in
+    the FILTER value view (UTF-16BE byte decoding stands in for the
+    chr() Catalyst lacks), so both sides of CONTAINS/'=' meet at the
+    same decoding level whether the escape sits in the query constant
+    or in the stored term. Malformed escapes (bad hex, lone
+    surrogates, beyond U+10FFFF) stay verbatim — the same contract as
+    results.nt_unescape — and decoding is strictly left-to-right:
+    decoded backslashes never re-trigger escape parsing."""
+    from pyspark.sql import functions as F
+
+    from graphula_spark.literal import literal_df
+    from graphula_spark.sparql.compiler import rdf_value
+
+    cases = {
+        '"Caf\\u00E9"': "Café",
+        '"x\\U0001F600y"': "x\U0001F600y",
+        '"\\\\u0041"': "\\u0041",    # escaped backslash: not an escape
+        '"\\u005Cn"': "\\n",          # decoded backslash + n, NOT newline
+        '"\\u005C\\u0075\\u0030\\u0030\\u0034\\u0031"': "\\u0041",
+        '"\\uZZZZ"': "\\uZZZZ",
+        '"\\uD800"': "\\uD800",
+        '"\\U00110000"': "\\U00110000",
+        '"tab\\tmix\\u00E9\\\\done"': "tab\tmixé\\done",
+    }
+    df = literal_df(spark, [(t,) for t in cases], "t string").select(
+        F.col("t"), rdf_value(F.col("t")).alias("v")
+    )
+    got = {r["t"]: r["v"] for r in df.collect()}
+    assert got == cases
+
+
+def test_filter_u_escape_symmetry(spark):
+    """End-to-end: stored data carries the \\u escape, the query
+    constant carries the raw character — and vice versa — and FILTER
+    equality/CONTAINS match in both directions."""
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [
+                ("s1", "p", '"Caf\\u00E9"'),
+                ("s2", "p", '"Café"'),
+                ("s3", "p", '"plain"'),
+            ],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    q = 'SELECT ?s WHERE { ?s <p> ?v . FILTER(STR(?v) = "Café") }'
+    got = {r["s"] for r in g.sparql(q).collect()}
+    assert got == {"s1", "s2"}
+    q2 = 'SELECT ?s WHERE { ?s <p> ?v . FILTER(CONTAINS(STR(?v), "af\\u00E9")) }'
+    got2 = {r["s"] for r in g.sparql(q2).collect()}
+    assert got2 == {"s1", "s2"}
