@@ -834,7 +834,14 @@ class Compiler:
         +/* = semi-naive transitive closure (operators/paths.py), ^ =
         column swap. Zero-length semantics for * and ? bind s=o over the
         nodes incident to the sub-path's edge set (ARQ restricts to graph
-        terms; incident nodes are the pragmatic distributed equivalent)."""
+        terms; incident nodes are the pragmatic distributed equivalent).
+
+        Cardinality (§18.4, round 13 — the agg18 manifest case caught
+        seq/alt dedup): sequence, alternation, inverse, and negated
+        sets translate to Join/Union/triple matches, which are
+        MULTISET-preserving — two routes to the same (src, dst) yield
+        two rows. Only the ALP-defined closures (*, +, ?) are
+        set-semantics and keep their distincts."""
         from graphula_spark.operators.paths import transitive_closure
 
         if isinstance(p, A.PIri):
@@ -853,13 +860,9 @@ class Compiler:
             b = self._path_pairs(p.b).select(
                 F.col("src").alias("__mid"), "dst"
             )
-            return a.join(b, "__mid").select("src", "dst").distinct()
+            return a.join(b, "__mid").select("src", "dst")
         if isinstance(p, A.PAlt):
-            return (
-                self._path_pairs(p.a)
-                .unionByName(self._path_pairs(p.b))
-                .distinct()
-            )
+            return self._path_pairs(p.a).unionByName(self._path_pairs(p.b))
         if isinstance(p, A.PMod):
             base = self._path_pairs(p.path)
             if p.mod == "+":
@@ -899,7 +902,10 @@ class Compiler:
             out = parts[0]
             for part in parts[1:]:
                 out = out.unionByName(part)
-            return out.distinct()
+            # multiset: each matching TRIPLE contributes a row (§18.4);
+            # two distinct predicates outside the set linking the same
+            # endpoints yield two rows, like the Union translation
+            return out
         if isinstance(p, A.PRange):
             base = self._path_pairs(p.path).distinct()
             lo, hi = p.lo, p.hi
@@ -1742,6 +1748,17 @@ class Compiler:
             src = ce.term if ce.term is not None else ce.val
             return sol, F.min(src).alias(name)
         if agg.func == "GROUP_CONCAT":
+            # §18.5.1.7 error propagation (round 13, the r12 SUM/AVG/
+            # MIN/MAX work's untested sibling): GroupConcat concatenates
+            # STR(v), and STR of a BLANK NODE is a type error — so a
+            # group containing a bound blank node makes the whole
+            # aggregate an error and the variable comes back UNBOUND
+            # (ARQ's AggGroupConcat behaves the same way). IRIs and
+            # literals of any datatype remain stringable; unbound
+            # elements stay skipped like the other aggregates.
+            has_bnode = F.max(
+                (bound & src_term.startswith("_:")).cast("int")
+            ) == F.lit(1)
             if agg.order is not None:
                 # ARQ-style GROUP_CONCAT(e; ORDER BY k [ASC|DESC]):
                 # collect (key, value) structs, sort by the key (struct
@@ -1764,9 +1781,15 @@ class Compiler:
                 )
                 if agg.distinct:
                     arr = F.array_distinct(arr)
-                return sol, F.array_join(arr, agg.separator).alias(name)
+                return sol, F.when(
+                    has_bnode, F.lit(None).cast("string")
+                ).otherwise(F.array_join(arr, agg.separator)).alias(name)
             lst = F.collect_set(ce.val) if agg.distinct else F.collect_list(ce.val)
-            return sol, F.array_join(F.sort_array(lst), agg.separator).alias(name)
+            return sol, F.when(
+                has_bnode, F.lit(None).cast("string")
+            ).otherwise(
+                F.array_join(F.sort_array(lst), agg.separator)
+            ).alias(name)
         raise NotImplementedError(f"aggregate {agg.func}")
 
 

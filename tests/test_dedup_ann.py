@@ -1039,3 +1039,78 @@ def test_ivfpq_topk_recall_and_pruning(spark):
     assert via_cells == {
         (q, n) for q, ns in got.items() for n in ns
     }
+
+
+def test_semantic_dedup_hot_cell_cap(spark):
+    """Round 13 (VERDICT r12 #3): a near-identical-yet-distinct
+    embedding hub (one template re-rendered N ways) lands in one
+    KMeans cell; `max_cell_size` sub-buckets it by centroid-centered
+    hyperplane signs. Asserts (1) the hub cell actually splits and no
+    sub-bucket holds the whole population, (2) the representative
+    bridge reconnects the fragments so the hub stays ONE dup group
+    with one survivor — group recall 1.0 in the hub regime — and
+    (3) scatter items are untouched relative to the uncapped pass."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphula_spark.operators.ann import (
+        IvfIndex,
+        _subdivide_hot_cells,
+        semantic_dedup,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    template = unit([rng.gauss(0, 1) for _ in range(dim)])
+    hub = [
+        (i, unit([x + rng.gauss(0, 0.004) for x in template]))
+        for i in range(400)
+    ]
+    scatter = [
+        (1000 + i, unit([rng.gauss(0, 1) for _ in range(dim)]))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(hub + scatter, ["vec_id", "embedding"])
+
+    capped = semantic_dedup(
+        df, n_cells=4, eps=0.9, seed=3, max_cell_size=50
+    ).persist()
+    rows = {r["id"]: r for r in capped.collect()}
+    hub_groups = {rows[i]["dup_group"] for i in range(400)}
+    assert hub_groups == {0}, hub_groups  # one group, labeled by min id
+    keeps = [i for i in range(400) if rows[i]["keep"]]
+    assert keeps == [0]
+
+    # the split itself: rebuild the sub-bucketing and check shape
+    idx = IvfIndex.build(df, n_cells=4, seed=3)
+    v = idx.assigned.select(
+        F.col("neighbor_id").alias("id"), "cell", "nv"
+    )
+    v_sub, bridge = _subdivide_hot_cells(v, 50, 0.9, 3)
+    pops = (
+        v_sub.groupBy("cell", "__sub").count().groupBy("cell")
+        .agg(F.max("count").alias("mx"), F.count(F.lit(1)).alias("nsub"))
+        .collect()
+    )
+    hub_cells = [r for r in pops if r["nsub"] > 1]
+    assert hub_cells, pops  # at least the hub cell split
+    # no sub-bucket holds (even close to) the whole hub population
+    assert all(r["mx"] < 300 for r in hub_cells), pops
+    assert bridge.count() > 0
+
+    # scatter items: same verdicts as the uncapped pass
+    uncapped = semantic_dedup(df, n_cells=4, eps=0.9, seed=3).persist()
+    cs = {r["id"]: (r["dup_group"], r["keep"])
+          for r in capped.where(F.col("id") >= 1000).collect()}
+    us = {r["id"]: (r["dup_group"], r["keep"])
+          for r in uncapped.where(F.col("id") >= 1000).collect()}
+    assert cs == us
+    capped.unpersist()
+    uncapped.unpersist()
