@@ -1001,6 +1001,113 @@ def ivfpq_topk(
     )
 
 
+#: hard cap on hot-cell sub-bucketing depth: 2^12 = 4096 subcells per
+#: cell bounds the representative-bridge pass at ~8M rep pairs worst
+#: case — still negligible next to the (pop/4096)² within-subcell work
+MAX_SUB_BITS = 12
+
+
+def _subdivide_hot_cells(
+    v: DataFrame,
+    max_cell_size: int,
+    eps: float,
+    seed: int,
+):
+    """Split KMeans cells whose population exceeds `max_cell_size` into
+    2^r sub-buckets (r = ceil(log2(pop / max_cell_size)), capped at
+    MAX_SUB_BITS) by the sign bits of seeded random hyperplanes taken
+    AROUND THE CELL MEAN — sign(p·x - p·mean) — because a hub cell is
+    a tight ball: uncentered hyperplanes would give every member the
+    same signs and split nothing, while centered ones cut the ball
+    roughly in half per plane. The mean is computed over the SAME
+    (unit-normalized) vectors the signs are taken on — centering on
+    the raw KMeans centroid instead leaves a constant offset that
+    dominates every projection when the cluster's raw magnitude isn't
+    1, collapsing the split to however many planes happen to cross it
+    (caught by tools/probe_r13.py with a non-unit template). One pass
+    (a per-cell avg per dimension — fine for embedding widths; the
+    grouped agg is dim columns wide), no per-cell KMeans jobs, and
+    deterministic (numpy RandomState planes + a deterministic mean).
+
+    Returns (v with a `__sub` column, bridge-edge DataFrame). The
+    recall tradeoff (documented like `choose_decontam_bands`): a
+    near-dup pair straddling a hyperplane lands in different
+    sub-buckets and is not scored directly; connectivity across
+    sub-buckets is restored by the BRIDGE pass — each sub-bucket's
+    min-id representative is scored against the cell's other
+    representatives (≤2^r rows per cell, quadratic only in
+    representatives), adding the edge whenever two representatives are
+    themselves eps-similar. For the hub regime that creates oversized
+    cells in the first place (one template embedded millions of ways —
+    the entire cell is one tight eps-ball), every representative pair
+    passes the eps filter, so the fragmented group reconnects and
+    GROUP recall stays ~1.0; for a mixed oversized cell, cross-bucket
+    pairs whose components share no eps-similar representatives are
+    lost — the measured probe gates recall ≥ 0.9 (tools/probe_r13.py,
+    PLANS.md §36)."""
+    import numpy as np
+
+    first = v.select("nv").first()
+    if first is None:
+        return v.withColumn("__sub", F.lit(0)), None
+    dim = len(first[0])
+    rng = np.random.RandomState(seed * 1_000_003 + 17)
+    planes = rng.normal(size=(MAX_SUB_BITS, dim))
+    counts = v.groupBy("cell").agg(F.count(F.lit(1)).alias("__pop"))
+    rexp = (
+        F.when(
+            F.col("__pop") > max_cell_size,
+            F.least(
+                F.ceil(F.log2(F.col("__pop") / F.lit(float(max_cell_size)))),
+                F.lit(MAX_SUB_BITS),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    means = v.groupBy("cell").agg(
+        *[F.avg(F.col("nv")[i]).alias(f"__m{i}") for i in range(dim)]
+    ).select(
+        "cell",
+        F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("cv"),
+    )
+    v2 = v.join(
+        F.broadcast(counts.select("cell", rexp.alias("__r"))), "cell"
+    ).join(F.broadcast(means), "cell")
+
+    def proj(vec_col, i):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        return F.aggregate(
+            F.zip_with(vec_col, plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sub = F.lit(0)
+    for i in range(MAX_SUB_BITS):
+        sub = sub + F.when(
+            (F.col("__r") > i)
+            & ((proj(F.col("nv"), i) - proj(F.col("cv"), i)) >= 0),
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+    v_sub = v2.select("id", "cell", sub.alias("__sub"), "nv")
+    w = Window.partitionBy("cell", "__sub")
+    reps = (
+        v_sub.withColumn("__min", F.min("id").over(w))
+        .where(F.col("id") == F.col("__min"))
+        .select("id", "cell", "nv")
+    )
+    ra = reps.select(F.col("id").alias("id_a"), "cell", F.col("nv").alias("va"))
+    rb = reps.select(F.col("id").alias("id_b"), "cell", F.col("nv").alias("vb"))
+    bridge = (
+        ra.join(rb, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(_dot(F.col("va"), F.col("vb")) >= F.lit(eps))
+        .select("id_a", "id_b")
+    )
+    return v_sub, bridge
+
+
 def semantic_dedup(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -1009,6 +1116,7 @@ def semantic_dedup(
     eps: float = 0.9,
     seed: int = 42,
     collapse_exact: bool = True,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): KMeans-cluster the embedding space, call two
@@ -1035,6 +1143,17 @@ def semantic_dedup(
     out afterwards. Web-scale corpora repeat embeddings heavily (exact
     doc dups, boilerplate), and a k-member exact clique otherwise
     contributes k(k-1)/2 within-cell pairs for zero information.
+
+    `max_cell_size` (round 13, VERDICT r12 #3) caps the remaining
+    quadratic regime: `collapse_exact` kills byte-identical hubs, but
+    a near-identical-yet-DISTINCT embedding hub (one template page
+    re-rendered 10M ways) still lands one KMeans cell and pays
+    pop²/2 pair scores in one task. With a cap, oversized cells are
+    sub-bucketed by centroid-centered hyperplane signs and
+    cross-bucket connectivity is restored through per-bucket
+    representatives — see `_subdivide_hot_cells` for the recall
+    tradeoff and PLANS.md §36 for the measured probe. None (default)
+    keeps the exact within-cell behavior.
     """
     from graphula_spark.operators.cluster import connected_components
 
@@ -1052,7 +1171,8 @@ def semantic_dedup(
             F.col("__oid").alias(id_col), F.col("__ov").alias(vec_col)
         )
         rep_out = semantic_dedup(
-            reps, id_col, vec_col, n_cells, eps, seed, collapse_exact=False
+            reps, id_col, vec_col, n_cells, eps, seed,
+            collapse_exact=False, max_cell_size=max_cell_size,
         )
         # merged component label = semantic group of the representative,
         # else the representative itself when the exact clique has >1
@@ -1100,19 +1220,33 @@ def semantic_dedup(
         .drop("n")
         .persist()
     )
-    a = v.select(F.col("id").alias("id_a"), "cell", F.col("nv").alias("va"))
-    b = v.select(F.col("id").alias("id_b"), "cell", F.col("nv").alias("vb"))
+    bridge = None
+    pair_key = ["cell"]
+    if max_cell_size is not None:
+        v_sub, bridge = _subdivide_hot_cells(v, max_cell_size, eps, seed)
+        v_for_pairs = v_sub
+        pair_key = ["cell", "__sub"]
+    else:
+        v_for_pairs = v
+    a = v_for_pairs.select(
+        F.col("id").alias("id_a"), *pair_key, F.col("nv").alias("va")
+    )
+    b = v_for_pairs.select(
+        F.col("id").alias("id_b"), *pair_key, F.col("nv").alias("vb")
+    )
     # localCheckpoint the (sparse) pair set: it is consumed repeatedly
     # downstream (symmetrization union, CC rounds, final join) and its
     # logical plan — KMeans transform + window + self-join with
     # aggregate HOFs — is expensive for Catalyst to re-analyze per use
-    pairs = (
-        a.join(b, "cell")
+    within = (
+        a.join(b, pair_key)
         .where(F.col("id_a") < F.col("id_b"))
         .where(_dot(F.col("va"), F.col("vb")) >= F.lit(eps))
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
     )
+    if bridge is not None:
+        within = within.unionByName(bridge).dropDuplicates(["id_a", "id_b"])
+    pairs = within.localCheckpoint(eager=True)
     comp = connected_components(pairs, "id_a", "id_b")
     out = (
         v.select("id", "cell")
