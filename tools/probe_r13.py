@@ -158,9 +158,10 @@ def semdedup_cap_probe(spark) -> None:
     # (the hub is one eps-clique by construction, so the true
     # clustering is one 14k group — checkable without an uncapped
     # reference); the uncapped attempt runs LAST because it OOMs the
-    # 16 GB local JVM (its pair set alone is ~10^8 rows of joined
-    # array payloads) — falling over, not just straggling, is the
-    # probe's scale story.
+    # 16 GB local JVM under normal cache pressure (its pair set alone
+    # is ~10^8 rows of joined array payloads; on a freshly started JVM
+    # it completes but 7.5x slower with a 42s straggler task) — so the
+    # try/except reports whichever outcome this host produces.
     df14 = build_hub_corpus(spark, hub_n=14_000)
     cap14, cap14_wall, cap14_worst = _run_semdedup(
         spark, df14, 650, "14k capped(650)"
