@@ -155,9 +155,10 @@ def _decode_u_form(s: Column, marker: str, width: int, char_fn) -> Column:
             F.lit(""),
         ),
     )
-    # the rlike guard keeps the split/extract/zip machinery off rows
-    # with no such escape (the overwhelmingly common case)
-    return F.when(s.rlike(rf"\\{marker}"), rebuilt).otherwise(s)
+    # the guard keeps the split/extract/zip machinery off rows with no
+    # such escape (the overwhelmingly common case); a literal substring
+    # contains() — not a regex — since it runs on every FILTER row
+    return F.when(s.contains("\\" + marker), rebuilt).otherwise(s)
 
 
 def rdf_value(term: Column) -> Column:
