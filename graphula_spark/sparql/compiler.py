@@ -187,6 +187,11 @@ def rdf_value(term: Column) -> Column:
     u = _decode_u_form(u, "U", 8, _u32_char)
     u = _decode_u_form(u, "u", 4, _u16be_char)
     unescaped = F.regexp_replace(u, "\x00", r"\\")
+    # one literal contains() gates the whole 9-regex + split decode
+    # chain: a lexical form with no backslash (virtually every row of
+    # a real store) is already its own value (round 13 — sq_filter
+    # spent ~2x its r03 cost inside always-on escape machinery)
+    unescaped = F.when(lex.contains("\\"), unescaped).otherwise(lex)
     return F.when(term.startswith('"'), unescaped).otherwise(term)
 
 
@@ -517,19 +522,64 @@ class Compiler:
         the bound value (coalesce). Vars certainly bound on both sides
         stay plain equality clauses, so Catalyst still extracts them as
         hash-join keys; the null-tolerant clauses ride along as a
-        residual condition."""
+        residual condition.
+
+        When EVERY shared var is null-tolerant there is no plain
+        equality conjunct to extract and the join planned as a
+        BroadcastNestedLoopJoin — O(|L|·|R|) comparisons in ONE task
+        (round 13: the BIND-join-back shape spent 279 s / 2.25e9
+        comparisons in exactly this plan at sf0.1, zero shuffle, one
+        278 s task). That case now decomposes on a pivot var p into
+        three disjoint branches by the (l.p IS NULL, r.p IS NULL)
+        pattern: bound-on-both-sides rows HASH-join on p (the mass),
+        and the null-on-either-side slivers ride residual joins, all
+        unioned — identical multiset semantics, each pair of rows
+        matched by exactly one branch."""
         rdf = right.df.select(
             *[F.col(c).alias(f"__rj_{c}") for c in right.df.columns]
         )
-        cond = None
-        for v in shared:
+
+        def clause(v):
             r = F.col(f"__rj_{v}")
             if v in nullable:
-                cl = F.col(v).isNull() | r.isNull() | (F.col(v) == r)
-            else:
-                cl = F.col(v) == r
-            cond = cl if cond is None else cond & cl
-        df = left.df.join(rdf, cond, how)
+                return F.col(v).isNull() | r.isNull() | (F.col(v) == r)
+            return F.col(v) == r
+
+        def conj(vs):
+            cond = F.lit(True)
+            for v in vs:
+                cond = cond & clause(v)
+            return cond
+
+        if shared and len(nullable) == len(shared):
+            piv, rest = shared[0], shared[1:]
+            lp, rp = F.col(piv), F.col(f"__rj_{piv}")
+            ldf = left.df
+            uid = None
+            if how != "inner":
+                uid = self.fresh("cj")
+                ldf = ldf.withColumn(uid, F.monotonically_increasing_id())
+            a = ldf.where(lp.isNotNull()).join(
+                rdf.where(rp.isNotNull()), (lp == rp) & conj(rest), "inner"
+            )
+            b = ldf.where(lp.isNull()).join(rdf, conj(rest), "inner")
+            c = ldf.where(lp.isNotNull()).join(
+                rdf.where(rp.isNull()), conj(rest), "inner"
+            )
+            df = a.unionByName(b).unionByName(c)
+            if uid is not None:
+                # left_outer: null-extend the left rows no branch hit
+                rtypes = dict(rdf.dtypes)
+                unmatched = ldf.join(
+                    df.select(uid).distinct(), uid, "left_anti"
+                )
+                for rc, rt in rtypes.items():
+                    unmatched = unmatched.withColumn(
+                        rc, F.lit(None).cast(rt)
+                    )
+                df = df.unionByName(unmatched).drop(uid)
+        else:
+            df = left.df.join(rdf, conj(shared), how)
         for v in shared:
             if v in nullable:
                 df = df.withColumn(v, F.coalesce(F.col(v), F.col(f"__rj_{v}")))

@@ -2732,3 +2732,45 @@ def test_filter_u_escape_symmetry(spark):
     q2 = 'SELECT ?s WHERE { ?s <p> ?v . FILTER(CONTAINS(STR(?v), "af\\u00E9")) }'
     got2 = {r["s"] for r in g.sparql(q2).collect()}
     assert got2 == {"s1", "s2"}
+
+
+def test_all_nullable_shared_join_decomposes_and_matches(spark):
+    """Round 13: when every shared var of a join is null-tolerant
+    (maybe-unbound), the old single OR-condition join planned as a
+    BroadcastNestedLoopJoin — O(|L|*|R|) in ONE task (279 s at sf0.1
+    for the BIND-join-back shape). The pivot decomposition keeps a
+    plain equality for the bound-on-both-sides mass (hash-joinable)
+    and routes the null slivers through residual branches. This pins
+    (1) SPARQL compatibility semantics — an unbound ?x matches every
+    right row and takes its value — and (2) that the plan carries a
+    hash join on the pivot."""
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [
+                ("a", "type", "thing"),
+                ("b", "type", "thing"),
+                ("a", "p", "x1"),
+                ("x1", "q", "y1"),
+                ("x2", "q", "y2"),
+            ],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    df = g.sparql(
+        """SELECT ?s ?x ?y WHERE {
+             ?s <type> <thing> .
+             OPTIONAL { ?s <p> ?x }
+             ?x <q> ?y }"""
+    )
+    got = {(r["s"], r["x"], r["y"]) for r in df.collect()}
+    assert got == {
+        ("a", "x1", "y1"),       # bound ?x equi-matches
+        ("b", "x1", "y1"),       # unbound ?x matches every row and
+        ("b", "x2", "y2"),       # takes the right side's value
+    }
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
