@@ -31,6 +31,10 @@ HEADLINE = [
     "graph_probes",
     "sq_filter",
     "sq_optional",
+    # round 13: the BIND-join-back shape sat at 279 s (all-nullable
+    # compat join -> BNLJ) for rounds with no bench key to expose it;
+    # tracked from now on (3.5 s after the pivot decomposition)
+    "sq_term_fns",
     "sq_groupby_agg",
     "sq_lineitem_agg",
     "sq_order_limit",
