@@ -558,7 +558,15 @@ class Compiler:
             uid = None
             if how != "inner":
                 uid = self.fresh("cj")
-                ldf = ldf.withColumn(uid, F.monotonically_increasing_id())
+                # materialize the uid ONCE: the three branches plus the
+                # anti-join all reference this subtree, and a re-derived
+                # monotonically_increasing_id is only stable per
+                # evaluation — after an upstream shuffle, within-
+                # partition row order can differ between evaluations,
+                # which would tear the uid across branches
+                ldf = ldf.withColumn(
+                    uid, F.monotonically_increasing_id()
+                ).localCheckpoint(eager=True)
             a = ldf.where(lp.isNotNull()).join(
                 rdf.where(rp.isNotNull()), (lp == rp) & conj(rest), "inner"
             )

@@ -2774,3 +2774,42 @@ def test_all_nullable_shared_join_decomposes_and_matches(spark):
     }
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
+
+
+def test_all_nullable_shared_left_outer_decomposition(spark):
+    """The left_outer (OPTIONAL) variant of the all-nullable join
+    decomposition: matched rows come from the three disjoint branches,
+    unmatched left rows are null-extended via the uid anti-join (the
+    uid is checkpoint-materialized so every branch sees the same
+    assignment)."""
+    from graphula_spark.graph import Graph
+
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(
+            [
+                ("a", "type", "thing"),
+                ("b", "type", "thing"),
+                ("c", "type", "thing"),
+                ("a", "p", "x1"),
+                ("c", "p", "lonely"),   # no <q> edge: stays unmatched
+                ("x1", "q", "y1"),
+                ("x2", "q", "y2"),
+            ],
+            ["s", "p", "o"],
+        ),
+        cache=False,
+    )
+    df = g.sparql(
+        """SELECT ?s ?x ?y WHERE {
+             ?s <type> <thing> .
+             OPTIONAL { ?s <p> ?x }
+             OPTIONAL { ?x <q> ?y } }"""
+    )
+    got = sorted((r["s"], r["x"], r["y"]) for r in df.collect())
+    assert got == [
+        ("a", "x1", "y1"),
+        ("b", "x1", "y1"),      # unbound ?x matches every <q> row
+        ("b", "x2", "y2"),
+        ("c", "lonely", None),  # bound ?x, no match: null-extended
+    ]
