@@ -89,6 +89,14 @@ def unregister_function(iri: str) -> None:
     FUNCTION_REGISTRY.pop(iri, None)
 
 
+#: combined analyzed-plan leaf budget above which an all-nullable
+#: compatibility-join decomposition swaps its inputs for lazy
+#: localCheckpoints — each decomposition references a side up to three
+#: times, so unchecked nesting grows the logical tree as 3^depth and
+#: stalls Catalyst's single-threaded analyzer (round 13)
+_DECOMP_LEAF_BUDGET = 16
+
+
 def _u16be_char(h4: Column) -> Column:
     """Single BMP character from 4 hex digits, JVM-side: the UTF-16BE
     byte encoding of a BMP code point IS its two big-endian bytes, so
@@ -513,6 +521,13 @@ class Compiler:
                 left = aligned
         return left, right, shared
 
+    @staticmethod
+    def _decomp_leaf_count(df) -> int:
+        try:
+            return df._jdf.queryExecution().analyzed().collectLeaves().size()
+        except Exception:  # pragma: no cover - defensive
+            return 1 << 20  # unknown: assume big, take the barrier
+
     def _compat_join(
         self, left: Solution, right: Solution, shared: list[str],
         nullable: list[str], how: str,
@@ -554,19 +569,42 @@ class Compiler:
         if shared and len(nullable) == len(shared):
             piv, rest = shared[0], shared[1:]
             lp, rp = F.col(piv), F.col(f"__rj_{piv}")
+            # checkpoint BOTH inputs: the branches reference each side
+            # up to three times, so nested decompositions would grow
+            # the LOGICAL plan as 3^depth — Catalyst's single-threaded
+            # analyzer burned 13+ CPU-minutes on one such tree before
+            # this (round 13, caught by the full suite). Truncating
+            # lineage here keeps every level's plan a 3-join union
+            # over leaves. This also makes the left_outer uid stable:
+            # a re-derived monotonically_increasing_id is only
+            # deterministic per evaluation, and post-shuffle row order
+            # can differ between branch evaluations.
+            # Plan-size control: the branches reference each side up to
+            # three times, so NESTED decompositions grow the logical
+            # tree as 3^depth — Catalyst's single-threaded analyzer
+            # burned 13+ CPU-minutes on one such tree (round 13, caught
+            # by the full suite). Once the combined leaf count crosses
+            # the budget, LAZY localCheckpoints swap the subtrees for
+            # leaf nodes (materialized once at first execution; no
+            # compile-time job, unlike eager). Small plans skip the
+            # barrier and keep full pushdown across the join.
             ldf = left.df
             uid = None
             if how != "inner":
                 uid = self.fresh("cj")
-                # materialize the uid ONCE: the three branches plus the
-                # anti-join all reference this subtree, and a re-derived
+                # the uid side always checkpoints: a re-derived
                 # monotonically_increasing_id is only stable per
-                # evaluation — after an upstream shuffle, within-
-                # partition row order can differ between evaluations,
-                # which would tear the uid across branches
+                # evaluation, and post-shuffle row order can differ
+                # between the branch evaluations
                 ldf = ldf.withColumn(
                     uid, F.monotonically_increasing_id()
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
+            if (
+                self._decomp_leaf_count(ldf) + self._decomp_leaf_count(rdf)
+                > _DECOMP_LEAF_BUDGET
+            ):
+                ldf = ldf.localCheckpoint(eager=False)
+                rdf = rdf.localCheckpoint(eager=False)
             a = ldf.where(lp.isNotNull()).join(
                 rdf.where(rp.isNotNull()), (lp == rp) & conj(rest), "inner"
             )
