@@ -455,9 +455,12 @@ def main() -> None:
         compact["queries"] = {k: round(v, 2) for k, v in per_query.items()}
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1990:  # last resort: never exceed the tail window
-        compact["queries"] = {
-            k: round(v, 2) for k, v in per_query.items() if v >= 0.05
-        }
+        kept = {k: round(v, 2) for k, v in per_query.items() if v >= 0.05}
+        compact["queries"] = kept
+        # make the truncation visible in the archive: a fast query
+        # regressing past 0.05s would otherwise appear as a "new" key
+        # rather than a delta (ADVICE r13)
+        compact["dropped_fast_keys"] = len(per_query) - len(kept)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

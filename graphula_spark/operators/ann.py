@@ -1024,10 +1024,16 @@ def _subdivide_hot_cells(
     the raw KMeans centroid instead leaves a constant offset that
     dominates every projection when the cluster's raw magnitude isn't
     1, collapsing the split to however many planes happen to cross it
-    (caught by tools/probe_r13.py with a non-unit template). One pass
-    (a per-cell avg per dimension — fine for embedding widths; the
-    grouped agg is dim columns wide), no per-cell KMeans jobs, and
-    deterministic (numpy RandomState planes + a deterministic mean).
+    (caught by tools/probe_r13.py with a non-unit template). Means come
+    from ONE posexplode + (cell, pos) avg rebuilt in position order —
+    a constant number of Catalyst expressions at ANY embedding width
+    (the previous shape emitted one avg column per dimension, which at
+    production widths 1536–4096 meant thousands of expressions per agg
+    and an analysis/codegen stall — ADVICE r13); only oversized cells
+    pay the explode, and the plane·mean offsets are folded per-CELL on
+    the broadcast side so each ROW evaluates just the 12 nv
+    projections. No per-cell KMeans jobs, and deterministic (numpy
+    RandomState planes + a deterministic mean).
 
     Returns (v with a `__sub` column, bridge-edge DataFrame). The
     recall tradeoff (documented like `choose_decontam_bands`): a
@@ -1065,29 +1071,70 @@ def _subdivide_hot_cells(
         .otherwise(F.lit(0))
         .cast("int")
     )
-    means = v.groupBy("cell").agg(
-        *[F.avg(F.col("nv")[i]).alias(f"__m{i}") for i in range(dim)]
-    ).select(
-        "cell",
-        F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("cv"),
+    # only cells that actually split (__r > 0) need means/offsets —
+    # the broadcast stays tiny and non-hot cells never pay the explode
+    subcells = counts.select("cell", rexp.alias("__r")).where(F.col("__r") > 0)
+    hot_v = v.join(F.broadcast(subcells.select("cell")), "cell", "left_semi")
+    means = (
+        hot_v.select("cell", F.posexplode("nv").alias("__pos", "__val"))
+        .groupBy("cell", "__pos")
+        .agg(F.avg("__val").alias("__m"))
+        .groupBy("cell")
+        .agg(
+            # struct ordering compares fields left-to-right, so
+            # array_sort over (pos, m) structs rebuilds the mean
+            # vector in element order — dim-agnostic expression count
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("cv")
+        )
     )
-    v2 = v.join(
-        F.broadcast(counts.select("cell", rexp.alias("__r"))), "cell"
-    ).join(F.broadcast(means), "cell")
+
+    # the hyperplanes ride a ONE-ROW literal_df (array<double> columns)
+    # instead of inline F.array(dim literals) expressions — at
+    # production widths (1536–4096 dims) 12 inline plane arrays would
+    # add ~50k literal nodes to the analyzed plan (same stall class as
+    # the per-dim avg; ADVICE r13); as table columns they are data,
+    # not expressions
+    from graphula_spark.literal import literal_df
+
+    planes_df = literal_df(
+        v.sparkSession,
+        [tuple([float(x) for x in p] for p in planes)],
+        [(f"__p{i}", "array<double>") for i in range(MAX_SUB_BITS)],
+    )
 
     def proj(vec_col, i):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
         return F.aggregate(
-            F.zip_with(vec_col, plane, lambda a, b: a * b),
+            F.zip_with(vec_col, F.col(f"__p{i}"), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
+    # plane·mean is a per-CELL scalar: fold the 12 offsets on the tiny
+    # means side so each data ROW evaluates 12 projections, not 24.
+    # The crossJoin is a 1-row broadcast product onto the per-hot-cell
+    # means — intentional and gated-tiny; the plane columns ride along
+    # on the same broadcast so data rows get them via the cell join.
+    offs = means.crossJoin(F.broadcast(planes_df)).select(
+        "cell",
+        *[proj(F.col("cv"), i).alias(f"__o{i}") for i in range(MAX_SUB_BITS)],
+        *[f"__p{i}" for i in range(MAX_SUB_BITS)],
+    )
+    v2 = (
+        v.join(F.broadcast(subcells), "cell", "left")
+        .withColumn("__r", F.coalesce(F.col("__r"), F.lit(0)))
+        .join(F.broadcast(offs), "cell", "left")
+    )
     sub = F.lit(0)
     for i in range(MAX_SUB_BITS):
+        # non-splitting cells carry null __o{i}; __r == 0 makes the
+        # conjunct false (null-safe: a null comparison also falls to
+        # the otherwise branch), so they land in sub-bucket 0
         sub = sub + F.when(
             (F.col("__r") > i)
-            & ((proj(F.col("nv"), i) - proj(F.col("cv"), i)) >= 0),
+            & ((proj(F.col("nv"), i) - F.col(f"__o{i}")) >= 0),
             F.lit(1 << i),
         ).otherwise(F.lit(0))
     v_sub = v2.select("id", "cell", sub.alias("__sub"), "nv")

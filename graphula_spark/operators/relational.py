@@ -125,8 +125,9 @@ def _time_micros(df: DataFrame, on: str) -> Column:
     timestamp -> unix_micros; date -> midnight (session tz) cast to
     timestamp first; numeric (int/long/float/double/decimal) ->
     interpreted as epoch SECONDS — so ``bucket_seconds`` /
-    ``tolerance_seconds`` keep their units — scaled to micros (exact
-    for values < ~9.2e12, i.e. any real epoch). Anything else raises a
+    ``tolerance_seconds`` keep their units — scaled to micros (integer-
+    exact while the micros value stays under 2^53, i.e. seconds <
+    ~9.0e9 — any real epoch is ~1.7e9). Anything else raises a
     clear TypeError up front instead of unix_micros' opaque
     AnalysisException mid-plan (ADVICE r12: the round-12 signed-micros
     rework silently narrowed the accepted types to TimestampType).

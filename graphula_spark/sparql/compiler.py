@@ -102,9 +102,15 @@ def _u16be_char(h4: Column) -> Column:
     byte encoding of a BMP code point IS its two big-endian bytes, so
     `decode(unhex(h4), 'UTF-16BE')` is a pure-Catalyst chr(). Lone
     surrogates come back verbatim (sentinel-masked backslash, matching
-    `results.nt_unescape`'s malformed-escape contract)."""
+    `results.nt_unescape`'s malformed-escape contract), and so does
+    \\u0000: a decoded NUL would collide with the backslash sentinel
+    (this pass runs on sentinel-masked text) and silently turn into a
+    literal backslash — both this path and `nt_unescape` leave it
+    undecoded so variable- and constant-side values agree (ADVICE
+    r13)."""
     return F.when(
-        h4.rlike("^[dD][89a-fA-F]"), F.concat(F.lit("\x00u"), h4)
+        h4.rlike("^[dD][89a-fA-F]") | (h4 == "0000"),
+        F.concat(F.lit("\x00u"), h4),
     ).otherwise(F.decode(F.unhex(h4), "UTF-16BE"))
 
 
@@ -112,7 +118,9 @@ def _u32_char(h8: Column) -> Column:
     """Character from 8 hex digits (\\U escapes): BMP points reuse the
     UTF-16BE trick on the low 4 digits; astral points are converted to
     a surrogate pair arithmetically and decoded as 4 UTF-16BE bytes.
-    Out-of-range / surrogate code points come back verbatim."""
+    Out-of-range / surrogate code points come back verbatim, as does
+    code point 0 (NUL collides with the backslash sentinel; see
+    `_u16be_char`)."""
     cp = F.conv(h8, 16, 10).cast("long")
     v = cp - 0x10000
     hi = F.lit(0xD800) + F.shiftright(v, 10)
@@ -128,6 +136,7 @@ def _u32_char(h8: Column) -> Column:
     return (
         F.when(cp > 0x10FFFF, verbatim)
         .when((cp >= 0xD800) & (cp <= 0xDFFF), verbatim)
+        .when(cp == 0, verbatim)
         .when(cp <= 0xFFFF, bmp)
         .otherwise(pair)
     )
@@ -183,8 +192,10 @@ def rdf_value(term: Column) -> Column:
     ADVICE r12: the constant side decoded them via `nt_unescape` but
     the variable side didn't, so CONTAINS(?v, "\\u00E9") disagreed with
     stored "Caf\\u00E9") — see `_decode_u_form`: UTF-16BE byte decoding
-    stands in for the chr() Catalyst lacks. NUL (\\u0000) in literals
-    is unsupported (it collides with the sentinel)."""
+    stands in for the chr() Catalyst lacks. NUL (\\u0000) stays as the
+    verbatim six-char escape on BOTH paths — here AND in
+    `results.nt_unescape` — because a decoded NUL collides with the
+    sentinel; the two views agree by construction (ADVICE r13)."""
     lex = F.regexp_extract(term, _LEX_RE, 1)
     u = F.regexp_replace(lex, r"\\\\", "\x00")
     for pat, rep in (
@@ -567,18 +578,19 @@ class Compiler:
             return cond
 
         if shared and len(nullable) == len(shared):
+            # The decomposition's non-inner handling (uid + null-extend
+            # union) IS left_outer; a semi/anti caller would silently
+            # get wrong multisets, so fail loudly if one ever appears
+            # (today's callers only pass inner / left_outer — ADVICE
+            # r13). Such a caller should fall through to the plain
+            # join below instead.
+            if how not in ("inner", "left_outer"):
+                raise AssertionError(
+                    f"_compat_join all-nullable decomposition supports "
+                    f"inner/left_outer only, got {how!r}"
+                )
             piv, rest = shared[0], shared[1:]
             lp, rp = F.col(piv), F.col(f"__rj_{piv}")
-            # checkpoint BOTH inputs: the branches reference each side
-            # up to three times, so nested decompositions would grow
-            # the LOGICAL plan as 3^depth — Catalyst's single-threaded
-            # analyzer burned 13+ CPU-minutes on one such tree before
-            # this (round 13, caught by the full suite). Truncating
-            # lineage here keeps every level's plan a 3-join union
-            # over leaves. This also makes the left_outer uid stable:
-            # a re-derived monotonically_increasing_id is only
-            # deterministic per evaluation, and post-shuffle row order
-            # can differ between branch evaluations.
             # Plan-size control: the branches reference each side up to
             # three times, so NESTED decompositions grow the logical
             # tree as 3^depth — Catalyst's single-threaded analyzer
@@ -1730,6 +1742,22 @@ class Compiler:
                 key_cols.append(ge[2])
             else:
                 raise NotImplementedError("complex GROUP BY expression")
+
+        # SPARQL 1.1 §18.2.4.1: in a grouped query (explicit GROUP BY
+        # or implicit via aggregates) the projection may only use group
+        # keys and aggregates — projecting a plain non-grouped variable
+        # is a query error (ARQ raises at parse time; round 14: we
+        # previously returned silent NULL columns for it)
+        for name, expr in q.variables:
+            if (
+                isinstance(expr, A.EVar)
+                and expr.name not in key_cols
+                and expr.name in sol.vars
+            ):
+                raise SyntaxError(
+                    f"variable ?{expr.name} is projected but neither "
+                    "grouped nor aggregated (SPARQL 1.1 §18.2.4.1)"
+                )
 
         aggs = []
         out_val_vars = set(key_cols)

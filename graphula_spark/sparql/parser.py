@@ -1,11 +1,17 @@
-"""Minimal recursive-descent SPARQL parser for the SELECT/ASK subset.
+"""Recursive-descent SPARQL parser for the SELECT/ASK/CONSTRUCT/
+DESCRIBE + Update surface.
 
-Covers the surface the reference effectively supports through Jena ARQ
-(SURVEY.md §2.2): BGPs, FILTER, OPTIONAL, UNION, MINUS, BIND, VALUES,
-DISTINCT/REDUCED, GROUP BY + aggregates, HAVING, ORDER BY, LIMIT/OFFSET,
-ASK, plus prefixed names, 'a' for rdf:type, and ';'/',' triple
-abbreviations. Property paths raise (the reference also throws at
-runtime on them, sparql/.../Sparql.scala:130-134).
+Covers (and exceeds) the surface the reference effectively supports
+through Jena ARQ (SURVEY.md §2.2): BGPs, FILTER, OPTIONAL, UNION,
+MINUS, BIND, VALUES, DISTINCT/REDUCED, GROUP BY + aggregates, HAVING,
+ORDER BY, LIMIT/OFFSET, ASK, subqueries, EXISTS expressions, named
+graphs (GRAPH / FROM / FROM NAMED), SERVICE, plus prefixed names, 'a'
+for rdf:type, and ';'/',' triple abbreviations. Property paths
+(`/ | ? ^ + * {n,m} !(...)`) parse to `PathPattern` (round 11 —
+the reference throws on every path at runtime,
+sparql/.../Sparql.scala:130-134; we execute them); the one place
+paths are rejected is CONSTRUCT templates, where the grammar itself
+disallows them.
 
 Terms are canonicalized exactly like the N-Triples source: URIs without
 angle brackets; literals in verbatim N-Triples lexical syntax

@@ -29,14 +29,17 @@ _NT_UNESCAPES = {
 
 def _hex_cp(h: str) -> int | None:
     """Parse a \\u/\\U hex payload to a code point, or None if it is
-    not valid hex, beyond U+10FFFF, or a lone surrogate (chr() accepts
+    not valid hex, beyond U+10FFFF, a lone surrogate (chr() accepts
     surrogates but utf-8 encoding of the serialized output would then
-    crash downstream)."""
+    crash downstream), or zero (the JVM-side value view in
+    `compiler.rdf_value` cannot decode \\u0000 — NUL collides with its
+    backslash sentinel — so this path leaves it undecoded too, keeping
+    variable- and constant-side values in agreement; ADVICE r13)."""
     try:
         cp = int(h, 16)
     except ValueError:
         return None
-    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+    if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
         return None
     return cp
 

@@ -2699,6 +2699,11 @@ def test_rdf_value_decodes_u_escapes_jvm_side(spark):
         '"\\uZZZZ"': "\\uZZZZ",
         '"\\uD800"': "\\uD800",
         '"\\U00110000"': "\\U00110000",
+        # \\u0000 stays verbatim on BOTH decode paths (a decoded NUL
+        # would collide with the JVM-side backslash sentinel and be
+        # silently rewritten to '\'); ADVICE r13
+        '"a\\u0000b"': "a\\u0000b",
+        '"a\\U00000000b"': "a\\U00000000b",
         '"tab\\tmix\\u00E9\\\\done"': "tab\tmixé\\done",
     }
     df = literal_df(spark, [(t,) for t in cases], "t string").select(
@@ -2813,3 +2818,55 @@ def test_all_nullable_shared_left_outer_decomposition(spark):
         ("b", "x2", "y2"),
         ("c", "lonely", None),  # bound ?x, no match: null-extended
     ]
+
+
+def test_nul_escape_agrees_across_decode_paths():
+    """ADVICE r13: \\u0000 is the one escape BOTH decode paths must
+    refuse — the JVM-side value view (compiler.rdf_value) masks
+    backslashes with a NUL sentinel, so a decoded NUL would be
+    silently rewritten to a literal backslash. Both rdf_value (pinned
+    in test_rdf_value_decodes_u_escapes_jvm_side above) and the
+    driver-side results.nt_unescape now leave the escape verbatim, so
+    variable-side and constant-side values agree."""
+    from graphula_spark.sparql.results import nt_unescape
+
+    assert nt_unescape("a\\u0000b") == "a\\u0000b"
+    assert nt_unescape("a\\U00000000b") == "a\\U00000000b"
+    # neighbouring escapes still decode
+    assert nt_unescape("a\\u0041b") == "aAb"
+
+
+def test_nested_all_nullable_decomposition_depth(spark):
+    """Round 14 (VERDICT r13 #6): a CHAIN of OPTIONALs whose shared
+    vars are all maybe-unbound triggers the _compat_join pivot
+    decomposition at every level. Each level references its inputs up
+    to 3x, so without the _DECOMP_LEAF_BUDGET localCheckpoint guard
+    the logical plan grows 3^depth and Catalyst's single-threaded
+    analyzer stalls (13+ CPU-minutes observed on one round-13 tree).
+    This pins that a 5-level nest compiles AND executes inside a hard
+    wall-clock bound with the guard engaged."""
+    import time
+
+    from graphula_spark.graph import Graph
+
+    triples = [("s0", "type", "thing"), ("s0", "p0", "x0")]
+    # chain: x0 -q1-> x1 -q2-> x2 ... each hop optional, every shared
+    # var maybe-unbound once it comes from inside an OPTIONAL
+    for i in range(5):
+        triples.append((f"x{i}", f"q{i + 1}", f"x{i + 1}"))
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(triples, ["s", "p", "o"]),
+        cache=False,
+    )
+    body = ["?s <type> <thing> .", "OPTIONAL { ?s <p0> ?x0 }"]
+    for i in range(5):
+        body.append(f"OPTIONAL {{ ?x{i} <q{i + 1}> ?x{i + 1} }}")
+    q = "SELECT ?s ?x5 WHERE { " + " ".join(body) + " }"
+    t0 = time.time()
+    rows_out = g.sparql(q).collect()
+    elapsed = time.time() - t0
+    assert {(r["s"], r["x5"]) for r in rows_out} == {("s0", "x5")}
+    # generous CI bound: the un-guarded shape never finishes this —
+    # the analyzer alone burned 13+ CPU-minutes at depth ~5
+    assert elapsed < 120, f"nested decomposition took {elapsed:.1f}s"
