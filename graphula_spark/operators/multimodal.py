@@ -191,11 +191,27 @@ def sample_frames(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFr
     return df.mapInPandas(run_fake if fake else run_real, schema=schema)
 
 
+def _widen_for_python(df: DataFrame) -> DataFrame:
+    """Partitioning follows input BYTES but Python codec/feature work
+    follows ROWS: a KB-sized documents file arrives as ONE partition,
+    and every downstream mapInPandas then runs in ONE task no matter
+    how many cores exist (round-14 sweep: a 3.9 s single-task stage
+    inside mm_pipeline). Widen to the session's parallelism when the
+    scan under-splits; an already-wide input (any real corpus) passes
+    through untouched. repartition(N) with an explicit count is exempt
+    from AQE coalescing, so the width survives into the exchange."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a binary payload column —
     lets the multimodal plumbing be exercised (and oracle-checked)
-    against the text testdata."""
-    return docs.select(
+    against the text testdata. Widened for the downstream Python
+    stages (see _widen_for_python)."""
+    return _widen_for_python(docs).select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit("image").alias("media_type"),
@@ -282,9 +298,8 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "payload", "media_type", "meta"]
             )
 
-    return docs.select("doc_id", "source").mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    src = _widen_for_python(docs.select("doc_id", "source"))
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def extract_real_features(df: DataFrame) -> DataFrame:

@@ -1114,3 +1114,52 @@ def test_semantic_dedup_hot_cell_cap(spark):
     assert cs == us
     capped.unpersist()
     uncapped.unpersist()
+
+
+def test_hot_cell_subdivide_wide_embeddings_plan_bounded(spark):
+    """Round 14 (ADVICE r13): `_subdivide_hot_cells` previously emitted
+    one avg() aggregate column per embedding dimension plus inline
+    dim-literal plane arrays — thousands of Catalyst expressions at
+    production widths (1536-4096), an analyzer/codegen stall the
+    sf-probe's dim-16/32 corpora never exercised. The posexplode means
+    + one-row plane table keep the expression count constant in dim;
+    this pins a 512-dim hub both COMPILING quickly and splitting
+    correctly."""
+    import math
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+
+    from graphula_spark.operators.ann import IvfIndex, _subdivide_hot_cells
+
+    rng = random.Random(7)
+    dim = 512
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    template = unit([rng.gauss(0, 1) for _ in range(dim)])
+    hub = [
+        (i, unit([x + rng.gauss(0, 0.004) for x in template]))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(hub, ["vec_id", "embedding"])
+    idx = IvfIndex.build(df, n_cells=2, seed=7)
+    v = idx.assigned.select(F.col("neighbor_id").alias("id"), "cell", "nv")
+    t0 = time.time()
+    v_sub, bridge = _subdivide_hot_cells(v, 40, 0.9, 7)
+    pops = (
+        v_sub.groupBy("cell", "__sub").count().groupBy("cell")
+        .agg(F.max("count").alias("mx"), F.count(F.lit(1)).alias("nsub"))
+        .collect()
+    )
+    elapsed = time.time() - t0
+    hub_cells = [r for r in pops if r["nsub"] > 1]
+    assert hub_cells, pops
+    assert all(r["mx"] < 150 for r in hub_cells), pops
+    # compile + execute stays interactive at 32x the probed width; the
+    # per-dim-avg shape grew the plan with dim and was already slower
+    # at dim 512 than this whole bound
+    assert elapsed < 60, f"wide-dim subdivide took {elapsed:.1f}s"

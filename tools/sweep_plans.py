@@ -73,6 +73,14 @@ INTENTIONAL: dict[str, str] = {
         "pipeline report rows collapse to 1-task count stages on toy "
         "input; every data stage is key-partitioned"
     ),
+    "rel_importance": (
+        "the flagged 1-task stage is the B-bounded (8192-bucket) model "
+        "aggregation's final reduce + capped collect "
+        "(importance.py:249): map-side partials carry the data-sized "
+        "work, AQE coalesced the tiny reduce to one partition at toy "
+        "scale and keeps more reducers when partial outputs grow — "
+        "self-scaling, output bounded by B"
+    ),
 }
 
 
