@@ -75,7 +75,12 @@ def _lineitem_graph(spark: SparkSession, sf_dir: str):
         marker = f"{store}/_DONE"
         if not os.path.exists(marker):
             df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-            g = Graph.from_string_triples(spark, lineitem_to_triples(df), cache=False)
+            # __key is unique per source row by construction, so the
+            # triple set is distinct — skip the dedup shuffle (round 14)
+            g = Graph.from_string_triples(
+                spark, lineitem_to_triples(df), cache=False,
+                assume_distinct=True,
+            )
             # lineitem queries bind predicates, not objects — skip OPS copy
             g.save(store, include_ops=False)
             open(marker, "w").write("ok")
@@ -1185,17 +1190,27 @@ def _belongs_edges(spark, sf):
 def q_graph_reach(spark, sf):
     """Semi-naive iterative graph operators in one row: full transitive
     closure plus seeded reachability (frontier-only joins, per-round
-    persist/unpersist), labeled and unioned."""
-    from graphula_spark.operators.paths import reachable_from, transitive_closure
+    persist/unpersist), labeled and unioned.
 
-    edges = _belongs_edges(spark, sf)
-    clo = transitive_closure(edges, "src", "dst").select(
+    Round 14: both operators run over the SAME edge set, so the shared
+    distinct+checkpoint preparation runs once via `prepare_edges` +
+    ``prepared=True`` (each operator re-prepared it before — one
+    shuffle + checkpoint job saved; rows identical, pinned by
+    test_graph_analytics)."""
+    from graphula_spark.operators.paths import (
+        prepare_edges,
+        reachable_from,
+        transitive_closure,
+    )
+
+    edges = prepare_edges(_belongs_edges(spark, sf), "src", "dst")
+    clo = transitive_closure(edges, "src", "dst", prepared=True).select(
         F.lit("closure").alias("kind"), F.col("src").alias("a"), F.col("dst").alias("b")
     )
     seeds = spark.createDataFrame(
         [("customer:1",), ("customer:2",), ("nation:0",)], ["start"]
     )
-    rfr = reachable_from(edges, seeds).select(
+    rfr = reachable_from(edges, seeds, prepared=True).select(
         F.lit("reach").alias("kind"),
         F.col("start").alias("a"),
         F.col("node").alias("b"),

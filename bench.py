@@ -179,7 +179,8 @@ def _timed_cold_build(spark, sf_dir: str) -> float:
     def build_lineitem():
         df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         Graph.from_string_triples(
-            spark, lineitem_to_triples(df), cache=False
+            spark, lineitem_to_triples(df), cache=False,
+            assume_distinct=True,
         ).save(f"{scratch}/lineitem", include_ops=False)
 
     t0 = time.time()

@@ -456,6 +456,17 @@ class Dataset:
         from graphula_spark.operators import rdfs as rdfs_mod
         from graphula_spark.operators.rdfs import reduce_graph
 
+        # ONE catalog-sized sizing job replaces a per-graph
+        # checkpoint + isEmpty pair for empty slices AND the separate
+        # ontology count (round 14 — every extra job costs a full
+        # local job floor; at scale the groupBy(g) count is one
+        # map-side-combinable pass)
+        slice_counts = {
+            r["g"]: r["n"]
+            for r in self.quads.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         onto_gid = None
         onto_triples = None
         onto_small = False
@@ -468,10 +479,14 @@ class Dataset:
                 .triples.select("s", "p", "o")
                 .localCheckpoint(eager=True)
             )
-            onto_small = (
-                onto_triples.count()
-                <= rdfs_mod.BROADCAST_DERIVED_MAX_ROWS
+            # an unknown ontology name (onto_gid None) is an EMPTY
+            # graph — never the g-IS-NULL default-graph bucket
+            n_onto = (
+                slice_counts.get(onto_gid, 0)
+                if onto_gid is not None
+                else 0
             )
+            onto_small = n_onto <= rdfs_mod.BROADCAST_DERIVED_MAX_ROWS
         slices: list[tuple[int | None, Graph]] = [
             (None, self.default_graph)
         ]
@@ -481,20 +496,19 @@ class Dataset:
             slices.append((gid, self.graph_by_id(gid)))
         parts: list[DataFrame] = []
         for gid, g in slices:
-            # localCheckpoint the slice AND the kept output: the input
-            # quads often carry deep lineage (stacked materialize_rdfs
-            # snapshots), and reduce_graph's per-family anti-joins each
-            # re-reference the slice — without the cut, Catalyst
-            # re-analyzes the whole history per family per graph
-            # (measured: 415s for a 5k-row two-graph reduce, seconds
-            # after; the cluster.py lesson). Reduction is a batch
-            # storage-compression op, so materializing per-graph data
-            # is its natural cost.
+            if slice_counts.get(gid, 0) == 0:
+                continue
+            # localCheckpoint the slice: the input quads often carry
+            # deep lineage (stacked materialize_rdfs snapshots), and
+            # reduce_graph's per-family anti-joins each re-reference
+            # the slice — without the cut, Catalyst re-analyzes the
+            # whole history per family per graph (measured: 415s for
+            # a 5k-row two-graph reduce, seconds after; the cluster.py
+            # lesson). Reduction is a batch storage-compression op, so
+            # materializing per-graph data is its natural cost.
             gt = g.triples.select("s", "p", "o").localCheckpoint(
                 eager=True
             )
-            if gt.isEmpty():
-                continue
             gg = Graph(self.spark, gt, self.dictionary)
             if onto_triples is None:
                 kept = reduce_graph(gg, owl=owl).triples.select(
@@ -536,15 +550,19 @@ class Dataset:
                     if rm is None
                     else gt.join(rm, ["s", "p", "o"], "left_anti")
                 )
+            # per-part eager checkpoints (one JOB per graph) replaced
+            # by ONE checkpoint of the final union below: every part's
+            # inputs (gt, onto) are already checkpointed flat, so the
+            # union's combined plan stays shallow, and all graphs'
+            # removal joins now execute inside a single job instead of
+            # serially one job per graph (round 14)
             parts.append(
                 kept.withColumn(
                     "g",
                     F.lit(gid).cast("long")
                     if gid is not None
                     else F.lit(None).cast("long"),
-                )
-                .select("s", "p", "o", "g")
-                .localCheckpoint(eager=True)
+                ).select("s", "p", "o", "g")
             )
         if onto_gid is not None:
             parts.append(
@@ -557,7 +575,11 @@ class Dataset:
         out = parts[0]
         for p_ in parts[1:]:
             out = out.unionByName(p_)
-        return Dataset(self.spark, out, self.dictionary)
+        # single lineage cut for the whole reduced dataset (was one
+        # eager checkpoint per graph — see the loop comment)
+        return Dataset(
+            self.spark, out.localCheckpoint(eager=True), self.dictionary
+        )
 
     # ------------------------------------------------------------------
     def save(self, path: str, include_ops: bool = False) -> None:

@@ -74,7 +74,11 @@ class Graph:
     # ------------------------------------------------------------------
     @classmethod
     def from_string_triples(
-        cls, spark: SparkSession, striples: DataFrame, cache: bool = True
+        cls,
+        spark: SparkSession,
+        striples: DataFrame,
+        cache: bool = True,
+        assume_distinct: bool = False,
     ) -> "Graph":
         """Build from a DataFrame of (s, p, o) term *strings*.
 
@@ -82,7 +86,15 @@ class Graph:
         distinct terms, (2) encode the triples via three joins. Set
         semantics (dropDuplicates) mirror the reference's idempotent
         MDB_NODUPDATA inserts (Index.scala:101-107).
-        """
+
+        ``assume_distinct=True`` asserts the INPUT already carries set
+        semantics (e.g. a triple-izer whose subjects are unique per
+        source row emitting one triple per column — both relational
+        bridges qualify) and skips the (s, p, o) dedup exchange — at
+        build scale that is a full shuffle of every encoded triple
+        (round 14, guide §2.4: remove shuffles whose work is already
+        done). The graph invariant is unchanged: the input is distinct
+        by construction, the output identical."""
         # single-scan term extraction: explode beats a 3-way self-union,
         # which would recompute the (possibly expensive) striples
         # lineage once per position
@@ -93,14 +105,13 @@ class Graph:
         enc = striples
         for c in ("s", "p", "o"):
             enc = dictionary.encode_col(enc, c, f"{c}_id")
-        triples = (
-            enc.select(
-                F.col("s_id").alias("s"),
-                F.col("p_id").alias("p"),
-                F.col("o_id").alias("o"),
-            )
-            .dropDuplicates(["s", "p", "o"])
+        triples = enc.select(
+            F.col("s_id").alias("s"),
+            F.col("p_id").alias("p"),
+            F.col("o_id").alias("o"),
         )
+        if not assume_distinct:
+            triples = triples.dropDuplicates(["s", "p", "o"])
         if cache:
             dictionary.df.cache()
             triples = triples.cache()

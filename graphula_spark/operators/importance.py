@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens, word_ngrams
+from .text import _let, _word_ngrams_from, tokens
 
 __all__ = [
     "hashed_ngram_buckets",
@@ -58,7 +58,13 @@ def hashed_ngram_buckets(
     modes — md5 mixes it in as a `"<seed>:"` prefix on the gram (an
     oracle reproduces it as `md5(CAST(seed AS VARCHAR) || ':' || g)`),
     so varying the seed re-buckets identically portably."""
-    grams = F.concat(tokens(text), word_ngrams(text, 2))
+    # bind the token array once: tokens + the bigram builder referenced
+    # it ~6× and interpreted HOF eval re-tokenized per reference
+    # (round 14; word_ngrams also binds internally — this binding
+    # additionally shares the array between the two gram families)
+    grams = _let(
+        tokens(text), lambda tk: F.concat(tk, _word_ngrams_from(tk, 2))
+    )
     if hash_fn == "md5":
         def h(g):
             return F.pmod(
@@ -231,16 +237,33 @@ def importance_weights_subset(
     source, a quality tier): ONE counts pass computes both bucket
     models (raw count + conditional target count per bucket), so the
     whole pipeline is two corpus passes instead of three. Same math,
-    same output as importance_weights(df, df.where(is_target), ...)."""
+    same output as importance_weights(df, df.where(is_target), ...).
+
+    Round 14 (guide §1.2 step 1 — don't compute things twice): the
+    tokenize + gram-hash featurization is the dominant per-pass cost
+    (~1.5 s/pass at sf0.1 with the portable md5 hash), and both passes
+    re-computed it from the raw text. The exploded (id, tgt, bucket)
+    pairs are now materialized ONCE via an eager localCheckpoint —
+    narrow rows (two longs + a bool, far smaller than the text), so
+    at scale the checkpoint spills cheaply where recomputing would pay
+    a second full tokenize+hash scan; the model aggregation and the
+    per-doc weight join both read the materialized pairs. Measured
+    3.9 → ~1.6 s on the bench entry, outputs bit-identical."""
     import math
 
-    tagged = df.select(
-        F.col(id_col),
-        is_target.alias("__tgt"),
-        hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn).alias("__b"),
+    from graphula_spark.scratch import track
+
+    pairs = track(
+        df.select(
+            F.col(id_col),
+            is_target.alias("__tgt"),
+            F.explode_outer(
+                hashed_ngram_buckets(F.col(text_col), buckets, seed, hash_fn)
+            ).alias("bucket"),
+        ).localCheckpoint(eager=True)
     )
     counts = (
-        tagged.select(F.col("__tgt"), F.explode("__b").alias("bucket"))
+        pairs.where(F.col("bucket").isNotNull())
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_raw"),
@@ -263,11 +286,8 @@ def importance_weights_subset(
     ratio = literal_df(
         df.sparkSession, sorted(ratio_rows), "bucket long, log_ratio double"
     )
-    exploded = tagged.select(
-        F.col(id_col), F.explode_outer("__b").alias("bucket")
-    )
     return (
-        exploded.join(F.broadcast(ratio), "bucket", "left_outer")
+        pairs.join(F.broadcast(ratio), "bucket", "left_outer")
         .groupBy(id_col)
         .agg(
             F.count("bucket").alias("n_grams"),

@@ -33,11 +33,34 @@ PATH_DRIVER_MAX_EDGES = 20_000
 PATH_DRIVER_MAX_PAIRS = 2_000_000
 
 
-def _driver_closure(spark, base: DataFrame):
-    """Driver-side transitive closure of a BOUNDED edge frame; None if
-    the closure outgrows PATH_DRIVER_MAX_PAIRS mid-fold."""
+def prepare_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct + eagerly checkpointed (src, dst) edge frame — the
+    shared preparation both iterative path operators run on entry.
+    Callers driving SEVERAL path operators over the same edge set
+    (closure + seeded reachability is the common pair) prepare once
+    and pass ``prepared=True`` so the distinct shuffle + checkpoint
+    job run once instead of per operator (round 14)."""
+    return (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bounded_rows(base: DataFrame):
+    """ONE probe job replacing the former count() + collect() pair:
+    collect at most PATH_DRIVER_MAX_EDGES+1 rows; a full result means
+    the frame is over the driver-path gate (round 14 — each extra job
+    on the checkpointed base costs a full local job floor)."""
+    rows = base.limit(PATH_DRIVER_MAX_EDGES + 1).collect()
+    return rows if len(rows) <= PATH_DRIVER_MAX_EDGES else None
+
+
+def _driver_closure(spark, rows):
+    """Driver-side transitive closure over BOUNDED collected edge rows;
+    None if the closure outgrows PATH_DRIVER_MAX_PAIRS mid-fold."""
     succ: dict = {}
-    for r in base.collect():
+    for r in rows:
         succ.setdefault(r["src"], set()).add(r["dst"])
     reached = {a: set(bs) for a, bs in succ.items()}
     frontier = {a: set(bs) for a, bs in succ.items()}
@@ -70,19 +93,22 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    prepared: bool = False,
 ) -> DataFrame:
-    """All pairs (src, dst) connected by a path of >= 1 edges."""
+    """All pairs (src, dst) connected by a path of >= 1 edges.
+
+    ``prepared=True`` asserts `edges` already came through
+    `prepare_edges` (distinct (src, dst) columns, checkpointed) and
+    skips the re-preparation shuffle + checkpoint job."""
     # localCheckpoint (not persist) per round: the semi-naive loop's
     # logical plan otherwise grows with every iteration and Catalyst
     # re-analyzes the whole history each round (see cluster.py)
-    base = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct().localCheckpoint(eager=True)
-    n_base = base.count()
-    if n_base == 0:
-        return base
-    if n_base <= PATH_DRIVER_MAX_EDGES:
-        out = _driver_closure(edges.sparkSession, base)
+    base = edges if prepared else prepare_edges(edges, src, dst)
+    rows = _bounded_rows(base)
+    if rows is not None:
+        if not rows:
+            return base
+        out = _driver_closure(edges.sparkSession, rows)
         if out is not None:
             return out
     paths = base
@@ -118,15 +144,16 @@ def transitive_closure(
     return track(paths)
 
 
-def _driver_reach(spark, base: DataFrame, seeds: DataFrame):
-    """Driver-side BFS over a BOUNDED edge frame; None when the seed
-    set is itself unbounded, the result explodes, or no seed reaches
-    anything (the distributed loop handles the empty case lazily)."""
+def _driver_reach(spark, rows, seeds: DataFrame):
+    """Driver-side BFS over BOUNDED collected edge rows; None when the
+    seed set is itself unbounded, the result explodes, or no seed
+    reaches anything (the distributed loop handles the empty case
+    lazily)."""
     seed_rows = seeds.limit(PATH_DRIVER_MAX_EDGES + 1).collect()
     if len(seed_rows) > PATH_DRIVER_MAX_EDGES:
         return None
     succ: dict = {}
-    for r in base.collect():
+    for r in rows:
         succ.setdefault(r["src"], set()).add(r["dst"])
     total = 0
     pairs = []
@@ -158,15 +185,19 @@ def reachable_from(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    prepared: bool = False,
 ) -> DataFrame:
     """BFS from a seed set: distinct nodes reachable in >= 1 hops.
-    Returns (start, node)."""
-    base = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct().localCheckpoint(eager=True)
+    Returns (start, node).
+
+    ``prepared=True`` asserts `edges` already came through
+    `prepare_edges` (distinct (src, dst) columns, checkpointed) and
+    skips the re-preparation shuffle + checkpoint job."""
+    base = edges if prepared else prepare_edges(edges, src, dst)
     seeds = sources.select(F.col(sources.columns[0]).alias("start"))
-    if base.count() <= PATH_DRIVER_MAX_EDGES:
-        out = _driver_reach(edges.sparkSession, base, seeds)
+    rows = _bounded_rows(base)
+    if rows is not None:
+        out = _driver_reach(edges.sparkSession, rows, seeds)
         if out is not None:
             return out
     frontier = (

@@ -8,6 +8,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _let(value: Column, body) -> Column:
+    """Single-evaluation let-binding: bind ``value`` to a lambda var so
+    ``body`` can reference it any number of times without Catalyst
+    duplicating (and, in interpreted HOF evaluation, re-computing) the
+    subtree per reference — ``transform(array(value), body)[0]``. NULL
+    propagates identically to inlining, and ``when()`` branches inside
+    ``body`` still short-circuit per row. Same helper as
+    ``sparql.compiler._let`` (round 14: ``word_ngrams`` re-tokenized
+    its input ~5×; let-binding measured ~1.5× on the sf0.1 corpus with
+    identical outputs)."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens of the lower-cased text (empty tokens dropped)."""
     return F.filter(
@@ -324,7 +337,15 @@ def word_ngrams(text: Column, n: int) -> Column:
     per document — Catalyst's slice traverses the array from the start
     for every index — measured 8x slower on the sf0.1 documents table
     even at n=2."""
-    tk = tokens(text)
+    return _let(tokens(text), lambda tk: _word_ngrams_from(tk, n))
+
+
+def _word_ngrams_from(tk: Column, n: int) -> Column:
+    """`word_ngrams` over an already-computed (let-bound) token array —
+    callers that need tokens AND n-grams of the same text bind the
+    token array once and reuse it (round 14: the token subtree was
+    re-evaluated per reference under interpreted HOF eval — ~5× per
+    n-gram expression)."""
     m = F.size(tk) - F.lit(n - 1)
     acc = F.slice(tk, 1, F.greatest(m, F.lit(0)))
     for k in range(1, n):

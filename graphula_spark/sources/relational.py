@@ -83,6 +83,14 @@ def lineitem_to_triples(df: DataFrame) -> DataFrame:
             F.row_number().over(w).cast("string"),
         ),
     )
+    # materialize the keyed rows once: every consumer of the
+    # triple-ized frame scans it at least twice (dictionary term pass
+    # + encode pass), and the full-row window shuffle is the expensive
+    # part of this lineage — one narrow-table checkpoint beats two
+    # window shuffles (round 14, guide §1.2 step 1). The checkpoint is
+    # the source table + one string column; it spills rather than
+    # recomputes at scale.
+    keyed = keyed.localCheckpoint(eager=True)
     return table_to_triples(keyed, "lineitem", "__key").where(F.col("p") != "__key")
 
 DEFAULT_GRAPH_TABLES = ("region", "nation", "customer", "supplier", "orders")
@@ -94,10 +102,18 @@ def load_tpch_graph(
     tables: tuple[str, ...] = DEFAULT_GRAPH_TABLES,
     cache: bool = True,
 ) -> Graph:
-    """Triple-ize the TPC-H-ish testdata tables into one Graph."""
+    """Triple-ize the TPC-H-ish testdata tables into one Graph.
+
+    The triple set is distinct BY CONSTRUCTION — every table's subject
+    key is unique (TPC-H primary keys), each row emits one triple per
+    non-null column, and table prefixes keep subjects disjoint across
+    tables — so the build skips the global (s, p, o) dedup exchange
+    (round 14, `from_string_triples(assume_distinct=True)`)."""
     all_triples: DataFrame | None = None
     for t in tables:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         tr = table_to_triples(df, t, TPCH_KEYS[t])
         all_triples = tr if all_triples is None else all_triples.unionByName(tr)
-    return Graph.from_string_triples(spark, all_triples, cache=cache)
+    return Graph.from_string_triples(
+        spark, all_triples, cache=cache, assume_distinct=True
+    )

@@ -97,6 +97,27 @@ def unregister_function(iri: str) -> None:
 _DECOMP_LEAF_BUDGET = 16
 
 
+def _let(value: Column, body) -> Column:
+    """Single-evaluation let-binding: bind ``value`` to a lambda
+    variable so ``body`` can reference it any number of times without
+    Catalyst duplicating (and, in interpreted HOF evaluation,
+    re-computing) the whole subtree per reference.
+
+    Implemented as ``transform(array(value), body)[0]`` — the lambda
+    variable is evaluated once per row. NULL propagates identically to
+    inlining (``array(NULL)[0]`` is NULL fed through ``body``), and
+    ``when()`` short-circuiting *inside* ``body`` is preserved, so
+    guarded branches still skip their machinery per row.
+
+    Round 14: ``rdf_value``'s unescape pipeline referenced its input
+    ~5× per decode stage, nesting to ~25 copies of the 9-regex chain —
+    a 628 KB physical-plan FILTER condition on `sq_lineitem_agg` that
+    Catalyst re-analyzed per query and evaluated interpreted per row.
+    Let-binding collapses the tree to one copy per stage (plan text
+    21× smaller, identical results on every escape form)."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def _u16be_char(h4: Column) -> Column:
     """Single BMP character from 4 hex digits, JVM-side: the UTF-16BE
     byte encoding of a BMP code point IS its two big-endian bytes, so
@@ -121,25 +142,28 @@ def _u32_char(h8: Column) -> Column:
     Out-of-range / surrogate code points come back verbatim, as does
     code point 0 (NUL collides with the backslash sentinel; see
     `_u16be_char`)."""
-    cp = F.conv(h8, 16, 10).cast("long")
-    v = cp - 0x10000
-    hi = F.lit(0xD800) + F.shiftright(v, 10)
-    lo = F.lit(0xDC00) + v.bitwiseAND(F.lit(0x3FF))
-    pair = F.decode(
-        F.unhex(
-            F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
-        ),
-        "UTF-16BE",
-    )
-    bmp = F.decode(F.unhex(F.substring(h8, 5, 4)), "UTF-16BE")
-    verbatim = F.concat(F.lit("\x00U"), h8)
-    return (
-        F.when(cp > 0x10FFFF, verbatim)
-        .when((cp >= 0xD800) & (cp <= 0xDFFF), verbatim)
-        .when(cp == 0, verbatim)
-        .when(cp <= 0xFFFF, bmp)
-        .otherwise(pair)
-    )
+    def build(cp: Column) -> Column:
+        v = cp - 0x10000
+        hi = F.lit(0xD800) + F.shiftright(v, 10)
+        lo = F.lit(0xDC00) + v.bitwiseAND(F.lit(0x3FF))
+        pair = F.decode(
+            F.unhex(
+                F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+            ),
+            "UTF-16BE",
+        )
+        bmp = F.decode(F.unhex(F.substring(h8, 5, 4)), "UTF-16BE")
+        verbatim = F.concat(F.lit("\x00U"), h8)
+        return (
+            F.when(cp > 0x10FFFF, verbatim)
+            .when((cp >= 0xD800) & (cp <= 0xDFFF), verbatim)
+            .when(cp == 0, verbatim)
+            .when(cp <= 0xFFFF, bmp)
+            .otherwise(pair)
+        )
+
+    # cp referenced by 4 branch conditions — bind it once (round 14)
+    return _let(F.conv(h8, 16, 10).cast("long"), build)
 
 
 def _decode_u_form(s: Column, marker: str, width: int, char_fn) -> Column:
@@ -151,31 +175,49 @@ def _decode_u_form(s: Column, marker: str, width: int, char_fn) -> Column:
     it as starting a new escape — the left-to-right contract."""
     pat = rf"\\{marker}([0-9a-fA-F]{{{width}}})"
     split_pat = rf"\\{marker}[0-9a-fA-F]{{{width}}}"
-    parts = F.split(s, split_pat, -1)
-    # regexp_replace, NOT translate: translate's internal delete-marker
-    # is U+0000, so mapping a char to the NUL sentinel would delete it
-    chars = F.transform(
-        F.regexp_extract_all(s, F.lit(pat), F.lit(1)),
-        lambda h: F.regexp_replace(char_fn(h), r"\\", "\x00"),
-    )
-    rebuilt = F.concat(
-        F.element_at(parts, 1),
-        F.coalesce(
-            F.array_join(
-                F.zip_with(
-                    chars,
-                    F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(1))),
-                    lambda d, p: F.concat(d, p),
+
+    def build(sv: Column) -> Column:
+        # parts itself is referenced 3× — bind it too so the split runs
+        # once per escape-bearing row
+        def assemble(parts: Column) -> Column:
+            # regexp_replace, NOT translate: translate's internal
+            # delete-marker is U+0000, so mapping a char to the NUL
+            # sentinel would delete it
+            chars = F.transform(
+                F.regexp_extract_all(sv, F.lit(pat), F.lit(1)),
+                lambda h: F.regexp_replace(char_fn(h), r"\\", "\x00"),
+            )
+            return F.concat(
+                F.element_at(parts, 1),
+                F.coalesce(
+                    F.array_join(
+                        F.zip_with(
+                            chars,
+                            F.slice(
+                                parts,
+                                2,
+                                F.greatest(F.size(parts) - 1, F.lit(1)),
+                            ),
+                            lambda d, p: F.concat(d, p),
+                        ),
+                        "",
+                    ),
+                    F.lit(""),
                 ),
-                "",
-            ),
-            F.lit(""),
-        ),
-    )
-    # the guard keeps the split/extract/zip machinery off rows with no
-    # such escape (the overwhelmingly common case); a literal substring
-    # contains() — not a regex — since it runs on every FILTER row
-    return F.when(s.contains("\\" + marker), rebuilt).otherwise(s)
+            )
+
+        rebuilt = _let(F.split(sv, split_pat, -1), assemble)
+        # the guard keeps the split/extract/zip machinery off rows with
+        # no such escape (the overwhelmingly common case); a literal
+        # substring contains() — not a regex — since it runs on every
+        # FILTER row
+        return F.when(sv.contains("\\" + marker), rebuilt).otherwise(sv)
+
+    # `s` arrives as the (possibly deep) prior decode stage: bind it
+    # once — it is evaluated exactly once either way (the contains()
+    # guard needs it), but unbound it was COPIED ~5× into this stage's
+    # tree, nesting to ~25 copies across the two stages (round 14)
+    return _let(s, build)
 
 
 def rdf_value(term: Column) -> Column:
@@ -196,22 +238,30 @@ def rdf_value(term: Column) -> Column:
     verbatim six-char escape on BOTH paths — here AND in
     `results.nt_unescape` — because a decoded NUL collides with the
     sentinel; the two views agree by construction (ADVICE r13)."""
-    lex = F.regexp_extract(term, _LEX_RE, 1)
-    u = F.regexp_replace(lex, r"\\\\", "\x00")
-    for pat, rep in (
-        (r'\\"', '"'), (r"\\t", "\t"), (r"\\n", "\n"),
-        (r"\\r", "\r"), (r"\\b", "\b"), (r"\\f", "\f"), (r"\\'", "'"),
-    ):
-        u = F.regexp_replace(u, pat, rep)
-    u = _decode_u_form(u, "U", 8, _u32_char)
-    u = _decode_u_form(u, "u", 4, _u16be_char)
-    unescaped = F.regexp_replace(u, "\x00", r"\\")
-    # one literal contains() gates the whole 9-regex + split decode
-    # chain: a lexical form with no backslash (virtually every row of
-    # a real store) is already its own value (round 13 — sq_filter
-    # spent ~2x its r03 cost inside always-on escape machinery)
-    unescaped = F.when(lex.contains("\\"), unescaped).otherwise(lex)
-    return F.when(term.startswith('"'), unescaped).otherwise(term)
+    def build(lex: Column) -> Column:
+        u = F.regexp_replace(lex, r"\\\\", "\x00")
+        for pat, rep in (
+            (r'\\"', '"'), (r"\\t", "\t"), (r"\\n", "\n"),
+            (r"\\r", "\r"), (r"\\b", "\b"), (r"\\f", "\f"), (r"\\'", "'"),
+        ):
+            u = F.regexp_replace(u, pat, rep)
+        u = _decode_u_form(u, "U", 8, _u32_char)
+        u = _decode_u_form(u, "u", 4, _u16be_char)
+        unescaped = F.regexp_replace(u, "\x00", r"\\")
+        # one literal contains() gates the whole 9-regex + split decode
+        # chain: a lexical form with no backslash (virtually every row
+        # of a real store) is already its own value (round 13 —
+        # sq_filter spent ~2x its r03 cost inside always-on escape
+        # machinery). The guard lives INSIDE the let body, so the
+        # short-circuit survives the binding.
+        return F.when(lex.contains("\\"), unescaped).otherwise(lex)
+
+    # lex (a regexp_extract) is referenced by the chain start, the
+    # guard and the fallback — bind it once (round 14, see _let)
+    return F.when(
+        term.startswith('"'),
+        _let(F.regexp_extract(term, _LEX_RE, 1), build),
+    ).otherwise(term)
 
 
 #: datatype suffix of a *numeric* typed literal (§17.3 operand typing)

@@ -151,3 +151,35 @@ def test_custom_p_buckets_roundtrip(spark, tmp_path):
         }
         want = {(s, o) for s, p, o in rows if p == pred}
         assert got == want, f"{pred}: {len(got)} vs {len(want)}"
+
+
+def test_assume_distinct_build_identical(spark):
+    """Round 14: `from_string_triples(assume_distinct=True)` (the
+    relational-bridge fast path that skips the triple dedup exchange)
+    must produce the same triple set and dictionary as the default
+    build when the input really is distinct."""
+    import pandas as pd
+
+    from graphula_spark.graph import Graph
+
+    rows = [
+        (f"s:{i}", p, f"v:{i * 7 % 13}")
+        for i in range(200)
+        for p in ("p:a", "p:b")
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["s", "p", "o"]))
+    g_plain = Graph.from_string_triples(spark, df, cache=False)
+    g_fast = Graph.from_string_triples(
+        spark, df, cache=False, assume_distinct=True
+    )
+    plain = {tuple(r) for r in g_plain.triples.select("s", "p", "o").collect()}
+    fast = {tuple(r) for r in g_fast.triples.select("s", "p", "o").collect()}
+    assert fast == plain
+    assert g_fast.triples.count() == len(rows)  # nothing deduped away
+    d_plain = {
+        (r["id"], r["value"]) for r in g_plain.dictionary.df.collect()
+    }
+    d_fast = {
+        (r["id"], r["value"]) for r in g_fast.dictionary.df.collect()
+    }
+    assert d_fast == d_plain

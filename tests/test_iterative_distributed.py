@@ -151,3 +151,72 @@ def test_transitive_closure_crosses_gate_for_real(spark):
     }
     want = {(i, j) for i in range(5) for j in range(i + 1, 6)}
     assert chain0 == want
+
+
+def test_path_ops_prepared_base_identical(spark):
+    """Round 14: `prepare_edges` + ``prepared=True`` (the shared-prep
+    fast path q_graph_reach uses) must return exactly the unprepared
+    results on both operators."""
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (a, a + 1 + rng.randrange(6))
+            for a in (rng.randrange(40) for _ in range(60))
+        }
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    base = paths_mod.prepare_edges(df, "src", "dst")
+    plain_clo = {
+        (r["src"], r["dst"])
+        for r in paths_mod.transitive_closure(df).collect()
+    }
+    prep_clo = {
+        (r["src"], r["dst"])
+        for r in paths_mod.transitive_closure(
+            base, prepared=True
+        ).collect()
+    }
+    assert prep_clo == plain_clo
+    seeds = spark.createDataFrame([(0,), (7,), (19,)], ["start"])
+    plain_reach = {
+        (r["start"], r["node"])
+        for r in paths_mod.reachable_from(df, seeds).collect()
+    }
+    prep_reach = {
+        (r["start"], r["node"])
+        for r in paths_mod.reachable_from(
+            base, seeds, prepared=True
+        ).collect()
+    }
+    assert prep_reach == plain_reach
+
+
+def test_pagerank_dangling_nodes_mass_redistributed(spark):
+    """Round 14: the dangling-node set is precomputed once and the
+    per-iteration mass aggregate only runs when it is non-empty — pin
+    the non-empty path against the plain-python recurrence (node 5 and
+    node 6 dangle; n_iter crosses the checkpoint cadence boundary)."""
+    from graphula_spark.operators.graph_analytics import pagerank
+
+    edge_list = [(1, 2), (2, 3), (3, 1), (1, 5), (4, 6), (3, 4)]
+    nodes = sorted({n for e in edge_list for n in e})
+    n = len(nodes)
+    deg: dict = {}
+    for s, _d in edge_list:
+        deg[s] = deg.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(6):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d in edge_list:
+            inflow[d] += ranks[s] / deg[s]
+        dm = sum(r for v, r in ranks.items() if v not in deg)
+        ranks = {
+            v: 0.15 / n + 0.85 * (inflow[v] + dm / n) for v in nodes
+        }
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"] for r in pagerank(edges, n_iter=6).collect()
+    }
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-6, (v, got[v], ranks[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-3
