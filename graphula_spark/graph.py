@@ -454,16 +454,30 @@ class Graph:
                     .parquet(f"{path}/dict")
                 )
 
-            jobs = [write_spo, write_dict] + ([write_ops] if include_ops else [])
+            # planner stats + collision exceptions ride in _meta.json
+            # so a loaded graph plans and encodes with ZERO store
+            # scans. They read the same cached triples/dict the
+            # writers read, and depend on nothing the writers produce
+            # — so they run IN the writer pool instead of as a serial
+            # tail after it (round 14, guide §2.6: overlap independent
+            # jobs; the stats pair was ~1 s of quiet-cluster time
+            # appended after the last write finished).
+            exc_box: list = []
+
+            def compute_stats() -> None:
+                if self._stats is None:
+                    self._stats = BgpStats.compute(bucketed)
+
+            def compute_exc() -> None:
+                exc_box.append(self.dictionary._get_exceptions())
+
+            jobs = [write_spo, write_dict, compute_stats, compute_exc] + (
+                [write_ops] if include_ops else []
+            )
             with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
                 for fut in [pool.submit(j) for j in jobs]:
                     fut.result()
-            # planner stats + collision exceptions computed while the
-            # triples/dict are still cached; both ride in _meta.json so
-            # a loaded graph plans and encodes with ZERO store scans
-            if self._stats is None:
-                self._stats = BgpStats.compute(bucketed)
-            exc = self.dictionary._get_exceptions()
+            exc = exc_box[0]
         finally:
             bucketed.unpersist()
             if not dict_was_cached:

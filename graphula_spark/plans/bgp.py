@@ -114,11 +114,22 @@ class BgpStats:
 
     @classmethod
     def compute(cls, triples: DataFrame) -> "BgpStats":
+        from concurrent.futures import ThreadPoolExecutor
+
         agg = triples.groupBy("p").agg(
             F.count(F.lit(1)).alias("cnt"),
             F.approx_count_distinct("s").alias("ns"),
             F.approx_count_distinct("o").alias("no"),
         )
+        # the (p, o) heavy-hitter pass below is independent of the
+        # per-predicate pass for every non-pathological graph (the
+        # PO_PRED_CAP pruning only engages past 4096 predicates), so
+        # both stats jobs run CONCURRENTLY (guide §2.6 — overlap
+        # independent jobs); the optimistic pass is row-bounded so a
+        # pathological graph falls back to the pruned serial path
+        # with identical output.
+        pool = ThreadPoolExecutor(max_workers=1)
+        po_fut = pool.submit(cls._po_top_optimistic, triples)
         rows = (
             agg.orderBy(F.col("cnt").desc(), F.col("p").asc())
             .limit(cls.MAX_PREDICATES + 1)
@@ -142,14 +153,21 @@ class BgpStats:
                 1.0,
             )
         # exact counts for each heavy predicate's heaviest objects: one
-        # extra aggregate at stats time, O(1) plan-time lookups after
+        # exact counts for each heavy predicate's heaviest objects
         # (reference reads exact per-key counts from LMDB instead,
         # Index.valueCount, Index.scala:120-131). Bounded to
-        # PO_PRED_CAP × TOP_OBJECTS collected rows.
-        from pyspark.sql.window import Window
-
-        po_src = triples
+        # PO_PRED_CAP × TOP_OBJECTS collected rows: the optimistic
+        # concurrent pass (launched above) covers every graph under
+        # the predicate cap; past it, fall back to the heavy-pred
+        # pruned serial pass — identical rows either way.
+        po_rows = po_fut.result()
+        pool.shutdown()
         if len(by_pred) > cls.PO_PRED_CAP:
+            # contract: po_top only tracks the PO_PRED_CAP heaviest
+            # predicates — discard the optimistic pass and rerun
+            # pruned (this is the pathological many-predicate regime)
+            po_rows = None
+        if po_rows is None:
             heavy = sorted(by_pred, key=lambda p: -by_pred[p][0])[: cls.PO_PRED_CAP]
             from graphula_spark.literal import literal_df
 
@@ -157,16 +175,31 @@ class BgpStats:
                 triples.sparkSession, [(p,) for p in heavy], "p long"
             )
             po_src = triples.join(F.broadcast(heavy_df), "p", "left_semi")
+            po_rows = cls._po_top_rows(po_src).collect()
+        po_top = {(r["p"], r["o"]): r["cnt"] for r in po_rows}
+        return cls(by_pred, total, po_top, complete, residual_avg)
+
+    @classmethod
+    def _po_top_rows(cls, po_src: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window
+
         w = Window.partitionBy("p").orderBy(F.col("cnt").desc(), F.col("o").asc())
-        po_rows = (
+        return (
             po_src.groupBy("p", "o")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= cls.TOP_OBJECTS)
-            .collect()
         )
-        po_top = {(r["p"], r["o"]): r["cnt"] for r in po_rows}
-        return cls(by_pred, total, po_top, complete, residual_avg)
+
+    @classmethod
+    def _po_top_optimistic(cls, triples: DataFrame):
+        """Un-pruned (p, o) heavy-hitter rows, row-bounded: returns the
+        collected rows, or None when the graph exceeds the
+        PO_PRED_CAP × TOP_OBJECTS driver bound (the caller then reruns
+        the pruned variant)."""
+        bound = cls.PO_PRED_CAP * cls.TOP_OBJECTS
+        rows = cls._po_top_rows(triples).limit(bound + 1).collect()
+        return None if len(rows) > bound else rows
 
     # -- (de)serialization: stats ride in the store's _meta.json so a
     # loaded graph plans immediately instead of re-scanning a (possibly

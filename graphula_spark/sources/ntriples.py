@@ -34,24 +34,38 @@ def read_ntriples(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     Malformed / comment / blank lines are dropped (NxParser is similarly
     lenient). Distributed: one task per input split.
     """
-    text = spark.read.text(paths)
-    parsed = text.select(
-        F.regexp_extract("value", _LINE, 1).alias("s_raw"),
-        F.regexp_extract("value", _LINE, 2).alias("p_raw"),
-        F.regexp_extract("value", _LINE, 3).alias("o_raw"),
-    ).where((F.col("s_raw") != "") & (F.col("p_raw") != "") & (F.col("o_raw") != ""))
+    # one anchored-regex match per line (rlike) + one group-extracting
+    # replace, instead of three regexp_extract passes each re-running
+    # the full line regex (round 14 — the parse is the CPU of a load,
+    # and the anchored match means the replace rewrites the whole line
+    # or nothing, so split on a control-char separator reconstructs
+    # all three groups from a single pass). \x1f cannot appear inside
+    # a matched term (control chars are not in the term grammar), so
+    # the 3-way split is unambiguous for every line the guard admits.
+    text = spark.read.text(paths).where(F.col("value").rlike(_LINE))
+    parts = F.split(
+        F.regexp_replace("value", _LINE, "$1\x1f$2\x1f$3"), "\x1f"
+    )
 
-    def norm(c: str):
-        col = F.col(c)
+    def norm(col):
         return F.when(
             col.startswith("<"),
-            F.expr(f"substring({c}, 2, length({c}) - 2)"),
+            col.substr(F.lit(2), F.length(col) - 2),
         ).otherwise(col)
 
-    return parsed.select(
-        norm("s_raw").alias("s"),
-        norm("p_raw").alias("p"),
-        norm("o_raw").alias("o"),
+    def term(i: int):
+        # per-row fallback: a (spec-invalid but previously tolerated)
+        # term containing a literal \x1f makes the split ambiguous —
+        # those rows alone re-run the per-group extract; every clean
+        # row takes the single-pass split (when() short-circuits)
+        return F.when(
+            F.size(parts) == 3, parts[i]
+        ).otherwise(F.regexp_extract("value", _LINE, i + 1))
+
+    return text.select(
+        norm(term(0)).alias("s"),
+        norm(term(1)).alias("p"),
+        norm(term(2)).alias("o"),
     )
 
 
