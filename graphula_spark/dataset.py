@@ -456,6 +456,15 @@ class Dataset:
         from graphula_spark.operators import rdfs as rdfs_mod
         from graphula_spark.operators.rdfs import reduce_graph
 
+        # ONE flat materialization of the quads (round 15): every slice
+        # below — data graphs, the ontology, the verbatim keep — is a
+        # Catalyst filter VIEW over this checkpoint, replacing the
+        # former one-eager-checkpoint-job-per-graph loop. The sizing
+        # aggregate and the batched schema collect then scan
+        # materialized blocks instead of re-running the input lineage.
+        qflat = self.quads.select("s", "p", "o", "g").localCheckpoint(
+            eager=True
+        )
         # ONE catalog-sized sizing job replaces a per-graph
         # checkpoint + isEmpty pair for empty slices AND the separate
         # ontology count (round 14 — every extra job costs a full
@@ -463,57 +472,94 @@ class Dataset:
         # map-side-combinable pass)
         slice_counts = {
             r["g"]: r["n"]
-            for r in self.quads.groupBy("g")
+            for r in qflat.groupBy("g")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
         onto_gid = None
         onto_triples = None
         onto_small = False
+        # a FROM-NAMED-scoped view resolves an out-of-scope ontology
+        # name to the EMPTY graph (Dataset.graph semantics); the sizing
+        # below must agree or the broadcast fast path misfires
+        # (ADVICE r14) — note the out-of-scope graph itself is still
+        # kept verbatim in the output, like every other quads row
+        onto_scoped_out = (
+            ontology is not None
+            and self._allowed is not None
+            and ontology not in self._allowed
+        )
         if ontology is not None:
             onto_gid = self.dictionary.lookup_terms([ontology]).get(
                 ontology
             )
+            onto_visible = onto_gid is not None and not onto_scoped_out
             onto_triples = (
-                self.graph(ontology)
-                .triples.select("s", "p", "o")
-                .localCheckpoint(eager=True)
+                qflat.where(F.col("g") == onto_gid).select("s", "p", "o")
+                if onto_visible
+                else qflat.where(F.lit(False)).select("s", "p", "o")
             )
             # an unknown ontology name (onto_gid None) is an EMPTY
             # graph — never the g-IS-NULL default-graph bucket
-            n_onto = (
-                slice_counts.get(onto_gid, 0)
-                if onto_gid is not None
-                else 0
-            )
+            n_onto = slice_counts.get(onto_gid, 0) if onto_visible else 0
             onto_small = n_onto <= rdfs_mod.BROADCAST_DERIVED_MAX_ROWS
-        slices: list[tuple[int | None, Graph]] = [
-            (None, self.default_graph)
-        ]
+
+        # ONE quads-wide schema collect (round 15): the per-graph
+        # reduce_graph_removals schema jobs all scan the same
+        # checkpoint for KB-sized results — batch them into a single
+        # job and hand each slice its driver-side subset. Falls back
+        # to per-graph collects (schema_by_gid=None) when the combined
+        # slice trips the driver-size guard, where the exact per-base
+        # MAX_SCHEMA_EDGES check still applies.
+        schema_by_gid: dict[int | None, set] | None = {}
+        sch_cond = rdfs_mod.removal_schema_cond(self.dictionary, owl=owl)
+        if sch_cond is not None:
+            try:
+                srows = rdfs_mod._bounded_collect(
+                    qflat.where(sch_cond).select("g", "s", "p", "o"),
+                    "schema predicates (all graphs)",
+                )
+            except ValueError:
+                schema_by_gid = None
+            else:
+                for r in srows:
+                    schema_by_gid.setdefault(r["g"], set()).add(
+                        (r["s"], r["p"], r["o"])
+                    )
+
+        def slice_schema(gid: int | None) -> list[dict] | None:
+            """The (deduped) schema rows of slice ∪ ontology — what the
+            per-graph collect over `base` would have returned."""
+            if schema_by_gid is None:
+                return None
+            rows = set(schema_by_gid.get(gid, ()))
+            if onto_gid is not None and not onto_scoped_out:
+                rows |= schema_by_gid.get(onto_gid, set())
+            return [{"s": s, "p": p, "o": o} for (s, p, o) in sorted(rows)]
+        slices: list[int | None] = [None]
         for _name, gid in self.graph_names():
             if onto_gid is not None and gid == onto_gid:
                 continue
-            slices.append((gid, self.graph_by_id(gid)))
+            slices.append(gid)
         parts: list[DataFrame] = []
-        for gid, g in slices:
+        for gid in slices:
             if slice_counts.get(gid, 0) == 0:
                 continue
-            # localCheckpoint the slice: the input quads often carry
-            # deep lineage (stacked materialize_rdfs snapshots), and
-            # reduce_graph's per-family anti-joins each re-reference
-            # the slice — without the cut, Catalyst re-analyzes the
-            # whole history per family per graph (measured: 415s for
-            # a 5k-row two-graph reduce, seconds after; the cluster.py
-            # lesson). Reduction is a batch storage-compression op, so
-            # materializing per-graph data is its natural cost.
-            gt = g.triples.select("s", "p", "o").localCheckpoint(
-                eager=True
-            )
+            # slice = filter VIEW over the one flat checkpoint above:
+            # reduce_graph's per-family anti-joins re-reference the
+            # slice, and without a lineage cut Catalyst re-analyzes
+            # the whole input history per family per graph (measured:
+            # 415s for a 5k-row two-graph reduce, seconds after; the
+            # cluster.py lesson). One materialization now covers every
+            # slice instead of one eager checkpoint JOB per graph.
+            gt = qflat.where(
+                F.col("g") == gid if gid is not None else F.col("g").isNull()
+            ).select("s", "p", "o")
             gg = Graph(self.spark, gt, self.dictionary)
             if onto_triples is None:
-                kept = reduce_graph(gg, owl=owl).triples.select(
-                    "s", "p", "o"
-                )
+                kept = reduce_graph(
+                    gg, owl=owl, schema_rows=slice_schema(gid)
+                ).triples.select("s", "p", "o")
             else:
                 if onto_small:
                     # dedup gt ∪ onto WITHOUT shuffling the data slice
@@ -544,7 +590,9 @@ class Dataset:
                 # gt ∖ removals == gt ∩ reduced-base — so ONE anti-join
                 # on the slice replaces reduce_graph's base
                 # materialization + checkpoint + the semi join back
-                rm = rdfs_mod.reduce_graph_removals(base, owl=owl)
+                rm = rdfs_mod.reduce_graph_removals(
+                    base, owl=owl, schema_rows=slice_schema(gid)
+                )
                 kept = (
                     gt
                     if rm is None
@@ -566,7 +614,7 @@ class Dataset:
             )
         if onto_gid is not None:
             parts.append(
-                self.quads.where(F.col("g") == onto_gid).select(
+                qflat.where(F.col("g") == onto_gid).select(
                     "s", "p", "o", "g"
                 )
             )

@@ -383,6 +383,47 @@ class Dictionary:
         }
 
     # -- decode ----------------------------------------------------------
+    def decode_col_small(self, df: DataFrame, col: str) -> DataFrame:
+        """Decode an id column of a KNOWN-SMALL, KNOWN-BOUND result
+        slice (caller-gated: e.g. under a small LIMIT, var never
+        unbound): INNER join with the RESULT side broadcast and the
+        dictionary STREAMED. The per-query full-dictionary broadcast
+        build (scan + driver collect + hash relation — ~360k rows per
+        decode at sf0.1, unbounded at 100 TB) drops out of the plan;
+        each decode is one streaming pass over the (cached) dict with
+        a tiny hash table instead (guide §3.1: broadcast the side you
+        KNOW is small; a LEFT OUTER decode can never build on the
+        preserved side, so the join type must change with the sides).
+
+        Soundness: an INNER join loses exactly the rows whose id has
+        no dictionary entry. Solution id vars come from the triple
+        store, whose terms are all dictionary-registered at build
+        (the `_:<id>` fallback in decode_col is defensive, reachable
+        only through store/dictionary mismatch), and the caller gate
+        excludes maybe-unbound vars — so row multiset and values are
+        identical to decode_col's. NULL ids are additionally handled
+        STRUCTURALLY (null-safe join key + a NULL→NULL dict row), so
+        an unbound row decodes to NULL even if a caller's
+        maybe-unbound bookkeeping were incomplete."""
+        tmp = f"__dec_{col}"
+        d = self.df.select(
+            F.col("id").alias("__dec_id"), F.col("value").alias(tmp)
+        ).unionByName(
+            self.spark.range(0, 1, 1, 1).select(
+                F.lit(None).cast("long").alias("__dec_id"),
+                F.lit(None).cast("string").alias(tmp),
+            )
+        )
+        return (
+            d.join(
+                F.broadcast(df),
+                F.col("__dec_id").eqNullSafe(F.col(col)),
+                "inner",
+            )
+            .drop("__dec_id", col)
+            .withColumnRenamed(tmp, col)
+        )
+
     def decode_col(self, df: DataFrame, col: str, out: str | None = None) -> DataFrame:
         """Join-decode one id column back to its term string.
 

@@ -1372,38 +1372,62 @@ def _transitive_reduction_removals(e: DataFrame) -> DataFrame:
     return e.join(keep, ["s", "o"], "left_anti")
 
 
-def reduce_graph_removals(graph, owl: bool = True):
+def removal_schema_cond(dictionary, owl: bool = True):
+    """Filter Column selecting exactly the schema rows
+    `reduce_graph_removals` collects (None when no schema predicate is
+    registered in the dictionary) — shared with Dataset.reduce_rdfs's
+    BATCHED quads-wide schema collect so the two can never diverge."""
+    ids = dictionary.lookup_terms(
+        [RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP, OWL_INVERSE, OWL_TRANSITIVE]
+    )
+    sched_keys = [RDFS_SUBCLASS, RDFS_SUBPROP] + ([OWL_INVERSE] if owl else [])
+    sched_pids = [ids[k] for k in sched_keys if k in ids]
+    conds = []
+    if sched_pids:
+        conds.append(F.col("p").isin(sched_pids))
+    tid = ids.get(RDF_TYPE)
+    trid = ids.get(OWL_TRANSITIVE) if owl else None
+    if tid is not None and trid is not None:
+        conds.append((F.col("p") == tid) & (F.col("o") == trid))
+    cond = None
+    for c in conds:
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def reduce_graph_removals(graph, owl: bool = True, schema_rows=None):
     """The removal set `reduce_graph` strips — exposed separately so a
     caller reducing a SLICE against a shared schema (Dataset.reduce_rdfs)
     can apply `slice ∖ removals` with ONE anti-join instead of
     materializing the reduced base and semi-joining the slice back
     against it (round 11 — two full passes + a checkpoint write saved
     per graph). Returns a deduped (s, p, o) DataFrame, or None when no
-    rule family applies."""
+    rule family applies.
+
+    ``schema_rows`` (optional): the graph's schema slice, pre-collected
+    by the caller — s/p/o keyed mappings matching
+    `removal_schema_cond`, deduped, caller-guarded by
+    MAX_SCHEMA_EDGES. Dataset.reduce_rdfs passes per-graph slices of
+    ONE quads-wide collect instead of paying one collect job per
+    graph (round 15)."""
     spark, d = graph.spark, graph.dictionary
     ids = d.lookup_terms(
         [RDF_TYPE, RDFS_SUBCLASS, RDFS_SUBPROP, OWL_INVERSE, OWL_TRANSITIVE]
     )
     tid = ids.get(RDF_TYPE)
+    trid = ids.get(OWL_TRANSITIVE) if owl else None
     T = graph.triples.select("s", "p", "o")
 
-    # ONE schema-collect job (subClassOf + subPropertyOf + inverseOf
-    # pairs and the TransitiveProperty declarations share a scan)
-    sched_keys = [RDFS_SUBCLASS, RDFS_SUBPROP] + ([OWL_INVERSE] if owl else [])
-    sched_pids = [ids[k] for k in sched_keys if k in ids]
-    conds = []
-    if sched_pids:
-        conds.append(F.col("p").isin(sched_pids))
-    trid = ids.get(OWL_TRANSITIVE) if owl else None
-    if tid is not None and trid is not None:
-        conds.append((F.col("p") == tid) & (F.col("o") == trid))
-    schema_rows = []
-    if conds:
-        cond = conds[0]
-        for c in conds[1:]:
-            cond = cond | c
-        schema_rows = _bounded_collect(
-            T.where(cond).select("s", "p", "o"), "schema predicates"
+    if schema_rows is None:
+        # ONE schema-collect job (subClassOf + subPropertyOf + inverseOf
+        # pairs and the TransitiveProperty declarations share a scan)
+        cond = removal_schema_cond(d, owl=owl)
+        schema_rows = (
+            _bounded_collect(
+                T.where(cond).select("s", "p", "o"), "schema predicates"
+            )
+            if cond is not None
+            else []
         )
 
     def pairs(pid):
@@ -1467,7 +1491,7 @@ def reduce_graph_removals(graph, owl: bool = True):
     return rm.dropDuplicates(["s", "p", "o"])
 
 
-def reduce_graph(graph, owl: bool = True) -> "Graph":  # noqa: F821
+def reduce_graph(graph, owl: bool = True, schema_rows=None) -> "Graph":  # noqa: F821
     """The lossless inverse of materialization: strip every triple the
     ρdf(+OWL) rules re-derive from the remainder, keeping a minimal
     generating base. `materialize_owl(reduce_graph(g))` reconstructs
@@ -1494,7 +1518,7 @@ def reduce_graph(graph, owl: bool = True) -> "Graph":  # noqa: F821
     """
     from graphula_spark.graph import Graph
 
-    rm = reduce_graph_removals(graph, owl=owl)
+    rm = reduce_graph_removals(graph, owl=owl, schema_rows=schema_rows)
     if rm is None:
         return graph
     base = graph.triples.select("s", "p", "o").join(

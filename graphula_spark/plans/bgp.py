@@ -128,40 +128,46 @@ class BgpStats:
         # independent jobs); the optimistic pass is row-bounded so a
         # pathological graph falls back to the pruned serial path
         # with identical output.
-        pool = ThreadPoolExecutor(max_workers=1)
-        po_fut = pool.submit(cls._po_top_optimistic, triples)
-        rows = (
-            agg.orderBy(F.col("cnt").desc(), F.col("p").asc())
-            .limit(cls.MAX_PREDICATES + 1)
-            .collect()
-        )
-        complete = len(rows) <= cls.MAX_PREDICATES
-        if not complete:
-            rows = rows[: cls.MAX_PREDICATES]
-        by_pred = {r["p"]: (r["cnt"], max(r["ns"], 1), max(r["no"], 1)) for r in rows}
-        collected_total = sum(v[0] for v in by_pred.values())
-        if complete:
-            total = collected_total
-            residual_avg = 0.0
-        else:
-            g = agg.agg(
-                F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("n_preds")
-            ).collect()[0]
-            total = g["t"]
-            residual_avg = max(
-                (total - collected_total) / max(g["n_preds"] - len(by_pred), 1),
-                1.0,
+        # the `with` block guarantees shutdown even when the main-thread
+        # collect raises (ADVICE r14); note the acknowledged trade: in
+        # the >PO_PRED_CAP regime the optimistic full pass is always
+        # paid and then discarded before the pruned rerun.
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            po_fut = pool.submit(cls._po_top_optimistic, triples)
+            rows = (
+                agg.orderBy(F.col("cnt").desc(), F.col("p").asc())
+                .limit(cls.MAX_PREDICATES + 1)
+                .collect()
             )
-        # exact counts for each heavy predicate's heaviest objects: one
-        # exact counts for each heavy predicate's heaviest objects
-        # (reference reads exact per-key counts from LMDB instead,
-        # Index.valueCount, Index.scala:120-131). Bounded to
-        # PO_PRED_CAP × TOP_OBJECTS collected rows: the optimistic
-        # concurrent pass (launched above) covers every graph under
-        # the predicate cap; past it, fall back to the heavy-pred
-        # pruned serial pass — identical rows either way.
-        po_rows = po_fut.result()
-        pool.shutdown()
+            complete = len(rows) <= cls.MAX_PREDICATES
+            if not complete:
+                rows = rows[: cls.MAX_PREDICATES]
+            by_pred = {
+                r["p"]: (r["cnt"], max(r["ns"], 1), max(r["no"], 1))
+                for r in rows
+            }
+            collected_total = sum(v[0] for v in by_pred.values())
+            if complete:
+                total = collected_total
+                residual_avg = 0.0
+            else:
+                g = agg.agg(
+                    F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("n_preds")
+                ).collect()[0]
+                total = g["t"]
+                residual_avg = max(
+                    (total - collected_total)
+                    / max(g["n_preds"] - len(by_pred), 1),
+                    1.0,
+                )
+            # exact counts for each heavy predicate's heaviest objects
+            # (reference reads exact per-key counts from LMDB instead,
+            # Index.valueCount, Index.scala:120-131). Bounded to
+            # PO_PRED_CAP × TOP_OBJECTS collected rows: the optimistic
+            # concurrent pass (launched above) covers every graph under
+            # the predicate cap; past it, fall back to the heavy-pred
+            # pruned serial pass — identical rows either way.
+            po_rows = po_fut.result()
         if len(by_pred) > cls.PO_PRED_CAP:
             # contract: po_top only tracks the PO_PRED_CAP heaviest
             # predicates — discard the optimistic pass and rerun

@@ -86,14 +86,28 @@ def lineitem_to_triples(df: DataFrame) -> DataFrame:
     # materialize the keyed rows once: every consumer of the
     # triple-ized frame scans it at least twice (dictionary term pass
     # + encode pass), and the full-row window shuffle is the expensive
-    # part of this lineage — one narrow-table checkpoint beats two
-    # window shuffles (round 14, guide §1.2 step 1). The checkpoint is
-    # the source table + one string column; it spills rather than
-    # recomputes at scale.
-    keyed = keyed.localCheckpoint(eager=True)
+    # part of this lineage — one narrow-table materialization beats
+    # two window shuffles (round 14, guide §1.2 step 1). It is the
+    # source table + one string column; it spills rather than
+    # recomputes at scale. LAZY persist + scratch.track (ADVICE r14):
+    # plan-only callers no longer trigger a build job at construction
+    # time, and scratch_scope callers can release the blocks.
+    from pyspark import StorageLevel
+
+    from graphula_spark.scratch import track
+
+    keyed = track(keyed.persist(StorageLevel.MEMORY_AND_DISK))
     return table_to_triples(keyed, "lineitem", "__key").where(F.col("p") != "__key")
 
 DEFAULT_GRAPH_TABLES = ("region", "nation", "customer", "supplier", "orders")
+
+
+#: tables whose subject key column is a verified-unique primary key
+#: (lineitem is NOT here: its natural key is composite and the repo's
+#: synthetic lineitem violates per-column uniqueness)
+_UNIQUE_KEY_TABLES = frozenset(
+    t for t, k in TPCH_KEYS.items() if k is not None
+)
 
 
 def load_tpch_graph(
@@ -101,19 +115,27 @@ def load_tpch_graph(
     sf_dir: str,
     tables: tuple[str, ...] = DEFAULT_GRAPH_TABLES,
     cache: bool = True,
+    assume_distinct: bool | None = None,
 ) -> Graph:
     """Triple-ize the TPC-H-ish testdata tables into one Graph.
 
-    The triple set is distinct BY CONSTRUCTION — every table's subject
-    key is unique (TPC-H primary keys), each row emits one triple per
-    non-null column, and table prefixes keep subjects disjoint across
-    tables — so the build skips the global (s, p, o) dedup exchange
-    (round 14, `from_string_triples(assume_distinct=True)`)."""
+    For the primary-keyed tables the triple set is distinct BY
+    CONSTRUCTION — every table's subject key is unique, each row emits
+    one triple per non-null column, and table prefixes keep subjects
+    disjoint across tables — so the build skips the global (s, p, o)
+    dedup exchange (round 14, `from_string_triples(assume_distinct=
+    True)`). ``assume_distinct=None`` (default) applies that skip only
+    when every requested table is in the verified-unique-key set
+    (ADVICE r14: a caller-supplied table with duplicate key rows must
+    not silently break the store's set-semantics invariant); pass True
+    explicitly to override with caller-verified distinctness."""
+    if assume_distinct is None:
+        assume_distinct = all(t in _UNIQUE_KEY_TABLES for t in tables)
     all_triples: DataFrame | None = None
     for t in tables:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         tr = table_to_triples(df, t, TPCH_KEYS[t])
         all_triples = tr if all_triples is None else all_triples.unionByName(tr)
     return Graph.from_string_triples(
-        spark, all_triples, cache=cache, assume_distinct=True
+        spark, all_triples, cache=cache, assume_distinct=assume_distinct
     )

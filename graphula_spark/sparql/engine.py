@@ -18,6 +18,12 @@ from graphula_spark.sparql import algebra as A
 from graphula_spark.sparql.compiler import CE, Compiler, Solution, has_aggregates
 from graphula_spark.sparql.parser import parse_sparql
 
+#: LIMIT(+OFFSET) gate for the small-slice decode path: below this
+#: many result rows the final dictionary decode runs AFTER the slice
+#: with the RESULT side broadcast (decode_col_small) — the
+#: full-dictionary broadcast build per query drops out of the plan
+SMALL_SLICE_DECODE_MAX_ROWS = 1000
+
 
 def execute_sparql(graph, query: str, dataset=None, parsed=None) -> DataFrame:
     q = parsed if parsed is not None else parse_sparql(query)
@@ -586,7 +592,13 @@ def _execute_select(graph, c: Compiler, q: A.SelectQuery) -> DataFrame:
             continue
         sol2, ce = c.compile_expr(sol, e)
         col = ce.num if (ce.num is not None and not ce.is_bool) else ce.val
-        sol = Solution(sol2.df.withColumn(name, col), sol2.id_vars, sol2.val_vars | {name})
+        sol = Solution(
+            sol2.df.withColumn(name, col),
+            sol2.id_vars,
+            sol2.val_vars | {name},
+            sol2.maybe_unbound,
+            sol2.computed_vars,
+        )
         out_cols.append(name)
 
     # ORDER BY keys may reference arbitrary expressions: compute before decode
@@ -603,14 +615,35 @@ def _execute_select(graph, c: Compiler, q: A.SelectQuery) -> DataFrame:
                 .withColumn(k_num, F.coalesce(n, F.lit(0.0)))
                 .withColumn(k_str, ce.val)
             )
-            sol = Solution(df, sol2.id_vars, sol2.val_vars)
+            sol = Solution(
+                df,
+                sol2.id_vars,
+                sol2.val_vars,
+                sol2.maybe_unbound,
+                sol2.computed_vars,
+            )
             for k in (k_num_null, k_num, k_str):
                 sort_cols.append(F.col(k).asc() if asc else F.col(k).desc())
                 order_tmp.append(k)
 
     # decode projected id vars (the one final dict join per column)
     decode_vars = [v for v in out_cols if v in sol.id_vars]
-    sol = c.materialize(sol, decode_vars)
+    # small-slice decode (round 15, guide §3.1): with a small LIMIT
+    # and no DISTINCT, decode AFTER the slice — each dict join then
+    # BROADCASTS the ≤-limit result rows and STREAMS the dictionary,
+    # instead of building a full-dictionary broadcast per query and
+    # decoding every pre-limit row. Gated off maybe-unbound vars
+    # (NULL ids need decode_col's outer-join fallback) and DISTINCT
+    # (the dedup domain must stay the decoded strings).
+    defer_decode = (
+        bool(decode_vars)
+        and q.limit is not None
+        and not q.distinct
+        and (q.limit + (q.offset or 0)) <= SMALL_SLICE_DECODE_MAX_ROWS
+        and not (set(decode_vars) & sol.maybe_unbound)
+    )
+    if not defer_decode:
+        sol = c.materialize(sol, decode_vars)
 
     df = sol.df.select(*(out_cols + order_tmp))
     if q.distinct:
@@ -620,9 +653,20 @@ def _execute_select(graph, c: Compiler, q: A.SelectQuery) -> DataFrame:
         df = df.dropDuplicates()
     if sort_cols:
         df = df.orderBy(*sort_cols)
-    df = df.select(*out_cols)
+    if not defer_decode:
+        df = df.select(*out_cols)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
     if q.offset:
         df = df.offset(q.offset)
-    if q.limit is not None:
-        df = df.limit(q.limit)
-    return df
+    df = df.limit(q.limit)
+    for v in decode_vars:
+        df = c.graph.dictionary.decode_col_small(df, v)
+    if sort_cols:
+        # the decode joins do not preserve the slice's row order;
+        # re-sorting ≤ limit rows restores ORDER BY semantics
+        df = df.orderBy(*sort_cols)
+    return df.select(*out_cols)

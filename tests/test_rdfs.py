@@ -361,6 +361,9 @@ def _snapshot(graph):
     }
 
 
+@pytest.mark.slowtail
+
+
 def test_incremental_materialize_equals_full_on_random_batches(spark):
     """`add_materialized_rdfs` (delta maintenance) must produce the
     SAME closure as a full re-materialization of the extended graph,
@@ -405,6 +408,9 @@ def test_incremental_materialize_equals_full_on_random_batches(spark):
         assert _snapshot(incremental) == _py_rdfs_closure(
             base | set(batch)
         ), f"trial {trial}"
+
+
+@pytest.mark.slowtail
 
 
 def test_incremental_materialize_schema_batch_falls_back_or_raises(spark):
@@ -508,6 +514,9 @@ def test_owl_constructs(spark):
     assert ("ex:uni1", "ex:hasSubOrg", "ex:dept1") in got  # inverse + transitive
     # fixed point: a second owl pass adds nothing
     assert mg.materialize_rdfs(owl=True).triples.count() == mg.triples.count()
+
+
+@pytest.mark.slowtail
 
 
 def test_reduce_is_inverse_of_materialize_on_lubm_subset(spark):
@@ -729,6 +738,9 @@ def test_incremental_owl_bridging_edge_closes_through_corpus(spark):
     assert got == want
 
 
+@pytest.mark.slowtail
+
+
 def test_incremental_owl_equals_full_on_random_batches(spark):
     """add_materialized_rdfs(owl=True) == full materialize_owl of the
     extended graph, row-exact, on randomized corpora mixing all three
@@ -813,6 +825,9 @@ def test_incremental_owl_schema_batch_falls_back_or_raises(spark):
         )
 
 
+@pytest.mark.slowtail
+
+
 def test_incremental_owl_equals_full_on_lubm_store(spark):
     """The VERDICT r8 #1 done-gate on REAL data: close one university
     file of the reference's LUBM data under the OWL pass (univ-bench
@@ -870,6 +885,9 @@ def test_incremental_owl_equals_full_on_lubm_store(spark):
         full.triples.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
     ).count()
     assert missing == 0 and extra == 0, (missing, extra, n_inc, n_full)
+
+
+@pytest.mark.slowtail
 
 
 def test_dataset_reduce_rdfs_roundtrip_multigraph(spark):
@@ -1005,6 +1023,9 @@ def test_delete_materialized_rederivable_victim_survives(spark):
         ),
     ).materialize_rdfs()
     assert got == _snapshot(full)
+
+
+@pytest.mark.slowtail
 
 
 def test_delete_materialized_equals_full_on_random_graphs(spark):
@@ -1204,6 +1225,9 @@ def test_overdelete_rdfs_raises_when_rounds_exhausted(spark):
     assert over.count() == 8
 
 
+@pytest.mark.slowtail
+
+
 def test_dataset_reduce_rdfs_on_lubm_multigraph(spark):
     """Dataset.reduce_rdfs at LUBM scale: one university file split
     into two named data graphs + the schema slice as the shared
@@ -1278,3 +1302,39 @@ def test_dataset_reduce_rdfs_on_lubm_multigraph(spark):
         assert not missing, (gname, sorted(missing)[:5])
     # ontology kept verbatim
     assert red.graph(ONTO).triples.count() == ds.graph(ONTO).triples.count()
+
+
+def test_reduce_rdfs_batched_schema_matches_per_graph(spark):
+    """Round 15: Dataset.reduce_rdfs collects every graph's schema in
+    ONE quads-wide job and hands reduce_graph_removals per-slice
+    subsets (was: one schema-collect job per graph). Pin the reduced
+    output on a two-graph dataset with a shared ontology: derivable
+    types stripped from BOTH data graphs, ontology kept verbatim —
+    exactly what the per-graph collect path produced."""
+    from graphula_spark.dataset import Dataset
+    from graphula_spark.operators.rdfs import RDF_TYPE, RDFS_SUBCLASS
+
+    quads = [
+        ("a", RDF_TYPE, "Car", "g:x"),
+        ("a", RDF_TYPE, "Vehicle", "g:x"),  # derivable via subClassOf
+        ("b", RDF_TYPE, "Car", "g:y"),
+        ("b", RDF_TYPE, "Vehicle", "g:y"),
+        ("b", RDF_TYPE, "Thing", "g:y"),
+        ("Car", RDFS_SUBCLASS, "Vehicle", "g:onto"),
+        ("Vehicle", RDFS_SUBCLASS, "Thing", "g:onto"),
+    ]
+    ds = Dataset.from_string_quads(
+        spark, spark.createDataFrame(quads, ["s", "p", "o", "g"])
+    )
+    reduced = ds.reduce_rdfs(ontology="g:onto")
+    d = ds.dictionary
+    out = reduced.quads
+    for c in ("s", "p", "o", "g"):
+        out = d.decode_col(out, c)
+    got = {tuple(r) for r in out.select("s", "p", "o", "g").collect()}
+    assert got == {
+        ("a", RDF_TYPE, "Car", "g:x"),
+        ("b", RDF_TYPE, "Car", "g:y"),
+        ("Car", RDFS_SUBCLASS, "Vehicle", "g:onto"),
+        ("Vehicle", RDFS_SUBCLASS, "Thing", "g:onto"),
+    }

@@ -300,6 +300,9 @@ def test_asof_range_profile_equals_composition(spark):
     assert by_id["pn"][2] is None and by_id["pn"][3] == 0
 
 
+@pytest.mark.slowtail
+
+
 def test_asof_range_profile_property_random(spark):
     """Property breadth for the fused operator (round 11; ties planted
     round 12): random datasets WITH exact (by, ts) collisions — within
@@ -433,6 +436,9 @@ def test_asof_join_bucketed_equivalence(spark):
         }
         assert bucketed == plain, (seed, width)
         assert len(bucketed) == len(lefts)
+
+
+@pytest.mark.slowtail
 
 
 def test_asof_join_tie_deterministic_across_partitionings(spark):
@@ -606,6 +612,9 @@ def test_asof_join_map_payload_bucketed(spark):
         ).collect()
     }
     assert plain == bucketed == {(1, "a", (("k", 1),)), (2, "b", (("k", 2),))}
+
+
+@pytest.mark.slowtail
 
 
 def test_asof_join_forward_and_tolerance_property(spark):

@@ -4,6 +4,7 @@ add_string_triples / Dictionary.union / streaming ingest were never
 unpersisted, so a continuously running stream grew cached blocks
 without bound)."""
 
+import pytest
 from pyspark import StorageLevel
 from pyspark.sql import functions as F
 
@@ -50,6 +51,9 @@ def test_scopes_nest_and_release_own_frames_only(spark):
         assert not _cached(b)  # inner scope released b
         assert _cached(a) or a.count() >= 0  # a still tracked, alive
     assert not _cached(a)
+
+
+@pytest.mark.slowtail
 
 
 def test_ingest_loop_leaves_no_scratch_cache(spark):

@@ -2170,6 +2170,8 @@ class TestDatasetMaterialization:
             spark, spark.createDataFrame(rows, ["s", "p", "o", "g"])
         )
 
+    @pytest.mark.slowtail
+
     def test_incremental_owl_quad_ingest_equals_full(self, spark):
         """owl=True quad ingest: a bridging edge between two closed
         corpus chains derives the cross pairs incrementally, row-exact
@@ -2266,6 +2268,8 @@ class TestDatasetMaterialization:
         assert ("ex:bob", RDF_TYPE, "ex:Person") in got  # untouched
         # default graph lost exactly the victim
         assert inc.default_graph.triples.count() == 1
+
+    @pytest.mark.slowtail
 
     def test_decremental_owl_delete_partial_support_survives(self, spark):
         """OWL: deleting one base edge of a transitive chain
@@ -2870,3 +2874,99 @@ def test_nested_all_nullable_decomposition_depth(spark):
     # generous CI bound: the un-guarded shape never finishes this —
     # the analyzer alone burned 13+ CPU-minutes at depth ~5
     assert elapsed < 120, f"nested decomposition took {elapsed:.1f}s"
+
+
+def test_term_fns_cartesian_slivers_null_bounded(spark):
+    """VERDICT r14 #8: the BIND-join-back entry (sq_term_fns) carries
+    two unconditioned CartesianProduct nodes — the all-nullable
+    decomposition's null-sliver residual branches. Pin their contract:
+    every unconditioned product in the executed plan has exactly one
+    side filtered to the NULL-pivot sliver (an `isnull(...)` filter in
+    that subtree), and at runtime that sliver side stays within the
+    1-row bound the r13 decomposition design promises for this shape
+    (an unbounded product in a query path is the r13 281-s BNLJ lesson
+    — caught by tests, not luck)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import __spark_entry__ as entry_mod
+
+    sf_dir = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    df = entry_mod.queries()["sq_term_fns"](spark, sf_dir)
+    df.count()  # execute so the adaptive final plan carries metrics
+
+    def walk(n, out):
+        name = n.nodeName()
+        out.append(n)
+        if name == "AdaptiveSparkPlan":
+            walk(n.executedPlan(), out)
+        elif "QueryStage" in name:
+            walk(n.plan(), out)
+        else:
+            ch = n.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), out)
+        return out
+
+    def first_rows(n):
+        for o in walk(n, []):
+            m = o.metrics()
+            if m.contains("numOutputRows"):
+                return m.apply("numOutputRows").value()
+        return None
+
+    nodes = walk(df._jdf.queryExecution().executedPlan(), [])
+    carts = [n for n in nodes if "CartesianProduct" in n.nodeName()]
+    assert carts, "expected the decomposition's sliver products in-plan"
+    for cart in carts:
+        ch = cart.children()
+        sliver_rows = []
+        for i in range(ch.size()):
+            c = ch.apply(i)
+            if "isnull(" in c.toString()[:100_000]:
+                sliver_rows.append(first_rows(c))
+        assert len(sliver_rows) == 1, (
+            "every unconditioned product must have exactly one "
+            "null-sliver side"
+        )
+        assert sliver_rows[0] is not None and sliver_rows[0] <= 1, (
+            f"null sliver exceeded its 1-row bound: {sliver_rows[0]} rows"
+        )
+
+
+def test_small_slice_decode_matches_full_decode(spark):
+    """Round 15: under a small LIMIT the final dictionary decode runs
+    AFTER the slice with the result side broadcast and the dictionary
+    streamed (decode_col_small). Pin equivalence against the
+    full-decode path (gate forced off) — same rows, same order — and
+    that NULL-tolerant (maybe-unbound) projections keep the old path."""
+    from graphula_spark.sparql import engine as eng
+
+    triples = [(f"s{i:02d}", "p", f"o{i:02d}") for i in range(20)]
+    triples += [("s00", "q", "extra")]
+    g = Graph.from_string_triples(
+        spark,
+        spark.createDataFrame(triples, ["s", "p", "o"]),
+        cache=False,
+    )
+    q = "SELECT ?s ?o WHERE { ?s <p> ?o } ORDER BY DESC(?o) LIMIT 7"
+    deferred = [tuple(r) for r in g.sparql(q).collect()]
+    g2 = Graph(spark, g.triples, g.dictionary)  # fresh plan cache
+    old = eng.SMALL_SLICE_DECODE_MAX_ROWS
+    try:
+        eng.SMALL_SLICE_DECODE_MAX_ROWS = -1  # force the full-decode path
+        full = [tuple(r) for r in g2.sparql(q).collect()]
+    finally:
+        eng.SMALL_SLICE_DECODE_MAX_ROWS = old
+    assert deferred == full  # ordered comparison: LIMIT+ORDER semantics
+    # maybe-unbound projection (OPTIONAL) stays on the outer-join path
+    # and still decodes NULL as unbound
+    qo = (
+        "SELECT ?s ?x WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?x } } "
+        "ORDER BY ?s LIMIT 3"
+    )
+    rows = [(r["s"], r["x"]) for r in g.sparql(qo).collect()]
+    assert rows == [("s00", "extra"), ("s01", None), ("s02", None)]

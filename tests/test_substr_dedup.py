@@ -258,6 +258,8 @@ class TestStreamNearDedupIngest:
         }
         assert (20, 11) in hits
 
+    @pytest.mark.slowtail
+
     def test_stream_ingest_replay_converges(self, spark, tmp_path):
         """foreachBatch is at-least-once: re-executing a batch whose
         survivors already reached the index and accepted/ must converge

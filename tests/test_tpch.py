@@ -171,6 +171,9 @@ def test_q17_uses_one_shuffle_for_the_correlated_avg(spark):
     assert plan.count("SortMergeJoin") == 0
 
 
+@pytest.mark.slowtail
+
+
 def test_bucketed_facts_join_without_shuffle(spark, tmp_path):
     """save_bucketed co-buckets lineitem+orders on the orderkey; the
     orderkey joins must then plan with NO Exchange feeding either fact

@@ -67,6 +67,12 @@ def main() -> None:
     out: dict[str, float] = {}
     for name in keys:
         spark.sparkContext.setJobDescription(f"ab {side} {name}")
+        if name == "ds_reduce_rdfs":
+            import bench
+
+            run = bench._ds_reduce_thunk(spark, sf_dir)
+            out[name] = round(timed_median(run, name), 3)
+            continue
         if name == "lubm_load":
             import glob
 

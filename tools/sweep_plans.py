@@ -288,12 +288,53 @@ def build_api_substring_dedup(spark, sf_dir):
     return build
 
 
+def build_api_stream_near_dedup(spark, sf_dir):
+    """`stream_near_dedup_ingest` (streaming foreachBatch surface,
+    VERDICT r14 #9): half the documents table builds the persisted
+    MinHash index, the other half streams in as availableNow
+    micro-batches. The query executes inside build(), so max-task /
+    plan signatures come from the REST stage diff."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from graphula_spark.operators.dedup import MinHashIndex
+    from graphula_spark.streaming.windows import stream_near_dedup_ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="sweep_stream_dedup_")
+    idx_path = f"{tmp}/idx"
+    MinHashIndex.build(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id", "text", idx_path
+    )
+    in_dir = f"{tmp}/incoming"
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    incoming.write.mode("overwrite").parquet(in_dir)
+    schema = incoming.schema
+
+    def build():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = stream_near_dedup_ingest(
+            spark, stream, idx_path,
+            jaccard_threshold=0.5, checkpoint=f"{tmp}/ckpt",
+        )
+        q.awaitTermination()
+        return spark.read.parquet(f"{idx_path}/accepted").count()
+
+    import atexit
+
+    atexit.register(shutil.rmtree, tmp, True)
+    return build
+
+
 EXTRA_SURFACES = {
     "api_dataset_graph_var": build_api_dataset_graph_var,
     "api_run_pipeline": build_api_run_pipeline,
     "api_smush_sameas": build_api_smush_sameas,
     "api_warc_to_documents": build_api_warc_to_documents,
     "api_substring_dedup": build_api_substring_dedup,
+    "api_stream_near_dedup": build_api_stream_near_dedup,
 }
 
 
